@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are chosen for oracle-parity and local-mode determinism
+  * (UTC, AQE on, shuffle partitions sized to cores, not 200) while the
+  * same settings scale to a real cluster: AQE re-plans skew/coalesce at
+  * runtime, and `shufflePartitions` is the only local-mode override.
+  */
+object GraftSession {
+
+  /** Build (or fetch) the engine session.
+    *
+    * @param master            Spark master; local threads by default.
+    * @param shufflePartitions number of shuffle partitions. On a real
+    *                          cluster leave larger (AQE coalesces); in
+    *                          local[N] match N so a 60k-row test run
+    *                          doesn't schedule 200 empty tasks.
+    */
+  def build(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32
+  ): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
+      // nanosecond timestamp type — see Tables.events for the decode.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact (normalized-hash groupBy), pairwise token-set Jaccard (the
+  * oracle-checkable fixture-scale formulation), and the scale paths —
+  * MinHash+LSH banding and SimHash — which avoid the O(n²) pair space.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-partitioned groupBy on a
+  * 64-bit key (no full-text shuffle — only (key, id) pairs move). The
+  * MinHash path shuffles `bands` rows per doc, each a few bytes, and
+  * joins only within LSH buckets; the pairwise path exists for oracle
+  * validation and small inputs only.
+  */
+object DedupOps {
+
+  /** Normalization used for exact dedup: lower(trim(text)). */
+  def normText(text: Column): Column = lower(trim(text))
+
+  /** Exact duplicate groups: one row per normalized text with count > 1.
+    * Shuffles (hash64(norm), id) only; the winner per group is the
+    * smallest id (deterministic).
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(normText(col(textCol)).as("norm"), col(idCol).as("id"))
+      .groupBy("norm")
+      .agg(count("*").as("n"), min("id").as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** Distinct token set of a whitespace-tokenized text. */
+  def tokenSet(text: Column): Column =
+    array_distinct(TextOps.whitespaceTokenize(text))
+
+  /** All near-duplicate pairs (id_a < id_b) with token-set Jaccard >=
+    * `threshold`. Pairwise with a size-band prefilter — safe because
+    * J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs outside the band
+    * cannot reach the threshold. Fixture-scale / oracle formulation;
+    * use [[minHashCandidates]] + verify at scale.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val a = t.select(col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    a.join(b,
+        col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * threshold)
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` 64-bit min-hashes over the token set.
+    * Hash family: xxhash64(token, seed=i) — independent enough for LSH
+    * banding and fully deterministic.
+    */
+  def minHashSignature(toks: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(toks, t => xxhash64(t, lit(i))))
+    }: _*)
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, hash each band, and emit pairs that collide in at
+    * least one band. Only (band_idx, band_hash) tuples shuffle — the
+    * candidate space never materializes O(n²).
+    */
+  def minHashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand)
+    val banded = df
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs with exact Jaccard verification of the
+    * candidates (the standard two-phase plan: LSH recall, exact precision).
+    */
+  def minHashDedup(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand)
+    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"),
+      size(tokenSet(col(textCol))).as("n"))
+    cands
+      .join(t.select(col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the token multiset: sign-sum of per-token hash
+    * bits. Near-dups = pairs within `maxHamming` bits; the banding trick
+    * (split 64 bits into k chunks, equi-join on chunk) finds all pairs
+    * with Hamming distance < k chunks apart without O(n²).
+    */
+  def simHash(toks: Column): Column = {
+    val bitSums = (0 until 64).map { b =>
+      aggregate(toks, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    (0 until 64).map { b =>
+      when(bitSums(b) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: 4-chunk banding (any pair with Hamming
+    * distance <= 3 shares at least one exact 16-bit chunk), then exact
+    * Hamming verify.
+    */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    val chunks = 4
+    require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
+    val withSig = df.select(col(idCol).as("id"),
+      simHash(TextOps.whitespaceTokenize(col(textCol))).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"), posexplode(
+      array((0 until chunks).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val l = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram (shingle) set. */
+  def ngramSet(text: Column, n: Int): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    array_distinct(
+      when(size(toks) < n, array())
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force; see SimilarityOps for
+    * the bucketed scale path).
+    */
+  def cosinePairs(df: DataFrame, vecCol: String, idCol: String, minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` / `array<double>` columns.
+  *
+  * Reproduces the reference's tensor semantics as Spark column
+  * expressions (all codegen-friendly higher-order functions, no UDFs):
+  *   - argmax with the *first-max* tie rule of `torch.argmax`
+  *     (reference `src/inference.py:45`, `src/inference_kfold.py:90`);
+  *   - masked mean-pooling `(sum(x*mask)/sum(mask))`
+  *     (reference `src/model.py:48-49`);
+  *   - ensemble logit-sum (reference `src/inference_kfold.py:80-89`);
+  *   - norms / dot / cosine for the embeddings extension surface.
+  *
+  * All folds accumulate left-to-right in DOUBLE regardless of element
+  * type, so results are bit-stable and match any engine that folds the
+  * same direction (the DuckDB oracle does).
+  */
+object VectorOps {
+
+  /** Left fold sum of elements as double. */
+  def arraySumD(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double"))
+
+  /** L2 norm: sqrt(sum(x_i^2)), accumulated in double. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Dot product of two equal-length vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** 0-based index of the first maximum element — `torch.argmax` tie
+    * rule (first occurrence). `array_position` returns the first match,
+    * which pins exactly that rule.
+    */
+  def argmaxFirst(a: Column): Column =
+    (array_position(a, array_max(a)) - 1).cast("int")
+
+  /** Mean of the first `k` elements (the reference's masked mean-pool
+    * with mask = first-k; `src/model.py:48-49`).
+    */
+  def meanFirstK(a: Column, k: Int): Column =
+    arraySumD(slice(a, 1, k)) / k
+
+  /** Masked mean-pool with an explicit 0/1 mask column. */
+  def maskedMean(a: Column, mask: Column): Column =
+    aggregate(zip_with(a, mask, (x, m) => x.cast("double") * m.cast("double")),
+      lit(0.0), (acc, x) => acc + x) / arraySumD(mask)
+
+  /** Elementwise sum of two logit vectors (ensemble fan-in,
+    * reference `src/inference_kfold.py:86-89`). Element type preserved.
+    */
+  def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Elementwise sum across N vectors. */
+  def vecAddAll(vs: Seq[Column]): Column = vs.reduce(vecAdd)
+
+  /** Pad a frame matrix (array<array<float>>) to `maxFrames` rows with
+    * zero-vectors of `dim`, and emit the 0/1 mask — reference
+    * `src/data_helper.py:155-164`.
+    */
+  def padFrames(frames: Column, maxFrames: Int, dim: Int): Column = {
+    val zeroVec = array_repeat(lit(0.0f), dim)
+    val padCount = (lit(maxFrames) - least(size(frames), lit(maxFrames))).cast("int")
+    slice(concat(frames, array_repeat(zeroVec, padCount)), 1, maxFrames)
+  }
+
+  /** 0/1 frame mask: 1 for real frames (capped at maxFrames), 0 for pad. */
+  def frameMask(frames: Column, maxFrames: Int): Column = {
+    val real = least(size(frames), lit(maxFrames))
+    concat(
+      array_repeat(lit(1), real),
+      array_repeat(lit(0), (lit(maxFrames) - real).cast("int")))
+  }
+
+  /** Deterministic stride subsample (test path, reference
+    * `src/data_helper.py:168-172`): indices `range(0, n, n/maxFrames)`,
+    * first `maxFrames` kept, order preserved.
+    */
+  def strideSample(frames: Column, maxFrames: Int): Column = {
+    val n = size(frames)
+    val stride = (n / maxFrames).cast("int") // floor; n > maxFrames when used
+    val idx = slice(filter(sequence(lit(0), n - 1), i => i % stride === 0), 1, maxFrames)
+    transform(idx, i => element_at(frames, i + 1))
+  }
+
+  /** Seeded pseudo-random subsample (train path, reference
+    * `src/data_helper.py:173-178`): take `maxFrames` indices keyed by a
+    * deterministic per-(key, index) hash, re-sorted ascending to keep
+    * temporal order. Row-key-seeded so results survive repartitioning
+    * (SURVEY §7.4.2: key-derived randomness only).
+    */
+  def seededSample(frames: Column, key: Column, maxFrames: Int, seed: Long): Column = {
+    val n = size(frames)
+    val scored = transform(sequence(lit(0), n - 1),
+      i => struct(xxhash64(key, i, lit(seed)).as("h"), i.as("i")))
+    val chosen = slice(array_sort(scored), 1, maxFrames)
+    val idx = array_sort(transform(chosen, s => s.getField("i")))
+    transform(idx, i => element_at(frames, i + 1))
+  }
+}
