@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.OracleQueries
+import graft.queries.{ExtensionQueries, OracleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,13 +18,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     OracleQueries.q03(spark, "/root/testdata/sf0.001")
 
+  private def registry = OracleQueries.all ++ ExtensionQueries.all
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    OracleQueries.all.map { case (name, (fn, _)) => name -> fn }.toMap
+    registry.map { case (name, (fn, _)) => name -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    OracleQueries.all.map { case (name, (_, sql)) => name -> sql }.toMap
+    registry.map { case (name, (_, sql)) => name -> sql }.toMap
 }

@@ -58,12 +58,16 @@ object DedupOps {
   }
 
   /** MinHash signature: `numHashes` 64-bit min-hashes over the token set.
-    * Hash family: xxhash64(token, seed=i) — independent enough for LSH
-    * banding and fully deterministic.
+    * Default hash family: xxhash64(token, seed=i) — fast, codegen'd, the
+    * production choice. `hashFn` is pluggable so oracle-checked queries
+    * can use [[graft.core.PortableHash]] (md5-based, reproducible in any
+    * engine) instead.
     */
-  def minHashSignature(toks: Column, numHashes: Int): Column =
+  def minHashSignature(
+      toks: Column, numHashes: Int,
+      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(toks, t => xxhash64(t, lit(i))))
+      array_min(transform(toks, t => hashFn(t, i)))
     }: _*)
 
   /** LSH candidate pairs: split the signature into `bands` bands of
@@ -73,14 +77,16 @@ object DedupOps {
     */
   def minHashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand)
+      bands: Int, rowsPerBand: Int,
+      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): DataFrame = {
+    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
     val banded = df
       .select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), posexplode(
         array((0 until bands).map(b =>
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+          md5(array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string")), ","))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -95,8 +101,9 @@ object DedupOps {
     */
   def minHashDedup(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand)
+      bands: Int = 16, rowsPerBand: Int = 4,
+      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): DataFrame = {
+    val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, hashFn)
     val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"),
       size(tokenSet(col(textCol))).as("n"))
     cands
@@ -114,12 +121,14 @@ object DedupOps {
     * (split 64 bits into k chunks, equi-join on chunk) finds all pairs
     * with Hamming distance < k chunks apart without O(n²).
     */
-  def simHash(toks: Column): Column = {
-    val bitSums = (0 until 64).map { b =>
+  def simHash(
+      toks: Column, nBits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)): Column = {
+    val bitSums = (0 until nBits).map { b =>
       aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        (acc, t) => acc + when(shiftright(hashFn(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
     }
-    (0 until 64).map { b =>
+    (0 until nBits).map { b =>
       when(bitSums(b) > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
   }

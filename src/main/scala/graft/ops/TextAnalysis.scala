@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.PortableHash
+
+/** Text-analysis operators for the training-data pipeline surface:
+  * language ID (stopword n-gram heuristic), quality scoring, token
+  * counting (whitespace + a BPE-ish regex), and document fingerprinting.
+  *
+  * Everything is a pure column expression — codegen-friendly, no UDFs,
+  * embarrassingly parallel (zero shuffles) at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the heuristic language ID.
+    * Deliberately small and frozen: the operator contract is the scoring
+    * algebra, not lexicon quality.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  /** Per-language stopword-hit ratio of the whitespace token multiset. */
+  def langScore(toks: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    val hits = size(filter(toks, t => t.isin(words: _*)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Heuristic language ID: argmax of [[langScore]] over the profiles,
+    * ties broken by language code ascending (deterministic). Returns the
+    * language code string.
+    */
+  def langId(toks: Column): Column = {
+    val scored = stopwords.map { case (lang, _) =>
+      struct(langScore(toks, lang).as("score"), lit(lang).as("lang"))
+    }
+    // max over (score, then lang DESC would win ties by code); to break
+    // ties by code ASC, compare on (score, negated-lexicographic) — done
+    // simply by taking max score then the first lang reaching it.
+    val maxScore = greatest(scored.map(_.getField("score")): _*)
+    stopwords.map { case (lang, _) =>
+      when(langScore(toks, lang) === maxScore, lit(lang))
+    }.reduceRight((c, acc) => coalesce(c, acc))
+  }
+
+  /** Quality signals (reference-free heuristics used by LLM data
+    * pipelines): token count, mean token length, stopword ratio (en),
+    * non-alphanumeric character ratio, uppercase ratio. Returned as a
+    * struct column.
+    */
+  def qualitySignals(text: Column): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    val nChars = length(text).cast("double")
+    val nonAlnum = nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    val uppers = nChars - length(regexp_replace(text, "[A-Z]", ""))
+    struct(
+      size(toks).as("n_tokens"),
+      when(size(toks) === 0, 0.0)
+        .otherwise(aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double"))
+          / size(toks)).as("mean_token_len"),
+      langScore(toks, "en").as("stopword_ratio"),
+      when(nChars === 0, 0.0).otherwise(nonAlnum / nChars).as("punct_ratio"),
+      when(nChars === 0, 0.0).otherwise(uppers / nChars).as("upper_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot × low punct ×
+    * some stopwords. A fixed, documented formula (deterministic) rather
+    * than a learned model.
+    */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val lenScore = least(s.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - s.getField("punct_ratio") * 4.0)
+    val swScore = least(s.getField("stopword_ratio") * 5.0, lit(1.0))
+    // no rounding here: engines' round() tie rules differ; the oracle
+    // canonicalization rounds once, at the end, on both sides equally.
+    lenScore * 0.4 + punctPenalty * 0.4 + swScore * 0.2
+  }
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single other
+    * glyphs each count as one token — a deterministic proxy for subword
+    * tokenizer cost, as a codegen'd regex count.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Exact-dedup fingerprint: md5 hex of the normalized text. */
+  def docFingerprint(text: Column): Column = md5(DedupOps.normText(text))
+
+  /** Min-wise shingle fingerprint (rolling n-gram window, min of hashed
+    * shingles) — one 60-bit value that is stable under small edits;
+    * the 1-hash MinHash special case.
+    */
+  def minShingleFingerprint(text: Column, n: Int): Column = {
+    val grams = DedupOps.ngramSet(text, n)
+    when(size(grams) === 0, lit(null).cast("long"))
+      .otherwise(array_min(transform(grams, g => PortableHash.md5Long(g))))
+  }
+}

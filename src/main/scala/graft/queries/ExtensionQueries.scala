@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+import graft.ops._
+
+/** LLM-data-pipeline extension queries (q21+): dedup (MinHash-LSH,
+  * n-gram Jaccard, SimHash, embedding-cosine), similarity search, text
+  * analysis (language ID, quality, token stats, fingerprints) and the
+  * multimodal column bundle — each oracle-checked against DuckDB.
+  *
+  * Oracle-checked variants use [[graft.core.PortableHash]] (md5-derived
+  * integers) so BOTH engines compute identical hashes; the production
+  * paths in [[graft.ops.DedupOps]]/[[graft.ops.SimilarityOps]] default
+  * to xxhash64 (faster, codegen'd) with identical structure.
+  */
+object ExtensionQueries {
+
+  /** DuckDB fragment: md5-int of a string expr (= PortableHash.md5Long). */
+  private def dk(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  // --------------------------------------------------------------- q21
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard
+    * verified at 0.6 — the scale path for near-dedup, oracle-checked via
+    * the portable hash family.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minHashDedup(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.6,
+      bands = 4, rowsPerBand = 4,
+      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)))
+
+  val q21Sql: String =
+    s"""WITH t AS (
+      | SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+      |        len(list_distinct(string_split(text, ' '))) AS n
+      | FROM documents),
+      |sig AS (
+      | SELECT doc_id, toks, n,
+      |  list_transform(generate_series(0, 15), i ->
+      |    list_min(list_transform(toks, tk -> ${dk("tk || '#' || i")}))) AS sg
+      | FROM t),
+      |band AS (
+      | SELECT doc_id, u.i AS band,
+      |   md5(array_to_string(sg[4*u.i+1 : 4*u.i+4], ',')) AS bh
+      | FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) u),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+      |  AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      | CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      |  / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+      |FROM cand
+      | JOIN t ta ON ta.doc_id = id_a
+      | JOIN t tb ON tb.doc_id = id_b
+      |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      |  / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) >= 0.6""".stripMargin
+
+  // --------------------------------------------------------------- q22
+  /** Near-dup pairs by word 3-gram (shingle) Jaccard >= 0.05. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = d.select(col("doc_id").as("id"),
+        DedupOps.ngramSet(col("text"), 3).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val a = t.select(col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b"))
+    a.join(b,
+        col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * 0.05)
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.05)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  val q22Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string(string_split(text, ' ')[i : i+2], ' '))) AS toks
+      | FROM documents),
+      |s AS (SELECT doc_id, toks, len(toks) AS n FROM t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |  / (a.n + b.n - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      | AND CAST(least(a.n, b.n) AS DOUBLE) >= greatest(a.n, b.n) * 0.05
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |  / (a.n + b.n - len(list_intersect(a.toks, b.toks))) >= 0.05""".stripMargin
+
+  // --------------------------------------------------------------- q23
+  /** Embedding-cosine near-dup pairs (brute force at fixture scale). */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cosinePairs(Tables.embeddings(spark, dir), "embedding", "vec_id", 0.45)
+
+  val q23Sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (a.nrm * b.nrm) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (a.nrm * b.nrm) >= 0.45""".stripMargin
+
+  // --------------------------------------------------------------- q24
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 20. */
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 20), e, 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank").as("rnk"))
+  }
+
+  val q24Sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings),
+      |c AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (a.nrm * b.nrm) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+      |r AS (
+      | SELECT query_id, neighbor_id, cosine,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      | FROM c)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  // --------------------------------------------------------------- q25
+  /** Heuristic language ID (stopword-profile argmax) vs labeled lang. */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("lang"),
+        TextAnalysis.langId(split(col("text"), " ")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q25Sql: String = {
+    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS DOUBLE) / len(toks) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.init.map(l => s"WHEN s_$l = mx THEN '$l'")
+      .mkString(" ") + s" ELSE '${langs.last}'"
+    s"""WITH t AS (
+      | SELECT lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      | SELECT lang,
+      |  $scores
+      | FROM t),
+      |p AS (SELECT lang, $mx AS mx, * FROM s)
+      |SELECT lang, CASE $caseChain END AS pred_lang, COUNT(*) AS n
+      |FROM p GROUP BY lang, pred_lang""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q26
+  /** Quality signals + composite score per document. */
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val s = TextAnalysis.qualitySignals(col("text"))
+    d.select(
+      col("doc_id"),
+      s.getField("n_tokens").as("n_tokens"),
+      s.getField("mean_token_len").as("mean_token_len"),
+      s.getField("stopword_ratio").as("stopword_ratio"),
+      s.getField("punct_ratio").as("punct_ratio"),
+      s.getField("upper_ratio").as("upper_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+  }
+
+  val q26Sql: String = {
+    val enWords = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+      | SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      | SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  CAST(list_sum(list_transform(toks, tk -> len(tk))) AS DOUBLE) / len(toks) AS mean_token_len,
+      |  CAST(len(list_filter(toks, tk -> list_contains($enWords, tk))) AS DOUBLE) / len(toks) AS stopword_ratio,
+      |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
+      |  CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / len(text) AS upper_ratio
+      | FROM t)
+      |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio, upper_ratio,
+      | least(n_tokens / 20.0, 1.0) * 0.4
+      |  + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.4
+      |  + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality
+      |FROM s""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q27
+  /** Token counting: whitespace tokens and BPE-ish regex tokens. */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = size(TextOps.whitespaceTokenize(col("text")))
+    d.select(
+      col("doc_id"),
+      ws.as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("regex_tokens"),
+      col("n_chars"),
+      (col("n_chars").cast("double") / ws).as("chars_per_token"))
+  }
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
+      | n_chars,
+      | CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- q28
+  /** Document fingerprints: md5 of normalized text + min-wise 3-gram
+    * shingle fingerprint (1-hash MinHash).
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.docFingerprint(col("text")).as("fp"),
+      TextAnalysis.minShingleFingerprint(col("text"), 3).as("shingle_fp"))
+
+  val q28Sql: String =
+    s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
+      | list_min(list_transform(
+      |   list_distinct(list_transform(
+      |     generate_series(1, len(string_split(text, ' ')) - 2),
+      |     i -> array_to_string(string_split(text, ' ')[i : i+2], ' '))),
+      |   g -> ${dk("g")})) AS shingle_fp
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- q29
+  /** 48-bit SimHash per document over the token multiset (portable hash
+    * family; production path uses xxhash64/64-bit).
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      DedupOps.simHash(split(col("text"), " "), 48,
+        t => PortableHash.md5Long48(t)).as("simhash"))
+
+  val q29Sql: String =
+    """SELECT doc_id,
+      | CAST(list_sum(list_transform(generate_series(0, 47), b ->
+      |   CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
+      |     CASE WHEN (CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT) >> b) & 1 = 1
+      |       THEN 1 ELSE -1 END)) > 0
+      |   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- q30
+  /** Multimodal bundle plumbing: the text payload treated as an opaque
+    * binary column with typed metadata (byte length, first byte, fake
+    * frame count) — the schema/shape contract for image/audio columns;
+    * see MultimodalOps for the decode-stub pipeline.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bin = col("text").cast("binary")
+    d.select(
+      col("doc_id"),
+      length(bin).as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).as("first_byte"),
+      ceil(length(bin) / 64.0).cast("int").as("frame_count"),
+      col("source"))
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      | octet_length(encode(text)) AS n_bytes,
+      | ascii(substr(text, 1, 1)) AS first_byte,
+      | CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS frame_count,
+      | source
+      |FROM documents""".stripMargin
+
+  /** name → (spark impl, oracle sql). */
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q21_dedup_minhash" -> ((q21 _, q21Sql)),
+    "q22_dedup_ngram" -> ((q22 _, q22Sql)),
+    "q23_dedup_cosine" -> ((q23 _, q23Sql)),
+    "q24_sim_topk" -> ((q24 _, q24Sql)),
+    "q25_langid" -> ((q25 _, q25Sql)),
+    "q26_quality_score" -> ((q26 _, q26Sql)),
+    "q27_token_stats" -> ((q27 _, q27Sql)),
+    "q28_fingerprint" -> ((q28 _, q28Sql)),
+    "q29_simhash" -> ((q29 _, q29Sql)),
+    "q30_multimodal_bundle" -> ((q30 _, q30Sql)))
+}
