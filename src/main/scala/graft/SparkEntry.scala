@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtensionQueries, OracleQueries}
+import graft.queries.{ExtensionQueries, OracleQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     OracleQueries.q03(spark, "/root/testdata/sf0.001")
 
-  private def registry = OracleQueries.all ++ ExtensionQueries.all
+  private def registry =
+    OracleQueries.all ++ ExtensionQueries.all ++ ReferenceQueries.all
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

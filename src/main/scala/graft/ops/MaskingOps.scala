@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.PortableHash
+
+/** Pretraining data-augmentation operators (SURVEY §2.8) — the
+  * *data semantics* of the reference's MLM/MFM/ITM batch transforms,
+  * reproduced as deterministic, key-seeded column algebra:
+  *
+  *  - MLM token masking (reference `src/pretrained_model.py:23-57`):
+  *    select tokens w.p. `maskProb`; of the selected, 80% → [MASK],
+  *    10% → random vocab id, 10% unchanged; labels carry the original
+  *    id where selected, else -100.
+  *  - MFM frame masking (reference `src/pretrained_model.py:58-76`):
+  *    zero out selected frames, -100-sentinel label index elsewhere.
+  *  - ITM batch shuffle (reference `src/pretrained_model.py:77-89`):
+  *    within a bucket of `batch`, the first half keeps its own pair,
+  *    the second half is reversed; match label = (partner == self).
+  *
+  * All randomness is key-derived ([[graft.core.PortableHash]]):
+  * u = md5(key#position#salt)/2^60 — reproducible on any engine and
+  * under any partitioning. The reference's torch RNG draws are NOT
+  * bit-reproduced (different generator); the *distributional contract*
+  * (probabilities, branch structure, sentinels) is what is pinned.
+  */
+object MaskingOps {
+
+  val IgnoreLabel: Int = -100
+
+  /** Per-position decision columns for MLM over a token array.
+    * Returns struct(ids, labels): masked input ids and MLM labels.
+    *
+    * @param toks      array<int> token ids
+    * @param key       row key column (e.g. doc id) seeding the draws
+    * @param maskProb  selection probability (reference: 0.25)
+    * @param maskToken the [MASK] id
+    * @param vocabSize random-replacement draws uniform in [0, vocabSize)
+    */
+  def mlmMask(toks: Column, key: Column, maskProb: Double,
+      maskToken: Int, vocabSize: Int, seed: Long = 0L): Column = {
+    val idx = sequence(lit(0), size(toks) - 1)
+    val zipped = zip_with(toks, idx, (t, i) => struct(t.as("t"), i.as("i")))
+    val decided = transform(zipped, p => {
+      val t = p.getField("t"); val i = p.getField("i")
+      val k = concat_ws("#", key.cast("string"), i.cast("string"), lit(seed.toString))
+      val uSel = PortableHash.uniform01(k, lit("sel"))
+      val uSub = PortableHash.uniform01(k, lit("sub"))
+      val randTok = (PortableHash.md5Long(k, lit("rand")) % vocabSize).cast("int")
+      val selected = uSel < maskProb
+      val newId = when(!selected, t)
+        .when(uSub < 0.8, lit(maskToken))
+        .when(uSub < 0.9, randTok)
+        .otherwise(t)
+      val label = when(selected, t).otherwise(lit(IgnoreLabel))
+      struct(newId.as("id"), label.as("label"))
+    })
+    struct(
+      transform(decided, d => d.getField("id")).as("ids"),
+      transform(decided, d => d.getField("label")).as("labels"))
+  }
+
+  /** MFM frame masking over array<array<float>>: selected real frames
+    * are zero-filled; returns struct(frames, labelIdx) where labelIdx(i)
+    * = i for masked frames else -100 (the reference's label-index matrix
+    * with sentinel).
+    */
+  def mfmMask(frames: Column, key: Column, maskProb: Double, seed: Long = 0L): Column = {
+    val idx = sequence(lit(0), size(frames) - 1)
+    val zipped = zip_with(frames, idx, (f, i) => struct(f.as("f"), i.as("i")))
+    val decided = transform(zipped, p => {
+      val f = p.getField("f"); val i = p.getField("i")
+      val k = concat_ws("#", key.cast("string"), i.cast("string"), lit(seed.toString))
+      val selected = PortableHash.uniform01(k, lit("mfm")) < maskProb
+      struct(
+        when(selected, transform(f, _ => lit(0.0f))).otherwise(f).as("f"),
+        when(selected, i.cast("int")).otherwise(lit(IgnoreLabel)).as("li"))
+    })
+    struct(
+      transform(decided, d => d.getField("f")).as("frames"),
+      transform(decided, d => d.getField("li")).as("labelIdx"))
+  }
+
+  /** ITM partner assignment within consecutive buckets of `batch` rows
+    * (by a dense 0-based position column): positions [0, batch/2) keep
+    * their own row; [batch/2, batch) are reversed among themselves.
+    * Returns struct(partnerPos, match).
+    */
+  def itmPartner(pos: Column, batch: Int): Column = {
+    val b = pos.cast("long")
+    val bucket = floor(b / batch)
+    val p = b % batch
+    val half = batch / 2
+    val partnerP = when(p < half, p).otherwise(lit(batch - 1 + half) - p)
+    val partner = (bucket * batch + partnerP).cast("long")
+    struct(partner.as("partnerPos"), (partner === b).as("match"))
+  }
+}

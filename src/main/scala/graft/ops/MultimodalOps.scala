@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extract /
+  * frame-sample run per-partition so a real codec would amortize its
+  * setup cost across a batch of rows (the Spark-idiomatic equivalent of
+  * batched pandas-UDF processing).
+  *
+  * The decode step itself is a STUB — media codecs are not available in
+  * this environment — but it is a *deterministic* stub (bytes → fake
+  * frame matrix), so the surrounding plumbing (schema, partitioning,
+  * batch iteration, downstream vector ops) is real and testable, and
+  * swapping in a true decoder changes one function.
+  *
+  * Scale notes: payloads never shuffle unless a stage needs them —
+  * keep metadata and features in separate columns so column pruning
+  * drops the bytes for metadata-only queries; repartition by id range
+  * before decode so each task holds a bounded byte volume.
+  */
+object MultimodalOps {
+
+  /** Canonical multimodal bundle schema. */
+  val bundleSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("dim", IntegerType))))))
+
+  /** A decoded row: id + frame matrix. */
+  final case class DecodedFrames(id: Long, frames: Array[Array[Float]])
+
+  /** Wrap a (id, payload-bytes) DataFrame into the bundle shape,
+    * deriving metadata columns WITHOUT decoding (pure column exprs, so
+    * metadata-only queries prune the payload entirely).
+    */
+  def bundle(df: DataFrame, idCol: String, payloadCol: String,
+      mime: String, frameBytes: Int, dim: Int): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      lit(mime).as("mime"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        length(col(payloadCol).cast("binary")).cast("int").as("n_bytes"),
+        ceil(length(col(payloadCol).cast("binary")) / frameBytes.toDouble)
+          .cast("int").as("n_frames"),
+        lit(dim).cast("int").as("dim")).as("meta"))
+
+  /** STUB decoder: deterministic fake frames from payload bytes.
+    * frame[f][d] = (byte[(f*dim+d) mod len] signed) / 128. A real
+    * implementation replaces only this function (e.g. JPEG → RGB
+    * planes); the signature and batch shape are the contract.
+    */
+  private[ops] def decodeBytes(payload: Array[Byte], nFrames: Int, dim: Int): Array[Array[Float]] =
+    if (payload == null || payload.isEmpty) Array.empty
+    else Array.tabulate(nFrames) { f =>
+      Array.tabulate(dim) { d =>
+        payload((f * dim + d) % payload.length).toFloat / 128.0f
+      }
+    }
+
+  /** Decode a bundle to (id, frames) — runs per-partition so codec
+    * setup happens once per task, not per row (the mapInPandas-shaped
+    * boundary).
+    */
+  def decodeFrames(bundles: DataFrame): Dataset[DecodedFrames] = {
+    val spark = bundles.sparkSession
+    import spark.implicits._
+    bundles
+      .select(col("id"), col("payload"),
+        col("meta.n_frames").as("n_frames"), col("meta.dim").as("dim"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // per-task decoder init would go here (one codec per partition)
+        rows.map { case (id, payload, nFrames, dim) =>
+          DecodedFrames(id, decodeBytes(payload, nFrames, dim))
+        }
+      }
+  }
+
+  /** Per-frame mean feature over decoded frames — a representative
+    * downstream vector op proving the decoded shape composes with
+    * [[VectorOps]] (pad, mask, sample, pool).
+    */
+  def frameMeans(decoded: Dataset[DecodedFrames]): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val means = d.frames.map(f => if (f.isEmpty) 0.0 else f.map(_.toDouble).sum / f.length)
+      (d.id, means)
+    }.toDF("id", "frame_means")
+  }
+}

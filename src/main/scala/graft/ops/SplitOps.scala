@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.PortableHash
+
+/** Dataset splitting/sampling operators from the reference's training
+  * pipeline, made deterministic and shuffle-minimal:
+  *
+  *  - stratified holdout (reference `src/data_helper.py:98-99`,
+  *    `train_test_split(stratify=y)`) — exact per-class counts via one
+  *    window over the label partition, ordered by a key-derived hash
+  *    (NOT `rand()`: results must survive repartitioning, SURVEY §7.4.2);
+  *  - stratified k-fold (reference `src/data_helper.py:102-113`) — fold
+  *    = per-class row_number % k;
+  *  - fixed-size chunking (reference `src/split_pretrain_data.py:28-35`)
+  *    — shard id = row_index / chunkSize, for partitioned writes;
+  *  - head slice / union (reference `src/pretrained_model.py:295-302`).
+  *
+  * Scale: all of these are one window (= one shuffle on the label or a
+  * global range partition) regardless of data size; nothing collects to
+  * the driver.
+  */
+object SplitOps {
+
+  /** Deterministic per-class order: md5(id#seed), tie-broken by id. */
+  private def strataWindow(labelCol: String, idCol: String, seed: Long) =
+    Window.partitionBy(labelCol)
+      .orderBy(PortableHash.md5Long(col(idCol), lit(seed)), col(idCol))
+
+  /** Stratified holdout: adds `split` ∈ {"train", "val"} with exactly
+    * floor(classCount × valRatio) validation rows per class.
+    */
+  def stratifiedSplit(
+      df: DataFrame, labelCol: String, idCol: String,
+      valRatio: Double, seed: Long = 42L): DataFrame = {
+    val w = strataWindow(labelCol, idCol, seed)
+    val cnt = Window.partitionBy(labelCol)
+    df.withColumn("split",
+      when(row_number().over(w) <= floor(count(lit(1)).over(cnt) * valRatio),
+        lit("val")).otherwise(lit("train")))
+  }
+
+  /** Stratified k-fold: adds `fold` ∈ [0, k) = per-class row_number % k
+    * (id order — matching `StratifiedKFold(shuffle=False)` semantics).
+    */
+  def kFold(df: DataFrame, labelCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(labelCol).orderBy(idCol)
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
+  /** Fixed-size chunk id by a total order on `idCol` (OP-42): shard =
+    * floor(rank / chunkSize). Use with `write.partitionBy("shard")`.
+    */
+  def chunkBy(df: DataFrame, idCol: String, chunkSize: Int): DataFrame = {
+    val w = Window.orderBy(idCol)
+    df.withColumn("shard",
+      floor((row_number().over(w) - 1) / chunkSize).cast("int"))
+  }
+
+  /** Seeded global shuffle order (reference DataLoader(shuffle=True,
+    * generator=g)): deterministic, key-derived.
+    */
+  def shuffled(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.orderBy(PortableHash.md5Long(col(idCol), lit(seed)), col(idCol))
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+import graft.ops._
+
+/** Reference-pipeline operator queries (q31+): stratified splits,
+  * k-fold, MLM masking statistics, ITM shuffle pairing, and frame
+  * pad/mask/subsample — the deterministic data semantics of the
+  * reference's training pipeline (SURVEY §2.5/§2.8), oracle-checked.
+  */
+object ReferenceQueries {
+
+  private def dk(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  // --------------------------------------------------------------- q31
+  /** Stratified holdout (OP-36): per-label deterministic 10% validation
+    * split; output per (label, split) counts.
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.stratifiedSplit(Tables.embeddings(spark, dir), "label", "vec_id", 0.1, seed = 42L)
+      .groupBy("label", "split")
+      .agg(count(lit(1)).as("n"))
+
+  val q31Sql: String =
+    s"""WITH w AS (
+      | SELECT label,
+      |  ROW_NUMBER() OVER (PARTITION BY label
+      |    ORDER BY ${dk("CAST(vec_id AS VARCHAR) || '#42'")}, vec_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY label) AS cnt
+      | FROM embeddings)
+      |SELECT label,
+      | CASE WHEN rn <= floor(cnt * 0.1) THEN 'val' ELSE 'train' END AS split,
+      | COUNT(*) AS n
+      |FROM w GROUP BY label, split""".stripMargin
+
+  // --------------------------------------------------------------- q32
+  /** Stratified k-fold (OP-37): fold = per-label row_number % 10 in id
+    * order (StratifiedKFold(shuffle=False) semantics).
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.kFold(Tables.embeddings(spark, dir), "label", "vec_id", 10)
+      .groupBy("fold", "label")
+      .agg(count(lit(1)).as("n"))
+
+  val q32Sql: String =
+    """WITH w AS (
+      | SELECT label,
+      |  CAST((ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) % 10 AS INT) AS fold
+      | FROM embeddings)
+      |SELECT fold, label, COUNT(*) AS n FROM w GROUP BY fold, label""".stripMargin
+
+  // --------------------------------------------------------------- q33
+  /** MLM masking (OP-55) distributional contract over document tokens:
+    * token ids = md5 % 1000, mask prob 0.25, 80/10/10 [MASK]/random/keep
+    * split, labels = original-where-selected else -100. Per-doc
+    * checksums pin ids AND labels exactly.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tokIds = transform(split(col("text"), " "),
+      t => PortableHash.md5Long(t) % 1000)
+    val masked = MaskingOps.mlmMask(tokIds, col("doc_id"),
+      maskProb = 0.25, maskToken = 999999, vocabSize = 1000, seed = 0L)
+    val ids = masked.getField("ids")
+    val labels = masked.getField("labels")
+    d.select(
+      col("doc_id"),
+      size(ids).as("n_tokens"),
+      size(filter(labels, l => l =!= MaskingOps.IgnoreLabel)).as("n_selected"),
+      size(filter(ids, i => i === 999999)).as("n_mask_tok"),
+      aggregate(ids, lit(0L), (a, x) => a + x.cast("long")).as("checksum_ids"),
+      aggregate(labels, lit(0L),
+        (a, x) => a + when(x =!= MaskingOps.IgnoreLabel, x.cast("long")).otherwise(0L))
+        .as("checksum_labels"))
+  }
+
+  val q33Sql: String = {
+    val key = "CAST(doc_id AS VARCHAR) || '#' || CAST(i - 1 AS VARCHAR) || '#0'"
+    val uSel = s"${dk(s"$key || '#sel'")} / 1152921504606846976.0"
+    val uSub = s"${dk(s"$key || '#sub'")} / 1152921504606846976.0"
+    val rnd = s"${dk(s"$key || '#rand'")} % 1000"
+    val tid = s"${dk("toks[i]")} % 1000"
+    s"""WITH t AS (
+      | SELECT doc_id, string_split(text, ' ') AS toks,
+      |        len(string_split(text, ' ')) AS n FROM documents),
+      |x AS (
+      | SELECT doc_id, n,
+      |  list_transform(generate_series(1, n), i -> CASE
+      |    WHEN NOT ($uSel < 0.25) THEN $tid
+      |    WHEN $uSub < 0.8 THEN 999999
+      |    WHEN $uSub < 0.9 THEN $rnd
+      |    ELSE $tid END) AS ids,
+      |  list_transform(generate_series(1, n), i -> CASE
+      |    WHEN $uSel < 0.25 THEN $tid ELSE -100 END) AS labels
+      | FROM t)
+      |SELECT doc_id, n AS n_tokens,
+      | CAST(len(list_filter(labels, l -> l <> -100)) AS INT) AS n_selected,
+      | CAST(len(list_filter(ids, i -> i = 999999)) AS INT) AS n_mask_tok,
+      | CAST(list_sum(ids) AS BIGINT) AS checksum_ids,
+      | CAST(COALESCE(list_sum(list_transform(labels, l ->
+      |   CASE WHEN l <> -100 THEN l ELSE 0 END)), 0) AS BIGINT) AS checksum_labels
+      |FROM x""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q34
+  /** ITM batch shuffle (OP-57): buckets of 10 by vec_id; first half
+    * keeps its pair, second half reversed; match = partner == self.
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val p = MaskingOps.itmPartner(col("vec_id"), 10)
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      p.getField("partnerPos").as("partner_id"),
+      p.getField("match").as("is_match"))
+  }
+
+  val q34Sql: String =
+    """SELECT vec_id,
+      | CASE WHEN vec_id % 10 < 5 THEN vec_id
+      |      ELSE (vec_id // 10) * 10 + (14 - vec_id % 10) END AS partner_id,
+      | (CASE WHEN vec_id % 10 < 5 THEN vec_id
+      |      ELSE (vec_id // 10) * 10 + (14 - vec_id % 10) END) = vec_id AS is_match
+      |FROM embeddings""".stripMargin
+
+  // --------------------------------------------------------------- q35
+  /** Frame pad/mask/stride-subsample (OP-18/19): embeddings reshaped to
+    * 16 frames × 4 dims; deterministic stride sample down to 8 frames;
+    * zero-pad to 20 with mask.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val frames = transform(sequence(lit(0), lit(15)),
+      f => slice(col("embedding"), f * 4 + 1, lit(4)))
+    val sampled = VectorOps.strideSample(frames, 8)
+    val checksum = aggregate(sampled, lit(0.0), (a, f) => a + VectorOps.arraySumD(f))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      size(frames).as("n_frames"),
+      checksum.as("sampled_checksum"),
+      VectorOps.arraySumD(VectorOps.frameMask(frames, 20)).as("mask_sum"),
+      size(VectorOps.padFrames(frames, 20, 4)).as("padded_n"))
+  }
+
+  val q35Sql: String =
+    """WITH f AS (
+      | SELECT vec_id,
+      |  list_transform(generate_series(0, 15), fr -> embedding[4*fr+1 : 4*fr+4]) AS frames
+      | FROM embeddings),
+      |s AS (
+      | SELECT vec_id, frames,
+      |  list_transform(generate_series(0, 7), i -> frames[2*i + 1]) AS sampled
+      | FROM f)
+      |SELECT vec_id,
+      | CAST(len(frames) AS INT) AS n_frames,
+      | list_sum(list_transform(sampled, fr ->
+      |   list_sum(list_transform(fr, x -> CAST(x AS DOUBLE))))) AS sampled_checksum,
+      | 16.0 AS mask_sum,
+      | 20 AS padded_n
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- q36
+  /** Multimodal decode pipeline end-to-end: text payload → binary
+    * bundle → per-partition decode stub (deterministic bytes→frames) →
+    * per-frame mean features. Exercises the full
+    * [[graft.ops.MultimodalOps]] plumbing: schema, typed Dataset
+    * boundary, mapPartitions batch shape, downstream vector fold.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val bundles = MultimodalOps.bundle(
+      Tables.documents(spark, dir), "doc_id", "text",
+      mime = "text/plain", frameBytes = 64, dim = 8)
+    val decoded = MultimodalOps.decodeFrames(bundles)
+    MultimodalOps.frameMeans(decoded)
+      .select(
+        col("id").as("doc_id"),
+        size(col("frame_means")).as("n_frames"),
+        aggregate(col("frame_means"), lit(0.0), (a, x) => a + x).as("mean_checksum"))
+  }
+
+  val q36Sql: String =
+    """WITH b AS (
+      | SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+      | FROM documents)
+      |SELECT doc_id, n_frames,
+      | list_sum(list_transform(generate_series(0, n_frames - 1), f ->
+      |   list_sum(list_transform(generate_series(0, 7), d ->
+      |     CAST(CAST(ascii(substr(text, ((f * 8 + d) % n) + 1, 1)) AS FLOAT)
+      |       / CAST(128 AS FLOAT) AS DOUBLE))) / 8)) AS mean_checksum
+      |FROM b""".stripMargin
+
+  /** name → (spark impl, oracle sql). */
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q31_stratified_split" -> ((q31 _, q31Sql)),
+    "q32_kfold" -> ((q32 _, q32Sql)),
+    "q33_mlm_mask" -> ((q33 _, q33Sql)),
+    "q34_itm_shuffle" -> ((q34 _, q34Sql)),
+    "q35_frame_ops" -> ((q35 _, q35Sql)),
+    "q36_multimodal_decode" -> ((q36 _, q36Sql)))
+}
