@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  "),   // normalized dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat"),     // near dup (8/10 tokens)
+    (5L, "completely different words here nothing shared")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds normalized duplicates with deterministic winner") {
+    val g = DedupOps.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n") == 3)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardPairs finds exact and near duplicates above threshold") {
+    val pairs = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // J = 7/9 ≈ 0.78 on token sets
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minHashDedup finds identical docs (J=1 always collides) and verifies exactly") {
+    val pairs = DedupOps.minHashDedup(docs, "text", "doc_id", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must share every band")
+    assert(!pairs.exists(p => p._2 == 5L), "unrelated doc must not pass exact verify")
+  }
+
+  test("minHash LSH candidates are a superset of verified pairs (recall structure)") {
+    val cands = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    val verified = DedupOps.minHashDedup(docs, "text", "doc_id", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cands))
+  }
+
+  test("simHash: identical docs have distance 0; unrelated docs are far") {
+    val sigs = docs.select(col("doc_id"),
+        DedupOps.simHash(TextOps.whitespaceTokenize(col("text"))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val d15 = java.lang.Long.bitCount(sigs(1L) ^ sigs(5L))
+    assert(d15 > 10, s"unrelated docs should differ in many bits, got $d15")
+    val d14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(d14 < d15, "near-dup should be closer than unrelated")
+  }
+
+  test("simHashPairs banding finds hamming<=3 pairs") {
+    val pairs = DedupOps.simHashPairs(docs, "text", "doc_id", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramSet: counts and shorter-than-n behavior") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(DedupOps.ngramSet(col("text"), 3).as("g")).as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("cosinePairs picks out the planted duplicate vector") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = DedupOps.cosinePairs(vecs, "embedding", "vec_id", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

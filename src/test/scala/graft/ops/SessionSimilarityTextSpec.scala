@@ -1,0 +1,122 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class SessionOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("sessionize: gap > threshold starts a new session; boundaries exact") {
+    // user 1: events at 0, 10, 20, 55, 60 min (gap 35 between 20 and 55)
+    // user 2: single event
+    val events = Seq(
+      (1L, ts(0), 10L), (2L, ts(10), 10L), (3L, ts(20), 10L),
+      (4L, ts(55), 10L), (5L, ts(60), 10L),
+      (6L, ts(0), 20L)
+    ).toDF("event_id", "ts", "user_id")
+    val s = SessionOps.sessionize(events, "user_id", "ts", 30L * 60)
+    val got = s.select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1 && got(2L) == 1 && got(3L) == 1)
+    assert(got(4L) == 2 && got(5L) == 2)
+    assert(got(6L) == 1)
+  }
+
+  test("sessionize: gap exactly at threshold does NOT split (strict >)") {
+    val events = Seq((1L, ts(0), 1L), (2L, ts(30), 1L)).toDF("event_id", "ts", "user_id")
+    val s = SessionOps.sessionize(events, "user_id", "ts", 30L * 60)
+    assert(s.select(max("session_id")).as[Long].head() == 1)
+  }
+}
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),   // near 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.98f, 0.2f, 0.0f)),   // near 2
+    (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteCosineTopK ranks the planted neighbor first") {
+    val topk = SimilarityOps.bruteCosineTopK(vecs, vecs, 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(topk(0L) == 1L)
+    assert(topk(1L) == 0L)
+    assert(topk(2L) == 3L)
+    assert(topk(3L) == 2L)
+  }
+
+  test("lshCosineTopK finds identical-direction vectors (bucket recall)") {
+    val dup = Seq(
+      (10L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (11L, Seq(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val all = vecs.union(dup)
+    val got = SimilarityOps.lshCosineTopK(all, k = 1)
+      .filter(col("query_id") === 10L)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(got.nonEmpty, "identical vectors share every bucket")
+    assert(got.head._1 == 11L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits; ties broken by declaration order") {
+    val df = Seq(
+      "the cat sat on the mat and it is fine",   // en
+      "el gato es un animal y la casa es grande", // es
+      "zzz qqq www"                               // no hits anywhere -> first profile (en)
+    ).toDF("text")
+    val got = df.select(TextAnalysis.langId(split(col("text"), " "))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "en"))
+  }
+
+  test("qualitySignals/score: sane ranges and ordering") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and then it runs far away from here today",
+      "!!! ??? ### $$$ %%%"
+    ).toDF("text")
+    val got = df.select(
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.qualitySignals(col("text")).getField("punct_ratio").as("p"))
+      .as[(Double, Double)].collect()
+    assert(got(0)._1 > got(1)._1, "clean english should outscore punctuation soup")
+    assert(got.forall { case (q, p) => q >= 0.0 && q <= 1.0 && p >= 0.0 && p <= 1.0 })
+  }
+
+  test("regexTokenCount: alpha runs, digit runs, single punct glyphs") {
+    val df = Seq("abc12 de,f!").toDF("text")
+    // tokens: abc, 12, de, ',', f, '!' -> 6
+    assert(df.select(TextAnalysis.regexTokenCount(col("text"))).as[Int].head() == 6)
+  }
+
+  test("fingerprints: stable under case/trim for doc fp; shingle fp stable under tail edits") {
+    val df = Seq(
+      ("a b c d e f g h", "A b c d e f g h  "),
+      ("a b c d e f g h", "a b c d e f g h x")
+    ).toDF("t1", "t2")
+    val rows = df.select(
+      (TextAnalysis.docFingerprint(col("t1")) === TextAnalysis.docFingerprint(col("t2"))).as("fpEq"),
+      (TextAnalysis.minShingleFingerprint(col("t1"), 3) ===
+        TextAnalysis.minShingleFingerprint(col("t2"), 3)).as("shEq"))
+      .as[(Boolean, Boolean)].collect()
+    assert(rows(0)._1, "doc fingerprint normalizes case/whitespace")
+    assert(!rows(1)._1, "doc fingerprint changes on content edit")
+    // min-shingle: appending one token usually keeps the min shingle
+    assert(rows(1)._2, "min-shingle fingerprint robust to a tail append (for this fixture)")
+  }
+}

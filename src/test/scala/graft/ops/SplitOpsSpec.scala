@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class SplitOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val rows = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "label")
+
+  test("stratifiedSplit: exact per-class val counts, rows partitioned") {
+    val s = SplitOps.stratifiedSplit(rows, "label", "id", 0.2, seed = 1L)
+    val counts = s.groupBy("label", "split").count()
+      .as[(Int, String, Long)].collect()
+      .map { case (l, sp, n) => (l, sp) -> n }.toMap
+    (0 until 4).foreach { l =>
+      assert(counts((l, "val")) == 5)    // floor(25 * 0.2)
+      assert(counts((l, "train")) == 20)
+    }
+    assert(s.count() == 100, "split adds no rows and drops none")
+  }
+
+  test("stratifiedSplit is stable under repartitioning (key-derived order)") {
+    val a = SplitOps.stratifiedSplit(rows, "label", "id", 0.2, seed = 1L)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val b = SplitOps.stratifiedSplit(rows.repartition(7), "label", "id", 0.2, seed = 1L)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("kFold: every row in exactly one fold, folds balanced per class") {
+    val f = SplitOps.kFold(rows, "label", "id", 5)
+    assert(f.count() == 100)
+    val perFold = f.groupBy("fold", "label").count().as[(Int, Int, Long)].collect()
+    perFold.foreach { case (_, _, n) => assert(n == 5) } // 25 per class / 5 folds
+    assert(f.select("fold").distinct().count() == 5)
+  }
+
+  test("chunkBy: shard sizes = chunkSize except the tail") {
+    val c = SplitOps.chunkBy(rows, "id", 30)
+    val sizes = c.groupBy("shard").count().orderBy("shard").as[(Int, Long)].collect()
+    assert(sizes.map(_._2).toSeq == Seq(30L, 30L, 30L, 10L))
+  }
+
+  test("shuffled: deterministic permutation, same seed same order") {
+    val a = SplitOps.shuffled(rows, "id", 9L).select("id").as[Long].collect().toSeq
+    val b = SplitOps.shuffled(rows, "id", 9L).select("id").as[Long].collect().toSeq
+    val c = SplitOps.shuffled(rows, "id", 10L).select("id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a != c, "different seed should permute differently")
+    assert(a.sorted == (0L until 100L))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("argmaxFirst pins the torch.argmax first-max tie rule") {
+    val df = Seq(
+      Seq(1.0f, 3.0f, 3.0f, 2.0f), // tie: first max at index 1
+      Seq(5.0f, 1.0f),
+      Seq(-2.0f, -1.0f, -1.0f)
+    ).toDF("v")
+    val got = df.select(VectorOps.argmaxFirst(col("v")).as("i")).as[Int].collect().toSeq
+    assert(got == Seq(1, 0, 1))
+  }
+
+  test("pad/mask invariants: mask sum = min(n, max), padded size = max") {
+    val df = Seq(
+      Seq(Seq(1.0f, 2.0f)),                       // 1 frame
+      (1 to 5).map(i => Seq(i.toFloat, 0.0f)),    // 5 frames
+      Seq.empty[Seq[Float]]                       // 0 frames
+    ).toDF("frames")
+    val got = df.select(
+      size(VectorOps.padFrames(col("frames"), 3, 2)).as("pn"),
+      VectorOps.arraySumD(VectorOps.frameMask(col("frames"), 3)).as("ms"),
+      size(col("frames")).as("n")).as[(Int, Double, Int)].collect()
+    got.foreach { case (pn, ms, n) =>
+      assert(pn == 3)
+      assert(ms == math.min(n, 3).toDouble)
+    }
+  }
+
+  test("strideSample reproduces the reference range(0, n, n/max)[:max] rule") {
+    def ref(n: Int, max: Int): Seq[Int] = (0 until n by n / max).take(max)
+    val ns = Seq(33, 40, 64, 100)
+    val df = ns.map(n => (0 until n).map(_.toFloat).map(Seq(_))).toDF("frames")
+    val got = df.select(VectorOps.strideSample(col("frames"), 32).as("s"))
+      .as[Seq[Seq[Float]]].collect()
+    ns.zip(got).foreach { case (n, s) =>
+      assert(s.map(_.head.toInt) == ref(n, 32), s"n=$n")
+    }
+  }
+
+  test("seededSample: deterministic, sorted ascending, correct size") {
+    val df = Seq.tabulate(3)(r => (s"id$r", (0 until 50).map(_.toFloat).map(Seq(_))))
+      .toDF("id", "frames")
+    val sample = VectorOps.seededSample(col("frames"), col("id"), 32, seed = 7L)
+    val a = df.select(sample.as("s")).as[Seq[Seq[Float]]].collect()
+    val b = df.repartition(3).select(sample.as("s")).as[Seq[Seq[Float]]].collect().toSet
+    a.foreach { s =>
+      assert(s.length == 32)
+      val idxs = s.map(_.head)
+      assert(idxs == idxs.sorted, "temporal order preserved")
+    }
+    assert(a.toSet == b, "partitioning must not change the sample (key-derived randomness)")
+  }
+
+  test("dot/cosine/l2Norm agree with direct computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+    val (d, n, c) = df.select(
+      VectorOps.dot(col("a"), col("b")),
+      VectorOps.l2Norm(col("a")),
+      VectorOps.cosine(col("a"), col("b"))).as[(Double, Double, Double)].head()
+    assert(d == 4.0)
+    assert(n == 3.0)
+    assert(math.abs(c - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(VectorOps.cosine(col("a"), col("b"))).as[Double].head()
+    assert(c == 0.0)
+  }
+
+  test("vecAddAll sums logit vectors elementwise (ensemble OP-27)") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(10.0f, 20.0f), Seq(100.0f, 200.0f))).toDF("a", "b", "c")
+    val got = df.select(
+      VectorOps.vecAddAll(Seq(col("a"), col("b"), col("c"))).as("s")).as[Seq[Float]].head()
+    assert(got == Seq(111.0f, 222.0f))
+  }
+}
