@@ -169,13 +169,20 @@ object DedupOps {
   }
 
   /** Embedding-cosine near-dup pairs (brute force; see SimilarityOps for
-    * the bucketed scale path).
+    * the bucketed scale path). Vectors are L2-normalized ONCE per row
+    * (O(n) side work) so the O(n²) pair loop is a single fused dot pass
+    * — 3× fewer array traversals than cosine-per-pair.
     */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String, minCosine: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val nrm = VectorOps.l2Norm(col(vecCol))
+    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
+    val t = df.select(col(idCol).as("id"), unit.as("u"))
+    val a = t.select(col("id").as("id_a"), col("u").as("u_a"))
+    val b = t.select(col("id").as("id_b"), col("u").as("u_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        aggregate(zip_with(col("u_a"), col("u_b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

@@ -39,20 +39,30 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1), derived from md5 so any engine can reproduce it.
+    * uniform in [-1, 1) from a splitmix64 draw. Computed ONCE on the
+    * driver and shipped as literals — plane components are row-
+    * independent constants, so per-row hashing would be pure waste.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    PortableHash.uniform01(lit(s"plane_$plane"), dim) * 2.0 - 1.0
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Literal plane vector for zip_with against an embedding column. */
+  private def planeLit(plane: Int, dim: Int): Column =
+    array((0 until dim).map(d => lit(planeComponent(plane, d))): _*)
 
   /** Sign-bit LSH signature: bit p = sign(v · plane_p). Returns a long
     * with `numPlanes` (<= 60) bits. Buckets group vectors by angular
     * region; cosine-similar vectors collide with high probability.
     */
-  def hyperplaneSignature(vec: Column, numPlanes: Int): Column =
+  def hyperplaneSignature(vec: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { p =>
       val dotP = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, planeLit(p, dim), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(dotP > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
@@ -64,14 +74,14 @@ object SimilarityOps {
     */
   def lshCosineTopK(
       df: DataFrame, k: Int, bands: Int = 8, planesPerBand: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
     val sigs = array((0 until bands).map { b =>
       // distinct plane sets per band: offset the plane index
       (0 until planesPerBand).map { p =>
         val plane = b * planesPerBand + p
         val dotP = aggregate(
-          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-            (x, i) => x.cast("double") * planeComponent(plane, i)),
+          zip_with(col(vecCol), planeLit(plane, dim), (x, c) => x.cast("double") * c),
           lit(0.0), (acc, x) => acc + x)
         when(dotP > 0, shiftleft(lit(1L), p)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))

@@ -101,17 +101,16 @@ object ExtensionQueries {
     DedupOps.cosinePairs(Tables.embeddings(spark, dir), "embedding", "vec_id", 0.45)
 
   val q23Sql: String =
-    """WITH e AS (SELECT vec_id, embedding,
-      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      | FROM embeddings)
+    """WITH n AS (SELECT vec_id,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+      |  embedding FROM embeddings),
+      |e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+      | FROM n)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      | list_sum(list_transform(generate_series(1, len(a.embedding)),
-      |   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |  / (a.nrm * b.nrm) AS cosine
+      | list_sum(list_transform(generate_series(1, len(a.u)), i -> a.u[i] * b.u[i])) AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
-      |   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |  / (a.nrm * b.nrm) >= 0.45""".stripMargin
+      |WHERE list_sum(list_transform(generate_series(1, len(a.u)), i -> a.u[i] * b.u[i])) >= 0.45""".stripMargin
 
   // --------------------------------------------------------------- q24
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 20. */

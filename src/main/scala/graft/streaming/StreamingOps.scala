@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming execution of the event-time operators (SURVEY §2.7): the
+  * SAME logical definitions serve batch and streaming — the transforms
+  * below accept either a batch DataFrame or a `readStream` DataFrame,
+  * so batch results (oracle-checked in Q12/Q19) pin the semantics and
+  * streaming adds watermarks/state on top.
+  *
+  * Scale notes: tumbling windows shuffle on (window, key) like any
+  * hash-agg; session windows keep per-key state bounded by the
+  * watermark delay — at 1000 executors state is range-partitioned by
+  * key and evicted as the watermark advances.
+  */
+object StreamingOps {
+
+  /** events.parquet on-disk schema (ts = TIMESTAMP(NANOS) read as long
+    * under `nanosAsLong`; converted to a proper timestamp here).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over an events parquet directory. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour counts per event type — streaming analog of Q12.
+    * Works identically on a batch DataFrame.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based session counts per user via `session_window` — streaming
+    * analog of Q19 (which pins the same semantics with lag+cumsum in
+    * batch). Watermark bounds state; late events beyond `watermark` are
+    * dropped in streaming mode.
+    */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("session_window.start").as("session_start"))
+
+  /** Drain a streaming DataFrame into an in-memory table synchronously
+    * (test/local harness): returns the materialized result.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -63,7 +63,7 @@ class SimilarityOpsSpec extends AnyFunSuite {
       (11L, Seq(0.5f, 0.5f, 0.5f, 0.5f))
     ).toDF("vec_id", "embedding")
     val all = vecs.union(dup)
-    val got = SimilarityOps.lshCosineTopK(all, k = 1)
+    val got = SimilarityOps.lshCosineTopK(all, k = 1, dim = 4)
       .filter(col("query_id") === 10L)
       .select("neighbor_id", "cosine").as[(Long, Double)].collect()
     assert(got.nonEmpty, "identical vectors share every bucket")

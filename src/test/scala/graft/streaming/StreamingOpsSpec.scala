@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.core.Tables
+import graft.ops.SessionOps
+
+/** Streaming-vs-batch equivalence: the SAME transform definitions run
+  * over a file stream must reproduce the batch results that the DuckDB
+  * oracle already pins (Q12/Q19).
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("tumbling window: streaming (complete mode) == batch on the same files") {
+    val batch = StreamingOps.tumblingCounts(Tables.events(spark, sfDir))
+      .as[(String, String, Long, Double)].collect().toSet
+
+    // stream the single parquet file through the same transform
+    val streamDir = Files.createTempDirectory("events-stream").toFile
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(src.getAbsolutePath),
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(streamDir.getAbsolutePath, "part-0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    val streaming = StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(
+        StreamingOps.eventsStream(spark, streamDir.getAbsolutePath)),
+      "tumbling_test", "complete")
+      .as[(String, String, Long, Double)].collect().toSet
+
+    assert(streaming == batch)
+  }
+
+  test("session_window (batch mode) agrees with the lag+cumsum sessionization on session counts") {
+    val events = Tables.events(spark, sfDir)
+    val viaWindow = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val viaLag = SessionOps.sessionize(events, "user_id", "ts", 1800L)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaWindow == viaLag,
+      "session_window and the oracle-checked lag+cumsum definition must agree")
+  }
+
+  test("streaming session_window with watermark emits closed sessions") {
+    import java.sql.Timestamp
+    val streamDir = Files.createTempDirectory("sess-stream").toFile.getAbsolutePath
+    def micros(min: Long): Long = min * 60L * 1000000L * 1000L // nanos-as-long input
+
+    // file 1: user 1 has two sessions (gap 45min > 30min)
+    Seq(
+      (1L, micros(0), 1L, "view", 1.0, "{}"),
+      (2L, micros(10), 1L, "view", 1.0, "{}"),
+      (3L, micros(55), 1L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    // file 2: much later event advances the watermark past file-1 sessions
+    Seq((9L, micros(10000), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+
+    val got = StreamingOps.runToMemory(
+      StreamingOps.sessionCounts(
+        StreamingOps.eventsStream(spark, streamDir), "30 minutes", "1 hour"),
+      "session_test", "append")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+
+    // user 1's two sessions are closed by the watermark; user 2's session
+    // is still open (no later data), so exactly these rows are emitted:
+    assert(got == Set((1L, 2L), (1L, 1L)))
+  }
+}
