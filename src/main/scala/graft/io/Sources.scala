@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources and sinks for the reference's data formats (SURVEY §2.1),
+  * with the engine rule that every scan declares an EXPLICIT schema —
+  * `inferSchema` is never used in the engine proper (schema drift is an
+  * error, not a guess; SURVEY §1.3).
+  */
+object Sources {
+
+  /** Annotation-table schema (reference annotation JSON files;
+    * fields per `src/data_helper.py:31-57`, `src/inference.py:51`).
+    * `category_id` is nullable — null on unlabeled/test rows, subsuming
+    * the reference's `test` flag (`src/data_helper.py:36-38`).
+    */
+  val annotationSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("title", StringType),
+    StructField("asr", StringType),
+    StructField("ocr", ArrayType(StructType(Seq(
+      StructField("time", DoubleType),
+      StructField("text", StringType))))),
+    StructField("category_id", StringType, nullable = true)))
+
+  /** Ground-truth / result CSV schema (reference `src/evaluate.py:7-10`,
+    * `src/inference.py:49-53`): `vid,category_id`, no header.
+    */
+  val resultCsvSchema: StructType = StructType(Seq(
+    StructField("vid", StringType, nullable = false),
+    StructField("category_id", StringType, nullable = false)))
+
+  /** OP-01: JSON annotation scan — whole-array JSON files need
+    * multiLine; schema is mandatory.
+    */
+  def readAnnotations(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(annotationSchema).option("multiLine", "true").json(path)
+
+  /** OP-08: CSV ground-truth/result scan (no header). */
+  def readResultCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(resultCsvSchema).option("header", "false").csv(path)
+
+  /** OP-07: CSV result sink — `(vid, category_id)`, no header, one part
+    * per task (coalesce for a single file only at driver-output sizes).
+    */
+  def writeResultCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = df.select(col("vid").cast("string"), col("category_id").cast("string"))
+    (if (singleFile) out.coalesce(1) else out)
+      .write.mode(SaveMode.Overwrite).option("header", "false").csv(path)
+  }
+
+  /** OP-02/03 analog: binary-file scan keyed by filename-derived id —
+    * the ingest path for per-id feature files (`{id}.npy`-style). The
+    * payload stays opaque (see MultimodalOps for decode).
+    */
+  def readBinaryById(spark: SparkSession, dir: String, extension: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$extension")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), s"([^/]+)\\.$extension$$", 1).as("id"),
+        col("content").as("payload"),
+        col("length").as("n_bytes"))
+
+  /** OP-05: sharded parquet sink — fixed-size shards as a partitioned
+    * dataset (`write.partitionBy`), replacing the reference's manual
+    * 50k-row `.npy` shard loop (`src/split_pretrain_data.py:28-35`).
+    */
+  def writeSharded(df: DataFrame, idCol: String, chunkSize: Int, path: String): Unit =
+    graft.ops.SplitOps.chunkBy(df, idCol, chunkSize)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+}

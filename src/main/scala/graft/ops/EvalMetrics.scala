@@ -49,4 +49,43 @@ object EvalMetrics {
 
   private def safeDiv(num: Column, den: Column): Column =
     when(den === 0.0, 0.0).otherwise(num / den)
+
+  /** OP-24 validation join (reference `src/evaluate.py:12-22`): every
+    * predicted vid must exist in the ground truth (unknown ids raise),
+    * and the row counts must match exactly. Returns the joined
+    * (vid, pred, label) frame on success.
+    */
+  def validatePredictions(
+      preds: DataFrame, truth: DataFrame,
+      vidCol: String = "vid", predCol: String = "pred", labelCol: String = "label"): DataFrame = {
+    val unknown = preds.join(truth, Seq(vidCol), "left_anti").count()
+    require(unknown == 0, s"$unknown predicted ids missing from ground truth")
+    val (np, nt) = (preds.count(), truth.count())
+    require(np == nt, s"prediction count $np != ground truth count $nt")
+    preds.join(truth, Seq(vidCol))
+  }
+
+  /** The reference's full `evaluate` block (`src/util.py:136-156`):
+    * micro/macro F1 and accuracy at both hierarchy levels plus
+    * `mean_f1` = mean of the four F1s. lv1 ids are derived from lv2 ids
+    * through the category dimension (OP-14).
+    */
+  def hierarchicalF1(
+      pairs: DataFrame, dim: DataFrame,
+      predLv2: String = "pred", labelLv2: String = "label"): DataFrame = {
+    val lv1 = dim.select(col("lv2id"), col("lv1id"))
+    val withLv1 = pairs
+      .join(broadcast(lv1.withColumnRenamed("lv2id", predLv2)
+        .withColumnRenamed("lv1id", "pred_lv1")), Seq(predLv2))
+      .join(broadcast(lv1.withColumnRenamed("lv2id", labelLv2)
+        .withColumnRenamed("lv1id", "label_lv1")), Seq(labelLv2))
+    val lv2m = f1Block(withLv1, predLv2, labelLv2)
+      .select(col("micro_f1").as("lv2_f1_micro"), col("macro_f1").as("lv2_f1_macro"),
+        col("accuracy").as("lv2_acc"))
+    val lv1m = f1Block(withLv1, "pred_lv1", "label_lv1")
+      .select(col("micro_f1").as("lv1_f1_micro"), col("macro_f1").as("lv1_f1_macro"),
+        col("accuracy").as("lv1_acc"))
+    lv2m.crossJoin(lv1m).withColumn("mean_f1",
+      (col("lv2_f1_macro") + col("lv1_f1_macro") + col("lv1_f1_micro") + col("lv2_f1_micro")) / 4.0)
+  }
 }

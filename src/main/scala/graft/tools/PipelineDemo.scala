@@ -1,0 +1,36 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.core.GraftSession
+import graft.pipeline.ReferencePipeline
+
+/** Runnable example of the reference-flavored pipeline slice: generates
+  * a tiny annotation JSON, runs the full OP-01→OP-07 chain, prints the
+  * metric row and the sunk CSV. Usage: runMain graft.tools.PipelineDemo
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build(appName = "graft-pipeline-demo")
+    val codes = Seq("0101", "0102", "0201", "0202", "0301", "0302")
+    def words(n: Int, p: String): String = (0 until n).map(i => s"$p$i").mkString(" ")
+
+    val dir = Files.createTempDirectory("demo-anns").toFile.getAbsolutePath
+    val rows = (0 until 30).map { i =>
+      val ocr = s"""[{"time": 0.5, "text": "${words(100 + i, "o")}"}]"""
+      s"""{"id": "vid$i", "title": "${words(40 + i, "t")}", "asr": "${words(90 + i, "a")}",
+         |"ocr": $ocr, "category_id": "${codes(i % 6)}"}""".stripMargin.replace("\n", " ")
+    }
+    Files.writeString(java.nio.file.Path.of(dir, "labeled.json"),
+      rows.mkString("[", ",\n", "]"))
+
+    val outCsv = Files.createTempDirectory("demo-out").toFile.getAbsolutePath + "/preds"
+    val out = ReferencePipeline.run(spark, s"$dir/labeled.json", codes, outCsv, valRatio = 0.2)
+
+    println("=== metrics ===")
+    out.metrics.show(truncate = false)
+    println(s"=== result csv at $outCsv ===")
+    graft.io.Sources.readResultCsv(spark, outCsv).show(10, truncate = false)
+    spark.stop()
+  }
+}
