@@ -32,7 +32,8 @@ object SimilarityOps {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
@@ -95,7 +96,8 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
       .distinct()
-      .withColumn("cosine", VectorOps.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
