@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` / `array<double>` columns.
@@ -93,6 +94,71 @@ object VectorOps {
     val stride = (n / maxFrames).cast("int") // floor; n > maxFrames when used
     val idx = slice(filter(sequence(lit(0), n - 1), i => i % stride === 0), 1, maxFrames)
     transform(idx, i => element_at(frames, i + 1))
+  }
+
+  /** Softmax over a vector (OP-52, reference `src/model.py:194-212`):
+    * max-subtracted for stability, double accumulation.
+    */
+  def softmax(a: Column): Column = {
+    val m = array_max(transform(a, _.cast("double")))
+    val exps = transform(a, x => exp(x.cast("double") - m))
+    val z = aggregate(exps, lit(0.0), (acc, x) => acc + x)
+    transform(exps, e => e / z)
+  }
+
+  /** Log-softmax (numerically stable form). */
+  def logSoftmax(a: Column): Column = {
+    val m = array_max(transform(a, _.cast("double")))
+    val z = aggregate(transform(a, x => exp(x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x)
+    transform(a, x => x.cast("double") - m - log(z))
+  }
+
+  /** erf by the Abramowitz–Stegun 7.1.26 polynomial (|err| < 1.5e-7) —
+    * Spark ships no erf builtin; this stays pure column algebra.
+    */
+  def erfApprox(z: Column): Column = {
+    val zd = z.cast("double")
+    val az = abs(zd)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * az)
+    val poly = ((((lit(1.061405429) * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    val e = lit(1.0) - poly * exp(-az * az)
+    when(zd < 0, -e).otherwise(e)
+  }
+
+  /** erf-based GELU, the reference's activation
+    * (`src/pretrained_model.py:92-102`): x·0.5·(1+erf(x/√2)).
+    */
+  def gelu(x: Column): Column =
+    x.cast("double") * 0.5 * (lit(1.0) + erfApprox(x.cast("double") / math.sqrt(2.0)))
+
+  /** L2-normalize a vector; zero vector passes through unchanged. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, transform(a, _.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Exponential moving average over an ordered window (the data-
+    * semantics analog of the reference's parameter EMA, OP-33,
+    * `src/main.py:81-106`): e_t = d·e_{t-1} + (1-d)·x_t, expressed as
+    * the closed-form weighted sum over the ordered preceding values
+    * e_t = (1-d)·Σ_{i<=t} d^(t-i)·x_i + d^t·x_0-correction; computed
+    * here with the exact recursive weights via two window sums:
+    * Σ d^{-i}x_i scaled by d^t.
+    */
+  def ema(x: Column, decay: Double, w: WindowSpec): Column = {
+    // t = 0-based position in the window order
+    val t = row_number().over(w) - 1
+    // e_t = d^t * x_0 + (1-d) * Σ_{i=1..t} d^(t-i) x_i
+    //     = d^t * [ x_0 + (1-d) * Σ_{i=1..t} d^(-i) x_i ]
+    // the d^(-i) scaling overflows for long windows; keep the direct
+    // O(n) recursive form via aggregate over collected prefix instead.
+    val prefix = collect_list(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    aggregate(prefix, lit(Double.NaN),
+      (acc, v) => when(isnan(acc), v.cast("double"))
+        .otherwise(acc * decay + v.cast("double") * (1 - decay)))
   }
 
   /** Seeded pseudo-random subsample (train path, reference

@@ -31,6 +31,24 @@ object PipelineDemo {
     out.metrics.show(truncate = false)
     println(s"=== result csv at $outCsv ===")
     graft.io.Sources.readResultCsv(spark, outCsv).show(10, truncate = false)
+
+    // vector-math / join surface showcase (OP-52, OP-33, OP-22)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.{JoinOps, VectorOps}
+    import spark.implicits._
+    println("=== vector math ===")
+    Seq((0, Seq(1.0f, 2.0f, 3.0f), 10.0), (1, Seq(0.0f, 0.0f, 1.0f), 20.0),
+        (2, Seq(-1.0f, 1.0f, 0.0f), 30.0))
+      .toDF("t", "v", "x")
+      .select(
+        VectorOps.softmax(col("v")).as("softmax"),
+        VectorOps.gelu(col("x") / 10.0).as("gelu"),
+        VectorOps.l2Normalize(col("v")).as("unit"),
+        VectorOps.ema(col("x"), 0.9, Window.orderBy("t")).as("ema"))
+      .show(truncate = false)
+    println("=== positional join ===")
+    JoinOps.positionalJoin(Seq("a", "b").toDF("l"), Seq(1, 2).toDF("r")).show()
     spark.stop()
   }
 }
