@@ -49,6 +49,17 @@ object PipelineDemo {
       .show(truncate = false)
     println("=== positional join ===")
     JoinOps.positionalJoin(Seq("a", "b").toDF("l"), Seq(1, 2).toDF("r")).show()
+
+    // WordPiece tokenization + one-pass F1 aggregator
+    import graft.functions.{F1Aggregator, WordPieceTokenize}
+    println("=== wordpiece ===")
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "un", "##aff", "##able", "hello", "好")
+    Seq("Hello unaffable 好", "zzz").toDF("t")
+      .select(col("t"), WordPieceTokenize.wordpiece(col("t"), vocab).as("ids"))
+      .show(truncate = false)
+    println("=== one-pass F1 ===")
+    Seq((0, 0), (1, 1), (1, 2)).toDS()
+      .select(F1Aggregator.toColumn.name("micro_macro_acc")).show(truncate = false)
     spark.stop()
   }
 }
