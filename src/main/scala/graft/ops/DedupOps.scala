@@ -34,6 +34,16 @@ object DedupOps {
   def tokenSet(text: Column): Column =
     array_distinct(TextOps.whitespaceTokenize(text))
 
+  /** Token set as a SORTED array of 64-bit hashes — the verify-stage
+    * representation at scale: pair intersections become an O(n+m)
+    * two-pointer merge over primitive longs
+    * ([[graft.functions.SortedIntersectCount]]) instead of per-pair
+    * string hash sets. 64-bit collisions are negligible (< 1e-15 per
+    * doc) and deterministic.
+    */
+  def hashedTokenSet(text: Column): Column =
+    array_sort(array_distinct(transform(TextOps.whitespaceTokenize(text), t => xxhash64(t))))
+
   /** All near-duplicate pairs (id_a < id_b) with token-set Jaccard >=
     * `threshold`. Pairwise with a size-band prefilter — safe because
     * J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs outside the band
@@ -74,42 +84,86 @@ object DedupOps {
     * `rowsPerBand`, hash each band, and emit pairs that collide in at
     * least one band. Only (band_idx, band_hash) tuples shuffle — the
     * candidate space never materializes O(n²).
+    *
+    * Production path dedups WITHOUT a distinct(): a pair is emitted only
+    * from its FIRST colliding band (each occurrence can check earlier
+    * bands locally because rows carry the full band-hash array), so the
+    * ~`bands`× duplicated pair stream never hits a shuffle. Band keys
+    * are 64-bit hashes of the signature slice.
+    *
+    * @param portable md5-string band hashes + distinct() — the exact
+    *        construction the DuckDB oracle replays (q21); keep false in
+    *        production.
     */
   def minHashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int,
-      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): DataFrame = {
+      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i)),
+      portable: Boolean = false): DataFrame = {
     val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
-    val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          md5(array_join(transform(
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            _.cast("string")), ","))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    if (portable) {
+      val banded = df
+        .select(col(idCol).as("id"), sig.as("sig"))
+        .select(col("id"), posexplode(
+          array((0 until bands).map(b =>
+            md5(array_join(transform(
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              _.cast("string")), ","))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+      val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+      l.join(r, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    } else {
+      val bandArr = array((0 until bands).map(b =>
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+      val banded = df
+        .select(col(idCol).as("id"), bandArr.as("band_arr"))
+        .select(col("id"), col("band_arr"), posexplode(col("band_arr")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+      val l = banded.select(col("band"), col("band_hash"),
+        col("id").as("id_a"), col("band_arr").as("ba_a"))
+      val r = banded.select(col("band"), col("band_hash"),
+        col("id").as("id_b"), col("band_arr").as("ba_b"))
+      // first-collision-wins: an occurrence survives only if THIS band
+      // is the first equal position — pairs come out unique with no
+      // distinct() shuffle; the check is a codegen'd primitive loop.
+      l.join(r, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.FirstEqualIndex
+          .firstEqualIndex(col("ba_a"), col("ba_b")) === col("band"))
+        .select("id_a", "id_b")
+    }
   }
 
   /** MinHash+LSH near-dup pairs with exact Jaccard verification of the
-    * candidates (the standard two-phase plan: LSH recall, exact precision).
+    * candidates (the standard two-phase plan: LSH recall, exact
+    * precision).
+    *
+    * @param hashedVerify true (production) verifies over sorted token-
+    *        hash arrays with the codegen'd two-pointer intersect; false
+    *        (oracle parity) verifies over the raw string sets exactly as
+    *        the DuckDB oracle does.
     */
   def minHashDedup(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 4,
-      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): DataFrame = {
-    val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, hashFn)
-    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"),
-      size(tokenSet(col(textCol))).as("n"))
+      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i)),
+      hashedVerify: Boolean = true, portable: Boolean = false): DataFrame = {
+    val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, hashFn, portable)
+    val toks = if (hashedVerify) hashedTokenSet(col(textCol)) else tokenSet(col(textCol))
+    val t = df.select(col(idCol).as("id"), toks.as("toks"), size(toks).as("n"))
+    val inter =
+      if (hashedVerify)
+        graft.functions.SortedIntersectCount.sortedIntersectCount(col("toks_a"), col("toks_b"))
+      else size(array_intersect(col("toks_a"), col("toks_b")))
     cands
       .join(t.select(col("id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a")), "id_a")
       .join(t.select(col("id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter", inter)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

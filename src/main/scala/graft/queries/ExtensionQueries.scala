@@ -30,7 +30,9 @@ object ExtensionQueries {
     DedupOps.minHashDedup(
       Tables.documents(spark, dir), "text", "doc_id", threshold = 0.6,
       bands = 4, rowsPerBand = 4,
-      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)))
+      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)),
+      // string-set verify + md5 band hashes: exactly the oracle's algebra
+      hashedVerify = false, portable = true)
 
   val q21Sql: String =
     s"""WITH t AS (

@@ -39,6 +39,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 5L), "unrelated doc must not pass exact verify")
   }
 
+  test("hashed verify path finds exactly the same pairs as string-set verify") {
+    val a = DedupOps.minHashDedup(docs, "text", "doc_id", 0.6, hashedVerify = true)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val b = DedupOps.minHashDedup(docs, "text", "doc_id", 0.6, hashedVerify = false)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("first-collision-wins candidates equal the distinct() construction") {
+    val fast = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4)
+      .as[(Long, Long)].collect()
+    val port = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4, portable = true)
+      .as[(Long, Long)].collect()
+    assert(fast.length == fast.distinct.length, "fast path must emit unique pairs")
+    assert(fast.toSet == port.toSet, "same candidate set either way")
+  }
+
   test("minHash LSH candidates are a superset of verified pairs (recall structure)") {
     val cands = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4)
       .as[(Long, Long)].collect().toSet
