@@ -33,8 +33,13 @@ object Bench {
       DedupOps.simHashPairs(Tables.documents(s, dir), "text", "doc_id", 3)),
     "b_lsh_cosine_topk" -> ((s, dir) =>
       SimilarityOps.lshCosineTopK(Tables.embeddings(s, dir), k = 10)),
+    "b_ivf_cosine_topk" -> ((s, dir) =>
+      SimilarityOps.ivfCosineTopK(Tables.embeddings(s, dir), k = 10, nlist = 32, nprobe = 4)),
     "b_exact_dedup" -> ((s, dir) =>
-      DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")))
+      DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")),
+    "b_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("n"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

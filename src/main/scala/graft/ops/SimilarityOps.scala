@@ -68,6 +68,52 @@ object SimilarityOps {
       when(dotP > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path: a deterministic coarse quantizer of `nlist` centroids
+    * (chosen as the embeddings with the smallest key-hash — no k-means
+    * dependency, fully reproducible), every vector assigned to its
+    * nearest centroid, queries probed against the `nprobe` nearest
+    * centroid lists only.
+    *
+    * Scale shape: centroids broadcast (nlist ≪ corpus); assignment is a
+    * narrow map; the search join shuffles on the centroid id — cost
+    * scales with corpus/nlist × nprobe per query instead of |corpus|.
+    */
+  def ivfCosineTopK(
+      df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineFused
+    val centroids = df
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")), col("c_id"))
+      .limit(nlist)
+      .withColumn("centroid", row_number().over(Window.orderBy("c_id")) - 1)
+      .select("centroid", "c_vec")
+
+    // nearest centroid per vector (and nprobe nearest for queries)
+    def ranked(side: DataFrame, n: Int, asCol: String): DataFrame = {
+      val w = Window.partitionBy("id").orderBy(col("sim").desc, col("centroid"))
+      side.crossJoin(broadcast(centroids))
+        .withColumn("sim", cosineFused(col("vec"), col("c_vec")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= n)
+        .select(col("id"), col("vec"), col("centroid").as(asCol))
+    }
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned = ranked(base, 1, "centroid")
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec2"), col("centroid"))
+    val probes = ranked(base, nprobe, "centroid")
+      .select(col("id").as("query_id"), col("vec").as("q_vec"), col("centroid"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFused(col("q_vec"), col("c_vec2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: `bands` independent signatures of
     * `planesPerBand` bits; candidates share a (band, signature) bucket;
     * exact cosine re-rank keeps the best k per query. Recall rises with

@@ -60,6 +60,12 @@ object PipelineDemo {
     println("=== one-pass F1 ===")
     Seq((0, 0), (1, 1), (1, 2)).toDS()
       .select(F1Aggregator.toColumn.name("micro_macro_acc")).show(truncate = false)
+
+    println("=== salted join under skew ===")
+    val fact = (0 until 100).map(i => (if (i < 90) 7 else i, s"r$i")).toDF("k", "payload")
+    val dimT = (0 until 20).map(i => (i, s"d$i")).toDF("k", "attr")
+    graft.ops.SkewOps.keyHistogram(fact, "k", 3).show()
+    println("salted join rows: " + graft.ops.SkewOps.saltedJoin(fact, dimT, "k", 8).count())
     spark.stop()
   }
 }
