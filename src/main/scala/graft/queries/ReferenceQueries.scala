@@ -191,6 +191,49 @@ object ReferenceQueries {
       |       / CAST(128 AS FLOAT) AS DOUBLE))) / 8)) AS mean_checksum
       |FROM b""".stripMargin
 
+  // --------------------------------------------------------------- q37
+  /** MFM frame masking (OP-56): embeddings reshaped to 16×4 frames,
+    * frames selected w.p. 0.25 by the key-derived draw, zero-filled,
+    * label-index matrix with -100 sentinels. Checksums pin both the
+    * zero-fill and the sentinel positions.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val frames = transform(sequence(lit(0), lit(15)),
+      f => slice(col("embedding"), f * 4 + 1, lit(4)))
+    val m = MaskingOps.mfmMask(frames, col("vec_id"), maskProb = 0.25, seed = 0L)
+    val outFrames = m.getField("frames")
+    val labelIdx = m.getField("labelIdx")
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      size(filter(labelIdx, l => l =!= MaskingOps.IgnoreLabel)).as("n_masked"),
+      aggregate(outFrames, lit(0.0), (a, f) => a + VectorOps.arraySumD(f)).as("checksum_frames"),
+      aggregate(labelIdx, lit(0L),
+        (a, l) => a + when(l =!= MaskingOps.IgnoreLabel, l.cast("long")).otherwise(0L))
+        .as("checksum_labels"))
+  }
+
+  val q37Sql: String = {
+    val u = dk("CAST(vec_id AS VARCHAR) || '#' || CAST(i - 1 AS VARCHAR) || '#0#mfm'")
+    s"""WITH f AS (
+      | SELECT vec_id,
+      |  list_transform(generate_series(0, 15), fr -> embedding[4*fr+1 : 4*fr+4]) AS frames
+      | FROM embeddings),
+      |m AS (
+      | SELECT vec_id, frames,
+      |  list_transform(generate_series(1, 16), i ->
+      |    CASE WHEN $u / 1152921504606846976.0 < 0.25 THEN 1 ELSE 0 END) AS msk
+      | FROM f)
+      |SELECT vec_id,
+      | CAST(list_sum(msk) AS INT) AS n_masked,
+      | list_sum(list_transform(generate_series(1, 16), i ->
+      |   CASE WHEN msk[i] = 1 THEN 0.0
+      |        ELSE list_sum(list_transform(frames[i], x -> CAST(x AS DOUBLE))) END))
+      |   AS checksum_frames,
+      | CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |   CASE WHEN msk[i] = 1 THEN i - 1 ELSE 0 END)) AS BIGINT) AS checksum_labels
+      |FROM m""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q31_stratified_split" -> ((q31 _, q31Sql)),
@@ -198,5 +241,6 @@ object ReferenceQueries {
     "q33_mlm_mask" -> ((q33 _, q33Sql)),
     "q34_itm_shuffle" -> ((q34 _, q34Sql)),
     "q35_frame_ops" -> ((q35 _, q35Sql)),
-    "q36_multimodal_decode" -> ((q36 _, q36Sql)))
+    "q36_multimodal_decode" -> ((q36 _, q36Sql)),
+    "q37_mfm_mask" -> ((q37 _, q37Sql)))
 }
