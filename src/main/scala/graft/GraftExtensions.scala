@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, FirstEqualIndex, SortedIntersectCount}
+
+/** SparkSessionExtensions injector: makes the engine's native
+  * expressions first-class SQL functions in any session created with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`),
+  * so pure-SQL users — spark-sql shell, thrift server, notebooks — get
+  * `cosine_sim`, `sorted_intersect_count`, and `first_equal_index`
+  * without any Scala import. This is the public, cluster-safe
+  * registration path (survives session cloning, unlike temp functions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("cosine_sim",
+      "cosine_sim(array<float>, array<float>) - fused one-pass cosine similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(fn("sorted_intersect_count",
+      "sorted_intersect_count(array<bigint>, array<bigint>) - |A∩B| of sorted arrays",
+      exprs => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction(fn("first_equal_index",
+      "first_equal_index(array<bigint>, array<bigint>) - first index where arrays agree, else -1",
+      exprs => FirstEqualIndex(exprs(0), exprs(1))))
+  }
+}

@@ -28,6 +28,8 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      // native expressions as SQL functions (cosine_sim, ...)
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

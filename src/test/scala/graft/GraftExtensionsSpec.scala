@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The extension injector makes the native expressions plain SQL
+  * functions in every GraftSession-built session (SharedSpark uses the
+  * factory, so they must resolve here with no registration call).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("cosine_sim resolves from SQL via spark.sql.extensions") {
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)), (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("ext_t")
+    val got = spark.sql("SELECT cosine_sim(a, b) FROM ext_t ORDER BY 1 DESC")
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("sorted_intersect_count and first_equal_index resolve from SQL") {
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i,
+        |       first_equal_index(array(7L, 8L, 9L), array(1L, 8L, 9L)) AS f
+        |""".stripMargin).as[(Int, Int)].head()
+    assert(r == ((2, 1)))
+  }
+
+  test("DESCRIBE FUNCTION shows the registered usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION cosine_sim").as[String].collect().mkString("\n")
+    assert(desc.contains("cosine_sim"))
+  }
+}
