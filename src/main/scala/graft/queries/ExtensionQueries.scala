@@ -134,7 +134,7 @@ object ExtensionQueries {
       | FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
       |r AS (
       | SELECT query_id, neighbor_id, cosine,
-      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
       | FROM c)
       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin
 
@@ -189,7 +189,7 @@ object ExtensionQueries {
       | SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
       |s AS (
       | SELECT doc_id,
-      |  len(toks) AS n_tokens,
+      |  CAST(len(toks) AS INT) AS n_tokens,
       |  CAST(list_sum(list_transform(toks, tk -> len(tk))) AS DOUBLE) / len(toks) AS mean_token_len,
       |  CAST(len(list_filter(toks, tk -> list_contains($enWords, tk))) AS DOUBLE) / len(toks) AS stopword_ratio,
       |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
@@ -217,8 +217,8 @@ object ExtensionQueries {
 
   val q27Sql: String =
     """SELECT doc_id,
-      | len(string_split(text, ' ')) AS ws_tokens,
-      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
+      | CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS regex_tokens,
       | n_chars,
       | CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
       |FROM documents""".stripMargin
@@ -280,7 +280,7 @@ object ExtensionQueries {
 
   val q30Sql: String =
     """SELECT doc_id,
-      | octet_length(encode(text)) AS n_bytes,
+      | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
       | ascii(substr(text, 1, 1)) AS first_byte,
       | CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS frame_count,
       | source

@@ -177,8 +177,8 @@ object OracleQueries {
   val q06Sql: String =
     """SELECT * FROM (
       | SELECT o_custkey, o_orderkey, o_totalprice,
-      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
@@ -273,7 +273,7 @@ object OracleQueries {
 
   val q11Sql: String =
     """WITH dim AS (
-      |  SELECT p_type, DENSE_RANK() OVER (ORDER BY p_type) - 1 AS lv2id
+      |  SELECT p_type, CAST(DENSE_RANK() OVER (ORDER BY p_type) - 1 AS INT) AS lv2id
       |  FROM (SELECT DISTINCT p_type FROM part))
       |SELECT p.p_partkey, substring(p.p_brand, 7, 2) AS lv1_code,
       |  d.lv2id AS lv2id, d2.p_type AS p_type_rt

@@ -96,7 +96,7 @@ object ReferenceQueries {
       |  list_transform(generate_series(1, n), i -> CASE
       |    WHEN $uSel < 0.25 THEN $tid ELSE -100 END) AS labels
       | FROM t)
-      |SELECT doc_id, n AS n_tokens,
+      |SELECT doc_id, CAST(n AS INT) AS n_tokens,
       | CAST(len(list_filter(labels, l -> l <> -100)) AS INT) AS n_selected,
       | CAST(len(list_filter(ids, i -> i = 999999)) AS INT) AS n_mask_tok,
       | CAST(list_sum(ids) AS BIGINT) AS checksum_ids,

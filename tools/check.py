@@ -59,6 +59,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             failures += 1
+        elif [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            print(f"FAIL {name}: dtypes "
+                  f"{[(c, str(got[c].dtype)) for c in got.columns]} != "
+                  f"{[(c, str(want[c].dtype)) for c in want.columns]}")
+            failures += 1
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
