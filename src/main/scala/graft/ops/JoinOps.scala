@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Join helpers beyond plain equi-joins.
@@ -33,4 +35,39 @@ object JoinOps {
   def positionalJoin(left: DataFrame, right: DataFrame): DataFrame =
     withRowIndex(left, "__zip_idx").join(
       withRowIndex(right, "__zip_idx"), "__zip_idx").drop("__zip_idx")
+
+  /** As-of join — an operator Spark lacks natively, composed from
+    * built-ins (preference tier (a), SURVEY §2.3): for every `left` row,
+    * attach the most recent `right` row with the same `key` and
+    * `right.ts <= left.ts` (DuckDB/kdb ASOF semantics; right rows at the
+    * exact same timestamp DO match).
+    *
+    * Plan shape: union the two sides tagged, ONE window over
+    * (key, ts-order) carrying the last-seen right payload forward, then
+    * keep the left rows — a single shuffle on `key` regardless of side
+    * sizes, no range cross-product. At 100 TB this beats the
+    * non-equi-join formulation (which degenerates to a per-key
+    * cross product) by construction.
+    *
+    * @param valueCols right-side columns to attach (prefixed `asof_`)
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumns(valueCols.map(c => s"__v_$c" -> lit(null)).toMap)
+    val rTagged = right.select(
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1) so
+    // same-timestamp right rows are visible to the left row (<= rule).
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__side") === 1)
+      .drop((Seq("__side") ++ valueCols.map(c => s"__v_$c")): _*)
+  }
 }

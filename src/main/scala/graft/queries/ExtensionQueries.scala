@@ -286,6 +286,30 @@ object ExtensionQueries {
       | source
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q38
+  /** As-of join (an operator Spark lacks; composed per JoinOps.asOfJoin):
+    * every purchase event attached to the user's most recent prior (or
+    * simultaneous) view — checked against DuckDB's native ASOF JOIN.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val views = e.filter(col("event_type") === "view")
+    JoinOps.asOfJoin(purchases, views, "user_id", "ts", Seq("event_id", "ts"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("asof_event_id").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+  }
+
+  val q38Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+      | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      | ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -297,5 +321,6 @@ object ExtensionQueries {
     "q27_token_stats" -> ((q27 _, q27Sql)),
     "q28_fingerprint" -> ((q28 _, q28Sql)),
     "q29_simhash" -> ((q29 _, q29Sql)),
-    "q30_multimodal_bundle" -> ((q30 _, q30Sql)))
+    "q30_multimodal_bundle" -> ((q30 _, q30Sql)),
+    "q38_asof_join" -> ((q38 _, q38Sql)))
 }
