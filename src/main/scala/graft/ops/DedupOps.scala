@@ -170,6 +170,63 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Scale-path near-dedup DECISION: keep/drop per document, never a
+    * pair list. On duplicate-dense data the set of passing pairs is
+    * inherently quadratic (a cluster of m near-dups has m·(m-1)/2
+    * pairs), but the dedup decision is linear — this is the production
+    * contract; [[minHashDedup]] remains the pair-level oracle form.
+    *
+    * Plan (everything linear in docs × bands):
+    *  1. band hashes per doc (narrow map, docs×bands rows of ids+longs);
+    *  2. one REPRESENTATIVE per LSH bucket = min doc id (partial-agg
+    *     groupBy — no pair join);
+    *  3. candidate edges doc→rep for rep < doc, deduped on ids only
+    *     (≤ bands edges per doc);
+    *  4. exact-Jaccard verify of each edge over sorted token-hash arrays
+    *     (codegen'd two-pointer intersect), token arrays joined by id —
+    *     each doc's array shuffles once per distinct edge, ≤ bands times.
+    *
+    * Semantics: a doc is DROPPED iff it verifies ≥ `threshold` against
+    * the min-id doc of at least one of its buckets. Deterministic under
+    * any partitioning. Compared to greedy in-id-order dedup this trades
+    * a little recall (two non-rep cluster members are never compared
+    * directly) for a plan with no quadratic stage; recall can be raised
+    * by re-running on the keepers (each pass only shrinks the set).
+    *
+    * Returns the KEPT rows of `df`, unchanged schema.
+    */
+  def dedupKeepers(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): DataFrame = {
+    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val banded = df
+      .select(col(idCol).as("id"), bandArr.as("band_arr"))
+      .select(col("id"), posexplode(col("band_arr")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
+    val edges = banded.join(reps, Seq("band", "band_hash"))
+      .filter(col("id") > col("rep"))
+      .select("id", "rep").distinct()
+    val toks = df.select(col(idCol).as("id"),
+      hashedTokenSet(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val inter = graft.functions.SortedIntersectCount
+      .sortedIntersectCount(col("toks_a"), col("toks_b"))
+    val dropped = edges
+      .join(toks.select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
+      .join(toks.select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
+      .withColumn("inter", inter)
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")) >= threshold)
+      .select(col("id").as(idCol))
+      .distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over the token multiset: sign-sum of per-token hash
     * bits. Near-dups = pairs within `maxHamming` bits; the banding trick
     * (split 64 bits into k chunks, equi-join on chunk) finds all pairs

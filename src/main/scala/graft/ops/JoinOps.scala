@@ -54,20 +54,25 @@ object JoinOps {
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, valueCols: Seq[String]): DataFrame = {
+    // ONE struct payload carried by a single last(ignoreNulls): all
+    // attached columns come from the SAME right row (whole-row ASOF
+    // semantics — per-column carries could mix fields across right rows
+    // when a value column is null on the most recent row).
+    val rTagged = right.select(col(key), col(ts), lit(0).as("__side"),
+      struct(valueCols.map(col): _*).as("__payload"))
     val lTagged = left.withColumn("__side", lit(1))
-      .withColumns(valueCols.map(c => s"__v_$c" -> lit(null)).toMap)
-    val rTagged = right.select(
-      (Seq(col(key), col(ts), lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
     // right rows sort BEFORE left rows at equal ts (side 0 < 1) so
-    // same-timestamp right rows are visible to the left row (<= rule).
+    // same-timestamp right rows are visible to the left row (<= rule);
+    // ties among equal-ts right rows break deterministically on the
+    // payload struct (ascending ⇒ the max payload wins via last()).
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__side") === 1)
-      .drop((Seq("__side") ++ valueCols.map(c => s"__v_$c")): _*)
+    val attached = unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(attached) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__asof").getField(c))
+    }.filter(col("__side") === 1)
+      .drop("__side", "__payload", "__asof")
   }
 }

@@ -118,6 +118,15 @@ object SimilarityOps {
     * `planesPerBand` bits; candidates share a (band, signature) bucket;
     * exact cosine re-rank keeps the best k per query. Recall rises with
     * `bands`; cost scales with bucket occupancy, not |corpus|².
+    *
+    * Shuffle discipline: vectors ride only the LINEAR banded stream
+    * (docs × bands rows). Cross-band duplicate candidates are dropped
+    * with first-colliding-band-wins ([[graft.functions.FirstEqualIndex]]
+    * over the per-doc bucket arrays — a codegen'd primitive loop, no
+    * `distinct()`), and the exact cosine is computed once per unique
+    * pair RIGHT AT the bucket join where both vectors are already
+    * co-located — so the only pair-level shuffle (the per-query top-k
+    * window) carries (ids, cosine) and nothing else.
     */
   def lshCosineTopK(
       df: DataFrame, k: Int, bands: Int = 8, planesPerBand: Int = 8,
@@ -133,17 +142,24 @@ object SimilarityOps {
         when(dotP > 0, shiftleft(lit(1L), p)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
     }: _*)
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"), posexplode(sigs))
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
+      .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("query_id"), col("vec").as("q_vec"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("query_id"), col("vec").as("q_vec"), col("buckets").as("bk_q"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("neighbor_id"), col("vec").as("c_vec"), col("buckets").as("bk_c"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
-      .distinct()
-      .withColumn("cosine",
-        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")))
+      // first-collision-wins: this occurrence survives only if band is
+      // the first position where the two bucket arrays agree — each
+      // unique pair is scored exactly once, with zero extra shuffle.
+      .filter(graft.functions.FirstEqualIndex
+        .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

@@ -53,11 +53,18 @@ object SplitOps {
 
   /** Fixed-size chunk id by a total order on `idCol` (OP-42): shard =
     * floor(rank / chunkSize). Use with `write.partitionBy("shard")`.
+    *
+    * Scale shape: a global `Window.orderBy` would move EVERYTHING to one
+    * partition (Spark's "No Partition Defined" warning). Instead: range-
+    * partitioned parallel sort, then the dense global index from
+    * [[JoinOps.withRowIndex]] (zipWithIndex = one cheap partition-size
+    * count, offsets added per-partition) — every stage stays parallel.
     */
   def chunkBy(df: DataFrame, idCol: String, chunkSize: Int): DataFrame = {
-    val w = Window.orderBy(idCol)
-    df.withColumn("shard",
-      floor((row_number().over(w) - 1) / chunkSize).cast("int"))
+    require(chunkSize > 0, s"chunkBy: chunkSize must be positive, got $chunkSize")
+    JoinOps.withRowIndex(df.sort(col(idCol)), "__chunk_rank")
+      .withColumn("shard", floor(col("__chunk_rank") / chunkSize).cast("int"))
+      .drop("__chunk_rank")
   }
 
   /** Seeded global shuffle order (reference DataLoader(shuffle=True,

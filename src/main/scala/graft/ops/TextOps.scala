@@ -49,8 +49,16 @@ object TextOps {
     *
     * The caller only applies this when `need_cut > 0 && this_len > min_len`
     * (see [[budgetedAssemble]]), mirroring the reference's guards.
+    *
+    * Requires `minLen >= 2`: with minLen < 2 the unsatisfied branch
+    * computes mid = 0, and `slice(s, -0, 0)` is an invalid slice at
+    * runtime (and Python's `s[-0:]` would keep the WHOLE list, so a
+    * "fixed" 0 could not match reference semantics either). In the
+    * satisfied branch mid >= 1 follows: len - needCut > minLen >= 2.
     */
   def cutMin(s: Column, needCut: Column, minLen: Int): Cut = {
+    require(minLen >= 2, s"cutMin: minLen must be >= 2 (got $minLen); " +
+      "mid = minLen/2 = 0 makes slice(s, -0, 0) invalid")
     val len = size(s)
     val fits = needCut < (len - minLen)
     val mid = when(fits, floor((len - needCut) / 2.0)).otherwise(lit(minLen / 2)).cast("int")
