@@ -64,6 +64,15 @@ object Sources {
         col("content").as("payload"),
         col("length").as("n_bytes"))
 
+  /** OP-02/03: per-id `.npy` feature scan — the binary scan composed
+    * with the real NPY decode ([[Npy]], fp16→fp32), yielding
+    * `(id string, frames array<array<float>>)`. This is the engine's
+    * end-to-end path for the reference's `{id}.npy` feature files.
+    */
+  def readNpyById(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.decodeNpyFrames(
+      readBinaryById(spark, dir, "npy")).toDF()
+
   /** OP-05: sharded parquet sink — fixed-size shards as a partitioned
     * dataset (`write.partitionBy`), replacing the reference's manual
     * 50k-row `.npy` shard loop (`src/split_pretrain_data.py:28-35`).

@@ -216,12 +216,18 @@ object DedupOps {
       .withColumn("n", size(col("toks")))
     val inter = graft.functions.SortedIntersectCount
       .sortedIntersectCount(col("toks_a"), col("toks_b"))
+    // Two empty token sets are identical documents for dedup purposes:
+    // define J(∅,∅) = 1 (instead of 0/0 = null) so byte-empty /
+    // whitespace-only duplicates collapse to the min-id keeper like any
+    // other exact-duplicate cluster. (All-empty docs share every band
+    // hash, so they always reach the verify stage together.)
+    val jaccard = when(col("n_a") === 0 && col("n_b") === 0, lit(1.0))
+      .otherwise(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
     val dropped = edges
       .join(toks.select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
       .join(toks.select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
       .withColumn("inter", inter)
-      .filter(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")) >= threshold)
+      .filter(jaccard >= threshold)
       .select(col("id").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")

@@ -49,7 +49,13 @@ object JoinOps {
     * non-equi-join formulation (which degenerates to a per-key
     * cross product) by construction.
     *
-    * @param valueCols right-side columns to attach (prefixed `asof_`)
+    * @param valueCols right-side columns to attach (prefixed `asof_`).
+    *        Must all be of ORDERABLE types (atomics, arrays, structs —
+    *        not maps): the payload struct participates in the window
+    *        sort to break ties among equal-timestamp right rows
+    *        deterministically. To attach an unorderable column, carry an
+    *        orderable right-side surrogate (e.g. a row id) through the
+    *        as-of and join the unorderable column back on it.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame,

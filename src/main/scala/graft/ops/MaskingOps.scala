@@ -29,6 +29,32 @@ object MaskingOps {
 
   val IgnoreLabel: Int = -100
 
+  /** Key-derived RNG family: uniform-[0,1) and nonnegative-long draws
+    * from (rowKey, position, seed, salt). [[Portable]] (the default) is
+    * md5-based and bit-reproducible in any engine — the oracle-checked
+    * family. [[Xxh]] is the production family: xxhash64, codegen'd,
+    * far cheaper per draw; same distributional contract, different bits.
+    */
+  final case class Rng(
+      uniform01: (Column, Column, Long, String) => Column,
+      nonNegLong: (Column, Column, Long, String) => Column)
+
+  /** md5-based draws, identical in Spark and DuckDB ([[PortableHash]]). */
+  val Portable: Rng = Rng(
+    (key, i, seed, salt) => PortableHash.uniform01(
+      concat_ws("#", key.cast("string"), i.cast("string"), lit(seed.toString)), lit(salt)),
+    (key, i, seed, salt) => PortableHash.md5Long(
+      concat_ws("#", key.cast("string"), i.cast("string"), lit(seed.toString)), lit(salt)))
+
+  /** xxhash64-based draws (production): top-53-bit uniform, bottom-63-bit
+    * long — both key-derived, so identical under any partitioning.
+    */
+  val Xxh: Rng = Rng(
+    (key, i, seed, salt) =>
+      shiftrightunsigned(xxhash64(key, i, lit(seed), lit(salt)), 11).cast("double") /
+        lit((1L << 53).toDouble),
+    (key, i, seed, salt) => shiftrightunsigned(xxhash64(key, i, lit(seed), lit(salt)), 1))
+
   /** Per-position decision columns for MLM over a token array.
     * Returns struct(ids, labels): masked input ids and MLM labels.
     *
@@ -39,15 +65,15 @@ object MaskingOps {
     * @param vocabSize random-replacement draws uniform in [0, vocabSize)
     */
   def mlmMask(toks: Column, key: Column, maskProb: Double,
-      maskToken: Int, vocabSize: Int, seed: Long = 0L): Column = {
+      maskToken: Int, vocabSize: Int, seed: Long = 0L,
+      rng: Rng = Portable): Column = {
     val idx = sequence(lit(0), size(toks) - 1)
     val zipped = zip_with(toks, idx, (t, i) => struct(t.as("t"), i.as("i")))
     val decided = transform(zipped, p => {
       val t = p.getField("t"); val i = p.getField("i")
-      val k = concat_ws("#", key.cast("string"), i.cast("string"), lit(seed.toString))
-      val uSel = PortableHash.uniform01(k, lit("sel"))
-      val uSub = PortableHash.uniform01(k, lit("sub"))
-      val randTok = (PortableHash.md5Long(k, lit("rand")) % vocabSize).cast("int")
+      val uSel = rng.uniform01(key, i, seed, "sel")
+      val uSub = rng.uniform01(key, i, seed, "sub")
+      val randTok = (rng.nonNegLong(key, i, seed, "rand") % vocabSize).cast("int")
       val selected = uSel < maskProb
       val newId = when(!selected, t)
         .when(uSub < 0.8, lit(maskToken))
@@ -66,13 +92,13 @@ object MaskingOps {
     * = i for masked frames else -100 (the reference's label-index matrix
     * with sentinel).
     */
-  def mfmMask(frames: Column, key: Column, maskProb: Double, seed: Long = 0L): Column = {
+  def mfmMask(frames: Column, key: Column, maskProb: Double, seed: Long = 0L,
+      rng: Rng = Portable): Column = {
     val idx = sequence(lit(0), size(frames) - 1)
     val zipped = zip_with(frames, idx, (f, i) => struct(f.as("f"), i.as("i")))
     val decided = transform(zipped, p => {
       val f = p.getField("f"); val i = p.getField("i")
-      val k = concat_ws("#", key.cast("string"), i.cast("string"), lit(seed.toString))
-      val selected = PortableHash.uniform01(k, lit("mfm")) < maskProb
+      val selected = rng.uniform01(key, i, seed, "mfm") < maskProb
       struct(
         when(selected, transform(f, _ => lit(0.0f))).otherwise(f).as("f"),
         when(selected, i.cast("int")).otherwise(lit(IgnoreLabel)).as("li"))

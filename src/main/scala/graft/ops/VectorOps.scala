@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Vector math over `array<float>` / `array<double>` columns.
   *
@@ -142,11 +143,15 @@ object VectorOps {
 
   /** Exponential moving average over an ordered window (the data-
     * semantics analog of the reference's parameter EMA, OP-33,
-    * `src/main.py:81-106`): e_t = d·e_{t-1} + (1-d)·x_t, expressed as
-    * the closed-form weighted sum over the ordered preceding values
-    * e_t = (1-d)·Σ_{i<=t} d^(t-i)·x_i + d^t·x_0-correction; computed
-    * here with the exact recursive weights via two window sums:
-    * Σ d^{-i}x_i scaled by d^t.
+    * `src/main.py:81-106`): e_t = d·e_{t-1} + (1-d)·x_t.
+    *
+    * O(n²) PER WINDOW PARTITION — row t folds a t-element collect_list
+    * prefix, so total work is quadratic in the partition length. This
+    * closed-column form exists for SHORT windows and oracle parity
+    * only; for long sequences use [[emaByKey]], the linear scale path.
+    * (The d^(-i)-scaled two-window-sum closed form would be O(n) but
+    * overflows double for long windows; the sequential recurrence is
+    * the honest formulation.)
     */
   def ema(x: Column, decay: Double, w: WindowSpec): Column = {
     // t = 0-based position in the window order
@@ -159,6 +164,51 @@ object VectorOps {
     aggregate(prefix, lit(Double.NaN),
       (acc, v) => when(isnan(acc), v.cast("double"))
         .otherwise(acc * decay + v.cast("double") * (1 - decay)))
+  }
+
+  /** Linear-time EMA per key — the OP-33 scale path. Repartitions on
+    * `keyCol`, sorts within partitions by (key, order), and carries ONE
+    * running state through a single sequential pass: one shuffle,
+    * O(n log n) total, O(1) state — vs [[ema]]'s O(n²) prefix folds.
+    * Exits whole-stage codegen at the RDD boundary (the same trade
+    * SplitOps.chunkBy makes: a sequential recurrence is not parallel
+    * column algebra), which is the right trade for long sequences.
+    *
+    * Semantics match [[ema]] exactly: e_0 = x_0,
+    * e_t = decay·e_{t-1} + (1−decay)·x_t per key in `orderCol` order.
+    * Null values emit null and leave the running state unchanged.
+    */
+  def emaByKey(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, decay: Double, outCol: String = "ema"): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.columns.indexOf(keyCol)
+    val valIdx = df.columns.indexOf(valueCol)
+    require(keyIdx >= 0, s"emaByKey: no column '$keyCol'")
+    require(valIdx >= 0, s"emaByKey: no column '$valueCol'")
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(orderCol))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, DoubleType, nullable = true))
+    val rdd = sorted.rdd.mapPartitions { rows =>
+      var curKey: Any = null
+      var first = true      // no key seen yet in this partition
+      var state = 0.0
+      var hasState = false  // no non-null value seen for curKey yet
+      rows.map { r =>
+        val k = r.get(keyIdx)
+        if (first || k != curKey) { curKey = k; first = false; hasState = false }
+        val out: Any =
+          if (r.isNullAt(valIdx)) null
+          else {
+            val x = r.get(valIdx).asInstanceOf[Number].doubleValue()
+            state = if (hasState) state * decay + x * (1 - decay) else x
+            hasState = true
+            state
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Seeded pseudo-random subsample (train path, reference

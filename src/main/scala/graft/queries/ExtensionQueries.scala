@@ -286,6 +286,32 @@ object ExtensionQueries {
       | source
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q39
+  /** CUBE over orders (status × priority): all four grouping sets —
+    * (s,p), (s), (p), () — completing SURVEY §2.4's grouping surface
+    * next to q09's ROLLUP. Grouping nulls coalesced to a sentinel,
+    * sums decimal-accumulated (the OracleQueries float-parity rules).
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("sum_price"), col("n"))
+  }
+
+  val q39Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      | COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
   // --------------------------------------------------------------- q38
   /** As-of join (an operator Spark lacks; composed per JoinOps.asOfJoin):
     * every purchase event attached to the user's most recent prior (or
@@ -322,5 +348,6 @@ object ExtensionQueries {
     "q28_fingerprint" -> ((q28 _, q28Sql)),
     "q29_simhash" -> ((q29 _, q29Sql)),
     "q30_multimodal_bundle" -> ((q30 _, q30Sql)),
-    "q38_asof_join" -> ((q38 _, q38Sql)))
+    "q38_asof_join" -> ((q38 _, q38Sql)),
+    "q39_cube" -> ((q39 _, q39Sql)))
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The dedup DECISION path ([[DedupOps.dedupKeepers]]): keep/drop
+  * invariants plus measured recall against the exact pairwise ground
+  * truth — this is the contract a 100 TB user calls, so it gets the
+  * strongest spec in the dedup suite.
+  */
+class DedupKeepersSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def keeperIds(df: org.apache.spark.sql.DataFrame, thr: Double = 0.6): Set[Long] =
+    DedupOps.dedupKeepers(df, "text", "doc_id", thr)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("identical docs collapse to the min id; disjoint docs are all kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (7L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    assert(keeperIds(docs) == Set(1L, 3L, 4L))
+  }
+
+  test("near-dup cluster keeps exactly the min-id representative") {
+    // J(1,2) = J(1,3) = 7/9 ≈ 0.78, J(2,3) = 6/10 = 0.6 — all >= 0.6
+    val docs = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "a b c d e f g x"),
+      (12L, "a b c d e f g y"),
+      (20L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    assert(keeperIds(docs) == Set(10L, 20L))
+  }
+
+  test("schema is unchanged and kept rows are original rows") {
+    val docs = Seq((1L, "a b c", "m1"), (2L, "a b c", "m2")).toDF("doc_id", "text", "extra")
+    val out = DedupOps.dedupKeepers(docs, "text", "doc_id", 0.6)
+    assert(out.schema == docs.schema)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(2))).toSet == Set((1L, "m1")))
+  }
+
+  test("empty/whitespace-only docs collapse to one keeper (J(∅,∅)=1 rule)") {
+    val docs = Seq(
+      (5L, ""), (6L, "   "), (2L, ""), (9L, "real content here")
+    ).toDF("doc_id", "text")
+    assert(keeperIds(docs) == Set(2L, 9L))
+  }
+
+  test("re-running on the keepers only shrinks or fixes the set") {
+    val docs = syntheticCorpus()
+    val once = DedupOps.dedupKeepers(docs, "text", "doc_id", 0.6)
+    val onceIds = once.select("doc_id").as[Long].collect().toSet
+    val twiceIds = DedupOps.dedupKeepers(once, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(twiceIds.subsetOf(onceIds))
+  }
+
+  /** ~130 docs over a 40-word vocab with planted near-dup clusters:
+    * 30 bases × (1 + up to 3 mutated copies). Deterministic.
+    */
+  private def syntheticCorpus() = {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = Seq.newBuilder[(Long, String)]
+    var id = 0L
+    for (_ <- 0 until 30) {
+      val base = Seq.fill(20)(vocab(rnd.nextInt(vocab.size)))
+      rows += ((id, base.mkString(" "))); id += 1
+      for (_ <- 0 until rnd.nextInt(4)) {
+        // mutate 1-2 positions: token-set Jaccard stays well above 0.6
+        val mut = base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))
+        rows += ((id, mut.mkString(" "))); id += 1
+      }
+    }
+    rows.result().toDF("doc_id", "text")
+  }
+
+  test("decision recall vs exact greedy ground truth; drops are never unfounded") {
+    val docs = syntheticCorpus()
+    val truePairs = DedupOps.jaccardPairs(docs, "text", "doc_id", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().sorted
+
+    // greedy in-id-order dedup on the exact pair graph: the reference
+    // decision an all-pairs engine would make
+    val kept = scala.collection.mutable.Set[Long]()
+    val greedyDropped = scala.collection.mutable.Set[Long]()
+    allIds.foreach { i =>
+      if (kept.exists(j => truePairs.contains((j, i)))) greedyDropped += i
+      else kept += i
+    }
+
+    val keepers = keeperIds(docs)
+    val dropped = allIds.toSet -- keepers
+
+    // soundness: every dropped doc really has an exact >=0.6 near-dup
+    // with a smaller id (its bucket rep — verify stage is exact)
+    assert(dropped.forall(i => truePairs.exists { case (a, b) => b == i && a < i }),
+      "dedupKeepers must never drop a doc without an exact-verified smaller-id near-dup")
+
+    // recall of the rep-based decision vs greedy (trades a little recall
+    // for a linear plan; re-running closes the gap)
+    val recall =
+      if (greedyDropped.isEmpty) 1.0
+      else (dropped & greedyDropped).size.toDouble / greedyDropped.size
+    info(f"decision recall vs greedy: $recall%.3f " +
+      f"(${(dropped & greedyDropped).size}/${greedyDropped.size} dropped, ${allIds.length} docs)")
+    assert(greedyDropped.nonEmpty, "fixture must contain true near-dups")
+    assert(recall >= 0.7, f"decision recall $recall%.3f below 0.7")
+  }
+}
