@@ -19,13 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** 60-bit integer from the md5 of a string column. */
+  /** 60-bit integer from the md5 of a string column. Computed by the
+    * codegen [[graft.functions.Md5Long]] expression — value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` (the hex-
+    * string composition the DuckDB oracle replays) but digest→long
+    * directly, no hex/conv/parse allocations on the hot path.
+    */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Long.md5Long60(c.cast("string"))
 
   /** 48-bit variant (for bitwise ops needing headroom). */
   def md5Long48(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    graft.functions.Md5Long.md5Long48(c.cast("string"))
 
   /** Salted variant: hash of `value#salt`. */
   def md5Long(c: Column, salt: Column): Column =

@@ -233,21 +233,42 @@ object DedupOps {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Shift with a COLUMN bit count — the `functions.shiftright/left`
+    * overloads only take a literal Int; the underlying Catalyst
+    * expressions accept any expression.
+    */
+  private def shiftRightC(v: Column, n: Column): Column =
+    graftbridge.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      graftbridge.expression(v), graftbridge.expression(n)))
+  private def shiftLeftC(v: Column, n: Column): Column =
+    graftbridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      graftbridge.expression(v), graftbridge.expression(n)))
+  private def graftbridge = org.apache.spark.sql.graftbridge.ColumnBridge
+
   /** 64-bit SimHash over the token multiset: sign-sum of per-token hash
     * bits. Near-dups = pairs within `maxHamming` bits; the banding trick
     * (split 64 bits into k chunks, equi-join on chunk) finds all pairs
     * with Hamming distance < k chunks apart without O(n²).
+    *
+    * ONE hash per token: the token hashes are the aggregate's input
+    * collection (evaluated once per row) and a single fold updates all
+    * `nBits` counters per token. The naive per-bit formulation (`nBits`
+    * separate folds over `toks`) re-evaluates `hashFn` per token PER BIT
+    * — 48-64× redundant hashing, which dominated the simhash benches.
+    * Values are identical either way.
     */
   def simHash(
       toks: Column, nBits: Int = 64,
       hashFn: Column => Column = xxhash64(_)): Column = {
-    val bitSums = (0 until nBits).map { b =>
-      aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(hashFn(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    (0 until nBits).map { b =>
-      when(bitSums(b) > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    val bitIdx = sequence(lit(0), lit(nBits - 1))
+    val sums = aggregate(
+      transform(toks, t => hashFn(t)),
+      array_repeat(lit(0), nBits),
+      (acc, h) => zip_with(acc, bitIdx, (a, b) =>
+        a + when(shiftRightC(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(sums, bitIdx, (s, b) => when(s > 0, shiftLeftC(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
