@@ -68,10 +68,11 @@ object DedupOps {
   }
 
   /** MinHash signature: `numHashes` 64-bit min-hashes over the token set.
-    * Default hash family: xxhash64(token, seed=i) — fast, codegen'd, the
-    * production choice. `hashFn` is pluggable so oracle-checked queries
-    * can use [[graft.core.PortableHash]] (md5-based, reproducible in any
-    * engine) instead.
+    * This is the ORACLE-replayable composable form — `hashFn` is
+    * pluggable so oracle-checked queries can use
+    * [[graft.core.PortableHash]] (md5-based, reproducible in any engine).
+    * The production scale paths do not call it: they use the fused
+    * single-pass [[graft.functions.MinHashBandHashes]] instead.
     */
   def minHashSignature(
       toks: Column, numHashes: Int,
@@ -85,23 +86,31 @@ object DedupOps {
     * least one band. Only (band_idx, band_hash) tuples shuffle — the
     * candidate space never materializes O(n²).
     *
-    * Production path dedups WITHOUT a distinct(): a pair is emitted only
+    * Production path computes the band hashes with the fused codegen
+    * [[graft.functions.MinHashBandHashes]] (one xxhash64 per token +
+    * multiply-add permutations, single pass — never 64 string re-hash
+    * traversals) and dedups WITHOUT a distinct(): a pair is emitted only
     * from its FIRST colliding band (each occurrence can check earlier
     * bands locally because rows carry the full band-hash array), so the
-    * ~`bands`× duplicated pair stream never hits a shuffle. Band keys
-    * are 64-bit hashes of the signature slice.
+    * ~`bands`× duplicated pair stream never hits a shuffle.
     *
-    * @param portable md5-string band hashes + distinct() — the exact
+    * @param portable md5-family signature ([[minHashSignature]] with
+    *        `hashFn`), md5-string band hashes + distinct() — the exact
     *        construction the DuckDB oracle replays (q21); keep false in
     *        production.
+    * @param firstCollisionWins production-path switch between the
+    *        shuffle-free first-colliding-band emission and a plain
+    *        `.distinct()` over the same band hashes — the two MUST give
+    *        identical pair sets (pinned by `DedupOpsSpec`).
     */
   def minHashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int,
       hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i)),
-      portable: Boolean = false): DataFrame = {
-    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
+      portable: Boolean = false,
+      firstCollisionWins: Boolean = true): DataFrame = {
     if (portable) {
+      val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
       val banded = df
         .select(col(idCol).as("id"), sig.as("sig"))
         .select(col("id"), posexplode(
@@ -117,10 +126,10 @@ object DedupOps {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     } else {
-      val bandArr = array((0 until bands).map(b =>
-        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
       val banded = df
-        .select(col(idCol).as("id"), bandArr.as("band_arr"))
+        .select(col(idCol).as("id"),
+          graft.functions.MinHashBandHashes.minHashBandHashes(
+            hashedTokenSet(col(textCol)), bands, rowsPerBand).as("band_arr"))
         .select(col("id"), col("band_arr"), posexplode(col("band_arr")))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
@@ -128,14 +137,18 @@ object DedupOps {
         col("id").as("id_a"), col("band_arr").as("ba_a"))
       val r = banded.select(col("band"), col("band_hash"),
         col("id").as("id_b"), col("band_arr").as("ba_b"))
-      // first-collision-wins: an occurrence survives only if THIS band
-      // is the first equal position — pairs come out unique with no
-      // distinct() shuffle; the check is a codegen'd primitive loop.
-      l.join(r, Seq("band", "band_hash"))
+      val joined = l.join(r, Seq("band", "band_hash"))
         .filter(col("id_a") < col("id_b"))
-        .filter(graft.functions.FirstEqualIndex
-          .firstEqualIndex(col("ba_a"), col("ba_b")) === col("band"))
-        .select("id_a", "id_b")
+      if (firstCollisionWins)
+        // an occurrence survives only if THIS band is the first equal
+        // position — pairs come out unique with no distinct() shuffle;
+        // the check is a codegen'd primitive loop.
+        joined
+          .filter(graft.functions.FirstEqualIndex
+            .firstEqualIndex(col("ba_a"), col("ba_b")) === col("band"))
+          .select("id_a", "id_b")
+      else
+        joined.select("id_a", "id_b").distinct()
     }
   }
 
@@ -197,11 +210,9 @@ object DedupOps {
     */
   def dedupKeepers(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 4,
-      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): DataFrame = {
-    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
-    val bandArr = array((0 until bands).map(b =>
-      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandArr = graft.functions.MinHashBandHashes.minHashBandHashes(
+      hashedTokenSet(col(textCol)), bands, rowsPerBand)
     val banded = df
       .select(col(idCol).as("id"), bandArr.as("band_arr"))
       .select(col("id"), posexplode(col("band_arr")))

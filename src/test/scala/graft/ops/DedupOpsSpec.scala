@@ -50,10 +50,17 @@ class DedupOpsSpec extends AnyFunSuite {
   test("first-collision-wins candidates equal the distinct() construction") {
     val fast = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4)
       .as[(Long, Long)].collect()
-    val port = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4, portable = true)
+    val slow = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4,
+        firstCollisionWins = false)
       .as[(Long, Long)].collect()
     assert(fast.length == fast.distinct.length, "fast path must emit unique pairs")
-    assert(fast.toSet == port.toSet, "same candidate set either way")
+    assert(fast.toSet == slow.toSet, "same candidate set either way")
+  }
+
+  test("portable (oracle) candidates find the same exact-dup cluster") {
+    val port = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4, portable = true)
+      .as[(Long, Long)].collect().toSet
+    assert(port.contains((1L, 2L)), "identical docs must collide in the md5 family too")
   }
 
   test("minHash LSH candidates are a superset of verified pairs (recall structure)") {
