@@ -47,6 +47,14 @@ object Bench {
     // duplicate-dense fixture (kept for comparison with the decision path)
     "b_minhash_pairs" -> ((s, dir) =>
       DedupOps.minHashDedup(Tables.documents(s, dir), "text", "doc_id", 0.6)),
+    // ingest-shaped workload: dedup a 20% batch against the 80% corpus
+    // (key-derived split), then within itself
+    "b_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val part = pmod(xxhash64(col("doc_id")), lit(5))
+      DedupOps.dedupIncremental(
+        docs.filter(part =!= 0), docs.filter(part === 0), "text", "doc_id", 0.6)
+    }),
     "b_simhash_pairs" -> ((s, dir) =>
       DedupOps.simHashPairs(Tables.documents(s, dir), "text", "doc_id", 3)),
     "b_lsh_cosine_topk" -> ((s, dir) =>
@@ -68,6 +76,36 @@ object Bench {
         rng = MaskingOps.Xxh)
       Tables.documents(s, dir).select(col("doc_id"),
         m.getField("ids").as("ids"), m.getField("labels").as("labels"))
+    }),
+    // end-to-end create_dataloaders shape: text branch (tokenize → id-map
+    // → truncate/pad/attention-mask → MLM) joined to the frame branch
+    // (slice → pad → frame-mask → MFM); the 2k-row frame side broadcasts.
+    // Rows/s from this row is the engine's single-node ETL throughput
+    // claim vs the reference's single-process pass (BASELINE.md).
+    "b_pipeline_etl" -> ((s, dir) => {
+      import graft.ops.{TextOps, VectorOps}
+      val ids = transform(TextOps.whitespaceTokenize(col("text")),
+        t => pmod(xxhash64(t), lit(1000)).cast("int"))
+      val textSide = Tables.documents(s, dir)
+        .select(col("doc_id"), ids.as("ids0"))
+        .withColumn("ids_t", TextOps.padTo(slice(col("ids0"), 1, 256), 256))
+        .withColumn("att", TextOps.attentionMask(col("ids0"), 256))
+      val mlm = MaskingOps.mlmMask(col("ids_t"), col("doc_id"),
+        maskProb = 0.25, maskToken = 999999, vocabSize = 1000, rng = MaskingOps.Xxh)
+      val frames = transform(sequence(lit(0), lit(15)),
+        f => slice(col("embedding"), f * 4 + 1, lit(4)))
+      val frameSide = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorOps.padFrames(frames, 16, 4).as("frames"),
+        VectorOps.frameMask(frames, 16).as("fmask"))
+      val mfm = MaskingOps.mfmMask(col("frames"), col("vec_id"),
+        maskProb = 0.25, rng = MaskingOps.Xxh)
+      textSide.join(frameSide, pmod(col("doc_id"), lit(2000)) === col("vec_id"))
+        .select(col("doc_id"),
+          mlm.getField("ids").as("mlm_ids"), mlm.getField("labels").as("mlm_labels"),
+          col("att"),
+          mfm.getField("frames").as("mfm_frames"),
+          mfm.getField("labelIdx").as("mfm_label_idx"),
+          col("fmask"))
     }),
     "b_mfm_mask_xxh" -> ((s, dir) => {
       val frames = transform(sequence(lit(0), lit(15)),

@@ -211,37 +211,85 @@ object DedupOps {
   def dedupKeepers(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bandArr = graft.functions.MinHashBandHashes.minHashBandHashes(
-      hashedTokenSet(col(textCol)), bands, rowsPerBand)
-    val banded = df
-      .select(col(idCol).as("id"), bandArr.as("band_arr"))
-      .select(col("id"), posexplode(col("band_arr")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandedIds(df, textCol, idCol, bands, rowsPerBand)
     val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
     val edges = banded.join(reps, Seq("band", "band_hash"))
       .filter(col("id") > col("rep"))
       .select("id", "rep").distinct()
-    val toks = df.select(col(idCol).as("id"),
-      hashedTokenSet(col(textCol)).as("toks"))
+    val toks = tokArrays(df, textCol, idCol)
+    val dropped = verifiedDropIds(edges, toks, toks, threshold)
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Incremental near-dedup: the daily-ingest contract of a training-data
+    * pipeline — drop `batch` docs that near-dup an ALREADY-KEPT corpus
+    * doc, then dedup the survivors among themselves ([[dedupKeepers]]).
+    * The corpus is immutable and always wins; corpus and batch id spaces
+    * are never compared numerically, so they may overlap.
+    *
+    * Plan: both sides get the same fused band hashes
+    * ([[graft.functions.MinHashBandHashes]]); the corpus collapses to one
+    * min-id representative per LSH bucket (a partial-agg groupBy that a
+    * real deployment would precompute once and persist alongside the
+    * corpus — it is a pure function of the kept docs); each batch doc
+    * verifies against ≤ `bands` corpus reps. Nothing is quadratic in
+    * either side, and the full corpus text never re-shuffles — only its
+    * bucket reps' token arrays join the (small) batch edges.
+    *
+    * Returns the kept rows of `batch`, unchanged schema.
+    */
+  def dedupIncremental(
+      corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val corpusReps = bandedIds(corpus, textCol, idCol, bands, rowsPerBand)
+      .groupBy("band", "band_hash").agg(min("id").as("rep"))
+    val edges = bandedIds(batch, textCol, idCol, bands, rowsPerBand)
+      .join(corpusReps, Seq("band", "band_hash"))
+      .select("id", "rep").distinct()
+    val dropped = verifiedDropIds(
+      edges, tokArrays(batch, textCol, idCol), tokArrays(corpus, textCol, idCol), threshold)
+    val survivors = batch.join(
+      dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    dedupKeepers(survivors, textCol, idCol, threshold, bands, rowsPerBand)
+  }
+
+  /** (id, band, band_hash) rows — `bands` per doc, fused band hashing. */
+  private def bandedIds(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.MinHashBandHashes.minHashBandHashes(
+          hashedTokenSet(col(textCol)), bands, rowsPerBand).as("band_arr"))
+      .select(col("id"), posexplode(col("band_arr")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+  /** (id, toks, n) verify-side representation (sorted token hashes). */
+  private def tokArrays(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), hashedTokenSet(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
+
+  /** Exact-Jaccard verify of (id, rep) edges: the distinct `id`s whose
+    * edge passes `threshold`. Two empty token sets are identical
+    * documents for dedup purposes: J(∅,∅) = 1 (instead of 0/0 = null) so
+    * byte-empty / whitespace-only duplicates collapse like any other
+    * exact-duplicate cluster (all-empty docs share every band hash, so
+    * they always reach the verify stage together).
+    */
+  private def verifiedDropIds(
+      edges: DataFrame, aToks: DataFrame, bToks: DataFrame,
+      threshold: Double): DataFrame = {
     val inter = graft.functions.SortedIntersectCount
       .sortedIntersectCount(col("toks_a"), col("toks_b"))
-    // Two empty token sets are identical documents for dedup purposes:
-    // define J(∅,∅) = 1 (instead of 0/0 = null) so byte-empty /
-    // whitespace-only duplicates collapse to the min-id keeper like any
-    // other exact-duplicate cluster. (All-empty docs share every band
-    // hash, so they always reach the verify stage together.)
     val jaccard = when(col("n_a") === 0 && col("n_b") === 0, lit(1.0))
       .otherwise(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-    val dropped = edges
-      .join(toks.select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
-      .join(toks.select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
+    edges
+      .join(aToks.select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
+      .join(bToks.select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
       .withColumn("inter", inter)
       .filter(jaccard >= threshold)
-      .select(col("id").as(idCol))
+      .select("id")
       .distinct()
-    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Shift with a COLUMN bit count — the `functions.shiftright/left`

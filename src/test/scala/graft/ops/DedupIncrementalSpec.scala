@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Incremental (corpus vs new-batch) near-dedup
+  * ([[DedupOps.dedupIncremental]]) — the daily-ingest contract: the
+  * corpus is immutable and always wins, the batch dedups against it and
+  * then within itself.
+  */
+class DedupIncrementalSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (101L, "one two three four five six seven eight")
+  ).toDF("doc_id", "text")
+
+  private def keptIds(c: DataFrame, b: DataFrame): Set[Long] =
+    DedupOps.dedupIncremental(c, b, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("batch docs that near-dup the corpus are dropped; fresh docs survive") {
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact corpus dup
+      (2L, "one two three four five six seven NINE"),         // J=7/9 vs corpus 101
+      (3L, "totally new content nothing shared at all")
+    ).toDF("doc_id", "text")
+    assert(keptIds(corpus, batch) == Set(3L))
+  }
+
+  test("survivors still dedup within the batch (min id wins)") {
+    val batch = Seq(
+      (11L, "fresh words only here today friends"),
+      (12L, "fresh words only here today friends"),
+      (13L, "other novel material entirely different")
+    ).toDF("doc_id", "text")
+    assert(keptIds(corpus, batch) == Set(11L, 13L))
+  }
+
+  test("corpus ids never appear in the output; id spaces may overlap") {
+    // batch reuses corpus id 100 with DIFFERENT text: must be judged by
+    // content only, and the returned rows are batch rows.
+    val batch = Seq(
+      (100L, "totally unrelated text zzz yyy xxx www")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupIncremental(corpus, batch, "text", "doc_id", 0.6)
+    assert(out.select("text").as[String].collect().toSet ==
+      Set("totally unrelated text zzz yyy xxx www"))
+  }
+
+  test("empty corpus reduces to dedupKeepers on the batch") {
+    val batch = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (9L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val inc = keptIds(corpus.limit(0), batch)
+    val keep = DedupOps.dedupKeepers(batch, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc == keep)
+  }
+
+  test("deterministic under repartitioning (key-derived, no order dependence)") {
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "mixed bag of new and old words here"),
+      (3L, "mixed bag of new and old words here"),
+      (4L, "completely fresh unseen vocabulary items")
+    ).toDF("doc_id", "text")
+    val a = keptIds(corpus, batch)
+    val b = keptIds(corpus.repartition(7), batch.repartition(5))
+    assert(a == b)
+  }
+}
