@@ -62,6 +62,34 @@ object StreamingOps {
       .select(col("user_id"), col("n_events"),
         col("session_window.start").as("session_start"))
 
+  /** Streaming exact dedup over a document stream: one doc per
+    * normalized text (lower(trim), same key as
+    * [[graft.ops.DedupOps.exactDupGroups]]) is emitted — the earlier
+    * micro-batch wins across batches; within a micro-batch the surviving
+    * row is arbitrary (engine contract of `dropDuplicates*`).
+    * `dropDuplicatesWithinWatermark` keeps one state row per
+    * distinct key and EVICTS it once the watermark passes — so state is
+    * bounded by the watermark horizon, not corpus size, which is what
+    * makes this runnable forever on an ingest firehose. Duplicates
+    * farther apart than the watermark delay can both be emitted (the
+    * documented streaming contract); the batch operator remains the
+    * exact-final-answer path.
+    *
+    * Works on a `readStream` DataFrame (append mode) and, semantics-
+    * pinned by the spec, on a batch DataFrame via `dropDuplicates` on
+    * the same key.
+    */
+  def streamingExactDedup(
+      docs: DataFrame, textCol: String, tsCol: String, watermark: String): DataFrame = {
+    val keyed = docs.withColumn("__norm_h",
+      xxhash64(graft.ops.DedupOps.normText(col(textCol))))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__norm_h")
+      else keyed.dropDuplicates("__norm_h")
+    deduped.drop("__norm_h")
+  }
+
   /** Drain a streaming DataFrame into an in-memory table synchronously
     * (test/local harness): returns the materialized result.
     */

@@ -83,4 +83,62 @@ class StreamingOpsSpec extends AnyFunSuite {
     // is still open (no later data), so exactly these rows are emitted:
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
+
+  test("streaming exact dedup: first arrival wins, same keys as batch dropDuplicates") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.types._
+    val streamDir = Files.createTempDirectory("dedup-stream").toFile.getAbsolutePath
+    def ts(min: Long) = new Timestamp(min * 60L * 1000L)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+
+    // the file source orders same-mtime files arbitrarily, so write each
+    // micro-batch file with an explicit name and strictly increasing
+    // mtime to pin batch order
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("dedup-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+
+    // file 1 (first micro-batch): two distinct keys
+    writeBatch(Seq(
+      (1L, "hello world", ts(0)),
+      (3L, "something unique", ts(10))
+    ).toDF("doc_id", "text", "ts"), "batch-1.parquet", 1000000L)
+    // file 2 (second micro-batch): a normalized duplicate of doc 1 —
+    // dropped against the first batch's state (watermark has not passed
+    // it) — plus a genuinely new doc.
+    writeBatch(Seq(
+      (2L, "HELLO WORLD  ", ts(20)),
+      (4L, "brand new material", ts(25))
+    ).toDF("doc_id", "text", "ts"), "batch-2.parquet", 2000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingExactDedup(stream, "text", "ts", "1 hour"),
+      "dedup_test", "append")
+      .select(col("doc_id"), lower(trim(col("text"))).as("k"))
+      .as[(Long, String)].collect()
+    // exactly one emitted doc per normalized key, across micro-batches
+    // (WHICH row of a dup pair survives is the engine's arbitrary pick —
+    // only the one-per-key contract is pinned)
+    assert(got.length == 3, s"expected 3 keepers, got ${got.mkString(",")}")
+    assert(got.map(_._2).toSet ==
+      Set("hello world", "something unique", "brand new material"))
+    assert(got.exists(r => r._1 == 1L || r._1 == 2L))
+
+    // batch path: same normalized-key semantics via dropDuplicates
+    val batch = spark.read.schema(schema).parquet(streamDir)
+    val batchKeys = StreamingOps.streamingExactDedup(batch, "text", "ts", "1 hour")
+      .select(lower(trim(col("text")))).as[String].collect().toSet
+    assert(batchKeys == Set("hello world", "something unique", "brand new material"))
+  }
 }
