@@ -68,13 +68,25 @@ object MaskingOps {
       maskToken: Int, vocabSize: Int, seed: Long = 0L,
       rng: Rng = Portable): Column = {
     val idx = sequence(lit(0), size(toks) - 1)
+    // The SELECTION draw is materialized in its own pass: HOF lambdas
+    // re-evaluate the expression tree per REFERENCE (no codegen
+    // subexpression elimination), and uSel is referenced by BOTH output
+    // fields on every token — materializing halves the hashing on the
+    // ~(1-maskProb) unselected majority. uSub/rand stay INSIDE the lazy
+    // CaseWhen: they only evaluate for selected tokens (uSub) / the 10%
+    // random-replacement branch (rand), which materializing would force
+    // on every token. Value-identical for every Rng family.
     val zipped = zip_with(toks, idx, (t, i) => struct(t.as("t"), i.as("i")))
-    val decided = transform(zipped, p => {
+    val drawn = transform(zipped, p => {
       val t = p.getField("t"); val i = p.getField("i")
-      val uSel = rng.uniform01(key, i, seed, "sel")
+      struct(t.as("t"), i.as("i"),
+        rng.uniform01(key, i, seed, "sel").as("uSel"))
+    })
+    val decided = transform(drawn, p => {
+      val t = p.getField("t"); val i = p.getField("i")
       val uSub = rng.uniform01(key, i, seed, "sub")
       val randTok = (rng.nonNegLong(key, i, seed, "rand") % vocabSize).cast("int")
-      val selected = uSel < maskProb
+      val selected = p.getField("uSel") < maskProb
       val newId = when(!selected, t)
         .when(uSub < 0.8, lit(maskToken))
         .when(uSub < 0.9, randTok)
@@ -95,10 +107,13 @@ object MaskingOps {
   def mfmMask(frames: Column, key: Column, maskProb: Double, seed: Long = 0L,
       rng: Rng = Portable): Column = {
     val idx = sequence(lit(0), size(frames) - 1)
-    val zipped = zip_with(frames, idx, (f, i) => struct(f.as("f"), i.as("i")))
+    // draw materialized once per frame (see mlmMask: HOF lambdas
+    // re-evaluate per reference, and `selected` is referenced twice)
+    val zipped = zip_with(frames, idx, (f, i) => struct(f.as("f"), i.as("i"),
+      (rng.uniform01(key, i, seed, "mfm") < maskProb).as("sel")))
     val decided = transform(zipped, p => {
       val f = p.getField("f"); val i = p.getField("i")
-      val selected = rng.uniform01(key, i, seed, "mfm") < maskProb
+      val selected = p.getField("sel")
       struct(
         when(selected, transform(f, _ => lit(0.0f))).otherwise(f).as("f"),
         when(selected, i.cast("int")).otherwise(lit(IgnoreLabel)).as("li"))
