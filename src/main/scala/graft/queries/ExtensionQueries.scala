@@ -336,6 +336,33 @@ object ExtensionQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       | ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
 
+  // --------------------------------------------------------------- q40
+  /** Per-key EMA through [[graft.ops.VectorOps.emaByKey]] — the OP-33
+    * LINEAR scale path (one shuffle, sequential per-key fold, O(1)
+    * state), oracle-checked end-to-end: the final smoothed value per
+    * event_type must equal DuckDB's `list_reduce` left fold over the
+    * event_id-ordered values. Both sides fold left-to-right in double
+    * with the identical constants (`0.9` / `1 - 0.9` evaluated in
+    * DOUBLE, so DuckDB's decimal literal arithmetic — where 1 - 0.9 is
+    * exactly 0.1 — cannot diverge from the engine's
+    * 0.09999999999999998), per the OracleQueries float-parity rules.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_type", "event_id", "value")
+    VectorOps.emaByKey(e, "event_type", "event_id", "value", decay = 0.9, outCol = "ema")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max_by(col("ema"), col("event_id")).as("ema_final"))
+  }
+
+  val q40Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | list_reduce(list(CAST(value AS DOUBLE) ORDER BY event_id),
+      |   (acc, x) -> acc * CAST(0.9 AS DOUBLE)
+      |     + x * (CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))) AS ema_final
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -349,5 +376,6 @@ object ExtensionQueries {
     "q29_simhash" -> ((q29 _, q29Sql)),
     "q30_multimodal_bundle" -> ((q30 _, q30Sql)),
     "q38_asof_join" -> ((q38 _, q38Sql)),
-    "q39_cube" -> ((q39 _, q39Sql)))
+    "q39_cube" -> ((q39 _, q39Sql)),
+    "q40_ema" -> ((q40 _, q40Sql)))
 }

@@ -260,6 +260,11 @@ object OracleQueries {
     */
   def q11(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
+    // Unpartitioned dense_rank is SAFE here and only here: its input is
+    // `distinct p_type`, a dictionary domain (150 values at every TPC-H
+    // SF — scale-invariant), not a per-row stream. The production
+    // surface for unbounded inputs is CategoryOps.dimFromData, which
+    // guards the domain size and assigns ids windowlessly.
     val dim = p.select("p_type").distinct()
       .withColumn("lv2id", dense_rank().over(Window.orderBy("p_type")) - 1)
     val back = dim.select(col("lv2id").as("lv2id_b"), col("p_type").as("p_type_rt"))
