@@ -57,6 +57,10 @@ object Bench {
     }),
     "b_simhash_pairs" -> ((s, dir) =>
       DedupOps.simHashPairs(Tables.documents(s, dir), "text", "doc_id", 3)),
+    // the simhash DECISION path (keep/drop per doc, Hamming verify at
+    // the bucket join — no pair list, no second shuffle)
+    "b_simhash_lsh" -> ((s, dir) =>
+      DedupOps.simHashKeepers(Tables.documents(s, dir), "text", "doc_id", 3)),
     "b_lsh_cosine_topk" -> ((s, dir) =>
       SimilarityOps.lshCosineTopK(Tables.embeddings(s, dir), k = 10)),
     "b_ivf_cosine_topk" -> ((s, dir) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, FirstEqualIndex, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("first_equal_index",
       "first_equal_index(array<bigint>, array<bigint>) - first index where arrays agree, else -1",
       exprs => FirstEqualIndex(exprs(0), exprs(1))))
+    ext.injectFunction(fn("sim_hash64",
+      "sim_hash64(array<string>) - fused one-pass 64-bit SimHash (xxhash64 family)",
+      exprs => SimHash64(exprs(0))))
   }
 }

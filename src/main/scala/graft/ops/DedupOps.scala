@@ -338,15 +338,8 @@ object DedupOps {
     * Hamming verify.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
-    val chunks = 4
-    require(maxHamming < chunks, "banding guarantee needs maxHamming < chunks")
-    val withSig = df.select(col(idCol).as("id"),
-      simHash(TextOps.whitespaceTokenize(col(textCol))).as("sig"))
-    val banded = withSig.select(col("id"), col("sig"), posexplode(
-      array((0 until chunks).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_val")
+    require(maxHamming < 4, "banding guarantee needs maxHamming < chunks")
+    val banded = simHashBanded(df, textCol, idCol)
     val l = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "chunk_val"))
@@ -355,6 +348,55 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash dedup DECISION path — the [[dedupKeepers]] shape for the
+    * signature family: keep/drop per doc, never a pair list. Even
+    * lighter than the MinHash keepers because the verify artifact IS the
+    * 64-bit signature already riding the bucket rows: one groupBy picks
+    * a min-id representative (id + sig) per 16-bit chunk bucket, and
+    * each doc Hamming-verifies against ≤ 4 reps AT the bucket join — no
+    * second shuffle, no token arrays, everything linear in docs × 4.
+    *
+    * Semantics: a doc is DROPPED iff its signature is within
+    * `maxHamming` bits of the min-id doc of at least one of its chunk
+    * buckets. Equal sigs share every bucket, so exact duplicates
+    * collapse unless an unrelated smaller-id doc coincidentally owns
+    * all four chunk buckets (a ~2⁻¹⁶-per-chunk accident that only ever
+    * UNDER-drops). Same recall contract as [[dedupKeepers]]: two
+    * non-rep cluster members are never compared directly; re-running on
+    * the keepers only shrinks the set. [[simHashPairs]] remains the
+    * pair-level oracle form.
+    *
+    * Returns the KEPT rows of `df`, unchanged schema.
+    */
+  def simHashKeepers(
+      df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "banding guarantee needs maxHamming < chunks")
+    val banded = simHashBanded(df, textCol, idCol)
+    val reps = banded.groupBy("chunk", "chunk_val")
+      .agg(min("id").as("rep"), min_by(col("sig"), col("id")).as("rep_sig"))
+    val dropped = banded.join(reps, Seq("chunk", "chunk_val"))
+      .filter(col("id") > col("rep") &&
+        hamming64(col("sig"), col("rep_sig")) <= maxHamming)
+      .select("id").distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** (id, sig, chunk, chunk_val) rows — 4 per doc, 16-bit chunks. The
+    * signature comes from the fused codegen expression
+    * ([[graft.functions.SimHash64]], value-identical to
+    * `simHash(toks, 64, xxhash64)`): the signature pass dominated both
+    * simhash benches because the HOF form allocates a 64-element array
+    * per token outside whole-stage codegen.
+    */
+  private def simHashBanded(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SimHash64.simHash64(TextOps.whitespaceTokenize(col(textCol))).as("sig"))
+      .select(col("id"), col("sig"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
 
   /** Word n-gram (shingle) set. */
   def ngramSet(text: Column, n: Int): Column = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming execution of the event-time operators (SURVEY §2.7): the
@@ -88,6 +88,61 @@ object StreamingOps {
         keyed.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__norm_h")
       else keyed.dropDuplicates("__norm_h")
     deduped.drop("__norm_h")
+  }
+
+  /** Input/output/state rows for [[streamingEma]] (case classes so the
+    * typed `flatMapGroupsWithState` path gets product encoders).
+    */
+  case class EmaEvent(key: String, ord: Long, value: Double)
+  case class EmaPoint(key: String, ord: Long, ema: Double)
+
+  /** Streaming per-key EMA via `flatMapGroupsWithState` — the custom-
+    * state analog of [[graft.ops.VectorOps.emaByKey]] (OP-33's linear
+    * scale path, oracle-checked by q40): same recurrence
+    * `e_t = decay·e_{t-1} + (1−decay)·x_t`, same left-to-right double
+    * fold, but the running value lives in GroupState so it carries
+    * ACROSS micro-batches. State is O(1) per key (one double) and never
+    * grows with stream length — this runs forever on an ingest firehose
+    * with no watermark needed; at 1000 executors state is hash-
+    * partitioned by key like any stateful operator.
+    *
+    * Ordering contract: within a micro-batch events fold in `ordCol`
+    * order; across micro-batches they fold in ARRIVAL order (streaming
+    * cannot re-sort the past). When files arrive in `ordCol` order —
+    * the ingest norm — the result is exactly the batch fold, which the
+    * spec pins against [[graft.ops.VectorOps.emaByKey]]. For arbitrary
+    * historical re-orders, the batch operator is the exact path.
+    *
+    * Works on a batch DataFrame too (state is simply never present —
+    * Spark runs the same function per group), which the spec uses as a
+    * differential check. `valueCol` must be non-null; output columns
+    * are (`keyCol` STRING, `ordCol` LONG, ema DOUBLE).
+    */
+  def streamingEma(
+      events: DataFrame, keyCol: String, ordCol: String, valueCol: String,
+      decay: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col(keyCol).cast("string").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      col(valueCol).cast("double").as("value")).as[EmaEvent]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Double, EmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var cur = state.getOption
+        val pts = rows.toArray.sortBy(_.ord).map { e =>
+          val next = cur match {
+            case Some(prev) => prev * decay + e.value * (1 - decay)
+            case None => e.value
+          }
+          cur = Some(next)
+          EmaPoint(key, e.ord, next)
+        }
+        cur.foreach(state.update)
+        pts.iterator
+      }
+      .toDF(keyCol, ordCol, "ema")
   }
 
   /** Drain a streaming DataFrame into an in-memory table synchronously

@@ -141,4 +141,67 @@ class StreamingOpsSpec extends AnyFunSuite {
       .select(lower(trim(col("text")))).as[String].collect().toSet
     assert(batchKeys == Set("hello world", "something unique", "brand new material"))
   }
+
+  test("streamingEma in batch mode reproduces emaByKey bit-for-bit") {
+    import graft.ops.VectorOps
+    val events = Tables.events(spark, sfDir).select("event_type", "event_id", "value")
+    val viaState = StreamingOps.streamingEma(events, "event_type", "event_id", "value", 0.9)
+      .as[(String, Long, Double)].collect()
+      .map { case (k, o, e) => (k, o) -> e }.toMap
+    val viaBatch = VectorOps.emaByKey(events, "event_type", "event_id", "value", 0.9)
+      .select(col("event_type"), col("event_id"), col("ema"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, o, e) => (k, o) -> e }.toMap
+    assert(viaState.size == viaBatch.size && viaState.size > 0)
+    // exact double equality: both fold left-to-right with the same
+    // `prev * decay + x * (1 - decay)` arithmetic
+    assert(viaState == viaBatch)
+  }
+
+  test("streamingEma carries state across micro-batches (== batch emaByKey when files arrive in order)") {
+    import org.apache.spark.sql.types._
+    import graft.ops.VectorOps
+    val streamDir = Files.createTempDirectory("ema-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("ord", LongType),
+      StructField("value", DoubleType)))
+
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("ema-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+
+    // three micro-batches, ords strictly increasing across files (the
+    // ingest norm the scaladoc contract names); deterministic values
+    def batchRows(lo: Long): Seq[(String, Long, Double)] =
+      for (k <- Seq("a", "b"); o <- lo until (lo + 5))
+        yield (k, o, (o * 7 % 13) + (if (k == "a") 0.25 else 0.75))
+    writeBatch(batchRows(0).toDF("key", "ord", "value"), "b1.parquet", 1000000L)
+    writeBatch(batchRows(5).toDF("key", "ord", "value"), "b2.parquet", 2000000L)
+    writeBatch(batchRows(10).toDF("key", "ord", "value"), "b3.parquet", 3000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingEma(stream, "key", "ord", "value", 0.9),
+      "ema_test", "append")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, o, e) => (k, o) -> e }.toMap
+
+    val expected = VectorOps.emaByKey(
+      spark.read.schema(schema).parquet(streamDir), "key", "ord", "value", 0.9)
+      .select(col("key"), col("ord"), col("ema"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, o, e) => (k, o) -> e }.toMap
+
+    assert(got.size == 30, s"expected 30 rows, got ${got.size}")
+    // the running value must have crossed micro-batch boundaries: row
+    // ord=5 of each key depends on state from file b1
+    assert(got == expected)
+  }
 }
