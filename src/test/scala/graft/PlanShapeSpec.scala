@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression tests: the scale properties the engine is
+  * designed around — no accidental cross products anywhere in the
+  * registry, broadcast joins on dictionary dims, predicate pushdown
+  * reaching the parquet scan — asserted on the physical plan, so a
+  * refactor that silently degrades the 100 TB plan fails CI instead of
+  * failing on a cluster. Plans are inspected unexecuted (sf0.001 paths
+  * only feed schema/statistics).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Queries where a nested-loop family join IS the contract — each has
+    * a bounded broadcast side or is a fixture-scale-only oracle
+    * validator, so none becomes a 100 TB cross product:
+    *  - q05: deliberate theta join (non-equi predicate), bounded sides;
+    *  - q08: `orders × broadcast(1-row percentile)` — the canonical
+    *    scalar-broadcast threshold pattern;
+    *  - q17: join of two single-row metric aggregates;
+    *  - q24: brute-force cosine top-k BASELINE — all (query, corpus)
+    *    pairs by definition, bounded query side; the scale paths are
+    *    the LSH/IVF variants;
+    *  - q18/q22/q23: quadratic-by-design pairwise oracle validators
+    *    (excluded from bench for the same reason).
+    */
+  private val nestedLoopByContract = Set(
+    "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
+    "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine")
+
+  test("no cross-product family joins outside the documented contracts") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => nestedLoopByContract.contains(name) }
+      .flatMap { case (name, fn) =>
+        val p = plan(fn(spark, sfDir))
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"cross-product family joins appeared in: ${offenders.mkString(", ")}")
+  }
+
+  test("dictionary dims join via broadcast, not shuffle (q03 five-way, q11 hierarchy)") {
+    for (name <- Seq("q03_five_way_join", "q11_category_hierarchy")) {
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast dim join:\n$p")
+    }
+  }
+
+  test("q01's date filter reaches the parquet scan as a pushed filter") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("projection-only queries prune the parquet scan to the referenced columns") {
+    // q28 reads only (doc_id, text) of the wider documents table
+    val p = plan(SparkEntry.queries("q28_fingerprint")(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to doc_id+text:\n$p")
+    // q27 additionally reads n_chars — and nothing more
+    val p27 = plan(SparkEntry.queries("q27_token_stats")(spark, sfDir))
+    assert(p27.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"),
+      s"scan not pruned to doc_id+text+n_chars:\n$p27")
+  }
+}
