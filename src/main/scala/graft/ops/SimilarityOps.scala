@@ -128,20 +128,31 @@ object SimilarityOps {
     * co-located — so the only pair-level shuffle (the per-query top-k
     * window) carries (ids, cosine) and nothing else.
     */
-  def lshCosineTopK(
-      df: DataFrame, k: Int, bands: Int = 8, planesPerBand: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
-    val sigs = array((0 until bands).map { b =>
+  /** The composable band-signature construction — kept as the
+    * reference formulation for the differential spec; production uses
+    * the fused codegen [[graft.functions.HyperplaneBandSigs]] (the
+    * HOF form pays bands × planesPerBand interpreted traversals and
+    * zipped-array allocations per row).
+    */
+  def composableBandSigs(
+      vec: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
       // distinct plane sets per band: offset the plane index
       (0 until planesPerBand).map { p =>
         val plane = b * planesPerBand + p
         val dotP = aggregate(
-          zip_with(col(vecCol), planeLit(plane, dim), (x, c) => x.cast("double") * c),
+          zip_with(vec, planeLit(plane, dim), (x, c) => x.cast("double") * c),
           lit(0.0), (acc, x) => acc + x)
         when(dotP > 0, shiftleft(lit(1L), p)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
     }: _*)
+
+  def lshCosineTopK(
+      df: DataFrame, k: Int, bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val sigs = graft.functions.HyperplaneBandSigs
+      .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
     val banded = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
       .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
