@@ -95,9 +95,18 @@ object TextAnalysis {
 
   /** Min-wise shingle fingerprint (rolling n-gram window, min of hashed
     * shingles) — one 60-bit value that is stable under small edits;
-    * the 1-hash MinHash special case.
+    * the 1-hash MinHash special case. Production form is the fused
+    * one-pass [[graft.functions.MinShingleMd5]];
+    * [[minShingleFingerprintComposable]] keeps the HOF construction it
+    * is differentially pinned against.
     */
-  def minShingleFingerprint(text: Column, n: Int): Column = {
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    graft.functions.MinShingleMd5.minShingleMd5(TextOps.whitespaceTokenize(text), n)
+
+  /** The composable formulation (shingle array → distinct → hash →
+    * array_min) — reference for `MinShingleMd5Spec`.
+    */
+  def minShingleFingerprintComposable(text: Column, n: Int): Column = {
     val grams = DedupOps.ngramSet(text, n)
     when(size(grams) === 0, lit(null).cast("long"))
       .otherwise(array_min(transform(grams, g => PortableHash.md5Long(g))))

@@ -104,4 +104,11 @@ class TextOpsSpec extends AnyFunSuite {
     assert(padded(0)._1 == Seq(1, 2, 3, 0, 0))
     assert(padded(2)._1 == (1 to 5).toSeq) // truncation keeps head
   }
+
+  test("stripSpaces removes exactly ASCII spaces (OP-13 reference semantics)") {
+    val got = Seq("a b  c", " x ", "", "tab\tkeeps", "nb sp")
+      .toDF("s").select(TextOps.stripSpaces(col("s"))).as[String].collect().toSeq
+    // the reference strips ' ' only — tabs and NBSP survive
+    assert(got == Seq("abc", "x", "", "tab\tkeeps", "nb sp"))
+  }
 }
