@@ -50,6 +50,14 @@ object Md5Long {
   /** Top `bits` bits of the md5 digest of the UTF-8 bytes, as a long.
     * First 8 digest bytes big-endian, shifted down to keep `bits` bits —
     * exactly the integer the first bits/4 hex chars denote.
+    *
+    * Deliberately NOT hand-rolled: HotSpot intrinsifies the MD5
+    * compression function (JDK 16+, x86_64 and aarch64), so
+    * `MessageDigest` already runs it as native vector code — a measured
+    * single-block Scala reimplementation landed within noise of this
+    * path and was dropped. The md5 COUNT (not the primitive) is the
+    * oracle-query cost driver; reductions come from algebraic rewrites
+    * (see MaskingOps draw materialization, [[MinShingleMd5]]).
     */
   def top(s: UTF8String, bits: Int): Long = {
     val md = digests.get()
