@@ -221,6 +221,39 @@ object DedupOps {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** [[dedupKeepers]] iterated to a fixpoint — the documented remedy for
+    * the decision path's chain-recall gap (two non-rep cluster members
+    * are never compared directly in one pass) shipped as an operator.
+    * Each pass is the same linear plan; the loop stops when a pass drops
+    * nothing or after `maxPasses`. Driver-side control flow touches only
+    * COUNTS (one aggregate per pass, survivors persisted between passes)
+    * — no rows ever collect. The fixpoint is IDEMPOTENT (one more pass
+    * drops nothing): every survivor either is the min id of all its
+    * buckets or verifies below threshold against each of its bucket
+    * reps — i.e. no detectable near-dup pair remains among the keepers.
+    *
+    * Returns the kept rows of `df`, unchanged schema.
+    */
+  def dedupKeepersConverged(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 5): DataFrame = {
+    var cur = df
+    var curCount = df.count()
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      val next = dedupKeepers(cur, textCol, idCol, threshold, bands, rowsPerBand)
+        .persist()
+      val nextCount = next.count()
+      if (cur ne df) cur.unpersist()
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      pass += 1
+    }
+    cur
+  }
+
   /** Incremental near-dedup: the daily-ingest contract of a training-data
     * pipeline — drop `batch` docs that near-dup an ALREADY-KEPT corpus
     * doc, then dedup the survivors among themselves ([[dedupKeepers]]).

@@ -65,6 +65,22 @@ object VectorOps {
     */
   def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
+  /** Element-wise mean of the LAST `k` vectors in an array-of-vectors
+    * column — OP-30, the reference's last-4-encoder-layer pooling
+    * (`src/model.py` mean of the final hidden states) as pure column
+    * algebra: slice the tail, fold one running sum vector, scale by
+    * 1/k. Fewer than `k` layers → null (a model emitting too few layers
+    * is a caller error, not a silent partial pool).
+    */
+  def lastKLayerPool(layers: Column, k: Int): Column = {
+    val tail = slice(layers, size(layers) - (k - 1), lit(k))
+    val summed = aggregate(tail,
+      transform(element_at(tail, 1), _ => lit(0.0)),
+      (acc, v) => zip_with(acc, v, (x, y) => x + y.cast("double")))
+    when(size(layers) < k, lit(null))
+      .otherwise(transform(summed, x => x / k))
+  }
+
   /** Elementwise sum across N vectors. */
   def vecAddAll(vs: Seq[Column]): Column = vs.reduce(vecAdd)
 

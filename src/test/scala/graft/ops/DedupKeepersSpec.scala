@@ -63,6 +63,19 @@ class DedupKeepersSpec extends AnyFunSuite {
     assert(twiceIds.subsetOf(onceIds))
   }
 
+  test("dedupKeepersConverged reaches an idempotent fixpoint within the single-pass set") {
+    val docs = syntheticCorpus()
+    val onceIds = keeperIds(docs)
+    val conv = DedupOps.dedupKeepersConverged(docs, "text", "doc_id", 0.6)
+    val convIds = conv.select("doc_id").as[Long].collect().toSet
+    assert(convIds.subsetOf(onceIds), "converged set is within the single pass")
+    // fixpoint: one more pass drops nothing
+    val again = DedupOps.dedupKeepers(conv, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == convIds)
+    assert(conv.schema == docs.schema)
+  }
+
   /** ~130 docs over a 40-word vocab with planted near-dup clusters:
     * 30 bases × (1 + up to 3 mutated copies). Deterministic.
     */

@@ -83,4 +83,15 @@ class VectorOpsSpec extends AnyFunSuite {
       VectorOps.vecAddAll(Seq(col("a"), col("b"), col("c"))).as("s")).as[Seq[Float]].head()
     assert(got == Seq(111.0f, 222.0f))
   }
+
+  test("lastKLayerPool means the last k layer vectors (OP-30)") {
+    val five = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f),
+      Seq(7.0f, 8.0f), Seq(9.0f, 10.0f))
+    val df = Seq(Tuple1(five), Tuple1(five.take(4)), Tuple1(five.take(3))).toDF("layers")
+    val got = df.select(VectorOps.lastKLayerPool(col("layers"), 4).as("p"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Double](0)))
+    assert(got(0) == Some(Seq(6.0, 7.0)), "mean of layers 2..5")
+    assert(got(1) == Some(Seq(4.0, 5.0)), "exactly k layers pools them all")
+    assert(got(2) == None, "fewer than k layers is a caller error, not a partial pool")
+  }
 }
