@@ -80,4 +80,25 @@ object Sources {
   def writeSharded(df: DataFrame, idCol: String, chunkSize: Int, path: String): Unit =
     graft.ops.SplitOps.chunkBy(df, idCol, chunkSize)
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+
+  /** Bucketed parquet table sink — the co-located-join layout for keys
+    * that are joined REPEATEDLY at scale (fact-to-fact joins too big to
+    * broadcast). Both sides written with the same `buckets` count on the
+    * join key hash-place matching keys in matching files, so the join
+    * plans with NO Exchange on either side (the spec asserts this on
+    * the physical plan): at 100 TB that deletes the dominant shuffle of
+    * every downstream join/aggregation on that key, at the cost of one
+    * up-front bucketed write. Bucketed tables require the catalog
+    * (`saveAsTable`) — plain `parquet(path)` has nowhere to record the
+    * bucket spec.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, keyCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }
