@@ -55,6 +55,18 @@ object MaskingOps {
         lit((1L << 53).toDouble),
     (key, i, seed, salt) => shiftrightunsigned(xxhash64(key, i, lit(seed), lit(salt)), 1))
 
+  /** [[mlmMask]] with the [[Portable]] family fused into one codegen
+    * pass ([[graft.functions.MlmMaskMd5]]) — bit-identical to
+    * `mlmMask(toks, key, …, rng = Portable)` over `array<long>` token
+    * ids (differential spec), ~3× cheaper: the HOF form walks an
+    * interpreted concat/cast/divide tree per draw. Use for the md5
+    * oracle surface; the production path stays `mlmMask(rng = Xxh)`.
+    */
+  def mlmMaskPortableFused(toks: Column, key: Column, maskProb: Double,
+      maskToken: Int, vocabSize: Int, seed: Long = 0L): Column =
+    graft.functions.MlmMaskMd5.mlmMaskMd5(
+      toks, key.cast("string"), maskProb, maskToken, vocabSize, seed)
+
   /** Per-position decision columns for MLM over a token array.
     * Returns struct(ids, labels): masked input ids and MLM labels.
     *
@@ -67,7 +79,12 @@ object MaskingOps {
   def mlmMask(toks: Column, key: Column, maskProb: Double,
       maskToken: Int, vocabSize: Int, seed: Long = 0L,
       rng: Rng = Portable): Column = {
-    val idx = sequence(lit(0), size(toks) - 1)
+    // index via transform's (element, index) lambda, NOT
+    // sequence(0, size-1): for an EMPTY array the latter is
+    // sequence(0, -1) = [0, -1] (a descending sequence), which
+    // zip_with pads with null tokens — two PHANTOM maskable positions
+    // per empty doc (latent until the MlmMaskMd5 differential spec
+    // caught it; fixtures have no empty texts).
     // The SELECTION draw is materialized in its own pass: HOF lambdas
     // re-evaluate the expression tree per REFERENCE (no codegen
     // subexpression elimination), and uSel is referenced by BOTH output
@@ -76,7 +93,7 @@ object MaskingOps {
     // CaseWhen: they only evaluate for selected tokens (uSub) / the 10%
     // random-replacement branch (rand), which materializing would force
     // on every token. Value-identical for every Rng family.
-    val zipped = zip_with(toks, idx, (t, i) => struct(t.as("t"), i.as("i")))
+    val zipped = transform(toks, (t, i) => struct(t.as("t"), i.as("i")))
     val drawn = transform(zipped, p => {
       val t = p.getField("t"); val i = p.getField("i")
       struct(t.as("t"), i.as("i"),
@@ -106,10 +123,11 @@ object MaskingOps {
     */
   def mfmMask(frames: Column, key: Column, maskProb: Double, seed: Long = 0L,
       rng: Rng = Portable): Column = {
-    val idx = sequence(lit(0), size(frames) - 1)
-    // draw materialized once per frame (see mlmMask: HOF lambdas
-    // re-evaluate per reference, and `selected` is referenced twice)
-    val zipped = zip_with(frames, idx, (f, i) => struct(f.as("f"), i.as("i"),
+    // index via transform's (element, index) lambda — see mlmMask for
+    // why sequence(0, size-1) is wrong on empty arrays. Draw
+    // materialized once per frame (HOF lambdas re-evaluate per
+    // reference, and `selected` is referenced twice).
+    val zipped = transform(frames, (f, i) => struct(f.as("f"), i.as("i"),
       (rng.uniform01(key, i, seed, "mfm") < maskProb).as("sel")))
     val decided = transform(zipped, p => {
       val f = p.getField("f"); val i = p.getField("i")

@@ -109,7 +109,10 @@ object VectorOps {
   def strideSample(frames: Column, maxFrames: Int): Column = {
     val n = size(frames)
     val stride = (n / maxFrames).cast("int") // floor; n > maxFrames when used
-    val idx = slice(filter(sequence(lit(0), n - 1), i => i % stride === 0), 1, maxFrames)
+    // indices from transform's (element, index) lambda — empty-safe,
+    // unlike sequence(0, n-1) which yields [0, -1] for n = 0
+    val idx = slice(
+      filter(transform(frames, (_, i) => i), i => i % stride === 0), 1, maxFrames)
     transform(idx, i => element_at(frames, i + 1))
   }
 
@@ -234,9 +237,10 @@ object VectorOps {
     * (SURVEY §7.4.2: key-derived randomness only).
     */
   def seededSample(frames: Column, key: Column, maxFrames: Int, seed: Long): Column = {
-    val n = size(frames)
-    val scored = transform(sequence(lit(0), n - 1),
-      i => struct(xxhash64(key, i, lit(seed)).as("h"), i.as("i")))
+    // per-element index lambda — empty-safe (sequence(0, n-1) is
+    // [0, -1] for n = 0, two phantom indices)
+    val scored = transform(frames,
+      (_, i) => struct(xxhash64(key, i, lit(seed)).as("h"), i.as("i")))
     val chosen = slice(array_sort(scored), 1, maxFrames)
     val idx = array_sort(transform(chosen, s => s.getField("i")))
     transform(idx, i => element_at(frames, i + 1))

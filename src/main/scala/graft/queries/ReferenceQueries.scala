@@ -62,7 +62,7 @@ object ReferenceQueries {
     val d = Tables.documents(spark, dir)
     val tokIds = transform(split(col("text"), " "),
       t => PortableHash.md5Long(t) % 1000)
-    val masked = MaskingOps.mlmMask(tokIds, col("doc_id"),
+    val masked = MaskingOps.mlmMaskPortableFused(tokIds, col("doc_id"),
       maskProb = 0.25, maskToken = 999999, vocabSize = 1000, seed = 0L)
     val ids = masked.getField("ids")
     val labels = masked.getField("labels")
