@@ -96,6 +96,19 @@ object TextOps {
     concat(c1.tokens, c2.tokens, c3.tokens)
   }
 
+  /** [[budgetedAssemble]] fused into one pass
+    * ([[graft.functions.BudgetedAssembleExpr]]) — bit-identical
+    * (differential spec), one output allocation instead of the column
+    * form's ~dozen intermediate arrays per row. The production/oracle
+    * surface; the composable form above is the reference formulation
+    * it is pinned against.
+    */
+  def budgetedAssembleFused(
+      first: Column, second: Column, third: Column,
+      budget: Int, minFirst: Int, minSecond: Int, minThird: Int): Column =
+    graft.functions.BudgetedAssembleExpr.budgetedAssemble(
+      first, second, third, budget, minFirst, minSecond, minThird)
+
   /** Zero-pad an int token array to `len` (reference
     * `src/data_helper.py:72-75`), truncating if longer.
     */

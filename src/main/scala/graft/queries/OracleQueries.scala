@@ -360,7 +360,7 @@ object OracleQueries {
     d.select(
       col("doc_id"),
       array_join(
-        TextOps.budgetedAssemble(s1, s2, s3, budget = 16,
+        TextOps.budgetedAssembleFused(s1, s2, s3, budget = 16,
           minFirst = 4, minSecond = 5, minThird = 5),
         " ").as("out_text"))
   }
