@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinShingleMd5, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -40,5 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("sim_hash64",
       "sim_hash64(array<string>) - fused one-pass 64-bit SimHash (xxhash64 family)",
       exprs => SimHash64(exprs(0))))
+    ext.injectFunction(fn("min_shingle_md5",
+      "min_shingle_md5(array<string>, n) - one-pass min-wise n-token shingle fingerprint (portable md5)",
+      exprs => MinShingleMd5(exprs(0), litInt(exprs(1), "min_shingle_md5", "n"))))
+    ext.injectFunction(fn("hyperplane_band_sigs",
+      "hyperplane_band_sigs(array<float>, bands, planesPerBand, dim) - fused hyperplane-LSH band signatures",
+      exprs => HyperplaneBandSigs(exprs(0),
+        litInt(exprs(1), "hyperplane_band_sigs", "bands"),
+        litInt(exprs(2), "hyperplane_band_sigs", "planesPerBand"),
+        litInt(exprs(3), "hyperplane_band_sigs", "dim"))))
+  }
+
+  /** Extract a literal int argument (the SQL surface for expressions
+    * parameterized at plan time).
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
   }
 }

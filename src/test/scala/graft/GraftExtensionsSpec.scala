@@ -32,4 +32,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim").as[String].collect().mkString("\n")
     assert(desc.contains("cosine_sim"))
   }
+
+  test("parameterized fingerprint/LSH expressions resolve from SQL with literal args") {
+    val r = spark.sql(
+      """SELECT min_shingle_md5(array('a','b','c','d'), 3) AS fp,
+        |       size(hyperplane_band_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 4, 2)) AS nb
+        |""".stripMargin).as[(Long, Int)].head()
+    assert(r._1 > 0 && r._2 == 4)
+    val err = intercept[Exception] {
+      spark.sql("SELECT min_shingle_md5(array('a'), CAST(rand() * 3 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
