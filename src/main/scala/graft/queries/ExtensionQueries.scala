@@ -249,8 +249,8 @@ object ExtensionQueries {
   def q29(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      DedupOps.simHash(split(col("text"), " "), 48,
-        t => PortableHash.md5Long48(t)).as("simhash"))
+      graft.functions.SimHashMd5.simHashMd5(split(col("text"), " "), 48)
+        .as("simhash"))
 
   val q29Sql: String =
     """SELECT doc_id,

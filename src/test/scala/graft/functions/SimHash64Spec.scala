@@ -48,6 +48,22 @@ class SimHash64Spec extends AnyFunSuite {
     assert(ab == abDirect)
   }
 
+  test("SimHashMd5 is bit-identical to the md5-family HOF formulation (q29 oracle form)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val docs = (0 until 150).map { i =>
+      // raw split semantics: include empty tokens like q29's split(text, " ")
+      (i.toLong, (Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))) ++
+        (if (rnd.nextBoolean()) Seq("") else Nil)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val both = docs.select(
+      SimHashMd5.simHashMd5(toks, 48).as("fused"),
+      graft.ops.DedupOps.simHash(toks, 48,
+        t => graft.core.PortableHash.md5Long48(t)).as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() == 0)
+  }
+
   test("SQL registration evaluates via the extension") {
     val got = spark.sql("SELECT sim_hash64(array('x','y','z')) AS s")
       .as[Long].head()
