@@ -39,7 +39,7 @@ object Bench {
     * pinned by its oracle variant and/or unit spec; these rows record
     * the xxhash64/codegen formulations on the scale fixture.
     */
-  private def scaleBenches: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] def scaleBenches: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the dedup DECISION path: keep/drop per doc, linear in docs × bands
     "b_minhash_lsh" -> ((s, dir) =>
       DedupOps.dedupKeepers(Tables.documents(s, dir), "text", "doc_id", 0.6)),

@@ -14,9 +14,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build(appName = "graft-explain")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // registry queries + the bench-only production scale paths
+    val all = SparkEntry.queries ++ graft.Bench.scaleBenches
+    val names = if (args.nonEmpty) args.toSeq else all.keys.toSeq.sorted
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      all.get(name) match {
         case Some(fn) =>
           println(s"\n========== $name ==========")
           fn(spark, dir).explain("formatted")
