@@ -75,9 +75,8 @@ object Bench {
     "b_mlm_mask_xxh" -> ((s, dir) => {
       val tokIds = transform(split(col("text"), " "),
         t => pmod(xxhash64(t), lit(1000)).cast("int"))
-      val m = MaskingOps.mlmMask(tokIds, col("doc_id"),
-        maskProb = 0.25, maskToken = 999999, vocabSize = 1000,
-        rng = MaskingOps.Xxh)
+      val m = MaskingOps.mlmMaskXxhFused(tokIds, col("doc_id"),
+        maskProb = 0.25, maskToken = 999999, vocabSize = 1000)
       Tables.documents(s, dir).select(col("doc_id"),
         m.getField("ids").as("ids"), m.getField("labels").as("labels"))
     }),
@@ -94,8 +93,8 @@ object Bench {
         .select(col("doc_id"), ids.as("ids0"))
         .withColumn("ids_t", TextOps.padTo(slice(col("ids0"), 1, 256), 256))
         .withColumn("att", TextOps.attentionMask(col("ids0"), 256))
-      val mlm = MaskingOps.mlmMask(col("ids_t"), col("doc_id"),
-        maskProb = 0.25, maskToken = 999999, vocabSize = 1000, rng = MaskingOps.Xxh)
+      val mlm = MaskingOps.mlmMaskXxhFused(col("ids_t"), col("doc_id"),
+        maskProb = 0.25, maskToken = 999999, vocabSize = 1000)
       val frames = transform(sequence(lit(0), lit(15)),
         f => slice(col("embedding"), f * 4 + 1, lit(4)))
       val frameSide = Tables.embeddings(s, dir).select(col("vec_id"),

@@ -67,6 +67,16 @@ object MaskingOps {
     graft.functions.MlmMaskMd5.mlmMaskMd5(
       toks, key.cast("string"), maskProb, maskToken, vocabSize, seed)
 
+  /** [[mlmMask]] with the [[Xxh]] family fused
+    * ([[graft.functions.MlmMaskXxh]]) — bit-identical over `array<int>`
+    * ids and a LONG key (differential spec). The production ETL
+    * surface (`b_pipeline_etl` / `b_mlm_mask_xxh`).
+    */
+  def mlmMaskXxhFused(toks: Column, key: Column, maskProb: Double,
+      maskToken: Int, vocabSize: Int, seed: Long = 0L): Column =
+    graft.functions.MlmMaskXxh.mlmMaskXxh(
+      toks, key, maskProb, maskToken, vocabSize, seed)
+
   /** Per-position decision columns for MLM over a token array.
     * Returns struct(ids, labels): masked input ids and MLM labels.
     *
