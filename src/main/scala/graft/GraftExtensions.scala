@@ -58,7 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     */
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      // SQL integer literals can parse as BIGINT; accept them only when
+      // they fit — silent truncation would turn e.g. 8000000000 into a
+      // nonsense parameter instead of an analysis-time error.
+      if (v != v.toInt) throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must fit in a 32-bit int, got $v")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be an integer literal, got $other")
   }

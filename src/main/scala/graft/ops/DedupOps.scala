@@ -67,6 +67,15 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The default per-(token, index) hash family: xxhash64 salted by the
+    * hash index. Declared as a stable value (not an inline default
+    * lambda) so the non-portable paths can VERIFY the caller did not
+    * pass a custom family they would silently ignore — the production
+    * branch of [[minHashCandidates]] always buckets with the fused
+    * [[graft.functions.MinHashBandHashes]] xxhash64 family.
+    */
+  val defaultMinHashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))
+
   /** MinHash signature: `numHashes` 64-bit min-hashes over the token set.
     * This is the ORACLE-replayable composable form — `hashFn` is
     * pluggable so oracle-checked queries can use
@@ -76,7 +85,7 @@ object DedupOps {
     */
   def minHashSignature(
       toks: Column, numHashes: Int,
-      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i))): Column =
+      hashFn: (Column, Int) => Column = defaultMinHashFn): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(toks, t => hashFn(t, i)))
     }: _*)
@@ -97,7 +106,9 @@ object DedupOps {
     * @param portable md5-family signature ([[minHashSignature]] with
     *        `hashFn`), md5-string band hashes + distinct() — the exact
     *        construction the DuckDB oracle replays (q21); keep false in
-    *        production.
+    *        production. `hashFn` is honored ONLY on this portable path;
+    *        the production branch requires the default family and
+    *        throws on a custom one rather than silently ignoring it.
     * @param firstCollisionWins production-path switch between the
     *        shuffle-free first-colliding-band emission and a plain
     *        `.distinct()` over the same band hashes — the two MUST give
@@ -106,9 +117,12 @@ object DedupOps {
   def minHashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int,
-      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i)),
+      hashFn: (Column, Int) => Column = defaultMinHashFn,
       portable: Boolean = false,
       firstCollisionWins: Boolean = true): DataFrame = {
+    require(portable || (hashFn eq defaultMinHashFn),
+      "minHashCandidates: a custom hashFn is only honored with portable = true; " +
+        "the production path buckets with the fused MinHashBandHashes xxhash64 family")
     if (portable) {
       val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
       val banded = df
@@ -164,7 +178,7 @@ object DedupOps {
   def minHashDedup(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 4,
-      hashFn: (Column, Int) => Column = (t, i) => xxhash64(t, lit(i)),
+      hashFn: (Column, Int) => Column = defaultMinHashFn,
       hashedVerify: Boolean = true, portable: Boolean = false): DataFrame = {
     val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, hashFn, portable)
     val toks = if (hashedVerify) hashedTokenSet(col(textCol)) else tokenSet(col(textCol))
@@ -232,7 +246,11 @@ object DedupOps {
     * buckets or verifies below threshold against each of its bucket
     * reps — i.e. no detectable near-dup pair remains among the keepers.
     *
-    * Returns the kept rows of `df`, unchanged schema.
+    * Returns the kept rows of `df`, unchanged schema. The returned
+    * DataFrame is PERSISTED (it backed the final convergence count, and
+    * unpersisting it here would make every downstream action replay all
+    * passes) — the CALLER owns releasing it with `.unpersist()` once
+    * consumed; intermediate passes are unpersisted internally.
     */
   def dedupKeepersConverged(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,

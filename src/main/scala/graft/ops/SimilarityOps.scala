@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.core.PortableHash
 
@@ -83,12 +84,21 @@ object SimilarityOps {
       df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFused
-    val centroids = df
+    // Centroid numbering is by ascending c_id via sorted zipWithIndex —
+    // nlist rows, but an unpartitioned row_number() window here would
+    // still fire WindowExec's single-partition warning on every run;
+    // the RDD boundary is off the per-row hot path (runs once, before
+    // the broadcast).
+    val picked = df
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")), col("c_id"))
       .limit(nlist)
-      .withColumn("centroid", row_number().over(Window.orderBy("c_id")) - 1)
-      .select("centroid", "c_vec")
+      .orderBy("c_id")
+    val centroids = df.sparkSession.createDataFrame(
+      picked.rdd.zipWithIndex().map { case (r, i) => Row(i.toInt, r.get(1)) },
+      StructType(Seq(
+        StructField("centroid", IntegerType, nullable = false),
+        picked.schema("c_vec"))))
 
     // nearest centroid per vector (and nprobe nearest for queries)
     def ranked(side: DataFrame, n: Int, asCol: String): DataFrame = {

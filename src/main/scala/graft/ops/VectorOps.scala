@@ -173,16 +173,19 @@ object VectorOps {
     * the honest formulation.)
     */
   def ema(x: Column, decay: Double, w: WindowSpec): Column = {
-    // t = 0-based position in the window order
-    val t = row_number().over(w) - 1
     // e_t = d^t * x_0 + (1-d) * Σ_{i=1..t} d^(t-i) x_i
     //     = d^t * [ x_0 + (1-d) * Σ_{i=1..t} d^(-i) x_i ]
     // the d^(-i) scaling overflows for long windows; keep the direct
     // O(n) recursive form via aggregate over collected prefix instead.
+    // collect_list drops nulls, so the prefix fold already skips null
+    // values (state carries across them); the when() pins the null ROW
+    // itself to emit null — same contract as [[emaByKey]]: null values
+    // emit null and leave the running state unchanged.
     val prefix = collect_list(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    aggregate(prefix, lit(Double.NaN),
+    val fold = aggregate(prefix, lit(Double.NaN),
       (acc, v) => when(isnan(acc), v.cast("double"))
         .otherwise(acc * decay + v.cast("double") * (1 - decay)))
+    when(x.isNull, lit(null).cast("double")).otherwise(fold)
   }
 
   /** Linear-time EMA per key — the OP-33 scale path. Repartitions on

@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.core.Tables
 import graft.ops._
@@ -260,13 +260,18 @@ object OracleQueries {
     */
   def q11(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
-    // Unpartitioned dense_rank is SAFE here and only here: its input is
-    // `distinct p_type`, a dictionary domain (150 values at every TPC-H
-    // SF — scale-invariant), not a per-row stream. The production
-    // surface for unbounded inputs is CategoryOps.dimFromData, which
-    // guards the domain size and assigns ids windowlessly.
-    val dim = p.select("p_type").distinct()
-      .withColumn("lv2id", dense_rank().over(Window.orderBy("p_type")) - 1)
+    // Dictionary ids come from sorted zipWithIndex over the distinct
+    // domain (range-partitioned sort, parallel) — value-identical to
+    // `DENSE_RANK() OVER (ORDER BY p_type) - 1` on distinct values but
+    // WITHOUT the unpartitioned WindowExec that coalesces to a single
+    // task and warns. Same construction as CategoryOps.dimFromData
+    // (which additionally guards the domain size for unbounded inputs).
+    val distinctTypes = p.select("p_type").distinct().orderBy("p_type")
+    val dimSchema = StructType(distinctTypes.schema.fields :+
+      StructField("lv2id", IntegerType, nullable = false))
+    val dim = spark.createDataFrame(
+      distinctTypes.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i.toInt) },
+      dimSchema)
     val back = dim.select(col("lv2id").as("lv2id_b"), col("p_type").as("p_type_rt"))
     p.join(broadcast(dim), Seq("p_type"))
       .join(broadcast(back), col("lv2id") === col("lv2id_b"))

@@ -44,4 +44,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integer literal"))
   }
+
+  test("an out-of-int-range BIGINT literal parameter is an analysis error, not a truncation") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT min_shingle_md5(array('a','b'), 8000000000)").collect()
+    }
+    assert(err.getMessage.contains("32-bit"), s"got: ${err.getMessage}")
+    // an in-range BIGINT literal (the 2L suffix parses as a LONG literal) is accepted
+    val ok = spark.sql("SELECT min_shingle_md5(array('a','b','c'), 2L) AS fp")
+      .as[Long].head()
+    assert(ok != 0L)
+  }
 }

@@ -62,6 +62,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"filter not pushed to scan:\n$p")
   }
 
+  test("no unpartitioned window anywhere in the query registry (single-partition coalesce)") {
+    // `Window [...] ORDER BY ...` with an empty partition spec prints
+    // without a `PARTITION BY`-style partition expression list; the
+    // reliable physical signature is WindowExec with an empty partition
+    // spec, which Spark itself flags via "No Partition Defined". We
+    // assert on the executed plan's Window nodes: each must carry a
+    // partition expression.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val windows = fn(spark, sfDir).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      if (windows.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window (all rows → one task) in: ${offenders.mkString(", ")}")
+  }
+
   test("projection-only queries prune the parquet scan to the referenced columns") {
     // q28 reads only (doc_id, text) of the wider documents table
     val p = plan(SparkEntry.queries("q28_fingerprint")(spark, sfDir))

@@ -74,6 +74,7 @@ class DedupKeepersSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == convIds)
     assert(conv.schema == docs.schema)
+    conv.unpersist() // documented contract: the caller owns the returned persist
   }
 
   /** ~130 docs over a 40-word vocab with planted near-dup clusters:

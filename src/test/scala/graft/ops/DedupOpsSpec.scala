@@ -57,6 +57,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(fast.toSet == slow.toSet, "same candidate set either way")
   }
 
+  test("a custom hashFn on the non-portable path throws instead of being silently ignored") {
+    val custom: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+      (t, i) => graft.core.PortableHash.md5Long(t, lit(i))
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4, hashFn = custom)
+    }
+    assert(err.getMessage.contains("portable"))
+    // the same family IS honored on the portable path
+    val ok = DedupOps.minHashCandidates(
+      docs, "text", "doc_id", 16, 4, hashFn = custom, portable = true)
+      .as[(Long, Long)].collect().toSet
+    assert(ok.contains((1L, 2L)))
+  }
+
   test("portable (oracle) candidates find the same exact-dup cluster") {
     val port = DedupOps.minHashCandidates(docs, "text", "doc_id", 16, 4, portable = true)
       .as[(Long, Long)].collect().toSet

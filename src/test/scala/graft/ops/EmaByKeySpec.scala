@@ -43,6 +43,25 @@ class EmaByKeySpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == 15.0, "state carried over the null row")
   }
 
+  test("windowed ema agrees with emaByKey ON NULL ROWS too (null → null, state carries)") {
+    // leading null, mid-run null, and a key that is ALL nulls
+    val df = Seq(
+      ("a", 1, None), ("a", 2, Some(10.0)), ("a", 3, None), ("a", 4, Some(20.0)),
+      ("b", 1, None), ("b", 2, None)
+    ).toDF("k", "t", "x")
+    val w = Window.partitionBy("k").orderBy("t")
+    val win = df.withColumn("ema", VectorOps.ema(col("x"), 0.5, w))
+      .orderBy("k", "t").select("ema").collect()
+    val lin = VectorOps.emaByKey(df, "k", "t", "x", 0.5)
+      .orderBy("k", "t").select("ema").collect()
+    (win zip lin).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.isNullAt(0) == b.isNullAt(0), s"row $i null parity")
+      if (!a.isNullAt(0)) assert(a.getDouble(0) == b.getDouble(0), s"row $i value")
+    }
+    assert(win(0).isNullAt(0) && win(2).isNullAt(0), "null rows emit null")
+    assert(win(3).getDouble(0) == 15.0, "state carried across the null row")
+  }
+
   test("10k-element sequence matches a sequential fold (the linear-time contract)") {
     val n = 10000
     val xs = (0 until n).map(i => ((i * 2654435761L) % 1000).toDouble / 10.0)
