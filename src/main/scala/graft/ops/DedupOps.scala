@@ -21,12 +21,16 @@ object DedupOps {
   def normText(text: Column): Column = lower(trim(text))
 
   /** Exact duplicate groups: one row per normalized text with count > 1.
-    * Shuffles (hash64(norm), id) only; the winner per group is the
-    * smallest id (deterministic).
+    * Shuffles (hash64(norm), id) only — the document text itself never
+    * enters the exchange (at 100 TB the groupBy key would BE the corpus);
+    * same key as [[graft.streaming.StreamingOps.streamingExactDedup]].
+    * 64-bit collisions are negligible (see [[hashedTokenSet]]) and can
+    * only merge two distinct texts into one group, never split a group.
+    * The winner per group is the smallest id (deterministic).
     */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(normText(col(textCol)).as("norm"), col(idCol).as("id"))
-      .groupBy("norm")
+    df.select(xxhash64(normText(col(textCol))).as("norm_h"), col(idCol).as("id"))
+      .groupBy("norm_h")
       .agg(count("*").as("n"), min("id").as("keep_id"))
       .filter(col("n") > 1)
 

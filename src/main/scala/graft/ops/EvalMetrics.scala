@@ -69,16 +69,27 @@ object EvalMetrics {
     * micro/macro F1 and accuracy at both hierarchy levels plus
     * `mean_f1` = mean of the four F1s. lv1 ids are derived from lv2 ids
     * through the category dimension (OP-14).
+    *
+    * A pred/label lv2 id ABSENT from the dimension fails loudly at
+    * execution (left join + `raise_error`, no extra driver action) —
+    * the same contract as [[validatePredictions]]; an inner join here
+    * would silently drop the pair from the metric.
     */
   def hierarchicalF1(
       pairs: DataFrame, dim: DataFrame,
       predLv2: String = "pred", labelLv2: String = "label"): DataFrame = {
     val lv1 = dim.select(col("lv2id"), col("lv1id"))
+    def found(lv1Col: String, lv2Col: String): Column =
+      when(col(lv1Col).isNull, raise_error(concat(
+        lit(s"hierarchicalF1: $lv2Col id absent from category dim: "),
+        col(lv2Col).cast("string")))).otherwise(col(lv1Col))
     val withLv1 = pairs
       .join(broadcast(lv1.withColumnRenamed("lv2id", predLv2)
-        .withColumnRenamed("lv1id", "pred_lv1")), Seq(predLv2))
+        .withColumnRenamed("lv1id", "pred_lv1")), Seq(predLv2), "left")
       .join(broadcast(lv1.withColumnRenamed("lv2id", labelLv2)
-        .withColumnRenamed("lv1id", "label_lv1")), Seq(labelLv2))
+        .withColumnRenamed("lv1id", "label_lv1")), Seq(labelLv2), "left")
+      .withColumn("pred_lv1", found("pred_lv1", predLv2))
+      .withColumn("label_lv1", found("label_lv1", labelLv2))
     val lv2m = f1Block(withLv1, predLv2, labelLv2)
       .select(col("micro_f1").as("lv2_f1_micro"), col("macro_f1").as("lv2_f1_macro"),
         col("accuracy").as("lv2_acc"))

@@ -25,9 +25,15 @@ object SessionOps {
     *
     * One shuffle on `keyCol`; the two window functions share the same
     * (key, ts-order) frame so Spark evaluates them in a single sort.
+    *
+    * @param tieBreakCol deterministic order for same-timestamp events
+    *        within a key (default matches the events fixture). Pass the
+    *        caller's own unique column on frames without `event_id`.
     */
-  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(tsCol, "event_id")
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+      tieBreakCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieBreakCol)
     // microsecond integers, not unix_timestamp: second-truncation would
     // misclassify gaps within 1s of the threshold vs the oracle.
     val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))

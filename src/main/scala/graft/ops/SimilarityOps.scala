@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.core.PortableHash
 
@@ -76,49 +75,55 @@ object SimilarityOps {
     * nearest centroid, queries probed against the `nprobe` nearest
     * centroid lists only.
     *
-    * Scale shape: centroids broadcast (nlist ≪ corpus); assignment is a
-    * narrow map; the search join shuffles on the centroid id — cost
-    * scales with corpus/nlist × nprobe per query instead of |corpus|.
+    * Scale shape: the centroid matrix is a CONSTANT-size dimension
+    * (nlist × dim floats, a few KB) — collected once on the driver and
+    * shipped inside the serialized plan like any broadcast dim; both the
+    * corpus assignment and the query probe list come from ONE narrow
+    * generated pass per row ([[graft.functions.TopCentroids]] — no
+    * crossJoin row blowup, no window Exchange carrying vectors, which
+    * is what the previous formulation paid, VERDICT r4 #2). The only
+    * shuffle left is the search join on the centroid id — cost scales
+    * with corpus/nlist × nprobe per query instead of |corpus|.
+    *
+    * Null/absent embeddings yield no assignment (they cannot be indexed
+    * or probed) rather than the previous accidental centroid-0 bucket.
     */
   def ivfCosineTopK(
       df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.CosineSimilarity.cosineFused
-    // Centroid numbering is by ascending c_id via sorted zipWithIndex —
-    // nlist rows, but an unpartitioned row_number() window here would
-    // still fire WindowExec's single-partition warning on every run;
-    // the RDD boundary is off the per-row hot path (runs once, before
-    // the broadcast).
+    // centroid numbering = ascending c_id over the nlist smallest
+    // key-hashes; collect() is nlist rows of dim floats — driver-side
+    // by design, the same contract as broadcasting a dimension table.
     val picked = df
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")), col("c_id"))
       .limit(nlist)
       .orderBy("c_id")
-    val centroids = df.sparkSession.createDataFrame(
-      picked.rdd.zipWithIndex().map { case (r, i) => Row(i.toInt, r.get(1)) },
-      StructType(Seq(
-        StructField("centroid", IntegerType, nullable = false),
-        picked.schema("c_vec"))))
-
-    // nearest centroid per vector (and nprobe nearest for queries)
-    def ranked(side: DataFrame, n: Int, asCol: String): DataFrame = {
-      val w = Window.partitionBy("id").orderBy(col("sim").desc, col("centroid"))
-      side.crossJoin(broadcast(centroids))
-        .withColumn("sim", cosineFused(col("vec"), col("c_vec")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= n)
-        .select(col("id"), col("vec"), col("centroid").as(asCol))
+      .collect()
+    require(picked.nonEmpty, "ivfCosineTopK: empty corpus")
+    val dim = picked.head.getSeq[Float](1).length
+    val mat = new Array[Float](picked.length * dim)
+    picked.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](1)
+      var j = 0
+      while (j < math.min(dim, v.length)) { mat(c * dim + j) = v(j); j += 1 }
     }
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val assigned = ranked(base, 1, "centroid")
-      .select(col("id").as("neighbor_id"), col("vec").as("c_vec2"), col("centroid"))
-    val probes = ranked(base, nprobe, "centroid")
-      .select(col("id").as("query_id"), col("vec").as("q_vec"), col("centroid"))
+
+    val cands = graft.functions.TopCentroids.topCentroids(
+      col("vec"), mat, dim, math.max(nprobe, 1))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"), cands.as("cands"))
+    val assigned = base
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec2"),
+        element_at(col("cands"), 1).as("centroid"))
+    val probes = base
+      .select(col("id").as("query_id"), col("vec").as("q_vec"),
+        explode(slice(col("cands"), 1, nprobe)).as("centroid"))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(assigned, Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineFused(col("q_vec"), col("c_vec2")))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

@@ -108,12 +108,16 @@ object VectorOps {
     */
   def strideSample(frames: Column, maxFrames: Int): Column = {
     val n = size(frames)
-    val stride = (n / maxFrames).cast("int") // floor; n > maxFrames when used
+    val stride = (n / maxFrames).cast("int")
     // indices from transform's (element, index) lambda — empty-safe,
     // unlike sequence(0, n-1) which yields [0, -1] for n = 0
     val idx = slice(
       filter(transform(frames, (_, i) => i), i => i % stride === 0), 1, maxFrames)
-    transform(idx, i => element_at(frames, i + 1))
+    // short arrays are the identity (reference only calls this with
+    // n > maxFrames, but `i % 0` is null and would silently empty the
+    // result for a library caller)
+    when(n <= maxFrames, frames)
+      .otherwise(transform(idx, i => element_at(frames, i + 1)))
   }
 
   /** Softmax over a vector (OP-52, reference `src/model.py:194-212`):

@@ -18,6 +18,19 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The pre-execution physical plan with the AQE wrapper unwrapped:
+    * `AdaptiveSparkPlanExec` is a LEAF node (its `collect` visits only
+    * itself), so node-level assertions must walk `initialPlan` — the
+    * plan after EnsureRequirements, where exchanges/windows are real
+    * operators — or they pass vacuously.
+    */
+  private def physical(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
   /** Queries where a nested-loop family join IS the contract — each has
     * a bounded broadcast side or is a fixture-scale-only oracle
     * validator, so none becomes a 100 TB cross product:
@@ -70,14 +83,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // assert on the executed plan's Window nodes: each must carry a
     // partition expression.
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val windows = fn(spark, sfDir).queryExecution.executedPlan.collect {
+      val windows = physical(fn(spark, sfDir)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
       }
       if (windows.nonEmpty) Some(name) else None
     }
+    // the sweep must not be vacuous: windowed queries exist in the
+    // registry, so SOME WindowExec must be visible to the traversal
+    val anyWindow = SparkEntry.queries.toSeq.exists { case (_, fn) =>
+      physical(fn(spark, sfDir)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.nonEmpty
+    }
+    assert(anyWindow, "window sweep found no WindowExec at all — traversal is broken")
     assert(offenders.isEmpty,
       s"unpartitioned Window (all rows → one task) in: ${offenders.mkString(", ")}")
+  }
+
+  test("exact dedup shuffles only (hash64, id) — no string attribute crosses an exchange") {
+    // the groupBy key is xxhash64(normText), NOT the normalized text:
+    // at 100 TB a full-text shuffle key would make the exchange payload
+    // the corpus itself (VERDICT r4 #1).
+    val df = graft.ops.DedupOps.exactDupGroups(
+      graft.core.Tables.documents(spark, sfDir), "text", "doc_id")
+    val exchanges = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the hash-partitioned aggregate exchange")
+    val stringy = exchanges.filter(_.output.exists(a =>
+      a.dataType == org.apache.spark.sql.types.StringType))
+    assert(stringy.isEmpty,
+      s"string-typed attribute rides the dedup exchange:\n${stringy.mkString("\n")}")
   }
 
   test("projection-only queries prune the parquet scan to the referenced columns") {

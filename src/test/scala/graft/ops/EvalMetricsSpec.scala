@@ -39,4 +39,18 @@ class EvalMetricsSpec extends AnyFunSuite {
     val r = EvalMetrics.f1Block(df, "pred", "label").as[(Double, Double, Double)].head()
     assert(r == ((1.0, 1.0, 1.0)))
   }
+
+  test("hierarchicalF1 fails loudly when a lv2 id is absent from the dim") {
+    val dim = Seq((10, 1), (20, 2)).toDF("lv2id", "lv1id")
+    val ok = Seq((10, 20), (20, 20)).toDF("pred", "label")
+    assert(EvalMetrics.hierarchicalF1(ok, dim).collect().length == 1)
+    val bad = Seq((10, 20), (99, 20)).toDF("pred", "label") // 99 not in dim
+    val e = intercept[Exception] {
+      EvalMetrics.hierarchicalF1(bad, dim).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("absent from category dim"),
+      s"expected the raise_error contract, got:\n$messages")
+  }
 }

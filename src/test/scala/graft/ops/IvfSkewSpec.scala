@@ -24,6 +24,49 @@ class IvfSpec extends AnyFunSuite {
     assert(got.head._1 == 101L && math.abs(got.head._2 - 1.0) < 1e-9)
   }
 
+  test("TopCentroids matches a scala brute-force top-nprobe (sim desc, id asc ties)") {
+    val r = new scala.util.Random(7)
+    val mat = Array.fill(6 * 4)(r.nextFloat() * 2 - 1)
+    // plant an exact tie: centroid 5 duplicates centroid 2
+    for (j <- 0 until 4) mat(5 * 4 + j) = mat(2 * 4 + j)
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(4)(r.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        graft.functions.TopCentroids.topCentroids(col("embedding"), mat, 4, 3).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    def cos(v: Seq[Float], c: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until 4) {
+        val x = v(j).toDouble; val y = mat(c * 4 + j).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    vecs.as[(Long, Seq[Float])].collect().foreach { case (id, v) =>
+      val want = (0 until 6).map(c => (cos(v, c), c))
+        .sortBy { case (s, c) => (-s, c) }.take(3).map(_._2)
+      assert(got(id) == want, s"vec $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("ivf plan is narrow up to the search join: one window, no cross product") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qe = SimilarityOps.ivfCosineTopK(e, k = 1, nlist = 16, nprobe = 4).queryExecution
+    // unwrap the AQE leaf so node-level collect sees the real operators
+    val p = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 1, s"expected only the final top-k window:\n$p")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"cross-product join in IVF plan:\n$s")
+  }
+
   test("ivf recall vs brute force on the fixture embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = e.filter(col("vec_id") < 30)

@@ -33,6 +33,16 @@ class SessionOpsSpec extends AnyFunSuite {
     val s = SessionOps.sessionize(events, "user_id", "ts", 30L * 60)
     assert(s.select(max("session_id")).as[Long].head() == 1)
   }
+
+  test("sessionize works on frames without event_id via the tieBreakCol parameter") {
+    val clicks = Seq(
+      ("c1", ts(0), 7L), ("c2", ts(10), 7L), ("c3", ts(55), 7L)
+    ).toDF("click_id", "ts", "user_id")
+    val s = SessionOps.sessionize(clicks, "user_id", "ts", 30L * 60,
+      tieBreakCol = "click_id")
+    val got = s.select("click_id", "session_id").as[(String, Long)].collect().toMap
+    assert(got("c1") == 1 && got("c2") == 1 && got("c3") == 2)
+  }
 }
 
 class SimilarityOpsSpec extends AnyFunSuite {

@@ -46,6 +46,15 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("strideSample is the identity for arrays at or under maxFrames") {
+    val df = Seq(0, 3, 32).map(n => (0 until n).map(_.toFloat).map(Seq(_))).toDF("frames")
+    val got = df.select(VectorOps.strideSample(col("frames"), 32).as("s"))
+      .as[Seq[Seq[Float]]].collect()
+    assert(got(0).isEmpty)
+    assert(got(1).map(_.head.toInt) == Seq(0, 1, 2))
+    assert(got(2).map(_.head.toInt) == (0 until 32))
+  }
+
   test("seededSample: deterministic, sorted ascending, correct size") {
     val df = Seq.tabulate(3)(r => (s"id$r", (0 until 50).map(_.toFloat).map(Seq(_))))
       .toDF("id", "frames")
