@@ -242,38 +242,65 @@ object DedupOps {
   /** [[dedupKeepers]] iterated to a fixpoint — the documented remedy for
     * the decision path's chain-recall gap (two non-rep cluster members
     * are never compared directly in one pass) shipped as an operator.
-    * Each pass is the same linear plan; the loop stops when a pass drops
-    * nothing or after `maxPasses`. Driver-side control flow touches only
-    * COUNTS (one aggregate per pass, survivors persisted between passes)
-    * — no rows ever collect. The fixpoint is IDEMPOTENT (one more pass
-    * drops nothing): every survivor either is the min id of all its
+    * The loop stops when a pass drops nothing or after `maxPasses`.
+    * Driver-side control flow touches only COUNTS (one aggregate per
+    * pass) — no rows ever collect. The fixpoint is IDEMPOTENT (one more
+    * pass drops nothing): every survivor either is the min id of all its
     * buckets or verifies below threshold against each of its bucket
     * reps — i.e. no detectable near-dup pair remains among the keepers.
     *
+    * Tokenization and band hashing run ONCE, before the loop: the
+    * passes iterate over a persisted compact (id, toks, n, band_arr)
+    * frame — per-doc decisions are a pure function of those columns, so
+    * re-deriving them from text each pass (what iterating
+    * [[dedupKeepers]] directly would do) only re-reads and re-tokenizes
+    * the surviving corpus `passes` times for identical results. Each
+    * pass shuffles ids+longs only; the original rows join back once, by
+    * id, at the end. (On a real cluster a long-running fixpoint would
+    * also checkpoint every few passes to truncate lineage; at
+    * `maxPasses` ≤ ~5 the per-pass persist is enough.)
+    *
     * Returns the kept rows of `df`, unchanged schema. The returned
-    * DataFrame is PERSISTED (it backed the final convergence count, and
-    * unpersisting it here would make every downstream action replay all
-    * passes) — the CALLER owns releasing it with `.unpersist()` once
-    * consumed; intermediate passes are unpersisted internally.
+    * DataFrame is PERSISTED AND MATERIALIZED (the pass-level caches are
+    * released before returning, so an unpersisted result would replay
+    * every pass on first use) — the CALLER owns releasing it with
+    * `.unpersist()` once consumed.
     */
   def dedupKeepersConverged(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 5): DataFrame = {
-    var cur = df
-    var curCount = df.count()
+    var prep = df
+      .select(col(idCol).as("id"), hashedTokenSet(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n"),
+        graft.functions.MinHashBandHashes.minHashBandHashes(
+          col("toks"), bands, rowsPerBand).as("band_arr"))
+      .persist()
+    var curCount = prep.count()
     var pass = 0
     var converged = false
     while (pass < maxPasses && !converged) {
-      val next = dedupKeepers(cur, textCol, idCol, threshold, bands, rowsPerBand)
-        .persist()
+      val banded = prep.select(col("id"), posexplode(col("band_arr")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+      val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
+      val edges = banded.join(reps, Seq("band", "band_hash"))
+        .filter(col("id") > col("rep"))
+        .select("id", "rep").distinct()
+      val dropped = verifiedDropIds(
+        edges, prep.select("id", "toks", "n"), prep.select("id", "toks", "n"), threshold)
+      val next = prep.join(dropped, Seq("id"), "left_anti").persist()
       val nextCount = next.count()
-      if (cur ne df) cur.unpersist()
+      prep.unpersist()
       converged = nextCount == curCount
-      cur = next
+      prep = next
       curCount = nextCount
       pass += 1
     }
-    cur
+    val result = df.join(
+      prep.select(col("id").as(idCol)), Seq(idCol), "left_semi").persist()
+    result.count() // materialize before releasing the pass-level cache
+    prep.unpersist()
+    result
   }
 
   /** Incremental near-dedup: the daily-ingest contract of a training-data

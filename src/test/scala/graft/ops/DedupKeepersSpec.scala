@@ -77,6 +77,24 @@ class DedupKeepersSpec extends AnyFunSuite {
     conv.unpersist() // documented contract: the caller owns the returned persist
   }
 
+  test("converged fixpoint equals manually iterating dedupKeepers (compact-prep rewrite)") {
+    // the operator tokenizes/bands once and loops on the compact frame;
+    // per-doc decisions must be IDENTICAL to re-running dedupKeepers on
+    // the survivors until nothing drops
+    val docs = syntheticCorpus()
+    var cur = docs
+    var prev = -1L
+    while (prev != cur.count()) {
+      prev = cur.count()
+      cur = DedupOps.dedupKeepers(cur, "text", "doc_id", 0.6)
+    }
+    val manual = cur.select("doc_id").as[Long].collect().toSet
+    val conv = DedupOps.dedupKeepersConverged(docs, "text", "doc_id", 0.6)
+    val convIds = conv.select("doc_id").as[Long].collect().toSet
+    conv.unpersist()
+    assert(convIds == manual)
+  }
+
   /** ~130 docs over a 40-word vocab with planted near-dup clusters:
     * 30 bases × (1 + up to 3 mutated copies). Deterministic.
     */
