@@ -144,7 +144,12 @@ object Bench {
         graft.functions.WordPieceTokenize.wordpiece(col("text"), syntheticVocab).as("ids"))),
     "b_ws_tokenize" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-        graft.ops.TextOps.whitespaceTokenize(col("text")).as("toks"))))
+        graft.ops.TextOps.whitespaceTokenize(col("text")).as("toks"))),
+    // embedding-cosine dedup DECISION path (keep/drop per vector via
+    // hyperplane-LSH buckets, cosine verify at the bucket join) — the
+    // scale counterpart of the pairwise q23 oracle form
+    "b_cosine_dedup" -> ((s, dir) =>
+      DedupOps.cosineKeepers(Tables.embeddings(s, dir), "embedding", "vec_id", 0.95)))
 
   /** 1/4 or 1/2 key-split slice of the documents fixture (parts of 4). */
   private def docSlice(s: SparkSession, dir: String, parts: Int): DataFrame =

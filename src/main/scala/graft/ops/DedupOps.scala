@@ -507,4 +507,44 @@ object DedupOps {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Embedding-cosine dedup DECISION path — the [[dedupKeepers]] /
+    * [[simHashKeepers]] shape for the vector family: keep/drop per doc,
+    * never a pair list ([[cosinePairs]] stays the pairwise oracle-scale
+    * form). Buckets come from the fused hyperplane-LSH band signatures
+    * ([[graft.functions.HyperplaneBandSigs]], the same family as
+    * `SimilarityOps.lshCosineTopK`); one groupBy picks a min-id
+    * representative (id + vector) per (band, bucket), and each doc
+    * cosine-verifies against its ≤ `bands` reps AT the bucket join
+    * (fused codegen [[graft.functions.CosineSimilarity]]) — no second
+    * shuffle. Everything is linear in docs × bands; vectors ride only
+    * the banded stream and the broadcast-or-copartitioned rep side.
+    *
+    * Semantics: a doc is DROPPED iff cosine(vec, rep_vec) >= `minCosine`
+    * against the min-id doc of at least one of its buckets. Same recall
+    * contract as the other keepers: two non-rep near-dups that never
+    * share a bucket rep are not compared directly; re-running on the
+    * keepers only shrinks the set. Identical vectors share every band
+    * signature, so exact duplicates always collapse to the min id.
+    *
+    * Returns the KEPT rows of `df`, unchanged schema.
+    */
+  def cosineKeepers(
+      df: DataFrame, vecCol: String, idCol: String, minCosine: Double,
+      bands: Int = 8, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"), posexplode(
+        graft.functions.HyperplaneBandSigs.hyperplaneBandSigs(
+          col("vec"), bands, planesPerBand, dim)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val reps = banded.groupBy("band", "bucket")
+      .agg(min("id").as("rep"), min_by(col("vec"), col("id")).as("rep_vec"))
+    val dropped = banded.join(reps, Seq("band", "bucket"))
+      .filter(col("id") > col("rep") &&
+        graft.functions.CosineSimilarity.cosineFused(col("vec"), col("rep_vec")) >= minCosine)
+      .select("id").distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 }

@@ -119,4 +119,29 @@ class DedupOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("cosineKeepers: exact-dup vectors collapse to min id; drops are never unfounded") {
+    val r = new scala.util.Random(11)
+    // 40 random unit-ish vectors + 3 planted copies of vector 100
+    val base = (0L until 40L).map(i => (i, Seq.fill(8)(r.nextFloat() * 2 - 1)))
+    val planted = Seq(100L, 101L, 102L).map(i =>
+      (i, Seq(0.9f, 0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 0.6f, 0.7f)))
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val kept = DedupOps.cosineKeepers(vecs, "embedding", "vec_id", 0.999, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(100L) && !kept.contains(101L) && !kept.contains(102L),
+      "identical vectors share every band signature, min id must win")
+    // soundness vs the exact pairwise form: every dropped id has a true
+    // >= threshold cosine pair with a smaller id
+    val truePairs = DedupOps.cosinePairs(vecs, "embedding", "vec_id", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val dropped = (base ++ planted).map(_._1).toSet -- kept
+    assert(dropped.forall(i => truePairs.exists { case (a, b) => b == i && a < i }))
+    // schema unchanged; re-running only shrinks or fixes
+    val out = DedupOps.cosineKeepers(vecs, "embedding", "vec_id", 0.999, dim = 8)
+    assert(out.schema == vecs.schema)
+    val again = DedupOps.cosineKeepers(out, "embedding", "vec_id", 0.999, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again.subsetOf(kept))
+  }
 }
