@@ -90,6 +90,32 @@ object StreamingOps {
     deduped.drop("__norm_h")
   }
 
+  /** Streaming NEAR-dedup by SimHash signature equality: one doc per
+    * 64-bit [[graft.functions.SimHash64]] signature within the
+    * watermark horizon — the streaming counterpart of the batch
+    * decision paths ([[graft.ops.DedupOps.simHashKeepers]]). Signature
+    * EQUALITY (Hamming 0) is the streamable contract: banded
+    * Hamming-neighborhood matching needs a rep-per-bucket state join
+    * that `dropDuplicates*` cannot express, so docs a few bits apart
+    * both pass here — the batch operator remains the recall path; this
+    * one bounds state to one row per distinct signature and catches
+    * exact and boilerplate-identical near-dups on an ingest firehose.
+    * Same first-arrival-wins / watermark-eviction contract as
+    * [[streamingExactDedup]]; works on a batch DataFrame via
+    * `dropDuplicates` on the same signature.
+    */
+  def streamingSimHashDedup(
+      docs: DataFrame, textCol: String, tsCol: String, watermark: String): DataFrame = {
+    val keyed = docs.withColumn("__sig",
+      graft.functions.SimHash64.simHash64(
+        graft.ops.TextOps.whitespaceTokenize(col(textCol))))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__sig")
+      else keyed.dropDuplicates("__sig")
+    deduped.drop("__sig")
+  }
+
   /** Input/output/state rows for [[streamingEma]] (case classes so the
     * typed `flatMapGroupsWithState` path gets product encoders).
     */

@@ -142,6 +142,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batchKeys == Set("hello world", "something unique", "brand new material"))
   }
 
+  test("streaming simhash dedup: one doc per signature, stream == batch keys") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.types._
+    val streamDir = Files.createTempDirectory("simdedup-stream").toFile.getAbsolutePath
+    def ts(min: Long) = new Timestamp(min * 60L * 1000L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // token-identical docs share the signature (whitespace variations
+    // collapse under tokenization); distinct-vocab docs do not
+    Seq(
+      (1L, "alpha beta gamma delta", ts(0)),
+      (2L, "alpha  beta gamma   delta", ts(5)),
+      (3L, "totally different words here", ts(10))
+    ).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(streamDir)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingSimHashDedup(stream, "text", "ts", "1 hour"),
+      "simdedup_test", "append")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 2, s"one keeper per signature, got $got")
+    assert(got.contains(3L))
+    assert(got.contains(1L) || got.contains(2L))
+
+    // batch path: same signature-key semantics
+    val batch = spark.read.schema(schema).parquet(streamDir)
+    val batchIds = StreamingOps.streamingSimHashDedup(batch, "text", "ts", "1 hour")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds.size == 2 && batchIds.contains(3L))
+  }
+
   test("streamingEma in batch mode reproduces emaByKey bit-for-bit") {
     import graft.ops.VectorOps
     val events = Tables.events(spark, sfDir).select("event_type", "event_id", "value")
