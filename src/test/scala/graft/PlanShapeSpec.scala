@@ -101,6 +101,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpartitioned Window (all rows → one task) in: ${offenders.mkString(", ")}")
   }
 
+  test("bench-only scale paths: no cross products, no unpartitioned windows") {
+    // the b_* production formulations are not in SparkEntry.queries, so
+    // the registry sweeps above never see them — sweep Bench's map too.
+    // b_minhash_pairs has quadratic OUTPUT by contract but its PLAN is
+    // a banded equi-join; nothing here may plan a cross product.
+    // (dedupKeepersConverged runs its count loop at plan-build — fine
+    // at sf0.001.)
+    val offenders = graft.Bench.scaleBenches.toSeq.flatMap { case (name, fn) =>
+      val p = physical(fn(spark, sfDir))
+      val crossProduct = {
+        val s = p.toString
+        s.contains("CartesianProduct") || s.contains("BroadcastNestedLoopJoin")
+      }
+      val unpartWindow = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (crossProduct || unpartWindow) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"degenerate plan in bench scale paths: ${offenders.mkString(", ")}")
+  }
+
   test("exact dedup shuffles only (hash64, id) — no string attribute crosses an exchange") {
     // the groupBy key is xxhash64(normText), NOT the normalized text:
     // at 100 TB a full-text shuffle key would make the exchange payload
