@@ -149,7 +149,19 @@ object Bench {
     // hyperplane-LSH buckets, cosine verify at the bucket join) — the
     // scale counterpart of the pairwise q23 oracle form
     "b_cosine_dedup" -> ((s, dir) =>
-      DedupOps.cosineKeepers(Tables.embeddings(s, dir), "embedding", "vec_id", 0.95)))
+      DedupOps.cosineKeepers(Tables.embeddings(s, dir), "embedding", "vec_id", 0.95)),
+    // end-to-end corpus-curation shape — the composed 100 TB workload:
+    // language-ID + quality score as NARROW column work pruned before
+    // the (shuffling) dedup decision, so the expensive stage only sees
+    // the survivors. Thresholds chosen to keep most of the fixture.
+    "b_corpus_curation" -> ((s, dir) => {
+      import graft.ops.{TextAnalysis, TextOps}
+      val kept = Tables.documents(s, dir)
+        .withColumn("lang", TextAnalysis.langId(TextOps.whitespaceTokenize(col("text"))))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.2)
+      DedupOps.dedupKeepers(kept, "text", "doc_id", 0.6)
+    }))
 
   /** 1/4 or 1/2 key-split slice of the documents fixture (parts of 4). */
   private def docSlice(s: SparkSession, dir: String, parts: Int): DataFrame =
