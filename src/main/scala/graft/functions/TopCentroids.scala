@@ -24,9 +24,13 @@ import org.apache.spark.sql.types._
   * insertion into two tiny locals inside whole-stage codegen. No
   * Exchange, no row blowup.
   *
-  * Per-centroid cosine is bit-identical to [[CosineSimilarity]]: widen
-  * to double before multiply, left-to-right accumulation over the
-  * common prefix, zero-norm → 0.0.
+  * Per-centroid cosine is bit-identical to [[CosineSimilarity]] on
+  * fixed-dim inputs: widen to double before multiply, left-to-right
+  * accumulation in index order, zero-norm → 0.0. A vector whose length
+  * differs from `dim`, or with a null element, is NULL (no assignment,
+  * no probes) — the same null-on-mismatch contract as
+  * [[HyperplaneBandSigs]]; `ivfCosineTopK` requires its centroid rows
+  * to share one dim, so the matrix side never truncates.
   */
 case class TopCentroids(child: Expression, mat: Array[Float], dim: Int, nprobe: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -36,14 +40,17 @@ case class TopCentroids(child: Expression, mat: Array[Float], dim: Int, nprobe: 
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // null even on non-null input: length-mismatched / null-element vectors
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any =
     TopCentroids.top(a.asInstanceOf[ArrayData], mat, dim, nprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val matRef = ctx.addReferenceObj("centroidMat", mat, "float[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.TopCentroids.top($c, $matRef, $dim, $nprobe)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TopCentroids.top($c, $matRef, $dim, $nprobe);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -54,18 +61,21 @@ case class TopCentroids(child: Expression, mat: Array[Float], dim: Int, nprobe: 
 
 object TopCentroids {
 
-  /** Top-`nprobe` centroid ids (rank order). Scans centroids in
-    * ascending id and displaces only on STRICTLY greater cosine, so
-    * equal-cosine ties keep the lower id first — the same order as the
-    * former `row_number` over (sim DESC, centroid ASC).
+  /** Top-`nprobe` centroid ids (rank order), or NULL for a vector whose
+    * length differs from `dim` or containing a null element. Scans
+    * centroids in ascending id and displaces only on STRICTLY greater
+    * cosine, so equal-cosine ties keep the lower id first — the same
+    * order as the former `row_number` over (sim DESC, centroid ASC).
     */
   def top(arr: ArrayData, mat: Array[Float], dim: Int, nprobe: Int): ArrayData = {
     val nlist = mat.length / dim
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() != dim) return null
+    val n = dim
     val v = new Array[Double](n)
     var vn = 0.0
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val x = arr.getFloat(i).toDouble
       v(i) = x; vn += x * x
       i += 1
@@ -84,10 +94,6 @@ object TopCentroids {
         dot += v(j) * y; cn += y * y
         j += 1
       }
-      // the centroid row may extend past the common prefix — its norm
-      // still covers all dim components, matching CosineSimilarity's
-      // min-length loop only when lengths agree (callers use fixed dims)
-      while (j < dim) { val y = mat(off + j).toDouble; cn += y * y; j += 1 }
       val d = math.sqrt(vn) * math.sqrt(cn)
       val sim = if (d == 0.0) 0.0 else dot / d
       if (filled < k || sim > topSims(filled - 1)) {

@@ -73,16 +73,20 @@ object EvalMetrics {
     * A pred/label lv2 id ABSENT from the dimension fails loudly at
     * execution (left join + `raise_error`, no extra driver action) —
     * the same contract as [[validatePredictions]]; an inner join here
-    * would silently drop the pair from the metric.
+    * would silently drop the pair from the metric. "Absent" is judged
+    * against the dim rows that actually CARRY a parent (`lv1id IS NOT
+    * NULL`) — a dim row with a null lv1id cannot vouch for its lv2id —
+    * and a null pred/label id prints as "NULL" in the error rather than
+    * nulling the whole message.
     */
   def hierarchicalF1(
       pairs: DataFrame, dim: DataFrame,
       predLv2: String = "pred", labelLv2: String = "label"): DataFrame = {
-    val lv1 = dim.select(col("lv2id"), col("lv1id"))
+    val lv1 = dim.filter(col("lv1id").isNotNull).select(col("lv2id"), col("lv1id"))
     def found(lv1Col: String, lv2Col: String): Column =
       when(col(lv1Col).isNull, raise_error(concat(
         lit(s"hierarchicalF1: $lv2Col id absent from category dim: "),
-        col(lv2Col).cast("string")))).otherwise(col(lv1Col))
+        coalesce(col(lv2Col).cast("string"), lit("NULL"))))).otherwise(col(lv1Col))
     val withLv1 = pairs
       .join(broadcast(lv1.withColumnRenamed("lv2id", predLv2)
         .withColumnRenamed("lv1id", "pred_lv1")), Seq(predLv2), "left")

@@ -94,7 +94,11 @@ object SimilarityOps {
     // centroid numbering = ascending c_id over the nlist smallest
     // key-hashes; collect() is nlist rows of dim floats — driver-side
     // by design, the same contract as broadcasting a dimension table.
+    // Null embeddings are excluded BEFORE the pick (a null among the
+    // nlist winners would NPE the matrix fill; the probe side already
+    // treats null as "no assignment").
     val picked = df
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")), col("c_id"))
       .limit(nlist)
@@ -105,8 +109,11 @@ object SimilarityOps {
     val mat = new Array[Float](picked.length * dim)
     picked.zipWithIndex.foreach { case (r, c) =>
       val v = r.getSeq[Float](1)
+      require(v.length == dim,
+        s"ivfCosineTopK: centroid ${r.get(0)} has dim ${v.length}, expected $dim " +
+          "(mixed-dimension corpus — TopCentroids requires a fixed dim)")
       var j = 0
-      while (j < math.min(dim, v.length)) { mat(c * dim + j) = v(j); j += 1 }
+      while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
     }
 
     val cands = graft.functions.TopCentroids.topCentroids(
