@@ -64,6 +64,36 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(inc == keep)
   }
 
+  test("precomputed corpusBucketReps through parquet == raw-corpus form") {
+    // the standing-deployment contract: reps computed once, persisted,
+    // read back — the batch path must decide identically to the
+    // recompute-every-call form, with the corpus never read again.
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus dup
+      (2L, "one two three four five six seven NINE"),        // J=7/9 near-dup
+      (3L, "totally new content nothing shared at all"),
+      (4L, "totally new content nothing shared at all")      // in-batch dup of 3
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_reps_spec_").toString
+    DedupOps.corpusBucketReps(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val reps = DedupOps.CorpusReps(spark.read.parquet(dir))
+    val pre = DedupOps.dedupIncremental(reps, batch, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pre == keptIds(corpus, batch))
+    assert(pre == Set(3L))
+  }
+
+  test("corpusBucketReps carries the documented persistable schema") {
+    val reps = DedupOps.corpusBucketReps(corpus, "text", "doc_id")
+    assert(reps.columns.toSeq ==
+      Seq("band", "band_hash", "rep", "rep_toks", "rep_n"))
+    // every bucket's rep is a corpus id; bands default to 16 per doc
+    val rows = reps.collect()
+    assert(rows.nonEmpty && rows.length <= 2 * 16)
+    assert(rows.map(_.getAs[Long]("rep")).toSet.subsetOf(Set(100L, 101L)))
+  }
+
   test("deterministic under repartitioning (key-derived, no order dependence)") {
     val batch = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
