@@ -87,16 +87,19 @@ object Bench {
     // (slice → pad → frame-mask → MFM); the 2k-row frame side broadcasts.
     // Rows/s from this row is the engine's single-node ETL throughput
     // claim vs the reference's single-process pass (BASELINE.md).
+    // Tokenization is WORDPIECE over the ~37k-entry synthetic vocab —
+    // the reference's actual hot loop (data_helper.py:55-57,94 runs HF
+    // BertTokenizer over three text fields per row), not the whitespace
+    // floor (b_ws_tokenize times that separately).
     "b_pipeline_etl" -> ((s, dir) => {
       import graft.ops.{TextOps, VectorOps}
-      val ids = transform(TextOps.whitespaceTokenize(col("text")),
-        t => pmod(xxhash64(t), lit(1000)).cast("int"))
+      val ids = graft.functions.WordPieceTokenize.wordpiece(col("text"), syntheticVocab)
       val textSide = Tables.documents(s, dir)
         .select(col("doc_id"), ids.as("ids0"))
         .withColumn("ids_t", TextOps.padTo(slice(col("ids0"), 1, 256), 256))
         .withColumn("att", TextOps.attentionMask(col("ids0"), 256))
       val mlm = MaskingOps.mlmMaskXxhFused(col("ids_t"), col("doc_id"),
-        maskProb = 0.25, maskToken = 999999, vocabSize = 1000)
+        maskProb = 0.25, maskToken = 999999, vocabSize = syntheticVocab.size)
       val frames = transform(sequence(lit(0), lit(15)),
         f => slice(col("embedding"), f * 4 + 1, lit(4)))
       val frameSide = Tables.embeddings(s, dir).select(col("vec_id"),
@@ -132,9 +135,27 @@ object Bench {
     "b_minhash_incr_x1" -> ((s, dir) => incrementalOn(docSlice(s, dir, 1))),
     "b_minhash_incr_x2" -> ((s, dir) => incrementalOn(docSlice(s, dir, 2))),
     // the fixpoint operator: same linear plan per pass, pass count
-    // data-dependent (duplicate-dense fixture converges in 2-3)
+    // data-dependent (duplicate-dense fixture converges in 2-3); each
+    // pass reports (survivors, seconds) into the bench JSON's diag
+    // field so a total-time swing is attributable to pass count vs
+    // per-pass cost from the artifact alone
     "b_minhash_converged" -> ((s, dir) =>
-      DedupOps.dedupKeepersConverged(Tables.documents(s, dir), "text", "doc_id", 0.6)),
+      DedupOps.dedupKeepersConverged(Tables.documents(s, dir), "text", "doc_id", 0.6,
+        onPass = (p, n, sec) =>
+          convergedPasses.synchronized { convergedPasses += ((p, n, sec)) })),
+    // the standing-deployment incremental form: corpus bucket reps were
+    // PRECOMPUTED to parquet (untimed, in main's warmup — the once-per-
+    // corpus-version cost), so this row times what a daily batch
+    // actually pays: O(batch) banding + rep verify + within-batch
+    // keepers, never touching corpus text. Contrast with
+    // b_minhash_incremental, which rebuilds the reps in-row.
+    "b_minhash_incr_precomp" -> ((s, dir) => {
+      val reps = DedupOps.CorpusReps(s.read.parquet(precomputedRepsPath(s, dir)))
+      val docs = Tables.documents(s, dir)
+      DedupOps.dedupIncremental(
+        reps, docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0),
+        "text", "doc_id", 0.6)
+    }),
     // the reference's hot ETL operation: WordPiece over every document
     // (data_helper.py tokenizes 3 text fields per row this way) with a
     // realistic-size vocab; b_ws_tokenize is the whitespace floor the
@@ -166,6 +187,31 @@ object Bench {
   /** 1/4 or 1/2 key-split slice of the documents fixture (parts of 4). */
   private def docSlice(s: SparkSession, dir: String, parts: Int): DataFrame =
     Tables.documents(s, dir).filter(pmod(xxhash64(col("doc_id")), lit(4)) < parts)
+
+  /** Per-pass (pass, survivors, seconds) reported by the converged
+    * fixpoint row — cleared before the run, emitted as the JSON `diag`
+    * field.
+    */
+  private val convergedPasses =
+    scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+
+  /** Parquet path of the precomputed corpus bucket reps for
+    * `b_minhash_incr_precomp` — written once per (sf dir) per JVM to a
+    * fresh temp directory (per-run, so concurrent bench invocations
+    * never collide), exactly the "compute once per corpus version,
+    * persist alongside the corpus" deployment the operator documents.
+    * The 80% key-split corpus matches b_minhash_incremental's.
+    */
+  private val repsPathCache = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def precomputedRepsPath(s: SparkSession, dir: String): String =
+    repsPathCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_reps_").toString
+      val docs = Tables.documents(s, dir)
+      DedupOps.corpusBucketReps(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
 
   /** The b_minhash_incremental shape over an arbitrary doc set. */
   private def incrementalOn(docs: DataFrame): DataFrame = {
@@ -205,26 +251,69 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay the one-time session/codegen/scan setup outside the
-    // per-query timings (otherwise the first query absorbs ~5s of it)
+    // per-query timings (otherwise the first query absorbs ~5s of it),
+    // and the once-per-corpus-version reps precompute for
+    // b_minhash_incr_precomp (parquet, so the later cache sweeps can't
+    // evict it)
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
-    val benched =
-      SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toMap ++ scaleBenches
+    precomputedRepsPath(spark, sfDir)
+    // per-row plan-family warmup dir: each timed row first runs once at
+    // the 10× smaller fixture (see the loop below) so Janino compilation
+    // of its generated classes and C2 JIT of its hot decode/agg loops
+    // are paid OUTSIDE the timing. At cluster scale both amortize to
+    // zero; at local bench scale they are 0.5-4 s per plan family and
+    // land on whichever row of the family runs FIRST — which is exactly
+    // how round 5's ordering artifacts arose. The warm run must happen
+    // IMMEDIATELY before its timed row, not in one big pre-pass: the
+    // whole-stage-codegen class cache holds ~100 entries, so a 60-plan
+    // warmup sweep evicts the early rows' classes again before they're
+    // timed (measured: +4.5 s back on q01 with a pre-pass warmup, at
+    // baseline with the per-row form). sf0.001 is also too small to
+    // warm with: ~600 rows never crosses the JIT compile threshold.
+    val warmDirFile = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+    val warmDir = if (warmDirFile.isDirectory) Some(warmDirFile.toString) else None
+    // the gate-checked oracle q-family runs FIRST, then the heavy b_*
+    // scale rows — alphabetical order inside each family. Round 5
+    // recorded ~110s of b_* rows ahead of q01 and a leaked cache riding
+    // through them; family order plus the per-row cache sweep below
+    // makes the record insensitive to what the heavy rows do.
+    val ordered =
+      SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toSeq.sortBy(_._1) ++
+        scaleBenches.toSeq.sortBy(_._1)
     // (name, seconds, error): failures are REPORTED, never silently
     // recorded as a plausible timing.
-    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
+      // warm this row's plan family, then drop whatever it cached and
+      // any pass diagnostics the warm run emitted; warm failures are
+      // ignored (the timed run reports them)
+      warmDir.foreach { wd =>
+        try force(fn(spark, wd)) catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
+      }
+      convergedPasses.clear()
       val t0 = System.nanoTime()
       val err = try { force(fn(spark, sfDir)); None } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           Some(e.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // leak-free harness: drop anything the row persisted (e.g.
+      // dedupKeepersConverged's materialized result, whose release is
+      // the caller's job by contract) so no cache or storage-memory
+      // pressure rides into later rows. Outside the timing: releasing
+      // a row's caches is harness hygiene, not operator cost.
+      spark.sharedState.cacheManager.clearCache()
+      // snapshot this row's per-pass diagnostics (only the converged
+      // fixpoint emits any) before the next row's warm/clear
+      val passes = convergedPasses.synchronized(convergedPasses.toList.sortBy(_._1))
+      (name, sec, err, passes)
     }
     val streaming = streamingBenches(spark, sfDir)
-    val allTimings = results.map { case (k, v, e) => (k, v, e) } ++
+    val allTimings = results.map { case (k, v, e, _) => (k, v, e) } ++
       streaming.map { case (k, v, _, e) => (k, v, e) }
     val qs = allTimings.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
@@ -235,8 +324,13 @@ object Bench {
     val stateRows = streaming.map { case (k, _, st, _) =>
       "\"" + k + "\":" + st
     }.mkString("{", ",", "}")
+    val diag = results.collect { case (name, _, _, ps) if ps.nonEmpty =>
+      "\"" + name + "\":{\"passes\":" + ps.length +
+        ",\"pass_secs\":[" + ps.map(_._3).mkString(",") +
+        "],\"pass_survivors\":[" + ps.map(_._2).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val total = allTimings.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"diag":$diag,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -251,7 +345,10 @@ object Bench {
     */
   private def streamingBenches(
       spark: SparkSession, sfDir: String): Seq[(String, Double, Long, Option[String])] = {
-    val streamDir = "/tmp/graft_bench_stream"
+    // per-run directory: two concurrent bench invocations on one box
+    // must never overwrite each other's stream input mid-run
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
     spark.read.parquet(s"$sfDir/events.parquet")
       .repartition(8).write.mode("overwrite").parquet(streamDir)
 

@@ -106,9 +106,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // the registry sweeps above never see them — sweep Bench's map too.
     // b_minhash_pairs has quadratic OUTPUT by contract but its PLAN is
     // a banded equi-join; nothing here may plan a cross product.
-    // (dedupKeepersConverged runs its count loop at plan-build — fine
-    // at sf0.001.)
-    val offenders = graft.Bench.scaleBenches.toSeq.flatMap { case (name, fn) =>
+    // b_minhash_converged is EXCLUDED: its return value is a persisted,
+    // already-materialized frame, so the visible plan is just an
+    // InMemoryTableScan (assertions on it would be vacuous) and sweeping
+    // it would leave that cache pinned for the rest of the suite; its
+    // per-pass plan is the dedupKeepers shape already swept via
+    // b_minhash_lsh (pinned equal by DedupKeepersSpec's differential
+    // test).
+    val offenders = graft.Bench.scaleBenches.toSeq
+      .filterNot(_._1 == "b_minhash_converged")
+      .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {
         val s = p.toString
