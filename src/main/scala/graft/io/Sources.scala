@@ -73,6 +73,27 @@ object Sources {
     graft.ops.MultimodalOps.decodeNpyFrames(
       readBinaryById(spark, dir, "npy")).toDF()
 
+  /** OP-15 support: load a WordPiece vocabulary file — one token per
+    * line, line number = token id (the BERT `vocab.txt` layout; the
+    * reference pins vocab_size 21128, `src/albef.py:27`). The vocab is
+    * a DRIVER-side artifact: it ships inside the serialized
+    * [[graft.functions.WordPieceTokenize]] expression like a broadcast
+    * dim, so this is a small driver read, not a DataFrame scan — but it
+    * goes through the Hadoop FS API so HDFS/S3A/file paths all work on
+    * a cluster. Order is preserved (ids are positional); `readLine`
+    * strips any of \n, \r\n, \r, so a trailing newline never yields a
+    * phantom entry; interior blank lines are kept as entries (their id
+    * must not shift later tokens).
+    */
+  def readVocab(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null).toVector
+    finally reader.close()
+  }
+
   /** OP-05: sharded parquet sink — fixed-size shards as a partitioned
     * dataset (`write.partitionBy`), replacing the reference's manual
     * 50k-row `.npy` shard loop (`src/split_pretrain_data.py:28-35`).

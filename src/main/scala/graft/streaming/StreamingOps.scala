@@ -174,7 +174,17 @@ object StreamingOps {
   /** Drain a streaming DataFrame into an in-memory table synchronously
     * (test/local harness): returns the materialized result.
     */
-  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame =
+    runToMemoryMaxState(df, name, outputMode)._1
+
+  /** [[runToMemory]] plus the MAX state rows across the run's progress
+    * reports — the bounded-state evidence: for watermarked operators
+    * state must track open windows / live keys, never input size, and
+    * returning the observed max lets specs and the bench ASSERT that
+    * bound instead of just recording it.
+    */
+  def runToMemoryMaxState(
+      df: DataFrame, name: String, outputMode: String): (DataFrame, Long) = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -182,6 +192,9 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val maxState = q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatten.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    (df.sparkSession.table(name), maxState)
   }
 }

@@ -47,6 +47,24 @@ class WordPieceTokenizeSpec extends AnyFunSuite {
   test("partial-match word where tail misses vocab -> whole word [UNK] (HF rule)") {
     assert(toks("unzzz") == Seq(Seq(2, 1, 3)))
   }
+
+  test("vocab file loads end-to-end into the expression (SURVEY §7.4.7 interface)") {
+    // the frozen resource file IS this suite's vocab, one token per
+    // line with a trailing newline — the BERT vocab.txt layout the
+    // reference's 21,128-entry file uses; ids must be positional and
+    // the trailing newline must not append a phantom entry.
+    val path = getClass.getResource("/wordpiece_vocab.txt").getPath
+    val loaded = graft.io.Sources.readVocab(spark, path)
+    assert(loaded == vocab)
+    val got = Seq("unaffable", "Hello world zzz", "hello好的world!")
+      .toDF("t")
+      .select(WordPieceTokenize.wordpiece(col("t"), loaded).as("ids"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got == Seq(
+      Seq(2, 4, 5, 6, 3),
+      Seq(2, 7, 8, 1, 3),
+      Seq(2, 7, 9, 10, 8, 11, 3)))
+  }
 }
 
 class F1AggregatorSpec extends AnyFunSuite {

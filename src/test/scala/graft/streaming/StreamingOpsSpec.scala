@@ -84,6 +84,60 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
 
+  test("session-window state is bounded by the watermark horizon, not input size") {
+    // 2 users × 15 single-event sessions (events 40min apart > 30min
+    // gap) over 600 minutes, in 4 time-ordered micro-batch files of
+    // 160min span each. With watermark eviction working, live state at
+    // any batch end holds only sessions inside the (file span +
+    // watermark + gap) horizon: ≤ (160+60+30)/40 + 2 = 8 per user = 16
+    // rows — strictly less than the 30 total sessions. A watermark
+    // regression (state never evicted) would hold all 30 and fail this
+    // bound; state scaling with EVENTS would fail it even harder.
+    val streamDir = Files.createTempDirectory("sess-bound-stream").toFile.getAbsolutePath
+    def nanos(min: Long): Long = min * 60L * 1000000L * 1000L
+
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)],
+        name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sess-bound-batch").toFile.getAbsolutePath
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+
+    val allMinutes = (0L until 600L by 40L).toSeq // 15 events per user
+    for ((lo, i) <- (0L until 600L by 160L).zipWithIndex) {
+      val rows = for {
+        m <- allMinutes if m >= lo && m < lo + 160
+        u <- Seq(1L, 2L)
+      } yield (u * 1000 + m, nanos(m), u, "view", 1.0, "{}")
+      writeBatch(rows, s"b$i.parquet", 1000000L * (i + 1))
+    }
+
+    val (got, maxState) = StreamingOps.runToMemoryMaxState(
+      StreamingOps.sessionCounts(
+        StreamingOps.eventsStream(spark, streamDir), "30 minutes", "1 hour"),
+      "session_bound_test", "append")
+
+    val users = 2
+    val horizonBound = users * ((160 + 60 + 30) / 40 + 2) // = 16
+    assert(maxState >= users, s"state sweep vacuous: maxState=$maxState")
+    assert(maxState <= horizonBound,
+      s"session state $maxState exceeds watermark-horizon bound $horizonBound " +
+        "(eviction regressed: state is tracking input, not open windows)")
+    // total sessions (what broken eviction would retain) is well above
+    // the bound, so the assertion genuinely discriminates
+    assert(users * allMinutes.size == 30 && horizonBound < 30)
+    // emitted rows are closed single-event sessions; most sessions are
+    // past the final watermark and must have been emitted
+    val emitted = got.select("n_events").as[Long].collect()
+    assert(emitted.forall(_ == 1L))
+    assert(emitted.length >= 20, s"only ${emitted.length} sessions emitted")
+  }
+
   test("streaming exact dedup: first arrival wins, same keys as batch dropDuplicates") {
     import java.sql.Timestamp
     import org.apache.spark.sql.types._
