@@ -325,9 +325,12 @@ object Bench {
       "\"" + k + "\":" + st
     }.mkString("{", ",", "}")
     val diag = results.collect { case (name, _, _, ps) if ps.nonEmpty =>
-      "\"" + name + "\":{\"passes\":" + ps.length +
-        ",\"pass_secs\":[" + ps.map(_._3).mkString(",") +
-        "],\"pass_survivors\":[" + ps.map(_._2).mkString(",") + "]}"
+      // pass 0 is the prep stage (tokenize + band-hash + persist)
+      val (prep, passes) = ps.partition(_._1 == 0)
+      "\"" + name + "\":{\"prep_sec\":" + prep.headOption.map(_._3).getOrElse(0.0) +
+        ",\"passes\":" + passes.length +
+        ",\"pass_secs\":[" + passes.map(_._3).mkString(",") +
+        "],\"pass_survivors\":[" + passes.map(_._2).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = allTimings.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"diag":$diag,"sf":"$sfDir"}""")

@@ -266,16 +266,19 @@ object DedupOps {
     * every pass on first use) — the CALLER owns releasing it with
     * `.unpersist()` once consumed.
     *
-    * `onPass(pass, survivors, seconds)` fires after each completed pass
-    * — the fixpoint's cost is `passes × (shuffle + 2 counts)` with a
-    * data-dependent pass count, so a caller recording wall-clock (e.g.
-    * the bench harness) can attribute a swing to pass count vs per-pass
-    * cost from the artifact alone instead of one opaque total.
+    * `onPass(pass, survivors, seconds)` fires once for the prep stage
+    * (pass 0: tokenize + band-hash + persist + initial count) and after
+    * each completed pass — the fixpoint's cost is `prep + passes ×
+    * (shuffle + 2 counts)` with a data-dependent pass count, so a
+    * caller recording wall-clock (e.g. the bench harness) can attribute
+    * a swing to prep vs pass count vs per-pass cost from the artifact
+    * alone instead of one opaque total.
     */
   def dedupKeepersConverged(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 5,
       onPass: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
+    val prepT0 = System.nanoTime()
     var prep = df
       .select(col(idCol).as("id"), hashedTokenSet(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("n"),
@@ -283,6 +286,7 @@ object DedupOps {
           col("toks"), bands, rowsPerBand).as("band_arr"))
       .persist()
     var curCount = prep.count()
+    onPass(0, curCount, (System.nanoTime() - prepT0) / 1e9)
     var pass = 0
     var converged = false
     while (pass < maxPasses && !converged) {
@@ -368,6 +372,34 @@ object DedupOps {
     * would just miss duplicates.
     */
   final case class CorpusReps(df: DataFrame, bands: Int = 16, rowsPerBand: Int = 4)
+
+  /** Fold a batch's ACCEPTED survivors into an existing
+    * [[corpusBucketReps]] frame — the third leg of the standing
+    * deployment's daily loop (reps → [[dedupIncremental]] → survivors →
+    * mergedBucketReps → persist for tomorrow), so the reps are NEVER
+    * recomputed from the full corpus after day one. Cost is O(accepted ×
+    * bands) banding plus a groupBy over (old reps ∪ accepted reps) —
+    * the reps frame is bounded by occupied buckets, not corpus text.
+    *
+    * Exactly equal to recomputing [[corpusBucketReps]] over
+    * (corpus ∪ accepted) — spec-pinned: the rep per bucket is the min
+    * id over both sides and its token array is a pure function of the
+    * doc, so a bucket-wise min-by merge is lossless. Requires ids
+    * unique ACROSS corpus and accepted (a standing corpus has one id
+    * space; [[dedupIncremental]]'s overlap tolerance is only about
+    * judging candidate batches by content).
+    */
+  def mergedBucketReps(
+      reps: CorpusReps, accepted: DataFrame, textCol: String, idCol: String): DataFrame =
+    reps.df
+      .unionByName(
+        corpusBucketReps(accepted, textCol, idCol, reps.bands, reps.rowsPerBand))
+      .groupBy("band", "band_hash")
+      .agg(min_by(
+        struct(col("rep"), col("rep_toks"), col("rep_n")), col("rep")).as("r"))
+      .select(col("band"), col("band_hash"),
+        col("r.rep").as("rep"), col("r.rep_toks").as("rep_toks"),
+        col("r.rep_n").as("rep_n"))
 
   /** [[dedupIncremental]] against a PRECOMPUTED [[corpusBucketReps]]
     * frame — the standing-deployment form: per-batch cost is O(batch ×

@@ -94,6 +94,32 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rep")).toSet.subsetOf(Set(100L, 101L)))
   }
 
+  test("mergedBucketReps == corpusBucketReps over the grown corpus (daily loop is lossless)") {
+    val accepted = Seq(
+      (50L, "totally new content nothing shared at all"),
+      (51L, "one two three four five six seven eight nine ten") // overlaps corpus buckets
+    ).toDF("doc_id", "text")
+    def canon(df: DataFrame): Set[(Int, Long, Long, Seq[Long], Int)] =
+      df.select("band", "band_hash", "rep", "rep_toks", "rep_n")
+        .as[(Int, Long, Long, Seq[Long], Int)].collect().toSet
+    val merged = DedupOps.mergedBucketReps(
+      DedupOps.CorpusReps(DedupOps.corpusBucketReps(corpus, "text", "doc_id")),
+      accepted, "text", "doc_id")
+    val recomputed = DedupOps.corpusBucketReps(
+      corpus.unionByName(accepted), "text", "doc_id")
+    assert(canon(merged) == canon(recomputed))
+    assert(canon(merged).nonEmpty)
+    // a smaller-id accepted doc must take over any bucket it shares:
+    // doc 50's buckets with reps < 100 would only come from accepted
+    val mergedNextDay = DedupOps.mergedBucketReps(
+      DedupOps.CorpusReps(merged), Seq((10L, "totally new content nothing shared at all"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val buckets50 = canon(merged).filter(_._3 == 50L).map(r => (r._1, r._2))
+    assert(buckets50.nonEmpty)
+    assert(canon(mergedNextDay).filter(r => buckets50((r._1, r._2)))
+      .forall(_._3 == 10L))
+  }
+
   test("deterministic under repartitioning (key-derived, no order dependence)") {
     val batch = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
