@@ -57,6 +57,11 @@ object Bench {
       DedupOps.dedupIncremental(
         docs.filter(part =!= 0), docs.filter(part === 0), "text", "doc_id", 0.6)
     }),
+    // shingle-level dedup DECISION path (word trigrams — order-aware:
+    // reordered docs stay distinct; Broder MinHash over the shingle set,
+    // same linear docs × bands plan as b_minhash_lsh)
+    "b_ngram_dedup" -> ((s, dir) =>
+      DedupOps.dedupKeepersNgram(Tables.documents(s, dir), "text", "doc_id", 0.6, 3)),
     "b_simhash_pairs" -> ((s, dir) =>
       DedupOps.simHashPairs(Tables.documents(s, dir), "text", "doc_id", 3)),
     // the simhash DECISION path (keep/drop per doc, Hamming verify at

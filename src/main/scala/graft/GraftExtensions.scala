@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinShingleMd5, SimHash64, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinShingleMd5, ShingleHashes64, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("min_shingle_md5",
       "min_shingle_md5(array<string>, n) - one-pass min-wise n-token shingle fingerprint (portable md5)",
       exprs => MinShingleMd5(exprs(0), litInt(exprs(1), "min_shingle_md5", "n"))))
+    ext.injectFunction(fn("shingle_hashes64",
+      "shingle_hashes64(array<string>, n) - sorted distinct xxhash64 set of all n-token shingles",
+      exprs => ShingleHashes64(exprs(0), litInt(exprs(1), "shingle_hashes64", "n"))))
     ext.injectFunction(fn("hyperplane_band_sigs",
       "hyperplane_band_sigs(array<float>, bands, planesPerBand, dim) - fused hyperplane-LSH band signatures",
       exprs => HyperplaneBandSigs(exprs(0),

@@ -228,16 +228,71 @@ object DedupOps {
     */
   def dedupKeepers(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val banded = bandedIds(df, textCol, idCol, bands, rowsPerBand)
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    keepersBySets(df, hashedTokenSet(col(textCol)), idCol, threshold,
+      bands, rowsPerBand, emptyMatchesEmpty = true)
+
+  /** [[dedupKeepers]] over word n-gram (shingle) sets — the scale
+    * DECISION path for the n-gram Jaccard family (the pairwise q22 form
+    * stays the oracle). Broder-style: MinHash+LSH over the hashed
+    * shingle set, per-bucket min-id rep, exact shingle-Jaccard verify
+    * at the edge — same linear docs × bands plan and same recall
+    * contract as the token-set keepers. Shingles see word ORDER, so
+    * reordered docs that collapse under token-set dedup stay distinct
+    * here.
+    *
+    * Docs with fewer than `n` tokens have NO shingles and are always
+    * KEPT (no evidence is not evidence of duplication — unlike the
+    * token-set path's J(∅,∅)=1 rule, two short docs with different
+    * words must not merge just because both have empty shingle sets);
+    * run [[dedupKeepers]] or [[exactDupGroups]] over the short tail if
+    * it needs deduping.
+    *
+    * Returns the KEPT rows of `df`, unchanged schema.
+    */
+  def dedupKeepersNgram(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      n: Int, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    // fused one-pass shingle hashing ([[graft.functions.ShingleHashes64]],
+    // value-identical to hashedNgramSet) — the composable form's
+    // per-window slice/concat HOF tower dominated the bench ~16×
+    keepersBySets(df,
+      graft.functions.ShingleHashes64.shingleHashes64(
+        TextOps.whitespaceTokenize(col(textCol)), n),
+      idCol, threshold, bands, rowsPerBand, emptyMatchesEmpty = false)
+  }
+
+  /** Shared keepers plan over an arbitrary hashed-set column (sorted
+    * 64-bit hashes): band → min-id rep per bucket → verified edges →
+    * left-anti. See [[dedupKeepers]] for the semantics and scale notes.
+    */
+  private def keepersBySets(
+      df: DataFrame, sets: Column, idCol: String, threshold: Double,
+      bands: Int, rowsPerBand: Int, emptyMatchesEmpty: Boolean): DataFrame = {
+    val withSets = df.select(col(idCol).as("id"), sets.as("toks"))
+    val banded = withSets
+      .select(col("id"),
+        graft.functions.MinHashBandHashes.minHashBandHashes(
+          col("toks"), bands, rowsPerBand).as("band_arr"))
+      .select(col("id"), posexplode(col("band_arr")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
     val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
     val edges = banded.join(reps, Seq("band", "band_hash"))
       .filter(col("id") > col("rep"))
       .select("id", "rep").distinct()
-    val toks = tokArrays(df, textCol, idCol)
-    val dropped = verifiedDropIds(edges, toks, toks, threshold)
+    val toks = withSets.withColumn("n", size(col("toks")))
+    val dropped = verifiedDropIds(edges, toks, toks, threshold, emptyMatchesEmpty)
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** Sorted 64-bit hashes of the word n-gram (shingle) set — the
+    * banding/verify representation for shingle-level dedup, the
+    * [[hashedTokenSet]] analog over [[ngramSet]].
+    */
+  def hashedNgramSet(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(ngramSet(text, n), s => xxhash64(s))))
 
   /** [[dedupKeepers]] iterated to a fixpoint — the documented remedy for
     * the decision path's chain-recall gap (two non-rep cluster members
@@ -444,18 +499,23 @@ object DedupOps {
       .withColumn("n", size(col("toks")))
 
   /** Exact-Jaccard verify of (id, rep) edges: the distinct `id`s whose
-    * edge passes `threshold`. Two empty token sets are identical
-    * documents for dedup purposes: J(∅,∅) = 1 (instead of 0/0 = null) so
-    * byte-empty / whitespace-only duplicates collapse like any other
-    * exact-duplicate cluster (all-empty docs share every band hash, so
-    * they always reach the verify stage together).
+    * edge passes `threshold`. With `emptyMatchesEmpty` (the token-set
+    * paths), two empty token sets are identical documents for dedup
+    * purposes: J(∅,∅) = 1 (instead of 0/0 = null) so byte-empty /
+    * whitespace-only duplicates collapse like any other exact-duplicate
+    * cluster (all-empty docs share every band hash, so they always
+    * reach the verify stage together). The shingle path passes false:
+    * an empty SHINGLE set just means the doc is shorter than n — no
+    * evidence, never a match.
     */
   private def verifiedDropIds(
       edges: DataFrame, aToks: DataFrame, bToks: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, emptyMatchesEmpty: Boolean = true): DataFrame = {
     val inter = graft.functions.SortedIntersectCount
       .sortedIntersectCount(col("toks_a"), col("toks_b"))
-    val jaccard = when(col("n_a") === 0 && col("n_b") === 0, lit(1.0))
+    val bothEmpty = when(col("n_a") === 0 && col("n_b") === 0,
+      lit(if (emptyMatchesEmpty) 1.0 else 0.0))
+    val jaccard = bothEmpty
       .otherwise(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
     edges
       .join(aToks.select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
