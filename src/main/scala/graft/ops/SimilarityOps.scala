@@ -90,51 +90,8 @@ object SimilarityOps {
     */
   def ivfCosineTopK(
       df: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // centroid numbering = ascending c_id over the nlist smallest
-    // key-hashes; collect() is nlist rows of dim floats — driver-side
-    // by design, the same contract as broadcasting a dimension table.
-    // Null embeddings are excluded BEFORE the pick (a null among the
-    // nlist winners would NPE the matrix fill; the probe side already
-    // treats null as "no assignment").
-    val picked = df
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")), col("c_id"))
-      .limit(nlist)
-      .orderBy("c_id")
-      .collect()
-    require(picked.nonEmpty, "ivfCosineTopK: empty corpus")
-    val dim = picked.head.getSeq[Float](1).length
-    val mat = new Array[Float](picked.length * dim)
-    picked.zipWithIndex.foreach { case (r, c) =>
-      val v = r.getSeq[Float](1)
-      require(v.length == dim,
-        s"ivfCosineTopK: centroid ${r.get(0)} has dim ${v.length}, expected $dim " +
-          "(mixed-dimension corpus — TopCentroids requires a fixed dim)")
-      var j = 0
-      while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
-    }
-
-    val cands = graft.functions.TopCentroids.topCentroids(
-      col("vec"), mat, dim, math.max(nprobe, 1))
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"), cands.as("cands"))
-    val assigned = base
-      .select(col("id").as("neighbor_id"), col("vec").as("c_vec2"),
-        element_at(col("cands"), 1).as("centroid"))
-    val probes = base
-      .select(col("id").as("query_id"), col("vec").as("q_vec"),
-        explode(slice(col("cands"), 1, nprobe)).as("centroid"))
-
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("centroid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfCosineSearch(df, df, k, nlist, nprobe, idCol, vecCol)
 
   /** LSH-bucketed approximate top-k: `bands` independent signatures of
     * `planesPerBand` bits; candidates share a (band, signature) bucket;
@@ -172,16 +129,37 @@ object SimilarityOps {
   def lshCosineTopK(
       df: DataFrame, k: Int, bands: Int = 8, planesPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame =
+    lshCosineSearch(df, df, k, bands, planesPerBand, idCol, vecCol, dim)
+
+  /** Two-frame hyperplane-LSH search: for every `queries` row, the
+    * approximate top-k `corpus` neighbors — the standing ANN deployment
+    * (today's query batch against an indexed corpus), of which
+    * [[lshCosineTopK]] is the self-join special case. Both sides get
+    * the same deterministic band signatures (the plane matrix is a pure
+    * function of (plane, dim), so signatures computed in different jobs
+    * — or persisted alongside the corpus — always agree), candidates
+    * meet AT the bucket equi-join, each unique pair is scored once
+    * (first-colliding-band-wins over the two bucket arrays), and only
+    * (ids, cosine) ride the per-query top-k shuffle. Cost scales with
+    * bucket co-occupancy, never |queries| × |corpus|. Self-pairs are
+    * excluded when ids collide ([[bruteCosineTopK]]'s convention).
+    */
+  def lshCosineSearch(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    val sigs = graft.functions.HyperplaneBandSigs
-      .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
-    val banded = df
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
-      .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
+    def banded(df: DataFrame): DataFrame = {
+      val sigs = graft.functions.HyperplaneBandSigs
+        .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
+        .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+    val l = banded(queries).select(col("band"), col("bucket"),
       col("id").as("query_id"), col("vec").as("q_vec"), col("buckets").as("bk_q"))
-    val r = banded.select(col("band"), col("bucket"),
+    val r = banded(corpus).select(col("band"), col("bucket"),
       col("id").as("neighbor_id"), col("vec").as("c_vec"), col("buckets").as("bk_c"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     l.join(r, Seq("band", "bucket"))
@@ -193,6 +171,59 @@ object SimilarityOps {
         .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Two-frame IVF search: centroids are picked from (and the inverted
+    * lists built over) `corpus`; `queries` probe their `nprobe` nearest
+    * lists — the standing deployment of which [[ivfCosineTopK]] is the
+    * self-join special case. The centroid pick is deterministic in the
+    * corpus (key-hash order), so repeated query batches against the
+    * same corpus always search the same index. Same narrow
+    * [[graft.functions.TopCentroids]] assignment on both sides; the
+    * only shuffle is the search join on the centroid id.
+    */
+  def ivfCosineSearch(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val picked = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")), col("c_id"))
+      .limit(nlist)
+      .orderBy("c_id")
+      .collect()
+    require(picked.nonEmpty, "ivfCosineSearch: empty corpus")
+    val dim = picked.head.getSeq[Float](1).length
+    val mat = new Array[Float](picked.length * dim)
+    picked.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](1)
+      require(v.length == dim,
+        s"ivfCosineSearch: centroid ${r.get(0)} has dim ${v.length}, expected $dim " +
+          "(mixed-dimension corpus — TopCentroids requires a fixed dim)")
+      var j = 0
+      while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
+    }
+
+    val cands = graft.functions.TopCentroids.topCentroids(
+      col("vec"), mat, dim, math.max(nprobe, 1))
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec2"),
+        element_at(cands, 1).as("centroid"))
+    val probes = queries
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id").as("query_id"), col("vec").as("q_vec"),
+        explode(slice(cands, 1, nprobe)).as("centroid"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

@@ -79,6 +79,38 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "identical vectors share every bucket")
     assert(got.head._1 == 11L && math.abs(got.head._2 - 1.0) < 1e-9)
   }
+
+  test("lshCosineSearch: a disjoint query batch finds its planted corpus neighbors") {
+    // queries are copies of corpus vectors under NEW ids — the standing
+    // search deployment (today's batch vs the indexed corpus); each
+    // query must find its corpus original (identical direction => same
+    // bucket in every band, cosine 1).
+    val queries = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (102L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.lshCosineSearch(queries, vecs, k = 1, dim = 4)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got(100L) == 0L)
+    assert(got(102L) == 2L)
+    // only query ids appear on the query side
+    assert(got.keySet.subsetOf(Set(100L, 102L)))
+  }
+
+  test("ivfCosineSearch: disjoint query batch probes the corpus index") {
+    val queries = Seq(
+      (200L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (204L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfCosineSearch(
+        queries, vecs, k = 1, nlist = 4, nprobe = 4)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got(200L) == 0L)
+    assert(got(204L) == 4L)
+    assert(got.keySet.subsetOf(Set(200L, 204L)))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
