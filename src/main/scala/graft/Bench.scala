@@ -74,6 +74,10 @@ object Bench {
       SimilarityOps.ivfCosineTopK(Tables.embeddings(s, dir), k = 10, nlist = 32, nprobe = 4)),
     "b_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")),
+    // the exact-dedup DECISION form: kept rows via a broadcastable
+    // losers anti-join (full rows never shuffle)
+    "b_exact_keepers" -> ((s, dir) =>
+      DedupOps.exactKeepers(Tables.documents(s, dir), "text", "doc_id")),
     "b_approx_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("n"))),

@@ -34,6 +34,28 @@ object DedupOps {
       .agg(count("*").as("n"), min("id").as("keep_id"))
       .filter(col("n") > 1)
 
+  /** Exact dedup DECISION path — the [[dedupKeepers]] shape for exact
+    * duplicates: the KEPT rows of `df` (min id per normalized text
+    * wins, deterministic under any partitioning), unchanged schema.
+    *
+    * Shuffle discipline at 100 TB: the decision side moves only
+    * (hash64, id) pairs ([[exactDupGroups]]'s contract), and the
+    * anti-join side is the LOSERS — proportional to the duplicate
+    * count, not the corpus — so it broadcasts in the common case and
+    * the full rows never shuffle. (A min-per-group window or a
+    * winners semi-join would instead move every row through an
+    * exchange.)
+    */
+  def exactKeepers(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.select(
+      xxhash64(normText(col(textCol))).as("norm_h"), col(idCol).as("id"))
+    val losers = keyed
+      .join(exactDupGroups(df, textCol, idCol), Seq("norm_h"))
+      .filter(col("id") =!= col("keep_id"))
+      .select("id")
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Distinct token set of a whitespace-tokenized text. */
   def tokenSet(text: Column): Column =
     array_distinct(TextOps.whitespaceTokenize(text))
