@@ -363,12 +363,29 @@ object Bench {
       java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
     spark.read.parquet(s"$sfDir/events.parquet")
       .repartition(8).write.mode("overwrite").parquet(streamDir)
+    // time-ORDERED re-lay for the watermarked row: with the hash-random
+    // layout above every file spans the whole time range, so the
+    // watermark can evict nothing until the end (measured: state 3,598
+    // of 3,600 — the recorded number said "no eviction" about the
+    // REPLAY, not the operator). Real ingest arrives roughly in event
+    // time; range-partition by ts and pin processing order with
+    // strictly increasing mtimes (the file source breaks mtime ties by
+    // path, but parallel write tasks can finish out of order).
+    val streamDirOrdered =
+      java.nio.file.Files.createTempDirectory("graft_bench_stream_ord_").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(streamDirOrdered)
+    new java.io.File(streamDirOrdered).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L * (i + 1)) }
 
-    def src: DataFrame = spark.readStream
+    def srcFrom(dir: String): DataFrame = spark.readStream
       .schema(StreamingOps.eventsRawSchema)
       .option("maxFilesPerTrigger", "2")
-      .parquet(streamDir)
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src: DataFrame = srcFrom(streamDir)
 
     def run(name: String, df: DataFrame, mode: String): (String, Double, Long, Option[String]) = {
       val t0 = System.nanoTime()
@@ -393,6 +410,13 @@ object Bench {
       // complete mode: no watermark on the batch-parity tumbling agg;
       // state = one row per (hour, event_type) window ever seen
       run("s_tumbling_1h", StreamingOps.tumblingCounts(src), "complete"),
+      // the run-forever form: watermarked append over the time-ordered
+      // replay — closed windows are emitted once and EVICTED, so state
+      // tracks the open-window horizon (contrast with s_tumbling_1h's
+      // every-window-ever state row)
+      run("s_tumbling_1h_wm",
+        StreamingOps.tumblingCountsAppend(srcFrom(streamDirOrdered), "2 hours"),
+        "append"),
       // watermark-bounded session windows, append on close
       run("s_session_30m", StreamingOps.sessionCounts(src, "30 minutes", "1 hour"), "append"),
       // O(1)-per-key EMA state via flatMapGroupsWithState

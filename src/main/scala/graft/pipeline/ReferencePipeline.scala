@@ -38,13 +38,25 @@ object ReferencePipeline {
   val MinAsr = 86
   val MinOcr = 86
 
+  /** @param tokenizer per-field tokenization, `text → array<string>`
+    *        (the reference runs HF BertTokenizer over each of the three
+    *        fields, `src/data_helper.py:55-57`). Defaults to whitespace;
+    *        a WordPiece deployment passes e.g.
+    *        `t => WordPieceTokenize.wordpiece(t, Sources.readVocab(spark, path)).cast("array<string>")`
+    *        — the id→string cast feeds the string-typed budgeted
+    *        assembly, whose cut_min algebra is pure index arithmetic
+    *        and token-representation agnostic (spec-exercised end to
+    *        end in `ReferencePipelineSpec`).
+    */
   def run(
       spark: SparkSession,
       annotationsPath: String,
       categoryCodes: Seq[String],
       resultCsvPath: String,
       valRatio: Double = 0.1,
-      seed: Long = 42L): Output = {
+      seed: Long = 42L,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.whitespaceTokenize(_)): Output = {
 
     val dim = CategoryOps.categoryDim(spark, categoryCodes)
 
@@ -54,13 +66,13 @@ object ReferencePipeline {
     val labeled = CategoryOps.attachIds(anns, dim, "category_id")
       .filter(col("lv2id").isNotNull)
 
-    // OP-15/16/17: whitespace tokens (WordPiece-swappable), budgeted
-    // assembly with the reference's priority/floor algebra, pad + mask.
+    // OP-15/16/17: tokenize (injectable), budgeted assembly with the
+    // reference's priority/floor algebra, pad + mask.
     val assembled = labeled.withColumn("tokens",
         TextOps.budgetedAssemble(
-          TextOps.whitespaceTokenize(col("title")),
-          TextOps.whitespaceTokenize(col("asr")),
-          TextOps.whitespaceTokenize(col("ocr_text")),
+          tokenizer(col("title")),
+          tokenizer(col("asr")),
+          tokenizer(col("ocr_text")),
           Budget, MinTitle, MinAsr, MinOcr))
       .withColumn("attention_mask", TextOps.attentionMask(col("tokens"), 256))
 

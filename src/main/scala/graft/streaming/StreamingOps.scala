@@ -49,6 +49,18 @@ object StreamingOps {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** [[tumblingCounts]] with a WATERMARK, append mode — the run-forever
+    * form: complete-mode state holds one row per window EVER seen
+    * (unbounded on an endless stream; fine for the batch-parity check),
+    * while here windows older than the watermark are finalized, emitted
+    * once, and EVICTED — state is bounded by open windows ×
+    * event_types, independent of stream age. Same aggregation
+    * definitions as the batch/complete form, so Q12 still pins the
+    * semantics.
+    */
+  def tumblingCountsAppend(events: DataFrame, watermark: String): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark))
+
   /** Gap-based session counts per user via `session_window` — streaming
     * analog of Q19 (which pins the same semantics with lag+cumsum in
     * batch). Watermark bounds state; late events beyond `watermark` are

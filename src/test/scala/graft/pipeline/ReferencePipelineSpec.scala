@@ -68,6 +68,24 @@ class ReferencePipelineSpec extends AnyFunSuite {
     assert(badCodes == 0, "sink must emit only dictionary codes")
   }
 
+  test("pipeline runs end-to-end with a WordPiece tokenizer loaded from a vocab file") {
+    // the reference's actual text path: per-field BertTokenizer with a
+    // file-loaded vocab (src/data_helper.py:55-57) — here the WordPiece
+    // ids feed the same string-typed budgeted assembly via a cast (the
+    // cut_min algebra is index arithmetic, representation-agnostic).
+    val annDir = writeFixture()
+    val outCsv = Files.createTempDirectory("result-wp").toFile.getAbsolutePath + "/preds"
+    val vocab = Sources.readVocab(
+      spark, getClass.getResource("/wordpiece_vocab.txt").getPath)
+    val out = ReferencePipeline.run(
+      spark, s"$annDir/labeled.json", codes, outCsv, valRatio = 0.25,
+      tokenizer = t =>
+        graft.functions.WordPieceTokenize.wordpiece(t, vocab).cast("array<string>"))
+    val m = out.metrics.collect()
+    assert(m.length == 1)
+    assert(out.predictions.count() > 0)
+  }
+
   test("unlabeled (null category_id) rows are excluded from the labeled path") {
     val annDir = writeFixture()
     val anns = Sources.readAnnotations(spark, s"$annDir/labeled.json")

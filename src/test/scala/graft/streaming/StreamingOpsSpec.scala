@@ -84,6 +84,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
 
+  test("watermarked tumbling agg: closed windows match batch; state bounded by open windows") {
+    // one event every 10min over 600min, 4 time-ordered files: 10+
+    // hourly windows in total, but with a 1h watermark only the windows
+    // inside the (file span + watermark) horizon are live at any batch
+    // end — (160+60)/60 + 2 = 5 — while complete mode would hold all.
+    val streamDir = Files.createTempDirectory("tumb-wm-stream").toFile.getAbsolutePath
+    def nanos(min: Long): Long = min * 60L * 1000000L * 1000L
+    for ((lo, i) <- (0L until 600L by 160L).zipWithIndex) {
+      val rows = for (m <- 0L until 600L by 10L if m >= lo && m < lo + 160)
+        yield (m, nanos(m), 1L, "view", 1.0, "{}")
+      val tmp = Files.createTempDirectory("tumb-wm-batch").toFile.getAbsolutePath
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+
+    val (got, maxState) = StreamingOps.runToMemoryMaxState(
+      StreamingOps.tumblingCountsAppend(
+        StreamingOps.eventsStream(spark, streamDir), "1 hour"),
+      "tumbling_wm_test", "append")
+
+    val horizonBound = (160 + 60) / 60 + 2 // = 5
+    assert(maxState >= 1 && maxState <= horizonBound,
+      s"tumbling state $maxState outside (0, $horizonBound]: eviction regressed")
+    // every emitted (closed) window must carry exactly the batch value
+    val batch = StreamingOps.tumblingCounts(
+      spark.read.schema(StreamingOps.eventsRawSchema).parquet(streamDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .as[(String, String, Long, Double)].collect().toMap2
+    val emitted = got.as[(String, String, Long, Double)].collect()
+    assert(emitted.nonEmpty && emitted.length < 11,
+      s"expected a proper closed subset of the ~10 windows, got ${emitted.length}")
+    emitted.foreach { case (bucket, et, n, sv) =>
+      assert(batch((bucket, et)) == ((n, sv)), s"window $bucket drifted from batch")
+    }
+  }
+
+  private implicit class MapOps(rows: Array[(String, String, Long, Double)]) {
+    def toMap2: Map[(String, String), (Long, Double)] =
+      rows.map { case (b, e, n, s) => (b, e) -> ((n, s)) }.toMap
+  }
+
   test("session-window state is bounded by the watermark horizon, not input size") {
     // 2 users × 15 single-event sessions (events 40min apart > 30min
     // gap) over 600 minutes, in 4 time-ordered micro-batch files of
