@@ -285,6 +285,46 @@ object DedupOps {
       idCol, threshold, bands, rowsPerBand, emptyMatchesEmpty = false)
   }
 
+  /** ORACLE-portable twin of [[dedupKeepers]]: the SAME decision plan —
+    * per-bucket min-id rep, verified edges, left-anti — built from the
+    * md5-family signatures and md5-string band hashes the DuckDB oracle
+    * replays (the construction q21 already pins for the pair form), and
+    * a raw-string-set verify. Production calls [[dedupKeepers]] (fused
+    * xxhash64 banding, hashed-array verify); this form exists so the
+    * DECISION path itself — not just its candidate pairs — has a
+    * row-level cross-engine oracle (q42).
+    */
+  def dedupKeepersPortable(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int, rowsPerBand: Int,
+      hashFn: (Column, Int) => Column): DataFrame = {
+    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
+    val banded = df
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          md5(array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string")), ","))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
+    val edges = banded.join(reps, Seq("band", "band_hash"))
+      .filter(col("id") > col("rep"))
+      .select("id", "rep").distinct()
+    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val dropped = edges
+      .join(t.select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
+      .join(t.select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
+      .withColumn("inter", inter)
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")) >= threshold)
+      .select("id").distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Shared keepers plan over an arbitrary hashed-set column (sorted
     * 64-bit hashes): band → min-id rep per bucket → verified edges →
     * left-anti. See [[dedupKeepers]] for the semantics and scale notes.

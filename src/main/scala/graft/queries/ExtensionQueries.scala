@@ -363,6 +363,71 @@ object ExtensionQueries {
       |     + x * (CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))) AS ema_final
       |FROM events GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q41
+  /** Exact-dedup DECISION form ([[graft.ops.DedupOps.exactKeepers]]):
+    * the kept doc ids — min id per lower(trim(text)) — oracle-checked
+    * row-level against the windowed GROUP BY equivalent. The engine
+    * keys the decision on `xxhash64(norm)` (so only 64-bit keys
+    * shuffle); a hash collision (≈1e-11 at fixture scale,
+    * deterministic) is the documented gap vs the oracle's exact string
+    * key.
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactKeepers(Tables.documents(spark, dir), "text", "doc_id")
+      .select(col("doc_id"))
+
+  val q41Sql: String =
+    """SELECT doc_id FROM (
+      | SELECT doc_id,
+      |        row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+      | FROM documents) WHERE rn = 1""".stripMargin
+
+  // --------------------------------------------------------------- q42
+  /** The MinHash+LSH dedup DECISION path itself, oracle-checked
+    * row-level ([[graft.ops.DedupOps.dedupKeepersPortable]] — the
+    * md5-family twin of the production `dedupKeepers`): per-bucket
+    * min-id representative, exact-Jaccard-verified edges, kept ids.
+    * q21 pins the banding construction for the pair form; this pins
+    * the keep/drop DECISION — reps, edges, verify, anti-join — against
+    * DuckDB replaying the identical algebra end to end.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupKeepersPortable(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.6,
+      bands = 4, rowsPerBand = 4,
+      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)))
+      .select(col("doc_id"))
+
+  val q42Sql: String =
+    s"""WITH t AS (
+      | SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+      |        len(list_distinct(string_split(text, ' '))) AS n
+      | FROM documents),
+      |sig AS (
+      | SELECT doc_id, toks, n,
+      |  list_transform(generate_series(0, 15), i ->
+      |    list_min(list_transform(toks, tk -> ${dk("tk || '#' || i")}))) AS sg
+      | FROM t),
+      |band AS (
+      | SELECT doc_id, u.i AS band,
+      |   md5(array_to_string(sg[4*u.i+1 : 4*u.i+4], ',')) AS bh
+      | FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) u),
+      |rep AS (
+      | SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |edge AS (
+      | SELECT DISTINCT b.doc_id AS id, r.rep
+      | FROM band b JOIN rep r ON b.band = r.band AND b.bh = r.bh
+      | WHERE b.doc_id > r.rep),
+      |dropped AS (
+      | SELECT DISTINCT e.id
+      | FROM edge e
+      |  JOIN t ta ON ta.doc_id = e.id
+      |  JOIN t tb ON tb.doc_id = e.rep
+      | WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      |   / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) >= 0.6)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -377,5 +442,7 @@ object ExtensionQueries {
     "q30_multimodal_bundle" -> ((q30 _, q30Sql)),
     "q38_asof_join" -> ((q38 _, q38Sql)),
     "q39_cube" -> ((q39 _, q39Sql)),
-    "q40_ema" -> ((q40 _, q40Sql)))
+    "q40_ema" -> ((q40 _, q40Sql)),
+    "q41_exact_keepers" -> ((q41 _, q41Sql)),
+    "q42_dedup_keepers" -> ((q42 _, q42Sql)))
 }
