@@ -325,6 +325,48 @@ object DedupOps {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** ORACLE-portable twin of [[dedupIncremental]]: the SAME two-stage
+    * decision — batch docs verified against per-bucket corpus reps
+    * (corpus always wins, no id comparison across sides), then the
+    * survivors deduped within themselves via
+    * [[dedupKeepersPortable]] — built from the md5-family hashes the
+    * DuckDB oracle replays (q44). Production calls
+    * [[dedupIncremental]]; this form gives the daily-ingest DECISION a
+    * row-level cross-engine oracle.
+    */
+  def dedupIncrementalPortable(
+      corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double, bands: Int, rowsPerBand: Int,
+      hashFn: (Column, Int) => Column): DataFrame = {
+    def bandedP(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn).as("sig"))
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          md5(array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string")), ","))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    def toksP(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val corpusReps = bandedP(corpus).groupBy("band", "band_hash").agg(min("id").as("rep"))
+    val edges = bandedP(batch).join(corpusReps, Seq("band", "band_hash"))
+      .select("id", "rep").distinct()
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val dropped = edges
+      .join(toksP(batch).select(col("id"), col("toks").as("toks_a"), col("n").as("n_a")), "id")
+      .join(toksP(corpus).select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
+      .withColumn("inter", inter)
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")) >= threshold)
+      .select("id").distinct()
+    val survivors = batch.join(
+      dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    dedupKeepersPortable(survivors, textCol, idCol, threshold, bands, rowsPerBand, hashFn)
+  }
+
   /** Shared keepers plan over an arbitrary hashed-set column (sorted
     * 64-bit hashes): band → min-id rep per bucket → verified edges →
     * left-anti. See [[dedupKeepers]] for the semantics and scale notes.
@@ -669,6 +711,36 @@ object DedupOps {
       df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "banding guarantee needs maxHamming < chunks")
     val banded = simHashBanded(df, textCol, idCol)
+    val reps = banded.groupBy("chunk", "chunk_val")
+      .agg(min("id").as("rep"), min_by(col("sig"), col("id")).as("rep_sig"))
+    val dropped = banded.join(reps, Seq("chunk", "chunk_val"))
+      .filter(col("id") > col("rep") &&
+        hamming64(col("sig"), col("rep_sig")) <= maxHamming)
+      .select("id").distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** ORACLE-portable twin of [[simHashKeepers]]: the SAME decision plan
+    * — min-id rep (with its signature) per chunk bucket, Hamming verify
+    * at the bucket join, left-anti — over the 48-bit md5-family
+    * signature the q29 oracle already replays, in 4 chunks of 12 bits
+    * (maxHamming < 4 still guaranteed by banding). Production calls
+    * [[simHashKeepers]] (fused 64-bit xxhash signature); this form
+    * gives the SimHash keep/drop DECISION a row-level DuckDB oracle
+    * (q43). Token MULTISET via a plain single-space split, matching
+    * q29's construction.
+    */
+  def simHashKeepersPortable(
+      df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "banding guarantee needs maxHamming < chunks")
+    val banded = df
+      .select(col(idCol).as("id"),
+        graft.functions.SimHashMd5.simHashMd5(split(col(textCol), " "), 48).as("sig"))
+      .select(col("id"), col("sig"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 12).bitwiseAND(0xFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
     val reps = banded.groupBy("chunk", "chunk_val")
       .agg(min("id").as("rep"), min_by(col("sig"), col("id")).as("rep_sig"))
     val dropped = banded.join(reps, Seq("chunk", "chunk_val"))

@@ -428,6 +428,109 @@ object ExtensionQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  // --------------------------------------------------------------- q43
+  /** The SimHash dedup DECISION path, oracle-checked row-level
+    * ([[graft.ops.DedupOps.simHashKeepersPortable]] — the 48-bit
+    * md5-family twin of the production `simHashKeepers`): 12-bit chunk
+    * buckets, min-id rep carrying its signature, Hamming-≤3 verify at
+    * the bucket join, kept ids. q29 pins the signature; this pins the
+    * whole keep/drop decision against DuckDB replaying it.
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simHashKeepersPortable(
+      Tables.documents(spark, dir), "text", "doc_id", maxHamming = 3)
+      .select(col("doc_id"))
+
+  val q43Sql: String =
+    """WITH s AS (
+      | SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+      |    CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
+      |      CASE WHEN (CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT) >> b) & 1 = 1
+      |        THEN 1 ELSE -1 END)) > 0
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+      | FROM documents),
+      |band AS (
+      | SELECT doc_id, sig, u.c AS chunk, (sig >> (12 * u.c)) & 4095 AS cv
+      | FROM s, (SELECT unnest(generate_series(0, 3)) AS c) u),
+      |rep AS (
+      | SELECT chunk, cv, min(doc_id) AS rep, arg_min(sig, doc_id) AS rep_sig
+      | FROM band GROUP BY chunk, cv),
+      |dropped AS (
+      | SELECT DISTINCT b.doc_id AS id
+      | FROM band b JOIN rep r ON b.chunk = r.chunk AND b.cv = r.cv
+      | WHERE b.doc_id > r.rep AND bit_count(xor(b.sig, r.rep_sig)) <= 3)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
+  // --------------------------------------------------------------- q44
+  /** The incremental corpus-vs-batch dedup DECISION (daily-ingest
+    * contract), oracle-checked row-level
+    * ([[graft.ops.DedupOps.dedupIncrementalPortable]] — the md5-family
+    * twin of the production `dedupIncremental`): documents key-split
+    * 80/20 by the portable id hash, the 20% batch verified against
+    * per-bucket corpus reps (corpus always wins), survivors then
+    * deduped within themselves — DuckDB replays both stages.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val part = pmod(PortableHash.md5Long(col("doc_id")), lit(5))
+    DedupOps.dedupIncrementalPortable(
+      docs.filter(part =!= 0), docs.filter(part === 0), "text", "doc_id",
+      threshold = 0.6, bands = 4, rowsPerBand = 4,
+      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)))
+      .select(col("doc_id"))
+  }
+
+  val q44Sql: String =
+    s"""WITH doc AS (
+      | SELECT doc_id, text,
+      |   ${dk("CAST(doc_id AS VARCHAR)")} % 5 AS part
+      | FROM documents),
+      |t AS (
+      | SELECT doc_id, part, list_distinct(string_split(text, ' ')) AS toks,
+      |        len(list_distinct(string_split(text, ' '))) AS n
+      | FROM doc),
+      |sig AS (
+      | SELECT doc_id, part, toks, n,
+      |  list_transform(generate_series(0, 15), i ->
+      |    list_min(list_transform(toks, tk -> ${dk("tk || '#' || i")}))) AS sg
+      | FROM t),
+      |band AS (
+      | SELECT doc_id, part, u.i AS band,
+      |   md5(array_to_string(sg[4*u.i+1 : 4*u.i+4], ',')) AS bh
+      | FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) u),
+      |crep AS (
+      | SELECT band, bh, min(doc_id) AS rep FROM band WHERE part <> 0
+      | GROUP BY band, bh),
+      |edge AS (
+      | SELECT DISTINCT b.doc_id AS id, r.rep
+      | FROM band b JOIN crep r ON b.band = r.band AND b.bh = r.bh
+      | WHERE b.part = 0),
+      |drop1 AS (
+      | SELECT DISTINCT e.id
+      | FROM edge e JOIN t ta ON ta.doc_id = e.id JOIN t tc ON tc.doc_id = e.rep
+      | WHERE CAST(len(list_intersect(ta.toks, tc.toks)) AS DOUBLE)
+      |   / (ta.n + tc.n - len(list_intersect(ta.toks, tc.toks))) >= 0.6),
+      |sb AS (
+      | SELECT * FROM band
+      | WHERE part = 0 AND doc_id NOT IN (SELECT id FROM drop1)),
+      |rep2 AS (
+      | SELECT band, bh, min(doc_id) AS rep FROM sb GROUP BY band, bh),
+      |edge2 AS (
+      | SELECT DISTINCT b.doc_id AS id, r.rep
+      | FROM sb b JOIN rep2 r ON b.band = r.band AND b.bh = r.bh
+      | WHERE b.doc_id > r.rep),
+      |drop2 AS (
+      | SELECT DISTINCT e.id
+      | FROM edge2 e JOIN t ta ON ta.doc_id = e.id JOIN t tc ON tc.doc_id = e.rep
+      | WHERE CAST(len(list_intersect(ta.toks, tc.toks)) AS DOUBLE)
+      |   / (ta.n + tc.n - len(list_intersect(ta.toks, tc.toks))) >= 0.6)
+      |SELECT doc_id FROM doc
+      |WHERE part = 0
+      |  AND doc_id NOT IN (SELECT id FROM drop1)
+      |  AND doc_id NOT IN (SELECT id FROM drop2)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -444,5 +547,7 @@ object ExtensionQueries {
     "q39_cube" -> ((q39 _, q39Sql)),
     "q40_ema" -> ((q40 _, q40Sql)),
     "q41_exact_keepers" -> ((q41 _, q41Sql)),
-    "q42_dedup_keepers" -> ((q42 _, q42Sql)))
+    "q42_dedup_keepers" -> ((q42 _, q42Sql)),
+    "q43_simhash_keepers" -> ((q43 _, q43Sql)),
+    "q44_dedup_incremental" -> ((q44 _, q44Sql)))
 }
