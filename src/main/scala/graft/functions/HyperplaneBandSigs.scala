@@ -59,7 +59,11 @@ object HyperplaneBandSigs {
     * executor and cached, equal to the driver-side literals of the
     * composable form.
     */
-  private def planeComponent(plane: Int, d: Int): Double = {
+  /** private[graft]: the oracle query generator (q45) inlines these
+    * constants as SQL double literals so DuckDB replays the identical
+    * plane matrix.
+    */
+  private[graft] def planeComponent(plane: Int, d: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -531,6 +531,83 @@ object ExtensionQueries {
       |  AND doc_id NOT IN (SELECT id FROM drop1)
       |  AND doc_id NOT IN (SELECT id FROM drop2)""".stripMargin
 
+  // --------------------------------------------------------------- q45
+  /** The embedding-cosine dedup DECISION path
+    * ([[graft.ops.DedupOps.cosineKeepers]] — the PRODUCTION operator,
+    * not a portable twin), oracle-checked row-level: the hyperplane
+    * matrix is a pure deterministic function of (plane, dim), so the
+    * generated SQL inlines every component as a double literal and
+    * replays the sign-bit signatures, min-id rep per (band, bucket),
+    * and the fused-cosine ≥ 0.4 verify (0.4, not the production-typical 0.95: the fixture embeddings are random — max pairwise cosine ≈0.51 — so a higher threshold would never exercise the drop branch) with the SAME left-to-right
+    * double arithmetic (explicit 64-term addition chains — SQL `+` is
+    * left-associative, matching the generated loop), making the
+    * decision bit-replayable without a separate hash family.
+    */
+  private val q45Bands = 4
+  private val q45Planes = 4
+  private val q45Dim = 64
+
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cosineKeepers(
+      Tables.embeddings(spark, dir), "embedding", "vec_id", minCosine = 0.4,
+      bands = q45Bands, planesPerBand = q45Planes, dim = q45Dim)
+      .select(col("vec_id"))
+
+  /** Sign-bit band signature as an explicit SQL expression: bit p of
+    * band b set iff the inlined-literal plane dot (left-to-right over
+    * the 64 components, floats widened to double) is positive — the
+    * exact algebra of [[graft.functions.HyperplaneBandSigs]], including
+    * its zero-signature contract for length-mismatched or
+    * null-element vectors.
+    */
+  private def q45SigSql(col: String, band: Int): String = {
+    val bits = (0 until q45Planes).map { p =>
+      val plane = band * q45Planes + p
+      val dot = (0 until q45Dim).map { j =>
+        val c = graft.functions.HyperplaneBandSigs.planeComponent(plane, j)
+        s"CAST($col[${j + 1}] AS DOUBLE) * ($c)"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""CASE WHEN len($col) <> $q45Dim
+       | OR len(list_filter($col, x -> x IS NULL)) > 0
+       |THEN 0 ELSE $bits END""".stripMargin
+  }
+
+  /** Fused-cosine SQL over two fixed-dim vectors: dot and both norms as
+    * explicit left-to-right chains, `sqrt(na)*sqrt(nb)` denominator,
+    * zero-denominator → 0 — [[graft.functions.CosineSimilarity]]'s
+    * algebra verbatim.
+    */
+  private def q45CosSql(a: String, b: String): String = {
+    def chain(f: Int => String): String = (0 until q45Dim).map(f).mkString(" + ")
+    val dot = chain(j => s"CAST($a[${j + 1}] AS DOUBLE) * CAST($b[${j + 1}] AS DOUBLE)")
+    val na = chain(j => s"CAST($a[${j + 1}] AS DOUBLE) * CAST($a[${j + 1}] AS DOUBLE)")
+    val nb = chain(j => s"CAST($b[${j + 1}] AS DOUBLE) * CAST($b[${j + 1}] AS DOUBLE)")
+    s"(CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0" +
+      s" ELSE ($dot) / (sqrt($na) * sqrt($nb)) END)"
+  }
+
+  val q45Sql: String = {
+    val bandSelects = (0 until q45Bands).map { b =>
+      s"""SELECT vec_id, embedding, $b AS band,
+         | ${q45SigSql("embedding", b)} AS sig
+         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH band AS (
+       |$bandSelects),
+       |rep AS (
+       | SELECT band, sig, min(vec_id) AS rep, arg_min(embedding, vec_id) AS rep_vec
+       | FROM band GROUP BY band, sig),
+       |dropped AS (
+       | SELECT DISTINCT b.vec_id AS id
+       | FROM band b JOIN rep r ON b.band = r.band AND b.sig = r.sig
+       | WHERE b.vec_id > r.rep
+       |   AND ${q45CosSql("b.embedding", "r.rep_vec")} >= 0.4)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM dropped)""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -549,5 +626,6 @@ object ExtensionQueries {
     "q41_exact_keepers" -> ((q41 _, q41Sql)),
     "q42_dedup_keepers" -> ((q42 _, q42Sql)),
     "q43_simhash_keepers" -> ((q43 _, q43Sql)),
-    "q44_dedup_incremental" -> ((q44 _, q44Sql)))
+    "q44_dedup_incremental" -> ((q44 _, q44Sql)),
+    "q45_cosine_keepers" -> ((q45 _, q45Sql)))
 }
