@@ -14,16 +14,25 @@ import graft.streaming.StreamingOps
   * The oracle registry's exact-pairwise dedup validators (q18/q21/q22/
   * q23) are deliberately O(n²)-by-contract — they exist to hash-check
   * the scale paths at fixture scale, and benching them at sf0.1 only
-  * measures the cross product. Bench swaps them for the production
-  * formulations of the same operators (the `dedupKeepers` decision path,
-  * SimHash banding, hyperplane-LSH cosine top-k) so the recorded numbers
-  * reflect the engine's actual 100 TB-shaped plans.
+  * measures the cross product. The portable-twin DECISION validators
+  * (q42/q43/q44/q46) are linear but md5-signature-bound by the oracle
+  * portability contract — timing them only measures portable-md5
+  * volume (already characterized by q33), not a plan. Bench swaps both
+  * groups for the production formulations of the same operators (the
+  * `dedupKeepers`/`simHashKeepers`/`dedupKeepersNgram` decision paths,
+  * incremental dedup, hyperplane-LSH cosine top-k) so the recorded
+  * numbers reflect the engine's actual 100 TB-shaped plans. q41/q45
+  * stay timed: they run the PRODUCTION operators.
   */
 object Bench {
 
-  /** Quadratic-by-design oracle validators excluded from timing. */
+  /** Oracle-only validators excluded from timing: the quadratic
+    * pairwise forms and the md5-family portable decision twins.
+    */
   private val excluded = Set(
-    "q18_dedup", "q21_dedup_minhash", "q22_dedup_ngram", "q23_dedup_cosine")
+    "q18_dedup", "q21_dedup_minhash", "q22_dedup_ngram", "q23_dedup_cosine",
+    "q42_dedup_keepers", "q43_simhash_keepers", "q44_dedup_incremental",
+    "q46_ngram_keepers")
 
   /** Evaluation-forcing action: xxhash64 of EVERY output column, folded
     * with bit_xor. Under a bare `count()` Catalyst is free to prune

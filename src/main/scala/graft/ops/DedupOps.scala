@@ -297,8 +297,15 @@ object DedupOps {
   def dedupKeepersPortable(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int, rowsPerBand: Int,
-      hashFn: (Column, Int) => Column): DataFrame = {
-    val sig = minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn)
+      hashFn: (Column, Int) => Column,
+      ngram: Option[Int] = None): DataFrame = {
+    // ngram = Some(n): the shingle-level decision ([[dedupKeepersNgram]]'s
+    // portable twin, q46) — same plan, sets built from [[ngramSet]]
+    def sets: Column = ngram match {
+      case Some(n) => ngramSet(col(textCol), n)
+      case None => tokenSet(col(textCol))
+    }
+    val sig = minHashSignature(sets, bands * rowsPerBand, hashFn)
     val banded = df
       .select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), posexplode(
@@ -312,7 +319,7 @@ object DedupOps {
     val edges = banded.join(reps, Seq("band", "band_hash"))
       .filter(col("id") > col("rep"))
       .select("id", "rep").distinct()
-    val t = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    val t = df.select(col(idCol).as("id"), sets.as("toks"))
       .withColumn("n", size(col("toks")))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val dropped = edges

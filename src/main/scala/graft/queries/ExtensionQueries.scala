@@ -608,6 +608,58 @@ object ExtensionQueries {
        |WHERE vec_id NOT IN (SELECT id FROM dropped)""".stripMargin
   }
 
+  // --------------------------------------------------------------- q46
+  /** The shingle-level (word 3-gram) dedup DECISION, oracle-checked
+    * row-level ([[graft.ops.DedupOps.dedupKeepersPortable]] with
+    * `ngram = Some(3)` — the md5-family twin of the production
+    * `dedupKeepersNgram`): q22 pins the shingle-set construction for
+    * pairs, q42 the token-set decision; this pins the order-aware
+    * shingle decision. Threshold 0.05 like q22 — trigram Jaccard runs
+    * far below token Jaccard on the fixture.
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupKeepersPortable(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.05,
+      bands = 4, rowsPerBand = 4,
+      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)),
+      ngram = Some(3))
+      .select(col("doc_id"))
+
+  val q46Sql: String =
+    s"""WITH t AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string(string_split(text, ' ')[i : i+2], ' '))) AS toks,
+      |  len(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string(string_split(text, ' ')[i : i+2], ' ')))) AS n
+      | FROM documents),
+      |sig AS (
+      | SELECT doc_id, toks, n,
+      |  list_transform(generate_series(0, 15), i ->
+      |    list_min(list_transform(toks, tk -> ${dk("tk || '#' || i")}))) AS sg
+      | FROM t),
+      |band AS (
+      | SELECT doc_id, u.i AS band,
+      |   md5(array_to_string(sg[4*u.i+1 : 4*u.i+4], ',')) AS bh
+      | FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) u),
+      |rep AS (
+      | SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh),
+      |edge AS (
+      | SELECT DISTINCT b.doc_id AS id, r.rep
+      | FROM band b JOIN rep r ON b.band = r.band AND b.bh = r.bh
+      | WHERE b.doc_id > r.rep),
+      |dropped AS (
+      | SELECT DISTINCT e.id
+      | FROM edge e
+      |  JOIN t ta ON ta.doc_id = e.id
+      |  JOIN t tb ON tb.doc_id = e.rep
+      | WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      |   / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) >= 0.05)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -627,5 +679,6 @@ object ExtensionQueries {
     "q42_dedup_keepers" -> ((q42 _, q42Sql)),
     "q43_simhash_keepers" -> ((q43 _, q43Sql)),
     "q44_dedup_incremental" -> ((q44 _, q44Sql)),
-    "q45_cosine_keepers" -> ((q45 _, q45Sql)))
+    "q45_cosine_keepers" -> ((q45 _, q45Sql)),
+    "q46_ngram_keepers" -> ((q46 _, q46Sql)))
 }
