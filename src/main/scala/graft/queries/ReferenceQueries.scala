@@ -235,6 +235,82 @@ object ReferenceQueries {
   }
 
   /** name → (spark impl, oracle sql). */
+  // --------------------------------------------------------------- q47
+  /** OP-22 positional zip join: i-th row of the doc-id order paired
+    * with the i-th row of the vec-id order — the index-aligned ingest
+    * contract ([[graft.ops.JoinOps.positionalJoin]]; `withRowIndex` is
+    * RDD `zipWithIndex` over the sorted frame, so the global index IS
+    * the sort rank, deterministically, with no unpartitioned window).
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    JoinOps.positionalJoin(
+      Tables.documents(spark, dir).sort("doc_id").select("doc_id"),
+      Tables.embeddings(spark, dir).sort("vec_id").select("vec_id"))
+
+  val q47Sql: String =
+    """SELECT a.doc_id, b.vec_id
+      |FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents) a
+      |JOIN (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings) b
+      | USING (rn)""".stripMargin
+
+  // --------------------------------------------------------------- q48
+  /** OP-30 last-4-layer pooling: the 64-float embedding viewed as 8
+    * layers of 8, elementwise mean of the LAST 4
+    * ([[graft.ops.VectorOps.lastKLayerPool]]) — fold order replayed
+    * left-to-right in DuckDB (0.0 + l5 + l6 + l7 + l8, then / 4).
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val layers = transform(sequence(lit(0), lit(7)),
+      j => slice(col("embedding"), j * 8 + 1, lit(8)))
+    val pooled = VectorOps.lastKLayerPool(layers, 4)
+    // one scalar column per pooled element: the driver canonicalizer
+    // hashes scalars, not arrays
+    Tables.embeddings(spark, dir).select(
+      col("vec_id") +: (1 to 8).map(e => element_at(pooled, e).as(s"p$e")): _*)
+  }
+
+  val q48Sql: String = {
+    val cols = (1 to 8).map { e =>
+      s"""(0.0 + CAST(embedding[${32 + e}] AS DOUBLE) + CAST(embedding[${40 + e}] AS DOUBLE)
+         |   + CAST(embedding[${48 + e}] AS DOUBLE) + CAST(embedding[${56 + e}] AS DOUBLE)) / 4 AS p$e""".stripMargin
+    }.mkString(",\n ")
+    s"""SELECT vec_id,
+      | $cols
+      |FROM embeddings""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q49
+  /** OP-38 seeded shuffle ([[graft.ops.SplitOps.shuffled]]): the
+    * deterministic key-derived global order, emitted as an explicit
+    * rank (the driver's canonicalization sorts rows, so ORDER itself
+    * is not oracle-checkable — the rank VALUES are).
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    JoinOps.withRowIndex(
+      SplitOps.shuffled(
+        Tables.documents(spark, dir).select("doc_id"), "doc_id", seed = 7L),
+      "shuffle_rank")
+
+  val q49Sql: String =
+    s"""SELECT doc_id,
+      | ROW_NUMBER() OVER (
+      |   ORDER BY ${dk("CAST(doc_id AS VARCHAR) || '#7'")}, doc_id) - 1 AS shuffle_rank
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- q50
+  /** OP-42 fixed-size chunking ([[graft.ops.SplitOps.chunkBy]]): shard
+    * = sorted row index div chunk size — the sharded-sink partitioning
+    * law (OP-05 writes these shards via partitionBy).
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.chunkBy(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id", chunkSize = 64)
+
+  val q50Sql: String =
+    """SELECT doc_id,
+      | CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 64) AS INT) AS shard
+      |FROM documents""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q31_stratified_split" -> ((q31 _, q31Sql)),
     "q32_kfold" -> ((q32 _, q32Sql)),
@@ -242,5 +318,9 @@ object ReferenceQueries {
     "q34_itm_shuffle" -> ((q34 _, q34Sql)),
     "q35_frame_ops" -> ((q35 _, q35Sql)),
     "q36_multimodal_decode" -> ((q36 _, q36Sql)),
-    "q37_mfm_mask" -> ((q37 _, q37Sql)))
+    "q37_mfm_mask" -> ((q37 _, q37Sql)),
+    "q47_positional_zip" -> ((q47 _, q47Sql)),
+    "q48_last4_pool" -> ((q48 _, q48Sql)),
+    "q49_seeded_shuffle" -> ((q49 _, q49Sql)),
+    "q50_chunk_assign" -> ((q50 _, q50Sql)))
 }
