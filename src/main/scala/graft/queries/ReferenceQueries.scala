@@ -311,6 +311,24 @@ object ReferenceQueries {
       | CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 64) AS INT) AS shard
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q51
+  /** OP-13 whitespace strip (reference `src/data_helper.py:194-196` —
+    * the legacy text-compaction step): literal-space removal only, NOT
+    * all-whitespace ([[graft.ops.TextOps.stripSpaces]]); checked with
+    * per-row lengths so a regex-semantics drift cannot hash-collide
+    * away.
+    */
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextOps.stripSpaces(col("text")).as("stripped"),
+      length(TextOps.stripSpaces(col("text"))).as("n_stripped"))
+
+  val q51Sql: String =
+    """SELECT doc_id, replace(text, ' ', '') AS stripped,
+      | CAST(length(replace(text, ' ', '')) AS INT) AS n_stripped
+      |FROM documents""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q31_stratified_split" -> ((q31 _, q31Sql)),
     "q32_kfold" -> ((q32 _, q32Sql)),
@@ -322,5 +340,6 @@ object ReferenceQueries {
     "q47_positional_zip" -> ((q47 _, q47Sql)),
     "q48_last4_pool" -> ((q48 _, q48Sql)),
     "q49_seeded_shuffle" -> ((q49 _, q49Sql)),
-    "q50_chunk_assign" -> ((q50 _, q50Sql)))
+    "q50_chunk_assign" -> ((q50 _, q50Sql)),
+    "q51_strip_spaces" -> ((q51 _, q51Sql)))
 }
