@@ -83,6 +83,48 @@ object TextAnalysis {
     lenScore * 0.4 + punctPenalty * 0.4 + swScore * 0.2
   }
 
+  /** Intra-document REPETITION signals (Gopher-style quality rules,
+    * Rae et al. 2021 §A1.1: "repetition removal" — documents dominated
+    * by repeated fragments are low-quality for training): duplicate-
+    * token fraction (1 − distinct/total) and top-bigram fraction (the
+    * most frequent word 2-gram's share of all 2-grams). Pure column
+    * algebra, zero shuffles; compose with [[qualityScore]] as curation
+    * pre-filters ahead of the shuffling dedup stage. Degenerate inputs:
+    * no tokens → 0 duplicate fraction; fewer than 2 tokens → 0
+    * top-bigram fraction.
+    *
+    * The mode count is sort + longest-equal-run — O(n log n) per doc,
+    * not the naive O(n²) count-each-distinct-gram, because real web
+    * documents run to thousands of tokens and this sits in the
+    * every-document hot path of a curation pipeline.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    val dupFrac = when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks))
+    // raw (non-distinct) bigram list — counts need every occurrence
+    val grams = when(size(toks) < 2, array())
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    // mode count = longest run of equal adjacent values in the sorted
+    // list; grams are never "" (tokens are non-empty) so "" is a safe
+    // run seed.
+    val topCount = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+    val topFrac = when(size(grams) === 0, 0.0)
+      .otherwise(topCount.cast("double") / size(grams))
+    struct(dupFrac.as("dup_token_frac"), topFrac.as("top_bigram_frac"))
+  }
+
   /** BPE-ish subword count: alpha runs, digit runs, and single other
     * glyphs each count as one token — a deterministic proxy for subword
     * tokenizer cost, as a codegen'd regex count.

@@ -660,6 +660,39 @@ object ExtensionQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  // --------------------------------------------------------------- q52
+  /** Gopher-style intra-document repetition signals
+    * ([[graft.ops.TextAnalysis.repetitionSignals]]): duplicate-token
+    * fraction and top-bigram fraction — the repetition-removal quality
+    * dimension of LLM curation, oracle-checked value-level.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextAnalysis.repetitionSignals(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      s.getField("dup_token_frac").as("dup_token_frac"),
+      s.getField("top_bigram_frac").as("top_bigram_frac"))
+  }
+
+  val q52Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  list_filter(string_split(text, ' '), tk -> tk <> '') AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, toks,
+      |  CASE WHEN len(toks) < 2 THEN []
+      |   ELSE list_transform(generate_series(1, len(toks) - 1),
+      |     i -> array_to_string(toks[i : i+1], ' ')) END AS grams
+      | FROM t)
+      |SELECT doc_id,
+      | CASE WHEN len(toks) = 0 THEN 0.0
+      |  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dup_token_frac,
+      | CASE WHEN len(grams) = 0 THEN 0.0
+      |  ELSE CAST(list_max(list_transform(list_distinct(grams),
+      |    d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE) / len(grams) END AS top_bigram_frac
+      |FROM g""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -680,5 +713,6 @@ object ExtensionQueries {
     "q43_simhash_keepers" -> ((q43 _, q43Sql)),
     "q44_dedup_incremental" -> ((q44 _, q44Sql)),
     "q45_cosine_keepers" -> ((q45 _, q45Sql)),
-    "q46_ngram_keepers" -> ((q46 _, q46Sql)))
+    "q46_ngram_keepers" -> ((q46 _, q46Sql)),
+    "q52_repetition" -> ((q52 _, q52Sql)))
 }

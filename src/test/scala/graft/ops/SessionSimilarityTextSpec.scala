@@ -117,6 +117,24 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
 
+  test("repetitionSignals: duplicate-token and top-bigram fractions, degenerate-safe") {
+    val got = Seq(
+      "a a a a",        // dup 3/4; bigrams [a a, a a, a a] -> top 1.0
+      "a b c d",        // dup 0; 3 distinct bigrams -> top 1/3
+      "x y x y x",      // dup 3/5; bigrams [x y, y x, x y, y x] -> top 2/4
+      "solo",           // one token: no bigrams
+      ""                // empty: both zero
+    ).toDF("text")
+      .select(TextAnalysis.repetitionSignals(col("text")).as("s"))
+      .select(col("s.dup_token_frac"), col("s.top_bigram_frac"))
+      .as[(Double, Double)].collect().toSeq
+    assert(got(0) == ((0.75, 1.0)))
+    assert(got(1)._1 == 0.0 && math.abs(got(1)._2 - 1.0 / 3) < 1e-15)
+    assert(got(2) == ((1.0 - 2.0 / 5, 0.5)))
+    assert(got(3) == ((0.0, 0.0)))
+    assert(got(4) == ((0.0, 0.0)))
+  }
+
   test("langId picks the profile with most stopword hits; ties broken by declaration order") {
     val df = Seq(
       "the cat sat on the mat and it is fine",   // en
