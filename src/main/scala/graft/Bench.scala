@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Tables
-import graft.ops.{DedupOps, MaskingOps, SimilarityOps}
+import graft.ops.{CurationOps, DedupOps, MaskingOps, SimilarityOps}
 import graft.streaming.StreamingOps
 
 /** Per-round benchmark runner: prints ONE JSON line with per-query
@@ -178,6 +178,15 @@ object Bench {
     // (data_helper.py tokenizes 3 text fields per row this way) with a
     // realistic-size vocab; b_ws_tokenize is the whitespace floor the
     // CodegenFallback is compared against in BASELINE.md.
+    // decontamination at production hash (xxhash64 gram keys; the 5%
+    // key-split eval side broadcasts, train text never shuffles)
+    "b_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CurationOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "text", "doc_id", n = 3)
+    }),
     "b_wordpiece_tokenize" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.WordPieceTokenize.wordpiece(col("text"), syntheticVocab).as("ids"))),

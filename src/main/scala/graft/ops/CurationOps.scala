@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond dedup: benchmark decontamination,
+  * corpus-frequent span removal, PII redaction, per-bucket balancing.
+  * These are the standard large-LM data-pipeline stages (GPT-3
+  * appendix C's 13-gram eval-overlap filter; CCNet/C4's repeated-span
+  * removal; RefinedWeb's pipeline ordering: quality filter → span
+  * scrub → dedup) re-expressed as Spark plans.
+  *
+  * Scale notes (100 TB): every operator here is designed so the CORPUS
+  * TEXT never crosses an exchange — the small side (eval-set grams,
+  * the frequent-span set, per-bucket caps) broadcasts, and only ids or
+  * 64-bit hashes shuffle.
+  */
+object CurationOps {
+
+  /** Order-aware word n-gram occurrence list (every occurrence, not the
+    * distinct set — span counting needs multiplicity). Empty for texts
+    * shorter than n tokens.
+    */
+  def ngramList(text: Column, n: Int): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Ids of training docs sharing at least one word n-gram with the
+    * eval corpus — GPT-3-style benchmark decontamination (Brown et al.
+    * 2020, appendix C uses 13-grams; `n` is the caller's contract).
+    *
+    * Plan shape at 100 TB: the eval side is benchmark-sized (at most
+    * millions of grams), so its distinct gram-key set BROADCASTS; the
+    * train side computes gram keys map-side and left-semi-joins against
+    * the broadcast without any exchange of text or grams. Only the
+    * surviving (contaminated) ids — bounded by the corpus hit rate —
+    * reach the final distinct. `gramKey` defaults to xxhash64 (8-byte
+    * keys in the broadcast); pass identity/md5 for portable oracles.
+    */
+  def contaminatedIds(
+      train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      gramKey: Column => Column = xxhash64(_)): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(ngramList(col(textCol), n))).as("g"))
+      .select(gramKey(col("g")).as("gk")).distinct()
+    train
+      .select(col(idCol),
+        explode(array_distinct(ngramList(col(textCol), n))).as("g"))
+      .select(col(idCol), gramKey(col("g")).as("gk"))
+      .join(broadcast(evalGrams), Seq("gk"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Decontamination DECISION path: `train` minus every doc flagged by
+    * [[contaminatedIds]], unchanged schema. The anti-join side is the
+    * contaminated-id set — proportional to eval overlap, not the
+    * corpus — so it broadcasts and the full train rows never shuffle.
+    */
+  def decontaminate(
+      train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      gramKey: Column => Column = xxhash64(_)): DataFrame =
+    train.join(
+      contaminatedIds(train, evalDocs, textCol, idCol, n, gramKey),
+      Seq(idCol), "left_anti")
+}

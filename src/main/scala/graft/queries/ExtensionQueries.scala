@@ -693,6 +693,40 @@ object ExtensionQueries {
       |    d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE) / len(grams) END AS top_bigram_frac
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------------- q53
+  /** Benchmark decontamination ([[graft.ops.CurationOps.decontaminate]]):
+    * docs `doc_id % 20 == 0` play the eval set, the rest train; kept =
+    * train docs sharing NO word 3-gram with eval. Portable twin joins
+    * on the gram strings themselves (production default is xxhash64
+    * keys — [[graft.ops.CurationOpsSpec]] pins the two families to
+    * identical decisions).
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    CurationOps.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "text", "doc_id", n = 3, gramKey = c => c)
+      .select("doc_id")
+  }
+
+  val q53Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id, CASE WHEN len(tk) < 3 THEN []
+      |   ELSE list_transform(generate_series(1, len(tk) - 2),
+      |     i -> array_to_string(tk[i : i+2], ' ')) END AS gs
+      | FROM toks),
+      |ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+      |bad AS (
+      | SELECT DISTINCT tr.doc_id
+      | FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0) tr
+      |  JOIN ev USING (g))
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -714,5 +748,6 @@ object ExtensionQueries {
     "q44_dedup_incremental" -> ((q44 _, q44Sql)),
     "q45_cosine_keepers" -> ((q45 _, q45Sql)),
     "q46_ngram_keepers" -> ((q46 _, q46Sql)),
-    "q52_repetition" -> ((q52 _, q52Sql)))
+    "q52_repetition" -> ((q52 _, q52Sql)),
+    "q53_decontaminate" -> ((q53 _, q53Sql)))
 }

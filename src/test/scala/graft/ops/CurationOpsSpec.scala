@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Curation-stage contracts: decontamination flags exactly the train
+  * docs sharing an n-gram with the eval set, the decision path drops
+  * exactly those, and the eval gram set arrives by broadcast (the
+  * 100 TB plan shape).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),     // clean
+    (3L, "sphinx of black quartz judge my vow today"),   // clean
+    (4L, "a quick brown fox ran far away yesterday"),    // shares "quick brown fox"
+    (5L, "xx yy")                                        // shorter than n: never flagged
+  ).toDF("doc_id", "text")
+
+  private val evalSet = Seq(
+    (100L, "benchmark asks about the quick brown fox story"),
+    (101L, "totally unrelated benchmark question here")
+  ).toDF("doc_id", "text")
+
+  test("contaminatedIds flags exactly the overlapping train docs") {
+    val ids = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", n = 3)
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 4L))
+  }
+
+  test("decontaminate keeps the complement with schema unchanged") {
+    val kept = CurationOps.decontaminate(train, evalSet, "text", "doc_id", n = 3)
+    assert(kept.columns.toSeq == train.columns.toSeq)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 5L))
+  }
+
+  test("a doc is flagged only for full n-gram matches, not shared words") {
+    // shares words "quick" and "fox" but no 3-gram
+    val t = Seq((9L, "fox saw a quick result")).toDF("doc_id", "text")
+    assert(CurationOps.contaminatedIds(t, evalSet, "text", "doc_id", 3).count() == 0L)
+  }
+
+  test("eval gram set joins by broadcast; no text attribute crosses an exchange") {
+    val plan = CurationOps.decontaminate(train, evalSet, "text", "doc_id", 3)
+      .queryExecution.executedPlan
+    val asText = plan.toString
+    assert(asText.contains("BroadcastExchange"),
+      s"expected broadcast of the eval gram set in:\n$asText")
+    // every shuffle in the plan carries only ids/hashes, never strings
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      s.child.output.foreach { attr =>
+        assert(!attr.dataType.typeName.contains("string"),
+          s"string attribute ${attr.name} crosses a shuffle:\n$asText")
+      }
+    }
+  }
+
+  test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
+    val a = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3)
+      .as[Long].collect().toSet
+    val b = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3,
+        gramKey = graft.core.PortableHash.md5Long).as[Long].collect().toSet
+    assert(a == b)
+  }
+}
