@@ -187,6 +187,11 @@ object Bench {
         docs.filter(col("doc_id") % 20 === 0),
         "text", "doc_id", n = 3)
     }),
+    // corpus-frequent span scrub at production hash (heavy-hitter set
+    // broadcast; doc text filtered map-side, never shuffled)
+    "b_span_scrub" -> ((s, dir) =>
+      CurationOps.scrubFrequentSpans(
+        Tables.documents(s, dir), "text", m = 4, minCount = 2)),
     "b_wordpiece_tokenize" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.WordPieceTokenize.wordpiece(col("text"), syntheticVocab).as("ids"))),

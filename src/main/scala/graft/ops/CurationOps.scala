@@ -55,6 +55,61 @@ object CurationOps {
       .select(idCol).distinct()
   }
 
+  /** Non-overlapping m-token spans of a doc, in order (the last span
+    * may be shorter) — the flat-text analogue of CCNet's paragraph
+    * unit for corpus-frequent span removal. Empty for empty texts.
+    */
+  def spanList(text: Column, m: Int): Column = {
+    require(m >= 1, s"span length must be >= 1, got $m")
+    val toks = TextOps.whitespaceTokenize(text)
+    val nChunks = floor((size(toks) + lit(m - 1)) / lit(m)).cast("int")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * m + 1, lit(m)))))
+  }
+
+  /** Corpus-frequent spans: every m-token span occurring at least
+    * `minCount` times across the corpus, as (span_key, n). Shuffles
+    * only (64-bit key, partial count) pairs — map-side combine makes
+    * the exchange proportional to distinct spans per partition, and
+    * the text itself never moves.
+    */
+  def frequentSpans(
+      df: DataFrame, textCol: String, m: Int, minCount: Long,
+      spanKey: Column => Column = xxhash64(_)): DataFrame =
+    df.select(explode(spanList(col(textCol), m)).as("s"))
+      .select(spanKey(col("s")).as("span_key"))
+      .groupBy("span_key").agg(count("*").as("n"))
+      .filter(col("n") >= minCount)
+
+  /** CCNet/C4-style repeated-span scrub: rewrite `textCol` with every
+    * corpus-frequent span removed (remaining spans re-joined in order,
+    * other columns untouched). Docs made empty by the scrub are KEPT
+    * with empty text — composing with a length filter is the caller's
+    * policy decision.
+    *
+    * Plan shape at 100 TB: the frequent-span set is the heavy-hitter
+    * tail (≤ total spans / minCount, in practice tiny), aggregated to
+    * ONE row and broadcast; each doc then filters its own spans
+    * map-side. Doc text never crosses an exchange — the alternative
+    * (explode → join → re-groupBy docs) would shuffle the whole corpus
+    * twice. If the frequent set ever outgrows a broadcast, raise
+    * `minCount` or swap the membership array for a Bloom filter; the
+    * rest of the plan is unchanged.
+    */
+  def scrubFrequentSpans(
+      df: DataFrame, textCol: String, m: Int, minCount: Long,
+      spanKey: Column => Column = xxhash64(_)): DataFrame = {
+    // global agg: exactly one row even when nothing is frequent
+    val bad = frequentSpans(df, textCol, m, minCount, spanKey)
+      .agg(collect_set(col("span_key")).as("bad_spans"))
+    df.crossJoin(broadcast(bad))
+      .withColumn(textCol, concat_ws(" ",
+        filter(spanList(col(textCol), m),
+          s => !array_contains(col("bad_spans"), spanKey(s)))))
+      .drop("bad_spans")
+  }
+
   /** Decontamination DECISION path: `train` minus every doc flagged by
     * [[contaminatedIds]], unchanged schema. The anti-join side is the
     * contaminated-id set — proportional to eval overlap, not the

@@ -727,6 +727,36 @@ object ExtensionQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  // --------------------------------------------------------------- q54
+  /** Corpus-frequent span scrub
+    * ([[graft.ops.CurationOps.scrubFrequentSpans]]): every 4-token span
+    * occurring ≥2× corpus-wide is removed from every doc, remaining
+    * spans re-joined in order. Portable twin keys spans by their
+    * strings (production default: xxhash64).
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.scrubFrequentSpans(
+        Tables.documents(spark, dir), "text", m = 4, minCount = 2,
+        spanKey = c => c)
+      .select("doc_id", "text")
+
+  val q54Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |spans AS (
+      | SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+      |  ELSE list_transform(generate_series(0, CAST(ceil(len(tk) / 4.0) AS BIGINT) - 1),
+      |    i -> array_to_string(tk[i*4+1 : i*4+4], ' ')) END AS sp
+      | FROM toks),
+      |freq AS (
+      | SELECT g FROM (SELECT unnest(sp) AS g FROM spans)
+      | GROUP BY g HAVING count(*) >= 2),
+      |bad AS (SELECT coalesce(list(g), []) AS b FROM freq)
+      |SELECT doc_id,
+      | array_to_string(list_filter(sp, x -> NOT list_contains(b, x)), ' ') AS text
+      |FROM spans, bad""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -749,5 +779,6 @@ object ExtensionQueries {
     "q45_cosine_keepers" -> ((q45 _, q45Sql)),
     "q46_ngram_keepers" -> ((q46 _, q46Sql)),
     "q52_repetition" -> ((q52 _, q52Sql)),
-    "q53_decontaminate" -> ((q53 _, q53Sql)))
+    "q53_decontaminate" -> ((q53 _, q53Sql)),
+    "q54_span_scrub" -> ((q54 _, q54Sql)))
 }

@@ -62,6 +62,57 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("spanList: non-overlapping m-token chunks, short tail kept, empty-safe") {
+    val got = Seq("a b c d e f g", "a b", "").toDF("text")
+      .select(CurationOps.spanList(col("text"), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "d e f", "g"))
+    assert(got(1) == Seq("a b"))
+    assert(got(2) == Seq())
+  }
+
+  test("scrubFrequentSpans removes exactly the corpus-frequent spans, in-place") {
+    val docs = Seq(
+      (1L, "spam spam spam alpha beta gamma"),
+      (2L, "spam spam spam delta epsilon zeta"),
+      (3L, "spam spam spam eta theta iota"),
+      (4L, "unique words only here today now")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.scrubFrequentSpans(docs, "text", m = 3, minCount = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(out == Seq("alpha beta gamma", "delta epsilon zeta",
+      "eta theta iota", "unique words only here today now"))
+  }
+
+  test("scrubFrequentSpans with nothing frequent is the identity (incl. row count)") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val out = CurationOps.scrubFrequentSpans(docs, "text", 3, minCount = 2)
+    assert(out.orderBy("doc_id").select("text").as[String].collect().toSeq ==
+      Seq("a b c", "d e f"))
+  }
+
+  test("a doc whose every span is frequent survives with empty text") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "x y z w w w")).toDF("doc_id", "text")
+    val out = CurationOps.scrubFrequentSpans(docs, "text", 3, minCount = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(out == Seq("", "", "w w w"))
+  }
+
+  test("scrub plan: span counting shuffles longs only; frequent set broadcasts") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val plan = CurationOps.scrubFrequentSpans(docs, "text", 3, 2)
+      .queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastExchange"))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    plan.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+      s.child.output.foreach { attr =>
+        assert(!attr.dataType.typeName.contains("string"),
+          s"string attribute ${attr.name} crosses a shuffle:\n$plan")
+      }
+    }
+  }
+
   test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
     val a = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3)
       .as[Long].collect().toSet
