@@ -55,6 +55,28 @@ object CurationOps {
       .select(idCol).distinct()
   }
 
+  /** PII redaction patterns — deliberately restricted to regex syntax
+    * with identical semantics in Java regex and RE2 (no backrefs, no
+    * lookaround), so the DuckDB oracle replays them verbatim.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "(\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+
+  /** PII scrub: emails → `<EMAIL>`, then IPv4 → `<IP>`, then phone
+    * numbers → `<PHONE>` (email first — addresses embed digits; IP
+    * before phone — a dotted phone can't be an IP because its trailing
+    * 4-digit run defeats the word boundary, but the order makes intent
+    * explicit). Pure codegen'd column algebra: zero shuffles, runs in
+    * the scan's whole-stage-codegen span at any corpus size.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Non-overlapping m-token spans of a doc, in order (the last span
     * may be shorter) — the flat-text analogue of CCNet's paragraph
     * unit for corpus-frequent span removal. Empty for empty texts.

@@ -757,6 +757,32 @@ object ExtensionQueries {
       | array_to_string(list_filter(sp, x -> NOT list_contains(b, x)), ' ') AS text
       |FROM spans, bad""".stripMargin
 
+  // --------------------------------------------------------------- q55
+  /** PII scrub ([[graft.ops.CurationOps.scrubPii]]): each doc gets a
+    * deterministic doc_id-derived email plus a phone and an IP appended,
+    * then redacted — the oracle replays the identical regex chain (the
+    * patterns are restricted to Java-regex/RE2-common syntax for exactly
+    * this portability).
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = concat_ws(" ", col("text"),
+      concat(lit("user"), col("doc_id").cast("string"), lit("@mail.example.com")),
+      lit("call 415-555-0199 from 10.0.0.1"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), CurationOps.scrubPii(withPii).as("text"))
+  }
+
+  val q55Sql: String =
+    s"""SELECT doc_id,
+      | regexp_replace(
+      |  regexp_replace(
+      |   regexp_replace(
+      |     text || ' user' || doc_id || '@mail.example.com call 415-555-0199 from 10.0.0.1',
+      |     '${CurationOps.EmailRe}', '<EMAIL>', 'g'),
+      |   '${CurationOps.Ipv4Re}', '<IP>', 'g'),
+      |  '${CurationOps.PhoneRe}', '<PHONE>', 'g') AS text
+      |FROM documents""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -780,5 +806,6 @@ object ExtensionQueries {
     "q46_ngram_keepers" -> ((q46 _, q46Sql)),
     "q52_repetition" -> ((q52 _, q52Sql)),
     "q53_decontaminate" -> ((q53 _, q53Sql)),
-    "q54_span_scrub" -> ((q54 _, q54Sql)))
+    "q54_span_scrub" -> ((q54 _, q54Sql)),
+    "q55_pii_scrub" -> ((q55 _, q55Sql)))
 }

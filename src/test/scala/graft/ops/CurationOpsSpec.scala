@@ -113,6 +113,22 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubPii redacts emails, IPv4 and phone formats; clean text unchanged") {
+    val got = Seq(
+      "contact jane.doe+spam@sub.example.co.uk for details",
+      "server at 192.168.1.254 timed out",
+      "call 415-555-0199 or (415) 555-0199 or +1 415.555.0199",
+      "version 1.2 costs 3.50 and pi is 3.14159",   // no false positives
+      "plain text with no pii at all"
+    ).toDF("text").select(CurationOps.scrubPii(col("text")).as("t"))
+      .as[String].collect().toSeq
+    assert(got(0) == "contact <EMAIL> for details")
+    assert(got(1) == "server at <IP> timed out")
+    assert(got(2) == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(got(3) == "version 1.2 costs 3.50 and pi is 3.14159")
+    assert(got(4) == "plain text with no pii at all")
+  }
+
   test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
     val a = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3)
       .as[Long].collect().toSet
