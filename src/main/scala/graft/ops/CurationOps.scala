@@ -132,6 +132,38 @@ object CurationOps {
       .drop("bad_spans")
   }
 
+  /** Corpus balancing: keep at most `cap` rows per bucket, best-ranked
+    * first (`rank` descending, `idCol` ascending as the deterministic
+    * tiebreak) — the data-mixing stage that stops one domain/language
+    * from dominating a training corpus.
+    *
+    * Plan shape at 100 TB: ranking happens on a NARROW projection
+    * (xxhash64 bucket key, rank value, id) — the only exchange carries
+    * three numeric columns, never the document text; the decision then
+    * returns as a LOSERS anti-join, proportional to what the cap drops.
+    * A 64-bit bucket collision merges two buckets (over-dropping at
+    * worst cap rows) — the same accepted contract as exact dedup's
+    * hash key. Per-bucket skew is inherent to row_number (one bucket =
+    * one task's sort); buckets here are (lang, source)-sized, and a
+    * pathological mega-bucket would call for a pre-prune or sketch, not
+    * a different decision algebra.
+    */
+  def capBuckets(
+      df: DataFrame, bucketCols: Seq[String], rank: Column,
+      idCol: String, cap: Int): DataFrame = {
+    require(bucketCols.nonEmpty && cap >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val narrow = df.select(
+      xxhash64(bucketCols.map(col): _*).as("bucket_h"),
+      rank.as("r"), col(idCol).as("id"))
+    val losers = narrow
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bucket_h").orderBy(col("r").desc, col("id"))))
+      .filter(col("rn") > cap)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Decontamination DECISION path: `train` minus every doc flagged by
     * [[contaminatedIds]], unchanged schema. The anti-join side is the
     * contaminated-id set — proportional to eval overlap, not the

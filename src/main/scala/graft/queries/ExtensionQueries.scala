@@ -783,6 +783,25 @@ object ExtensionQueries {
       |  '${CurationOps.PhoneRe}', '<PHONE>', 'g') AS text
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q56
+  /** Corpus balancing ([[graft.ops.CurationOps.capBuckets]]): at most 8
+    * docs per (lang, source) bucket, longest (n_chars) first, doc_id
+    * tiebreak — integer rank key so both engines order identically.
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.capBuckets(Tables.documents(spark, dir),
+        Seq("lang", "source"), col("n_chars"), "doc_id", cap = 8)
+      .select("doc_id", "lang", "source", "n_chars")
+
+  val q56Sql: String =
+    """WITH ranked AS (
+      | SELECT doc_id, ROW_NUMBER() OVER (
+      |   PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rn
+      | FROM documents)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN ranked USING (doc_id)
+      |WHERE rn <= 8""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -807,5 +826,6 @@ object ExtensionQueries {
     "q52_repetition" -> ((q52 _, q52Sql)),
     "q53_decontaminate" -> ((q53 _, q53Sql)),
     "q54_span_scrub" -> ((q54 _, q54Sql)),
-    "q55_pii_scrub" -> ((q55 _, q55Sql)))
+    "q55_pii_scrub" -> ((q55 _, q55Sql)),
+    "q56_cap_buckets" -> ((q56 _, q56Sql)))
 }

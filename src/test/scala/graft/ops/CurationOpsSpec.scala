@@ -14,6 +14,31 @@ class CurationOpsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
 
+  /** AQE-unwrapped physical plan: `AdaptiveSparkPlanExec` is a LEAF to
+    * `collect`, so node assertions must walk `initialPlan` or they pass
+    * vacuously (same helper as PlanShapeSpec).
+    */
+  private def physical(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
+  private def assertNoStringShuffle(df: org.apache.spark.sql.DataFrame,
+      expectShuffle: Boolean): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = physical(df)
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    if (expectShuffle) assert(shuffles.nonEmpty, s"expected a shuffle in:\n$plan")
+    shuffles.foreach { s =>
+      s.output.foreach { attr =>
+        assert(attr.dataType != org.apache.spark.sql.types.StringType,
+          s"string attribute ${attr.name} crosses a shuffle:\n$plan")
+      }
+    }
+  }
+
   private val train = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "pack my box with five dozen liquor jugs"),     // clean
@@ -46,20 +71,11 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("eval gram set joins by broadcast; no text attribute crosses an exchange") {
-    val plan = CurationOps.decontaminate(train, evalSet, "text", "doc_id", 3)
-      .queryExecution.executedPlan
-    val asText = plan.toString
-    assert(asText.contains("BroadcastExchange"),
-      s"expected broadcast of the eval gram set in:\n$asText")
+    val df = CurationOps.decontaminate(train, evalSet, "text", "doc_id", 3)
+    assert(physical(df).toString.contains("BroadcastExchange"),
+      s"expected broadcast of the eval gram set in:\n${physical(df)}")
     // every shuffle in the plan carries only ids/hashes, never strings
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    shuffles.foreach { s =>
-      s.child.output.foreach { attr =>
-        assert(!attr.dataType.typeName.contains("string"),
-          s"string attribute ${attr.name} crosses a shuffle:\n$asText")
-      }
-    }
+    assertNoStringShuffle(df, expectShuffle = true)
   }
 
   test("spanList: non-overlapping m-token chunks, short tail kept, empty-safe") {
@@ -101,16 +117,9 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("scrub plan: span counting shuffles longs only; frequent set broadcasts") {
     val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
-    val plan = CurationOps.scrubFrequentSpans(docs, "text", 3, 2)
-      .queryExecution.executedPlan
-    assert(plan.toString.contains("BroadcastExchange"))
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    plan.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
-      s.child.output.foreach { attr =>
-        assert(!attr.dataType.typeName.contains("string"),
-          s"string attribute ${attr.name} crosses a shuffle:\n$plan")
-      }
-    }
+    val df = CurationOps.scrubFrequentSpans(docs, "text", 3, 2)
+    assert(physical(df).toString.contains("BroadcastExchange"))
+    assertNoStringShuffle(df, expectShuffle = true)
   }
 
   test("scrubPii redacts emails, IPv4 and phone formats; clean text unchanged") {
@@ -127,6 +136,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2) == "call <PHONE> or <PHONE> or <PHONE>")
     assert(got(3) == "version 1.2 costs 3.50 and pi is 3.14159")
     assert(got(4) == "plain text with no pii at all")
+  }
+
+  test("capBuckets keeps the top-cap per bucket by rank desc, id-asc ties") {
+    val docs = Seq(
+      (1L, "en", 10.0), (2L, "en", 30.0), (3L, "en", 20.0), (4L, "en", 30.0),
+      (5L, "fr", 5.0), (6L, "fr", 6.0),
+      (7L, "de", 1.0)
+    ).toDF("doc_id", "lang", "score")
+    val kept = CurationOps.capBuckets(docs, Seq("lang"), col("score"), "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    // en: 30.0 ties -> ids 2 then 4 win; fr/de under cap: all kept
+    assert(kept == Set(2L, 4L, 5L, 6L, 7L))
+  }
+
+  test("capBuckets plan: only numeric columns cross the ranking shuffle") {
+    val docs = Seq((1L, "en", "s0", 1.0), (2L, "en", "s0", 2.0))
+      .toDF("doc_id", "lang", "source", "score")
+    assertNoStringShuffle(
+      CurationOps.capBuckets(docs, Seq("lang", "source"), col("score"), "doc_id", 1),
+      expectShuffle = true)
   }
 
   test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
