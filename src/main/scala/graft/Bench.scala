@@ -192,6 +192,10 @@ object Bench {
     "b_span_scrub" -> ((s, dir) =>
       CurationOps.scrubFrequentSpans(
         Tables.documents(s, dir), "text", m = 4, minCount = 2)),
+    // greedy token-budget packing (narrow shuffle + typed per-shard fold)
+    "b_pack_sequences" -> ((s, dir) =>
+      CurationOps.packSequences(Tables.documents(s, dir), "source", "doc_id",
+        size(graft.ops.TextOps.whitespaceTokenize(col("text"))), budget = 256L)),
     "b_wordpiece_tokenize" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.WordPieceTokenize.wordpiece(col("text"), syntheticVocab).as("ids"))),

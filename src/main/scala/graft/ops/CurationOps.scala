@@ -164,6 +164,48 @@ object CurationOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Greedy sequence packing: assign docs to token-budget packs within
+    * each shard — the pre-training batcher's "concat docs up to the
+    * context window" stage. Docs are taken in ascending `idCol` order;
+    * a doc opens a new pack exactly when adding it would overflow
+    * `budget` (so an over-budget doc sits alone in its pack). Returns
+    * the MAPPING frame (idCol, shard_h, pack_id, n_tokens); pack_id
+    * restarts at 0 per shard.
+    *
+    * Plan + scale: only the narrow (xxhash64(shard), id, n) triple
+    * shuffles — one exchange, grouped by shard. The per-shard fold is
+    * genuinely sequential state, so it runs as a typed flatMapGroups
+    * (the documented Spark route for custom per-group state); each
+    * group materializes its (id, n) pairs — 16 bytes/doc — so even a
+    * 100M-doc shard is ~1.6 GB and shards ARE the parallelism unit a
+    * deployment sizes. Physically materializing packs downstream means
+    * repartitioning by pack_id — that shuffle is the point of the
+    * operator, not overhead.
+    */
+  def packSequences(
+      df: DataFrame, shardCol: String, idCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(xxhash64(col(shardCol)).as("shard_h"),
+        col(idCol).cast("long").as("id"), tokens.cast("long").as("n"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.map { case (_, id, n) => (id, n) }.toArray
+        java.util.Arrays.sort(docs, Ordering.by((d: (Long, Long)) => d._1))
+        var acc = 0L
+        var pack = -1L
+        docs.iterator.map { case (id, n) =>
+          if (pack < 0 || acc + n > budget) { pack += 1; acc = n }
+          else acc += n
+          (id, shard, pack, n)
+        }
+      }
+      .toDF(idCol, "shard_h", "pack_id", "n_tokens")
+  }
+
   /** Decontamination DECISION path: `train` minus every doc flagged by
     * [[contaminatedIds]], unchanged schema. The anti-join side is the
     * contaminated-id set — proportional to eval overlap, not the

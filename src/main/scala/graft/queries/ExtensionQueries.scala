@@ -802,6 +802,35 @@ object ExtensionQueries {
       |FROM documents d JOIN ranked USING (doc_id)
       |WHERE rn <= 8""".stripMargin
 
+  // --------------------------------------------------------------- q57
+  /** Greedy sequence packing ([[graft.ops.CurationOps.packSequences]]):
+    * 256-token packs per source shard, docs in doc_id order. The oracle
+    * replays the sequential fold as a recursive CTE stepping one doc
+    * per shard per iteration (depth = max docs/shard — fine at oracle
+    * scale; the Spark side is the scale path).
+    */
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.packSequences(Tables.documents(spark, dir),
+        "source", "doc_id",
+        size(TextOps.whitespaceTokenize(col("text"))), budget = 256L)
+      .select("doc_id", "pack_id")
+
+  val q57Sql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT source, doc_id,
+      |   len(list_filter(string_split(text, ' '), tk -> tk <> '')) AS n,
+      |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      | FROM documents),
+      |packed AS (
+      | SELECT source, doc_id, n, rn, 0 AS pack_id, n AS acc
+      | FROM toks WHERE rn = 1
+      | UNION ALL
+      | SELECT t.source, t.doc_id, t.n, t.rn,
+      |   CASE WHEN p.acc + t.n > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+      |   CASE WHEN p.acc + t.n > 256 THEN t.n ELSE p.acc + t.n END
+      | FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
+      |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id FROM packed""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -827,5 +856,6 @@ object ExtensionQueries {
     "q53_decontaminate" -> ((q53 _, q53Sql)),
     "q54_span_scrub" -> ((q54 _, q54Sql)),
     "q55_pii_scrub" -> ((q55 _, q55Sql)),
-    "q56_cap_buckets" -> ((q56 _, q56Sql)))
+    "q56_cap_buckets" -> ((q56 _, q56Sql)),
+    "q57_pack_sequences" -> ((q57 _, q57Sql)))
 }

@@ -158,6 +158,45 @@ class CurationOpsSpec extends AnyFunSuite {
       expectShuffle = true)
   }
 
+  test("packSequences: greedy fill, over-budget doc sits alone, per-shard restart") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),  // 100+100 | 100
+      ("a", 4L, 300L),                                     // alone (over budget)
+      ("a", 5L, 10L),
+      ("b", 6L, 250L), ("b", 7L, 1L)                       // exact fit | new pack
+    ).toDF("shard", "doc_id", "n")
+    val got = CurationOps.packSequences(docs, "shard", "doc_id", col("n"), 250L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 0L, 7L -> 1L))
+  }
+
+  test("packSequences invariants hold against an independent fold on random input") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (s"s${rnd.nextInt(5)}", i, rnd.nextInt(120).toLong))
+    val df = rows.toDF("shard", "doc_id", "n")
+    val budget = 200L
+    val got = CurationOps.packSequences(df, "shard", "doc_id", col("n"), budget)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // reference: plain Scala greedy per shard in id order
+    val want = rows.groupBy(_._1).flatMap { case (_, ds) =>
+      var acc = 0L; var pack = -1L
+      ds.sortBy(_._2).map { case (_, id, n) =>
+        if (pack < 0 || acc + n > budget) { pack += 1; acc = n } else acc += n
+        id -> pack
+      }
+    }
+    assert(got == want)
+  }
+
+  test("packSequences plan: only the (shard_h, id, n) longs shuffle") {
+    val docs = Seq(("a", 1L, 5L), ("b", 2L, 6L)).toDF("shard", "doc_id", "n")
+    assertNoStringShuffle(
+      CurationOps.packSequences(docs, "shard", "doc_id", col("n"), 10L),
+      expectShuffle = true)
+  }
+
   test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
     val a = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3)
       .as[Long].collect().toSet
