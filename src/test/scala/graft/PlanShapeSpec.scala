@@ -42,11 +42,14 @@ class PlanShapeSpec extends AnyFunSuite {
     *    pairs by definition, bounded query side; the scale paths are
     *    the LSH/IVF variants;
     *  - q18/q22/q23: quadratic-by-design pairwise oracle validators
-    *    (excluded from bench for the same reason).
+    *    (excluded from bench for the same reason);
+    *  - q54: `docs × broadcast(1-row frequent-span set)` — the same
+    *    scalar-broadcast pattern as q08 (CurationOps.scrubFrequentSpans
+    *    aggregates the heavy-hitter set to one row by construction).
     */
   private val nestedLoopByContract = Set(
     "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
-    "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine")
+    "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -113,8 +116,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-pass plan is the dedupKeepers shape already swept via
     // b_minhash_lsh (pinned equal by DedupKeepersSpec's differential
     // test).
+    // b_span_scrub shares q54's documented 1-row-broadcast cross join.
     val offenders = graft.Bench.scaleBenches.toSeq
-      .filterNot(_._1 == "b_minhash_converged")
+      .filterNot(n => Set("b_minhash_converged", "b_span_scrub").contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {
