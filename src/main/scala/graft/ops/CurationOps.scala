@@ -108,27 +108,32 @@ object CurationOps {
     * corpus-frequent span removed (remaining spans re-joined in order,
     * other columns untouched). Docs made empty by the scrub are KEPT
     * with empty text — composing with a length filter is the caller's
-    * policy decision.
+    * policy decision. `spanKey` must produce a LONG key (default
+    * xxhash64; [[graft.core.PortableHash.md5Long]] for oracles).
     *
     * Plan shape at 100 TB: the frequent-span set is the heavy-hitter
     * tail (≤ total spans / minCount, in practice tiny), aggregated to
-    * ONE row and broadcast; each doc then filters its own spans
-    * map-side. Doc text never crosses an exchange — the alternative
-    * (explode → join → re-groupBy docs) would shuffle the whole corpus
-    * twice. If the frequent set ever outgrows a broadcast, raise
-    * `minCount` or swap the membership array for a Bloom filter; the
-    * rest of the plan is unchanged.
+    * ONE row SORTED, and broadcast; each doc then probes it for its own
+    * spans map-side via binary search
+    * ([[graft.functions.SortedLongContains]] — a linear array_contains
+    * made this O(spans × |set|), measured 14× slower at sf0.1). Doc
+    * text never crosses an exchange — the alternative (explode → join →
+    * re-groupBy docs) would shuffle the whole corpus twice. If the
+    * frequent set ever outgrows a broadcast, raise `minCount` or swap
+    * the membership array for a Bloom filter; the rest of the plan is
+    * unchanged.
     */
   def scrubFrequentSpans(
       df: DataFrame, textCol: String, m: Int, minCount: Long,
       spanKey: Column => Column = xxhash64(_)): DataFrame = {
+    import graft.functions.SortedLongContains.sortedLongContains
     // global agg: exactly one row even when nothing is frequent
     val bad = frequentSpans(df, textCol, m, minCount, spanKey)
-      .agg(collect_set(col("span_key")).as("bad_spans"))
+      .agg(sort_array(collect_set(col("span_key"))).as("bad_spans"))
     df.crossJoin(broadcast(bad))
       .withColumn(textCol, concat_ws(" ",
         filter(spanList(col(textCol), m),
-          s => !array_contains(col("bad_spans"), spanKey(s)))))
+          s => !sortedLongContains(col("bad_spans"), spanKey(s)))))
       .drop("bad_spans")
   }
 

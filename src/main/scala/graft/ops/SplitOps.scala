@@ -72,4 +72,20 @@ object SplitOps {
     */
   def shuffled(df: DataFrame, idCol: String, seed: Long): DataFrame =
     df.orderBy(PortableHash.md5Long(col(idCol), lit(seed)), col(idCol))
+
+  /** Weighted Bernoulli sampling — the corpus-mixing knob (CCNet/LLaMA
+    * style per-bucket up/down-sampling): keep each row independently
+    * with probability `prob` (a per-row column, e.g. quality- or
+    * domain-derived; values outside [0,1] clamp). The draw is
+    * [[PortableHash.uniform01]] of (idCol, seed): key-derived, so the
+    * decision survives repartitioning at any scale, and replayable in
+    * the DuckDB oracle as one IEEE multiply + compare — no
+    * transcendental functions whose last-ulp could differ between
+    * engines. Pure codegen'd filter: zero shuffles, runs inside the
+    * scan's whole-stage span.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, prob: Column, seed: Long = 42L): DataFrame =
+    df.filter(PortableHash.uniform01(col(idCol), lit(seed)) <
+      least(greatest(prob, lit(0.0)), lit(1.0)))
 }

@@ -731,17 +731,18 @@ object ExtensionQueries {
   /** Corpus-frequent span scrub
     * ([[graft.ops.CurationOps.scrubFrequentSpans]]): every 4-token span
     * occurring ≥2× corpus-wide is removed from every doc, remaining
-    * spans re-joined in order. Portable twin keys spans by their
-    * strings (production default: xxhash64).
+    * spans re-joined in order. Portable twin keys spans with the md5
+    * family (production default: xxhash64 — same plan, same binary-
+    * search probe).
     */
   def q54(spark: SparkSession, dir: String): DataFrame =
     CurationOps.scrubFrequentSpans(
         Tables.documents(spark, dir), "text", m = 4, minCount = 2,
-        spanKey = c => c)
+        spanKey = PortableHash.md5Long)
       .select("doc_id", "text")
 
   val q54Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
       | FROM documents),
       |spans AS (
@@ -750,11 +751,11 @@ object ExtensionQueries {
       |    i -> array_to_string(tk[i*4+1 : i*4+4], ' ')) END AS sp
       | FROM toks),
       |freq AS (
-      | SELECT g FROM (SELECT unnest(sp) AS g FROM spans)
-      | GROUP BY g HAVING count(*) >= 2),
-      |bad AS (SELECT coalesce(list(g), []) AS b FROM freq)
+      | SELECT k FROM (SELECT ${dk("g")} AS k FROM (SELECT unnest(sp) AS g FROM spans))
+      | GROUP BY k HAVING count(*) >= 2),
+      |bad AS (SELECT coalesce(list(k), []) AS b FROM freq)
       |SELECT doc_id,
-      | array_to_string(list_filter(sp, x -> NOT list_contains(b, x)), ' ') AS text
+      | array_to_string(list_filter(sp, x -> NOT list_contains(b, ${dk("x")})), ' ') AS text
       |FROM spans, bad""".stripMargin
 
   // --------------------------------------------------------------- q55
@@ -831,6 +832,24 @@ object ExtensionQueries {
       | FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
       |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id FROM packed""".stripMargin
 
+  // --------------------------------------------------------------- q58
+  /** Weighted Bernoulli corpus sampling
+    * ([[graft.ops.SplitOps.weightedSample]]): keep probability
+    * n_chars/400 (clamped) — longer docs over-sampled. Decision =
+    * md5-uniform(doc_id, seed) < prob: one IEEE multiply + compare in
+    * both engines, bit-identical.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.weightedSample(Tables.documents(spark, dir),
+        "doc_id", col("n_chars") / lit(400.0), seed = 42L)
+      .select("doc_id")
+
+  val q58Sql: String =
+    """SELECT doc_id FROM documents
+      |WHERE CAST('0x' || substr(md5(doc_id || '#' || '42'), 1, 15) AS BIGINT)
+      |    / 1152921504606846976.0
+      |  < least(greatest(n_chars / 400.0, 0.0), 1.0)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -857,5 +876,6 @@ object ExtensionQueries {
     "q54_span_scrub" -> ((q54 _, q54Sql)),
     "q55_pii_scrub" -> ((q55 _, q55Sql)),
     "q56_cap_buckets" -> ((q56 _, q56Sql)),
-    "q57_pack_sequences" -> ((q57 _, q57Sql)))
+    "q57_pack_sequences" -> ((q57 _, q57Sql)),
+    "q58_weighted_sample" -> ((q58 _, q58Sql)))
 }

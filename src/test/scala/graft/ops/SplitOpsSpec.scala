@@ -53,4 +53,19 @@ class SplitOpsSpec extends AnyFunSuite {
     assert(a != c, "different seed should permute differently")
     assert(a.sorted == (0L until 100L))
   }
+
+  test("weightedSample: deterministic, repartition-proof, tracks the probability") {
+    val big = spark.range(0, 4000).toDF("id")
+    val kept = SplitOps.weightedSample(big, "id", lit(0.3), seed = 5L)
+      .select("id").as[Long].collect().toSet
+    // deterministic: same call, same set — even under a different partitioning
+    val kept2 = SplitOps.weightedSample(big.repartition(7), "id", lit(0.3), 5L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == kept2)
+    // Bernoulli(0.3) over 4000 draws: ~1200 ± a few σ (σ ≈ 29)
+    assert(kept.size > 1050 && kept.size < 1350, s"kept ${kept.size} of 4000")
+    // prob 0 keeps nothing, prob >= 1 (clamped) keeps everything
+    assert(SplitOps.weightedSample(big, "id", lit(0.0), 5L).count() == 0L)
+    assert(SplitOps.weightedSample(big, "id", lit(2.5), 5L).count() == 4000L)
+  }
 }
