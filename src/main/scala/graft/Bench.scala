@@ -218,6 +218,41 @@ object Bench {
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.2)
       DedupOps.dedupKeepers(kept, "text", "doc_id", 0.6)
+    }),
+    // the FULL production curation chain — every stage a real corpus
+    // pass at its production hash: quality+repetition gate → PII scrub
+    // → frequent-span scrub → exact dedup → MinHash near-dedup →
+    // benchmark decontamination → per-bucket cap → weighted sample →
+    // sequence packing. This is the 100 TB deployment story in one row.
+    // Stage-boundary persistence: each decision stage consumes its
+    // input 2-3× (losers join + anti-join diamonds), so an unmaterialized
+    // chain re-runs ALL upstream stages multiplicatively (~50× the
+    // corpus scan by the last stage; measured 14 s → 1.4 s at sf0.01).
+    // At 100 TB these boundaries are the parquet checkpoints a real
+    // pipeline writes between stages. The bench harness sweeps the
+    // caches after the row.
+    "b_curation_full" -> ((s, dir) => {
+      import graft.ops.{SplitOps, TextAnalysis, TextOps}
+      val docs = Tables.documents(s, dir)
+      val rep = TextAnalysis.repetitionSignals(col("text"))
+      val gated = docs
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.2 &&
+          rep.getField("top_bigram_frac") <= 0.9)
+        .withColumn("text", CurationOps.scrubPii(col("text")))
+        .persist()
+      val scrubbed = CurationOps.scrubFrequentSpans(gated, "text", 4, 2).persist()
+      val exact = DedupOps.exactKeepers(scrubbed, "text", "doc_id").persist()
+      val near = DedupOps.dedupKeepers(exact, "text", "doc_id", 0.6).persist()
+      val decon = CurationOps.decontaminate(
+        near.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "text", "doc_id", 3).persist()
+      val balanced = CurationOps.capBuckets(
+        decon, Seq("lang", "source"), col("n_chars"), "doc_id", 8)
+      val sampled = SplitOps.weightedSample(
+        balanced, "doc_id", col("n_chars") / lit(400.0), 42L)
+      CurationOps.packSequences(sampled, "source", "doc_id",
+        size(TextOps.whitespaceTokenize(col("text"))), 256L)
     }))
 
   /** 1/4 or 1/2 key-split slice of the documents fixture (parts of 4). */

@@ -850,6 +850,81 @@ object ExtensionQueries {
       |    / 1152921504606846976.0
       |  < least(greatest(n_chars / 400.0, 0.0), 1.0)""".stripMargin
 
+  // --------------------------------------------------------------- q59
+  /** FLAGSHIP curation-pipeline composition — five production stages
+    * chained and oracle-checked end-to-end, value-level:
+    * length filter → corpus-frequent span scrub → exact dedup (on the
+    * SCRUBBED text — scrubbing creates new exact duplicates, so stage
+    * order is observable) → per-(lang, source) cap → weighted Bernoulli
+    * sample → greedy sequence packing. All production operators with
+    * their default hashes: every keep/drop/assign decision is
+    * hash-independent (group identity, not hash value), so the
+    * string-keyed DuckDB replay must agree exactly.
+    */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val filtered = Tables.documents(spark, dir).filter(col("n_chars") >= 100)
+    // stage-boundary persistence: the dedup/cap stages consume their
+    // input 2-3× (join diamonds) — unmaterialized, every reuse re-runs
+    // the whole upstream chain (see b_curation_full's note). Callers
+    // (Verify per-query, Bench per-row) sweep the cache afterwards.
+    val scrubbed = CurationOps.scrubFrequentSpans(filtered, "text", m = 4, minCount = 2)
+      .persist()
+    val deduped = DedupOps.exactKeepers(scrubbed, "text", "doc_id").persist()
+    val balanced = CurationOps.capBuckets(
+      deduped, Seq("lang", "source"), col("n_chars"), "doc_id", cap = 8)
+    val sampled = SplitOps.weightedSample(
+      balanced, "doc_id", col("n_chars") / lit(400.0), seed = 42L)
+    CurationOps.packSequences(sampled, "source", "doc_id",
+        size(TextOps.whitespaceTokenize(col("text"))), budget = 256L)
+      .select("doc_id", "pack_id")
+  }
+
+  val q59Sql: String =
+    """WITH RECURSIVE f AS (
+      | SELECT doc_id, lang, source, n_chars,
+      |   list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents WHERE n_chars >= 100),
+      |spans AS (
+      | SELECT doc_id, lang, source, n_chars, CASE WHEN len(tk) = 0 THEN []
+      |  ELSE list_transform(generate_series(0, CAST(ceil(len(tk) / 4.0) AS BIGINT) - 1),
+      |    i -> array_to_string(tk[i*4+1 : i*4+4], ' ')) END AS sp
+      | FROM f),
+      |freq AS (
+      | SELECT g FROM (SELECT unnest(sp) AS g FROM spans)
+      | GROUP BY g HAVING count(*) >= 2),
+      |badspans AS (SELECT coalesce(list(g), []) AS b FROM freq),
+      |scrub AS (
+      | SELECT doc_id, lang, source, n_chars,
+      |  array_to_string(list_filter(sp, x -> NOT list_contains(b, x)), ' ') AS text
+      | FROM spans, badspans),
+      |winners AS (
+      | SELECT min(doc_id) AS doc_id FROM scrub GROUP BY lower(trim(text))),
+      |dedup AS (SELECT s.* FROM scrub s JOIN winners USING (doc_id)),
+      |ranked AS (
+      | SELECT doc_id, ROW_NUMBER() OVER (
+      |   PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rn
+      | FROM dedup),
+      |bal AS (SELECT d.* FROM dedup d JOIN ranked USING (doc_id) WHERE rn <= 8),
+      |samp AS (
+      | SELECT * FROM bal
+      | WHERE CAST('0x' || substr(md5(doc_id || '#' || '42'), 1, 15) AS BIGINT)
+      |     / 1152921504606846976.0
+      |   < least(greatest(n_chars / 400.0, 0.0), 1.0)),
+      |stoks AS (
+      | SELECT source, doc_id,
+      |   len(list_filter(string_split(text, ' '), tk -> tk <> '')) AS n,
+      |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      | FROM samp),
+      |packed AS (
+      | SELECT source, doc_id, n, rn, 0 AS pack_id, n AS acc
+      | FROM stoks WHERE rn = 1
+      | UNION ALL
+      | SELECT t.source, t.doc_id, t.n, t.rn,
+      |   CASE WHEN p.acc + t.n > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+      |   CASE WHEN p.acc + t.n > 256 THEN t.n ELSE p.acc + t.n END
+      | FROM stoks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
+      |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id FROM packed""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -877,5 +952,6 @@ object ExtensionQueries {
     "q55_pii_scrub" -> ((q55 _, q55Sql)),
     "q56_cap_buckets" -> ((q56 _, q56Sql)),
     "q57_pack_sequences" -> ((q57 _, q57Sql)),
-    "q58_weighted_sample" -> ((q58 _, q58Sql)))
+    "q58_weighted_sample" -> ((q58 _, q58Sql)),
+    "q59_curation_chain" -> ((q59 _, q59Sql)))
 }

@@ -49,7 +49,8 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val nestedLoopByContract = Set(
     "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
-    "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub")
+    "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub",
+    "q59_curation_chain") // q59 embeds q54's scrub stage
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -116,9 +117,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-pass plan is the dedupKeepers shape already swept via
     // b_minhash_lsh (pinned equal by DedupKeepersSpec's differential
     // test).
-    // b_span_scrub shares q54's documented 1-row-broadcast cross join.
+    // b_span_scrub and b_curation_full share q54's documented
+    // 1-row-broadcast cross join.
     val offenders = graft.Bench.scaleBenches.toSeq
-      .filterNot(n => Set("b_minhash_converged", "b_span_scrub").contains(n._1))
+      .filterNot(n => Set("b_minhash_converged", "b_span_scrub",
+        "b_curation_full").contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {
