@@ -116,6 +116,32 @@ object StreamingOps {
     * [[streamingExactDedup]]; works on a batch DataFrame via
     * `dropDuplicates` on the same signature.
     */
+  /** Streaming curation gate — the STATELESS curation stages composed
+    * as one stream-safe projection + filter: quality-score floor,
+    * repetition (top-bigram) ceiling, PII scrub, weighted Bernoulli
+    * down-sampling. Every stage is per-row pure column algebra (no
+    * aggregation state, key-derived randomness), so the transform runs
+    * IDENTICALLY on a batch frame and an ingest `readStream` — chain
+    * [[streamingExactDedup]]/[[streamingSimHashDedup]] after it for the
+    * stateful dedup tail. Corpus-level stages (frequent-span sets, eval
+    * gram sets, bucket caps) are precomputed batch-side and joined as
+    * static broadcasts at stream time — the
+    * [[graft.ops.DedupOps.corpusBucketReps]] deployment pattern.
+    */
+  def streamingCurationGate(
+      docs: DataFrame, textCol: String, idCol: String,
+      minQuality: Double, maxTopBigram: Double,
+      sampleProb: Double, seed: Long = 42L): DataFrame = {
+    import graft.ops.{CurationOps, TextAnalysis}
+    docs
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.repetitionSignals(col(textCol))
+          .getField("top_bigram_frac") <= maxTopBigram)
+      .withColumn(textCol, CurationOps.scrubPii(col(textCol)))
+      .filter(graft.core.PortableHash.uniform01(col(idCol), lit(seed)) <
+        lit(sampleProb))
+  }
+
   def streamingSimHashDedup(
       docs: DataFrame, textCol: String, tsCol: String, watermark: String): DataFrame = {
     val keyed = docs.withColumn("__sig",

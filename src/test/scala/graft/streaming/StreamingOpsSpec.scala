@@ -242,6 +242,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batchKeys == Set("hello world", "something unique", "brand new material"))
   }
 
+  test("streaming curation gate: stream output == batch output, PII scrubbed") {
+    import org.apache.spark.sql.types._
+    val streamDir = Files.createTempDirectory("gate-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // realistic mix: normal docs, a repetition-bomb (top-bigram ~1.0),
+    // a PII carrier; split over two files to cross micro-batches
+    Seq((1L, "the quick brown fox jumps over the lazy dog today fine"),
+        (2L, "spam spam spam spam spam spam spam spam spam spam"),
+        (3L, "write to jane.doe@example.com for a copy of the data"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(streamDir)
+    Seq((4L, "pack my box with five dozen liquor jugs and more words here"),
+        (5L, "sphinx of black quartz judge my vow said the old judge"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(streamDir)
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.streamingCurationGate(df, "text", "doc_id",
+        minQuality = 0.1, maxTopBigram = 0.9, sampleProb = 0.9, seed = 3L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = StreamingOps.runToMemory(gate(stream), "gate_test", "append")
+      .as[(Long, String)].collect().toMap
+    val want = gate(spark.read.schema(schema).parquet(streamDir))
+      .as[(Long, String)].collect().toMap
+    assert(got == want, "stream and batch gates must agree row-for-row")
+    // the repetition bomb is gone; the PII carrier (if sampled in) is scrubbed
+    assert(!got.contains(2L))
+    got.get(3L).foreach(t => assert(t.contains("<EMAIL>") && !t.contains("@")))
+    assert(got.nonEmpty)
+  }
+
   test("streaming simhash dedup: one doc per signature, stream == batch keys") {
     import java.sql.Timestamp
     import org.apache.spark.sql.types._
