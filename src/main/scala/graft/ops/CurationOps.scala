@@ -43,17 +43,21 @@ object CurationOps {
   def contaminatedIds(
       train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int,
-      gramKey: Column => Column = xxhash64(_)): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(array_distinct(ngramList(col(textCol), n))).as("g"))
-      .select(gramKey(col("g")).as("gk")).distinct()
+      gramKey: Column => Column = xxhash64(_)): DataFrame =
+    contaminatedIdsWithGramSet(train,
+      evalGramSet(evalDocs, textCol, n, gramKey), textCol, idCol, n, gramKey)
+
+  /** [[contaminatedIds]] against a precomputed [[evalGramSet]]. */
+  def contaminatedIdsWithGramSet(
+      train: DataFrame, gramSet: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      gramKey: Column => Column = xxhash64(_)): DataFrame =
     train
       .select(col(idCol),
         explode(array_distinct(ngramList(col(textCol), n))).as("g"))
       .select(col(idCol), gramKey(col("g")).as("gk"))
-      .join(broadcast(evalGrams), Seq("gk"), "left_semi")
+      .join(broadcast(gramSet), Seq("gk"), "left_semi")
       .select(idCol).distinct()
-  }
 
   /** PII redaction patterns — deliberately restricted to regex syntax
     * with identical semantics in Java regex and RE2 (no backrefs, no
@@ -125,11 +129,21 @@ object CurationOps {
     */
   def scrubFrequentSpans(
       df: DataFrame, textCol: String, m: Int, minCount: Long,
+      spanKey: Column => Column = xxhash64(_)): DataFrame =
+    scrubWithFrequentSpans(df,
+      frequentSpans(df, textCol, m, minCount, spanKey), textCol, m, spanKey)
+
+  /** [[scrubFrequentSpans]] against a PRECOMPUTED [[frequentSpans]]
+    * frame (column `span_key`; read back from parquet in a real
+    * deployment — compute once per corpus version, scrub every ingest
+    * batch at O(batch)). Same broadcast + binary-search plan.
+    */
+  def scrubWithFrequentSpans(
+      df: DataFrame, freq: DataFrame, textCol: String, m: Int,
       spanKey: Column => Column = xxhash64(_)): DataFrame = {
     import graft.functions.SortedLongContains.sortedLongContains
     // global agg: exactly one row even when nothing is frequent
-    val bad = frequentSpans(df, textCol, m, minCount, spanKey)
-      .agg(sort_array(collect_set(col("span_key"))).as("bad_spans"))
+    val bad = freq.agg(sort_array(collect_set(col("span_key"))).as("bad_spans"))
     df.crossJoin(broadcast(bad))
       .withColumn(textCol, concat_ws(" ",
         filter(spanList(col(textCol), m),
@@ -211,6 +225,20 @@ object CurationOps {
       .toDF(idCol, "shard_h", "pack_id", "n_tokens")
   }
 
+  /** The eval corpus's distinct gram-key set as a persistable one-column
+    * frame (`gk`) — compute ONCE per benchmark-suite version, write to
+    * parquet, and feed [[decontaminateWithGramSet]] on every ingest
+    * batch: per-batch cost is then O(batch), the eval docs never re-read
+    * (the same deployment contract as
+    * [[graft.ops.DedupOps.corpusBucketReps]]).
+    */
+  def evalGramSet(
+      evalDocs: DataFrame, textCol: String, n: Int,
+      gramKey: Column => Column = xxhash64(_)): DataFrame =
+    evalDocs
+      .select(explode(array_distinct(ngramList(col(textCol), n))).as("g"))
+      .select(gramKey(col("g")).as("gk")).distinct()
+
   /** Decontamination DECISION path: `train` minus every doc flagged by
     * [[contaminatedIds]], unchanged schema. The anti-join side is the
     * contaminated-id set — proportional to eval overlap, not the
@@ -220,7 +248,19 @@ object CurationOps {
       train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int,
       gramKey: Column => Column = xxhash64(_)): DataFrame =
+    decontaminateWithGramSet(train,
+      evalGramSet(evalDocs, textCol, n, gramKey), textCol, idCol, n, gramKey)
+
+  /** [[decontaminate]] against a PRECOMPUTED [[evalGramSet]] frame (read
+    * back from parquet in a real deployment): the per-batch plan —
+    * broadcast the gram set, map-side semi-join, anti-join the flagged
+    * ids — with zero eval-side work.
+    */
+  def decontaminateWithGramSet(
+      train: DataFrame, gramSet: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      gramKey: Column => Column = xxhash64(_)): DataFrame =
     train.join(
-      contaminatedIds(train, evalDocs, textCol, idCol, n, gramKey),
+      contaminatedIdsWithGramSet(train, gramSet, textCol, idCol, n, gramKey),
       Seq(idCol), "left_anti")
 }

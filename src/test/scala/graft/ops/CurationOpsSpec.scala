@@ -197,6 +197,34 @@ class CurationOpsSpec extends AnyFunSuite {
       expectShuffle = true)
   }
 
+  test("precomputed eval gram set round-trips through parquet with equal decisions") {
+    val dir = java.nio.file.Files.createTempDirectory("gramset").toString
+    CurationOps.evalGramSet(evalSet, "text", 3).write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val direct = CurationOps.decontaminate(train, evalSet, "text", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    val precomp = CurationOps.decontaminateWithGramSet(
+        train, fromDisk, "text", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(direct == precomp && precomp == Set(2L, 3L, 5L))
+  }
+
+  test("precomputed frequent-span set round-trips through parquet with equal scrub") {
+    val docs = Seq(
+      (1L, "spam spam spam alpha beta gamma"),
+      (2L, "spam spam spam delta epsilon zeta"),
+      (3L, "spam spam spam eta theta iota")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("freqspans").toString
+    CurationOps.frequentSpans(docs, "text", 3, 3).write.mode("overwrite").parquet(dir)
+    val direct = CurationOps.scrubFrequentSpans(docs, "text", 3, 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    val precomp = CurationOps.scrubWithFrequentSpans(
+        docs, spark.read.parquet(dir), "text", 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(direct == precomp &&
+      precomp == Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota"))
+  }
+
   test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
     val a = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3)
       .as[Long].collect().toSet
