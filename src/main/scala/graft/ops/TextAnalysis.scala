@@ -96,7 +96,10 @@ object TextAnalysis {
     * The mode count is sort + longest-equal-run — O(n log n) per doc,
     * not the naive O(n²) count-each-distinct-gram, because real web
     * documents run to thousands of tokens and this sits in the
-    * every-document hot path of a curation pipeline.
+    * every-document hot path of a curation pipeline. The run scan is
+    * the codegen [[graft.functions.LongestEqualRun]]: the composable
+    * `aggregate`-with-struct-accumulator form ran as an interpreted
+    * lambda projection per bigram (~6 s at sf0.1 vs ~0.3 s fused).
     */
   def repetitionSignals(text: Column): Column = {
     val toks = TextOps.whitespaceTokenize(text)
@@ -107,19 +110,8 @@ object TextAnalysis {
     val grams = when(size(toks) < 2, array())
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-    // mode count = longest run of equal adjacent values in the sorted
-    // list; grams are never "" (tokens are non-empty) so "" is a safe
-    // run seed.
-    val topCount = aggregate(
-      array_sort(grams),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (a, x) => {
-        val run = when(x === a.getField("prev"), a.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(a.getField("best"), run).as("best"))
-      },
-      a => a.getField("best"))
+    val topCount =
+      graft.functions.LongestEqualRun.longestEqualRun(array_sort(grams))
     val topFrac = when(size(grams) === 0, 0.0)
       .otherwise(topCount.cast("double") / size(grams))
     struct(dupFrac.as("dup_token_frac"), topFrac.as("top_bigram_frac"))
