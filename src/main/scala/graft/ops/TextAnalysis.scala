@@ -96,24 +96,19 @@ object TextAnalysis {
     * The mode count is sort + longest-equal-run — O(n log n) per doc,
     * not the naive O(n²) count-each-distinct-gram, because real web
     * documents run to thousands of tokens and this sits in the
-    * every-document hot path of a curation pipeline. The run scan is
-    * the codegen [[graft.functions.LongestEqualRun]]: the composable
-    * `aggregate`-with-struct-accumulator form ran as an interpreted
-    * lambda projection per bigram (~6 s at sf0.1 vs ~0.3 s fused).
+    * every-document hot path of a curation pipeline. The whole bigram
+    * branch is the fused [[graft.functions.TopNgramFrac]]: the
+    * composable gram-list tower (transform+slice+concat_ws → sort →
+    * scan) is interpreted AND re-evaluated per struct reference
+    * (HOFs are excluded from subexpression elimination) — q52 measured
+    * ~5.5 s at sf0.1 composable vs ~0.3 s fused.
     */
   def repetitionSignals(text: Column): Column = {
     val toks = TextOps.whitespaceTokenize(text)
     val dupFrac = when(size(toks) === 0, 0.0)
       .otherwise(lit(1.0) -
         size(array_distinct(toks)).cast("double") / size(toks))
-    // raw (non-distinct) bigram list — counts need every occurrence
-    val grams = when(size(toks) < 2, array())
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-    val topCount =
-      graft.functions.LongestEqualRun.longestEqualRun(array_sort(grams))
-    val topFrac = when(size(grams) === 0, 0.0)
-      .otherwise(topCount.cast("double") / size(grams))
+    val topFrac = graft.functions.TopNgramFrac.topNgramFrac(toks, 2)
     struct(dupFrac.as("dup_token_frac"), topFrac.as("top_bigram_frac"))
   }
 
