@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * This is the hot lookup of broadcast-set filters (frequent-span
   * scrub): every span of every doc probes the corpus-frequent set, so
   * `array_contains`'s linear scan makes the rewrite
-  * O(spans × |set|) — measured 14 s at sf0.1 vs ~1 s with this probe.
+  * O(spans × |set|) — measured 14 s at sf0.1 vs ~1.7 s with this probe.
   * Caller contract: the array is sorted ascending (e.g.
   * `sort_array(collect_set(...))`); duplicates are harmless.
   */
