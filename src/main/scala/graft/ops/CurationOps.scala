@@ -207,8 +207,11 @@ object CurationOps {
     require(budget >= 1)
     val session = df.sparkSession
     import session.implicits._
+    // null token counts pack as zero-length docs (a null would kill the
+    // primitive-tuple encoder, not produce a row)
     df.select(xxhash64(col(shardCol)).as("shard_h"),
-        col(idCol).cast("long").as("id"), tokens.cast("long").as("n"))
+        col(idCol).cast("long").as("id"),
+        coalesce(tokens.cast("long"), lit(0L)).as("n"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>

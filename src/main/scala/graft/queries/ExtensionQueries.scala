@@ -755,7 +755,8 @@ object ExtensionQueries {
       | GROUP BY k HAVING count(*) >= 2),
       |bad AS (SELECT coalesce(list(k), []) AS b FROM freq)
       |SELECT doc_id,
-      | array_to_string(list_filter(sp, x -> NOT list_contains(b, ${dk("x")})), ' ') AS text
+      | coalesce(array_to_string(
+      |   list_filter(sp, x -> NOT list_contains(b, ${dk("x")})), ' '), '') AS text
       |FROM spans, bad""".stripMargin
 
   // --------------------------------------------------------------- q55
@@ -895,7 +896,11 @@ object ExtensionQueries {
       |badspans AS (SELECT coalesce(list(g), []) AS b FROM freq),
       |scrub AS (
       | SELECT doc_id, lang, source, n_chars,
-      |  array_to_string(list_filter(sp, x -> NOT list_contains(b, x)), ' ') AS text
+      |  -- coalesce: a fully-scrubbed doc keeps EMPTY text (the operator
+      |  -- contract); DuckDB's array_to_string([]) is NULL, which would
+      |  -- otherwise poison the packing recursion's accumulator
+      |  coalesce(array_to_string(
+      |    list_filter(sp, x -> NOT list_contains(b, x)), ' '), '') AS text
       | FROM spans, badspans),
       |winners AS (
       | SELECT min(doc_id) AS doc_id FROM scrub GROUP BY lower(trim(text))),
@@ -925,6 +930,50 @@ object ExtensionQueries {
       | FROM stoks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1)
       |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id FROM packed""".stripMargin
 
+  // --------------------------------------------------------------- q60
+  /** BM25 keyword scoring ([[graft.ops.SearchOps.bm25TopK]]) for the
+    * query ("spark", "table", "fast"), k = corpus size so every score
+    * is oracle-compared (the top-k cut itself is spec'd — a cut
+    * boundary between ulp-close scores would make the row SET
+    * engine-sensitive). The SQL replays the exact left-to-right IEEE
+    * fold, writing constants as the same source expressions
+    * (`1.2 + 1.0`, not `2.2` — they round differently).
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    SearchOps.bm25TopK(Tables.documents(spark, dir), "text", "doc_id",
+      Seq("spark", "table", "fast"), k = 500)
+
+  val q60Sql: String = {
+    def term(i: Int, t: String): String =
+      s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+         |   * (tf_$i * (1.2 + 1.0))
+         |   / (tf_$i + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))""".stripMargin
+    val terms = Seq("spark", "table", "fast")
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n  ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n  ")
+    val scoreSum = terms.zipWithIndex
+      .map { case (t, i) => term(i, t) }.mkString("\n + ")
+    s"""WITH t AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |st AS (
+      | SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |  avg(CAST(len(tk) AS DOUBLE)) AS avgdl,
+      |  $dfAggs
+      | FROM t),
+      |d AS (
+      | SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+      |  $tfCols
+      | FROM t)
+      |SELECT doc_id,
+      | $scoreSum AS score
+      |FROM d, st""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -953,5 +1002,6 @@ object ExtensionQueries {
     "q56_cap_buckets" -> ((q56 _, q56Sql)),
     "q57_pack_sequences" -> ((q57 _, q57Sql)),
     "q58_weighted_sample" -> ((q58 _, q58Sql)),
-    "q59_curation_chain" -> ((q59 _, q59Sql)))
+    "q59_curation_chain" -> ((q59 _, q59Sql)),
+    "q60_bm25" -> ((q60 _, q60Sql)))
 }

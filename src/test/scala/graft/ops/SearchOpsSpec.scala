@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class SearchOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark engine runs fast queries on big data"),
+    (2L, "spark spark spark everywhere spark"),          // high tf, short
+    (3L, "a long document about nothing in particular with many words " +
+         "and then one mention of spark near the end of the document"),
+    (4L, "no relevant terms at all here"),
+    (5L, "fast data fast queries fast engine")
+  ).toDF("doc_id", "text")
+
+  private def ref(query: Seq[String], k1: Double = 1.2, b: Double = 0.75) = {
+    val corpus = Seq(
+      1L -> "spark engine runs fast queries on big data",
+      2L -> "spark spark spark everywhere spark",
+      3L -> ("a long document about nothing in particular with many words " +
+        "and then one mention of spark near the end of the document"),
+      4L -> "no relevant terms at all here",
+      5L -> "fast data fast queries fast engine")
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    query.map { t =>
+      t -> corpus.count(_._2.contains(t)).toDouble
+    }.foldLeft(Map.empty[Long, Double]) { case (acc, (t, dfc)) =>
+      val idf = math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+      corpus.foldLeft(acc) { case (a, (id, toks)) =>
+        val tf = toks.count(_ == t).toDouble
+        val dl = toks.size.toDouble
+        val s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        a.updated(id, a.getOrElse(id, 0.0) + s)
+      }
+    }
+  }
+
+  test("scores match an independent scala BM25; ranking is sane") {
+    val got = SearchOps.bm25TopK(docs, "text", "doc_id", Seq("spark", "fast"), 5)
+      .as[(Long, Double)].collect().toSeq
+    val want = ref(Seq("spark", "fast"))
+    got.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-12, s"doc $id") }
+    // doc 4 matches nothing -> last with score 0
+    assert(got.last._1 == 4L && got.last._2 == 0.0)
+    // tf saturation: doc 2 (4x spark, short) outranks doc 3 (1x, long)
+    val rank = got.map(_._1).zipWithIndex.toMap
+    assert(rank(2L) < rank(3L))
+  }
+
+  test("top-k truncates deterministically (score desc, id asc)") {
+    val got = SearchOps.bm25TopK(docs, "text", "doc_id", Seq("fast"), 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 2)
+    assert(got.map(_._1) == Seq(5L, 1L)) // 3x fast beats 1x fast
+  }
+
+  test("plan: stats broadcast; top-k is a partial TakeOrdered, no global sort") {
+    val df = SearchOps.bm25TopK(docs, "text", "doc_id", Seq("spark"), 3)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$s")
+    assert(s.contains("BroadcastExchange"), s"expected stats broadcast in:\n$s")
+  }
+}
