@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object SearchOps {
 
+  /** Corpus vocabulary: the `maxSize` most frequent whitespace tokens
+    * as (token, occurrence count, dense id), ids assigned by count
+    * descending with token ascending as the deterministic tiebreak —
+    * the tokenizer-training input (write `token` in id order and
+    * [[graft.io.Sources.readVocab]] reads it back into
+    * [[graft.functions.WordPieceTokenize]]).
+    *
+    * Scale shape: counting is one map-side-combined shuffle of
+    * (token, partial count) — distinct-tokens-sized, not corpus-sized;
+    * the top-`maxSize` cut is TakeOrdered (per-partition partial
+    * top-k); ids come from the zipWithIndex pattern
+    * ([[JoinOps.withRowIndex]] over the range-partitioned sort), never
+    * an unpartitioned window.
+    */
+  def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame = {
+    val counted = df
+      .select(explode(TextOps.whitespaceTokenize(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(maxSize)
+    JoinOps.withRowIndex(
+      counted.sort(col("n").desc, col("token")), "id")
+  }
+
   /** BM25 (Lucene idf form) top-k: (idCol, score) for the `k`
     * best-scoring docs against `query` terms, score descending with
     * `idCol` ascending as the deterministic tiebreak. Docs matching no

@@ -974,6 +974,23 @@ object ExtensionQueries {
       |FROM d, st""".stripMargin
   }
 
+  // --------------------------------------------------------------- q61
+  /** Corpus vocabulary build ([[graft.ops.SearchOps.buildVocab]]): top
+    * 30 tokens by occurrence count, dense ids by (count desc, token
+    * asc) — the tokenizer-training artifact, fully integer/string
+    * deterministic.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    SearchOps.buildVocab(Tables.documents(spark, dir), "text", maxSize = 30)
+
+  val q61Sql: String =
+    """SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
+      |FROM (
+      | SELECT g AS token, CAST(count(*) AS BIGINT) AS n
+      | FROM (SELECT unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS g
+      |       FROM documents)
+      | GROUP BY g ORDER BY n DESC, g LIMIT 30)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1003,5 +1020,6 @@ object ExtensionQueries {
     "q57_pack_sequences" -> ((q57 _, q57Sql)),
     "q58_weighted_sample" -> ((q58 _, q58Sql)),
     "q59_curation_chain" -> ((q59 _, q59Sql)),
-    "q60_bm25" -> ((q60 _, q60Sql)))
+    "q60_bm25" -> ((q60 _, q60Sql)),
+    "q61_build_vocab" -> ((q61 _, q61Sql)))
 }

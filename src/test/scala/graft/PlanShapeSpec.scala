@@ -45,12 +45,14 @@ class PlanShapeSpec extends AnyFunSuite {
     *    (excluded from bench for the same reason);
     *  - q54: `docs × broadcast(1-row frequent-span set)` — the same
     *    scalar-broadcast pattern as q08 (CurationOps.scrubFrequentSpans
-    *    aggregates the heavy-hitter set to one row by construction).
+    *    aggregates the heavy-hitter set to one row by construction);
+    *  - q60: `docs × broadcast(1-row BM25 corpus stats)` — ditto.
     */
   private val nestedLoopByContract = Set(
     "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
     "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub",
-    "q59_curation_chain") // q59 embeds q54's scrub stage
+    "q59_curation_chain", // q59 embeds q54's scrub stage
+    "q60_bm25")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

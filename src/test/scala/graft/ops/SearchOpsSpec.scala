@@ -61,6 +61,16 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq(5L, 1L)) // 3x fast beats 1x fast
   }
 
+  test("buildVocab: count-desc token-asc ids, cut at maxSize") {
+    val got = SearchOps.buildVocab(docs, "text", 3)
+      .select("token", "n", "id").as[(String, Long, Long)].collect().toSeq
+      .sortBy(_._3)
+    // corpus counts: fast=4, spark=6; next tier has several 2s — "data" wins ties alphabetically
+    assert(got.map(_._1) == Seq("spark", "fast", "data"))
+    assert(got.map(_._3) == Seq(0L, 1L, 2L))
+    assert(got(0)._2 == 6L && got(1)._2 == 4L && got(2)._2 == 2L)
+  }
+
   test("plan: stats broadcast; top-k is a partial TakeOrdered, no global sort") {
     val df = SearchOps.bm25TopK(docs, "text", "doc_id", Seq("spark"), 3)
     val plan = df.queryExecution.executedPlan match {
