@@ -39,6 +39,37 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the ANN
+    * corpus-storage story at 100 TB: a 4× smaller vector column (int8
+    * vs float32) with cosine UNCHANGED up to rounding, because the
+    * per-vector scale cancels in the cosine ratio — search the
+    * quantized corpus directly (`array<int>` cast to float feeds
+    * [[graft.functions.CosineSimilarity]]), no dequantize pass.
+    * Returns struct(scale double, q array<int> in [-127, 127]);
+    * scale = max|x|/127, with the all-zero vector mapping to scale 0
+    * and q = zeros (CASE'd to divide by 1). round() is half-away-from-
+    * zero in both Spark and DuckDB, and the float→double widening of
+    * each component is exact, so the oracle replays quantization
+    * bit-for-bit. (Values are stored as int32 here — parquet has no
+    * 8-bit physical type; the 4× claim is about the encoded column,
+    * dictionary/bit-packed to ≤1 B per component.)
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x))).cast("double")
+    val scale = maxAbs / lit(127.0)
+    val safe = when(scale === 0.0, 1.0).otherwise(scale)
+    struct(
+      scale.as("scale"),
+      transform(vec, x => round(x.cast("double") / safe).cast("int")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: array<float> with per-component
+    * error ≤ scale/2.
+    */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      q => (q.cast("double") * qs.getField("scale")).cast("float"))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-1, 1) from a splitmix64 draw. Computed ONCE on the
     * driver and shipped as literals — plane components are row-

@@ -991,6 +991,32 @@ object ExtensionQueries {
       |       FROM documents)
       | GROUP BY g ORDER BY n DESC, g LIMIT 30)""".stripMargin
 
+  // --------------------------------------------------------------- q62
+  /** Int8 embedding quantization
+    * ([[graft.ops.SimilarityOps.quantizeInt8]]): per-vector symmetric
+    * scale + int components, value-compared. Portable because round()
+    * is half-away-from-zero in both engines and float→double widening
+    * is exact; the all-zero vector CASEs to scale 0 / q zeros.
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      SimilarityOps.quantizeInt8(col("embedding")).as("qs"))
+      .select(col("vec_id"), col("qs.scale").as("scale"),
+        // the driver's canonicalizer hashes scalars, not arrays —
+        // serialize the int components to CSV in both engines
+        concat_ws(",", col("qs.q")).as("q_csv"))
+
+  val q62Sql: String =
+    """SELECT vec_id,
+      | CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale,
+      | array_to_string(list_transform(embedding, x -> CAST(round(
+      |   CAST(x AS DOUBLE) / (CASE
+      |     WHEN CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) / 127.0 = 0.0
+      |     THEN 1.0
+      |     ELSE CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) / 127.0 END))
+      |   AS INTEGER)), ',') AS q_csv
+      |FROM embeddings""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1021,5 +1047,6 @@ object ExtensionQueries {
     "q58_weighted_sample" -> ((q58 _, q58Sql)),
     "q59_curation_chain" -> ((q59 _, q59Sql)),
     "q60_bm25" -> ((q60 _, q60Sql)),
-    "q61_build_vocab" -> ((q61 _, q61Sql)))
+    "q61_build_vocab" -> ((q61 _, q61Sql)),
+    "q62_quantize_int8" -> ((q62 _, q62Sql)))
 }

@@ -98,6 +98,48 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got.keySet.subsetOf(Set(100L, 102L)))
   }
 
+  test("quantizeInt8: round-trip error <= scale/2; zero vector safe; range [-127,127]") {
+    val r = new scala.util.Random(23)
+    val data = (0L until 50L).map(i =>
+      (i, Seq.fill(16)((r.nextFloat() * 2 - 1) * (r.nextInt(10) + 1)))) :+
+      (99L, Seq.fill(16)(0.0f))
+    val df = data.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        SimilarityOps.quantizeInt8(col("embedding")).as("qs"))
+      .select(col("vec_id"), col("qs.scale"), col("qs.q"),
+        SimilarityOps.dequantizeInt8(col("qs")).as("deq"))
+      .as[(Long, Double, Seq[Int], Seq[Float])].collect()
+    val orig = data.toMap
+    got.foreach { case (id, scale, q, deq) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      if (id == 99L) assert(scale == 0.0 && q.forall(_ == 0) && deq.forall(_ == 0.0f))
+      else {
+        val tol = scale / 2 + 1e-6
+        orig(id).zip(deq).foreach { case (x, d) =>
+          assert(math.abs(x - d) <= tol, s"vec $id: $x vs $d (scale $scale)")
+        }
+      }
+    }
+  }
+
+  test("cosine over quantized vectors approximates float cosine (scales cancel)") {
+    val r = new scala.util.Random(29)
+    val df = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(r.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"),
+      transform(SimilarityOps.quantizeInt8(col("embedding")).getField("q"),
+        x => x.cast("float")).as("embedding"))
+    def top1(frame: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.bruteCosineTopK(frame, frame, 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val exact = top1(df)
+    val approx = top1(q)
+    // int8 keeps ~2 decimal digits of each component: top-1 should
+    // agree for the overwhelming majority of queries
+    val agree = exact.count { case (k, v) => approx.get(k).contains(v) }
+    assert(agree >= 36, s"only $agree/40 top-1 agreements after quantization")
+  }
+
   test("ivfCosineSearch: disjoint query batch probes the corpus index") {
     val queries = Seq(
       (200L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
