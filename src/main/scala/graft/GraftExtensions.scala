@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinShingleMd5, ShingleHashes64, SimHash64, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinShingleMd5, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, TopNgramFrac}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("shingle_hashes64",
       "shingle_hashes64(array<string>, n) - sorted distinct xxhash64 set of all n-token shingles",
       exprs => ShingleHashes64(exprs(0), litInt(exprs(1), "shingle_hashes64", "n"))))
+    ext.injectFunction(fn("sorted_long_contains",
+      "sorted_long_contains(array<bigint> sorted asc, bigint) - binary-search membership",
+      exprs => SortedLongContains(exprs(0), exprs(1))))
+    ext.injectFunction(fn("top_ngram_frac",
+      "top_ngram_frac(array<string>, n) - most frequent word n-gram's share of all n-grams",
+      exprs => TopNgramFrac(exprs(0), litInt(exprs(1), "top_ngram_frac", "n"))))
     ext.injectFunction(fn("hyperplane_band_sigs",
       "hyperplane_band_sigs(array<float>, bands, planesPerBand, dim) - fused hyperplane-LSH band signatures",
       exprs => HyperplaneBandSigs(exprs(0),

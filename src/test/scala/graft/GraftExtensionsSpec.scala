@@ -28,6 +28,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r == ((2, 1)))
   }
 
+  test("sorted_long_contains and top_ngram_frac resolve from SQL") {
+    val r = spark.sql(
+      """SELECT sorted_long_contains(array(1L, 5L, 9L), 5L) AS hit,
+        |       sorted_long_contains(array(1L, 5L, 9L), 6L) AS miss,
+        |       top_ngram_frac(array('a', 'a', 'a'), 2) AS f
+        |""".stripMargin).as[(Boolean, Boolean, Double)].head()
+    assert(r == ((true, false, 1.0)))
+  }
+
   test("DESCRIBE FUNCTION shows the registered usage text") {
     val desc = spark.sql("DESCRIBE FUNCTION cosine_sim").as[String].collect().mkString("\n")
     assert(desc.contains("cosine_sim"))
