@@ -28,6 +28,19 @@ object CurationOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Distinct gram-key ARRAY of a text column — the decontamination
+    * unit, as one fused generated pass
+    * ([[graft.functions.ShingleHashes64]]: xxhash64 of each n-token
+    * window, sorted distinct). The composable
+    * `array_distinct(ngramList(...))` tower is interpreted HOFs — one
+    * slice + concat allocation per window position per evaluation —
+    * and oracles swap it back in with string/md5 keys via the
+    * `gramKeys` parameter.
+    */
+  def defaultGramKeys(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes64.shingleHashes64(
+      TextOps.whitespaceTokenize(text), n)
+
   /** Ids of training docs sharing at least one word n-gram with the
     * eval corpus — GPT-3-style benchmark decontamination (Brown et al.
     * 2020, appendix C uses 13-grams; `n` is the caller's contract).
@@ -37,25 +50,24 @@ object CurationOps {
     * train side computes gram keys map-side and left-semi-joins against
     * the broadcast without any exchange of text or grams. Only the
     * surviving (contaminated) ids — bounded by the corpus hit rate —
-    * reach the final distinct. `gramKey` defaults to xxhash64 (8-byte
-    * keys in the broadcast); pass identity/md5 for portable oracles.
+    * reach the final distinct. `gramKeys` defaults to the fused
+    * xxhash64 form (8-byte keys in the broadcast); oracles pass a
+    * composable string/md5 form.
     */
   def contaminatedIds(
       train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int,
-      gramKey: Column => Column = xxhash64(_)): DataFrame =
+      gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame =
     contaminatedIdsWithGramSet(train,
-      evalGramSet(evalDocs, textCol, n, gramKey), textCol, idCol, n, gramKey)
+      evalGramSet(evalDocs, textCol, n, gramKeys), textCol, idCol, n, gramKeys)
 
   /** [[contaminatedIds]] against a precomputed [[evalGramSet]]. */
   def contaminatedIdsWithGramSet(
       train: DataFrame, gramSet: DataFrame,
       textCol: String, idCol: String, n: Int,
-      gramKey: Column => Column = xxhash64(_)): DataFrame =
+      gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame =
     train
-      .select(col(idCol),
-        explode(array_distinct(ngramList(col(textCol), n))).as("g"))
-      .select(col(idCol), gramKey(col("g")).as("gk"))
+      .select(col(idCol), explode(gramKeys(col(textCol), n)).as("gk"))
       .join(broadcast(gramSet), Seq("gk"), "left_semi")
       .select(idCol).distinct()
 
@@ -237,10 +249,9 @@ object CurationOps {
     */
   def evalGramSet(
       evalDocs: DataFrame, textCol: String, n: Int,
-      gramKey: Column => Column = xxhash64(_)): DataFrame =
+      gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame =
     evalDocs
-      .select(explode(array_distinct(ngramList(col(textCol), n))).as("g"))
-      .select(gramKey(col("g")).as("gk")).distinct()
+      .select(explode(gramKeys(col(textCol), n)).as("gk")).distinct()
 
   /** Decontamination DECISION path: `train` minus every doc flagged by
     * [[contaminatedIds]], unchanged schema. The anti-join side is the
@@ -250,9 +261,9 @@ object CurationOps {
   def decontaminate(
       train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int,
-      gramKey: Column => Column = xxhash64(_)): DataFrame =
+      gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame =
     decontaminateWithGramSet(train,
-      evalGramSet(evalDocs, textCol, n, gramKey), textCol, idCol, n, gramKey)
+      evalGramSet(evalDocs, textCol, n, gramKeys), textCol, idCol, n, gramKeys)
 
   /** [[decontaminate]] against a PRECOMPUTED [[evalGramSet]] frame (read
     * back from parquet in a real deployment): the per-batch plan —
@@ -262,8 +273,8 @@ object CurationOps {
   def decontaminateWithGramSet(
       train: DataFrame, gramSet: DataFrame,
       textCol: String, idCol: String, n: Int,
-      gramKey: Column => Column = xxhash64(_)): DataFrame =
+      gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame =
     train.join(
-      contaminatedIdsWithGramSet(train, gramSet, textCol, idCol, n, gramKey),
+      contaminatedIdsWithGramSet(train, gramSet, textCol, idCol, n, gramKeys),
       Seq(idCol), "left_anti")
 }

@@ -706,7 +706,8 @@ object ExtensionQueries {
     CurationOps.decontaminate(
         d.filter(col("doc_id") % 20 =!= 0),
         d.filter(col("doc_id") % 20 === 0),
-        "text", "doc_id", n = 3, gramKey = c => c)
+        "text", "doc_id", n = 3,
+        gramKeys = (t, n) => array_distinct(CurationOps.ngramList(t, n)))
       .select("doc_id")
   }
 

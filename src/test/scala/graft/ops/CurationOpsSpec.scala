@@ -225,11 +225,17 @@ class CurationOpsSpec extends AnyFunSuite {
       precomp == Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota"))
   }
 
-  test("gramKey is pluggable: portable md5 family matches xxhash64 decisions") {
+  test("gramKeys is pluggable: portable md5/string forms match the fused default") {
     val a = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3)
       .as[Long].collect().toSet
     val b = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3,
-        gramKey = graft.core.PortableHash.md5Long).as[Long].collect().toSet
-    assert(a == b)
+        gramKeys = (t, n) => transform(
+          array_distinct(CurationOps.ngramList(t, n)),
+          g => graft.core.PortableHash.md5Long(g)))
+      .as[Long].collect().toSet
+    val c = CurationOps.contaminatedIds(train, evalSet, "text", "doc_id", 3,
+        gramKeys = (t, n) => array_distinct(CurationOps.ngramList(t, n)))
+      .as[Long].collect().toSet
+    assert(a == b && b == c)
   }
 }
