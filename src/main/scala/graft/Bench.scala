@@ -192,6 +192,14 @@ object Bench {
     "b_span_scrub" -> ((s, dir) =>
       CurationOps.scrubFrequentSpans(
         Tables.documents(s, dir), "text", m = 4, minCount = 2)),
+    // paragraph-level first-occurrence dedup (ownership = min packed
+    // long per span hash; text moves only in the id-keyed rebuild join)
+    "b_span_dedup" -> ((s, dir) =>
+      CurationOps.dedupSpans(Tables.documents(s, dir), "text", "doc_id", m = 4)),
+    // bigram-LM perplexity, model trained on the same corpus (counts
+    // shuffle 64-bit keys; scoring joins longs; text never shuffles)
+    "b_perplexity" -> ((s, dir) =>
+      CurationOps.perplexitySelf(Tables.documents(s, dir), "text", "doc_id")),
     // greedy token-budget packing (narrow shuffle + typed per-shard fold)
     "b_pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(Tables.documents(s, dir), "source", "doc_id",

@@ -163,6 +163,147 @@ object CurationOps {
       .drop("bad_spans")
   }
 
+  /** Positions (0-based) per span fit in 20 bits, so a span occurrence
+    * packs into one long `id << 20 | pos` and "first occurrence" is a
+    * plain `min` — see [[dedupSpans]].
+    */
+  private val SpanPosBits = 20
+
+  /** CCNet-style paragraph-level dedup: rewrite `textCol` keeping, for
+    * every distinct m-token span in the corpus, only its FIRST
+    * occurrence — first = smallest (`idCol`, span position) — and
+    * dropping every later copy (CCNet dedups at the paragraph hash
+    * level before its LM filter; C4 drops repeated three-sentence
+    * windows). Differs from [[scrubFrequentSpans]], which removes ALL
+    * copies of frequent spans: here exactly one copy survives. Docs
+    * whose every span lost are KEPT with empty text (composing with a
+    * length filter is the caller's policy), and non-text columns pass
+    * through untouched.
+    *
+    * Plan shape at 100 TB: the OWNERSHIP decision shuffles only
+    * (span_key, packed-long occurrence) pairs — each occurrence packs
+    * into `id << 20 | pos` (docs must have < 2^20 spans and nonnegative
+    * ids `< 2^43`; a 100 TB corpus of billion-token docs would shard
+    * first), so the winner per span is a map-side-combined `min`, never
+    * an arg-min carrying text. Winners unpack back to (id, pos) ints
+    * that regroup per doc, and the single exchange that moves document
+    * text is the final id-keyed rebuild join — with id-bucketed docs
+    * even that is exchange-free. `spanKey` must produce a LONG key
+    * (default xxhash64; [[graft.core.PortableHash.md5Long]] for
+    * oracles); a 64-bit collision merges two spans' ownership — the
+    * same accepted contract as exact dedup's hash key.
+    */
+  def dedupSpans(
+      df: DataFrame, textCol: String, idCol: String, m: Int,
+      spanKey: Column => Column = xxhash64(_)): DataFrame = {
+    val occ = df
+      .select(col(idCol), posexplode(spanList(col(textCol), m)).as(Seq("pos", "s")))
+      .select(spanKey(col("s")).as("k"),
+        (col(idCol).cast("long") * lit(1L << SpanPosBits) + col("pos")).as("ord"))
+    val kept = occ.groupBy("k").agg(min("ord").as("w"))
+      .select(shiftright(col("w"), SpanPosBits).as("kid"),
+        col("w").bitwiseAND(lit((1L << SpanPosBits) - 1)).cast("int").as("pos"))
+    val keptPerDoc = kept.groupBy("kid")
+      .agg(sort_array(collect_list(col("pos"))).as("kept_pos"))
+    df.join(keptPerDoc, col(idCol).cast("long") === col("kid"), "left")
+      .withColumn(textCol, concat_ws(" ",
+        filter(spanList(col(textCol), m), (s, i) =>
+          array_contains(coalesce(col("kept_pos"), array().cast("array<int>")), i))))
+      .drop("kid", "kept_pos")
+  }
+
+  /** Per-position bigram occurrences of a text column as
+    * `struct(w1, bg)` — `w1` the left token (the conditioning context),
+    * `bg` the space-joined pair. Empty for texts shorter than two
+    * tokens. Narrow (one pass over the token array, no shuffle).
+    */
+  def bigramOccurrences(text: Column): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    val n = size(toks)
+    when(n < 2, array().cast("array<struct<w1:string,bg:string>>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg"))))
+  }
+
+  /** Corpus unigram counts as (tok_key, n) — the LM training pass of
+    * [[perplexity]]. One map-side-combined shuffle of (64-bit key,
+    * partial count); token strings hash BEFORE the exchange.
+    */
+  def lmUnigramCounts(
+      df: DataFrame, textCol: String,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    df.select(explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
+      .select(tokenKey(col("t")).as("tok_key"))
+      .groupBy("tok_key").agg(count(lit(1)).as("n"))
+
+  /** Corpus bigram counts as (bigram_key, n) — key = `tokenKey` of the
+    * space-joined pair (unambiguous: whitespace tokens cannot contain
+    * spaces). Same narrow-shuffle shape as [[lmUnigramCounts]].
+    */
+  def lmBigramCounts(
+      df: DataFrame, textCol: String,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    df.select(explode(bigramOccurrences(col(textCol))).as("o"))
+      .select(tokenKey(col("o.bg")).as("bigram_key"))
+      .groupBy("bigram_key").agg(count(lit(1)).as("n"))
+
+  /** Bigram-LM fluency scoring — the public re-derivation of CCNet's
+    * KenLM perplexity filter (Wenzek et al. 2020 score docs with a
+    * 5-gram KenLM and keep the low-perplexity tail; the model ORDER is
+    * a quality knob, the pipeline shape is not). Scores each doc with
+    * `(n_bigrams, nll, ppl)` under an add-one-smoothed bigram model:
+    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`, `nll` the mean negative
+    * natural log-prob over the doc's bigram positions, `ppl = exp(nll)`
+    * (lower = more fluent). Docs with fewer than two tokens have no
+    * bigram positions and are absent from the output. V is the number
+    * of distinct token KEYS in `uni` — under the 64-bit default a hash
+    * collision undercounts V by its collision count, the same accepted
+    * contract as exact dedup's hash key.
+    *
+    * Plan shape at 100 TB: count frames come from [[lmUnigramCounts]] /
+    * [[lmBigramCounts]] — train ONCE per corpus version, persist to
+    * parquet, score every ingest batch against them (the same standing
+    * deployment as [[decontaminateWithGramSet]]). The scoring side
+    * explodes to (id, tok_key, bigram_key) — three longs, strings hash
+    * map-side — then joins the count frames on their 64-bit keys
+    * (broadcast when the vocabulary fits, shuffle-of-longs otherwise;
+    * V rides a one-row broadcast) and re-aggregates per doc. Document
+    * text never crosses an exchange.
+    */
+  def perplexity(
+      df: DataFrame, textCol: String, idCol: String,
+      uni: DataFrame, bi: DataFrame,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame = {
+    val v = uni.agg(count(lit(1)).as("v"))
+    val occ = df
+      .select(col(idCol), explode(bigramOccurrences(col(textCol))).as("o"))
+      .select(col(idCol), tokenKey(col("o.w1")).as("tok_key"),
+        tokenKey(col("o.bg")).as("bigram_key"))
+    occ
+      .join(uni.withColumnRenamed("n", "c1"), Seq("tok_key"), "left")
+      .join(bi.withColumnRenamed("n", "c2"), Seq("bigram_key"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), log(
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp")) / count(lit(1))).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
+  /** [[perplexity]] with the model trained on the scored corpus itself —
+    * the CCNet bootstrap shape (score a crawl against its own
+    * statistics when no curated LM corpus exists yet).
+    */
+  def perplexitySelf(
+      df: DataFrame, textCol: String, idCol: String,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    perplexity(df, textCol, idCol,
+      lmUnigramCounts(df, textCol, tokenKey),
+      lmBigramCounts(df, textCol, tokenKey), tokenKey)
+
   /** Corpus balancing: keep at most `cap` rows per bucket, best-ranked
     * first (`rank` descending, `idCol` ascending as the deterministic
     * tiebreak) — the data-mixing stage that stops one domain/language

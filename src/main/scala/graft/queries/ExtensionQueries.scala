@@ -1018,6 +1018,78 @@ object ExtensionQueries {
       |   AS INTEGER)), ',') AS q_csv
       |FROM embeddings""".stripMargin
 
+  // --------------------------------------------------------------- q63
+  /** Paragraph-level first-occurrence dedup
+    * ([[graft.ops.CurationOps.dedupSpans]]): every distinct 4-token
+    * span keeps exactly its earliest (doc_id, position) copy. The
+    * oracle replays the packed-long `min` ownership and rebuilds via
+    * position-ordered `string_agg` — pure integer/string algebra, no
+    * float risk.
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.dedupSpans(Tables.documents(spark, dir), "text", "doc_id",
+        m = 4, spanKey = PortableHash.md5Long)
+      .select("doc_id", "text")
+
+  val q63Sql: String =
+    s"""WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |spans AS (
+      | SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+      |  ELSE list_transform(generate_series(0, CAST(ceil(len(tk) / 4.0) AS BIGINT) - 1),
+      |    i -> array_to_string(tk[i*4+1 : i*4+4], ' ')) END AS sp
+      | FROM toks),
+      |occ AS (
+      | SELECT doc_id, i - 1 AS pos, sp[i] AS g,
+      |  ${dk("sp[i]")} AS k, doc_id * 1048576 + (i - 1) AS ord
+      | FROM (SELECT doc_id, sp, unnest(generate_series(1, len(sp))) AS i FROM spans)),
+      |win AS (SELECT k, min(ord) AS w FROM occ GROUP BY k),
+      |rebuilt AS (
+      | SELECT o.doc_id, string_agg(o.g, ' ' ORDER BY o.pos) AS t
+      | FROM occ o JOIN win w ON o.k = w.k AND o.ord = w.w
+      | GROUP BY o.doc_id)
+      |SELECT d.doc_id, coalesce(r.t, '') AS text
+      |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
+  // --------------------------------------------------------------- q64
+  /** Bigram-LM perplexity ([[graft.ops.CurationOps.perplexitySelf]]):
+    * add-one-smoothed bigram scores with the model trained on the same
+    * corpus. Counts are exact integers on both sides; the per-doc
+    * log-prob sum is double (the driver's 6-decimal rounding absorbs
+    * accumulation-order noise, and `nll` ~ O(10) keeps `ppl = exp(nll)`
+    * well inside that tolerance).
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.perplexitySelf(Tables.documents(spark, dir), "text", "doc_id",
+        tokenKey = PortableHash.md5Long)
+      .select("doc_id", "n_bigrams", "nll", "ppl")
+
+  val q64Sql: String =
+    s"""WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |uni AS (
+      | SELECT ${dk("w")} AS k, count(*) AS c
+      | FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |bgs AS (
+      | SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+      | FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |       FROM toks WHERE len(tk) >= 2)),
+      |bi AS (SELECT ${dk("bg")} AS k, count(*) AS c FROM bgs GROUP BY 1),
+      |lp AS (
+      | SELECT g.doc_id,
+      |  ln(CAST(coalesce(b.c, 0) + 1 AS DOUBLE) /
+      |     CAST(coalesce(u.c, 0) + v.v AS DOUBLE)) AS lp
+      | FROM bgs g
+      | LEFT JOIN uni u ON u.k = ${dk("g.w1")}
+      | LEFT JOIN bi b ON b.k = ${dk("g.bg")}, v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | -sum(lp) / count(*) AS nll,
+      | exp(-sum(lp) / count(*)) AS ppl
+      |FROM lp GROUP BY doc_id""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1049,5 +1121,7 @@ object ExtensionQueries {
     "q59_curation_chain" -> ((q59 _, q59Sql)),
     "q60_bm25" -> ((q60 _, q60Sql)),
     "q61_build_vocab" -> ((q61 _, q61Sql)),
-    "q62_quantize_int8" -> ((q62 _, q62Sql)))
+    "q62_quantize_int8" -> ((q62 _, q62Sql)),
+    "q63_span_dedup" -> ((q63 _, q63Sql)),
+    "q64_perplexity" -> ((q64 _, q64Sql)))
 }

@@ -238,4 +238,107 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(a == b && b == c)
   }
+
+  // ------------------------------------------------------ dedupSpans
+
+  test("dedupSpans keeps exactly the first (doc_id, pos) copy of each span") {
+    val docs = Seq(
+      (1L, "a b c d e f", "keep"),       // spans: "a b", "c d", "e f"
+      (2L, "c d x y a b", "keep"),       // "c d" and "a b" lose to doc 1
+      (3L, "x y x y", "keep"),           // first "x y" loses to doc 2, second to its own first
+      (4L, "c d a b", "gone")            // every span already owned
+    ).toDF("doc_id", "text", "tag")
+    val out = CurationOps.dedupSpans(docs, "text", "doc_id", m = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("a b c d e f", "x y", "", ""))
+    // non-text columns and the full row set survive, including emptied docs
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "keep"), (2L, "keep"), (3L, "keep"), (4L, "gone")))
+  }
+
+  test("dedupSpans is the identity on a corpus with no repeated span") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = CurationOps.dedupSpans(docs, "text", "doc_id", m = 2)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(out == Seq("alpha beta gamma delta", "epsilon zeta eta theta", ""))
+  }
+
+  test("dedupSpans: md5 key decisions match the fused xxhash64 default") {
+    val docs = train.union(train.withColumn("doc_id", col("doc_id") + 100))
+    val a = CurationOps.dedupSpans(docs, "text", "doc_id", m = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    val b = CurationOps.dedupSpans(docs, "text", "doc_id", m = 3,
+        spanKey = graft.core.PortableHash.md5Long)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(a == b)
+    // the +100 twins repeat every span of train: all emptied
+    assert(a.drop(5).forall(_ == "") && a.take(5).exists(_.nonEmpty))
+  }
+
+  test("dedupSpans plan: ownership shuffles longs only; text moves at most in the rebuild join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val out = CurationOps.dedupSpans(train, "text", "doc_id", m = 2)
+    val shuffles = physical(out).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    val stringCarrying = shuffles.filter(_.output.exists(
+      _.dataType == org.apache.spark.sql.types.StringType))
+    // only the id-keyed rebuild join may move text; the span-ownership
+    // aggregation exchanges stay (hash, packed-long)
+    stringCarrying.foreach { s =>
+      s.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.expressions.exists(_.references.exists(_.name == "doc_id")),
+            s"string-carrying shuffle not keyed by doc_id:\n$s")
+        case p => fail(s"unexpected partitioning $p for string-carrying shuffle")
+      }
+    }
+    assert(stringCarrying.size <= 1)
+  }
+
+  // ------------------------------------------------------ perplexity
+
+  test("perplexitySelf matches hand-computed add-one bigram scores") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // unigrams: a=3 b=3 c=1 -> V=3; bigrams: "a b"=3, "b a"=1, "b c"=1
+    val out = CurationOps.perplexitySelf(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val p_ab = 4.0 / 6.0; val p_ba = 2.0 / 6.0; val p_bc = 2.0 / 6.0
+    val nll1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    val nll2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(math.abs(out(0).getDouble(2) - nll1) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - nll2) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - math.exp(nll1)) < 1e-12)
+  }
+
+  test("perplexity: unseen tokens/bigrams fall back to the smoothing floor") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val uni = CurationOps.lmUnigramCounts(corpus, "text")
+    val bi = CurationOps.lmBigramCounts(corpus, "text")
+    val probe = Seq((9L, "z q"), (10L, "a")).toDF("doc_id", "text")
+    val out = CurationOps.perplexity(probe, "text", "doc_id", uni, bi).collect()
+    // "a" has no bigram position -> absent; "z q" scores 1/(0+V) = 1/3
+    assert(out.map(_.getLong(0)).toSeq == Seq(9L))
+    assert(math.abs(out(0).getDouble(2) - (-math.log(1.0 / 3.0))) < 1e-12)
+  }
+
+  test("perplexity: md5 key scores match the fused xxhash64 default") {
+    val a = CurationOps.perplexitySelf(train, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = CurationOps.perplexitySelf(train, "text", "doc_id",
+        tokenKey = graft.core.PortableHash.md5Long)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.map(x => (x._1, x._2)).sameElements(b.map(x => (x._1, x._2))))
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-12) }
+  }
+
+  test("perplexity plan: document text never crosses an exchange") {
+    assertNoStringShuffle(
+      CurationOps.perplexitySelf(train, "text", "doc_id"), expectShuffle = true)
+  }
 }
