@@ -215,6 +215,16 @@ object Bench {
     // scale counterpart of the pairwise q23 oracle form
     "b_cosine_dedup" -> ((s, dir) =>
       DedupOps.cosineKeepers(Tables.embeddings(s, dir), "embedding", "vec_id", 0.95)),
+    // spherical k-means, 2 Lloyd rounds (per round: one narrow fused
+    // assignment pass + a k-row partial agg + a k x dim driver collect)
+    "b_kmeans" -> ((s, dir) =>
+      SimilarityOps.kmeansAssign(Tables.embeddings(s, dir),
+        "embedding", "vec_id", k = 16, iters = 2, dim = 64)),
+    // SemDeDup: cluster then verify each doc against its cluster rep
+    // only — ONE cosine per doc vs the LSH path's bands
+    "b_semdedup" -> ((s, dir) =>
+      DedupOps.semDedupKeepers(Tables.embeddings(s, dir),
+        "embedding", "vec_id", minCosine = 0.7, k = 16, iters = 2, dim = 64)),
     // end-to-end corpus-curation shape — the composed 100 TB workload:
     // language-ID + quality score as NARROW column work pruned before
     // the (shuffling) dedup decision, so the expensive stage only sees

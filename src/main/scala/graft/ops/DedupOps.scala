@@ -840,4 +840,44 @@ object DedupOps {
       .select("id").distinct()
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    * then near-dedup WITHIN each cluster — keep the min-id rep, drop
+    * every other member whose cosine to the rep reaches `minCosine`.
+    * The clustering makes the verify list per doc exactly ONE pair
+    * (doc, its cluster rep) — versus [[cosineKeepers]]' `bands` LSH
+    * buckets — at the price of `iters+1` extra corpus passes to train
+    * the centroids; SemDeDup's published setting trades exactly this
+    * way at web scale (clusters bound the candidate set). Rows whose
+    * vector fails the fixed-dim/null contract cannot be near-dups and
+    * are kept, mirroring [[cosineKeepers]].
+    *
+    * Scale shape: centroid training is
+    * [[graft.ops.SimilarityOps.kmeansCentroids]] (constant-size
+    * driver matrix, narrow assignment passes); the decision shuffles
+    * (cluster, id) for the rep pick — `min_by` carries the rep VECTOR
+    * through the k-row aggregate only — and the verify cosine runs at
+    * the cluster join where both vectors are co-located, so the only
+    * corpus-sized exchange carries (cluster int, id, vec), the same
+    * row the LSH path ships per band.
+    */
+  def semDedupKeepers(
+      df: DataFrame, vecCol: String, idCol: String, minCosine: Double,
+      k: Int = 8, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val mat = SimilarityOps.kmeansCentroids(df, vecCol, idCol, k, iters, dim)
+    val clustered = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) === dim &&
+        !exists(col("vec"), _.isNull))
+      .select(col("id"), col("vec"),
+        element_at(graft.functions.TopCentroids.topCentroids(
+          col("vec"), mat, dim, 1), 1).as("cluster"))
+    val reps = clustered.groupBy("cluster")
+      .agg(min("id").as("rep"), min_by(col("vec"), col("id")).as("rep_vec"))
+    val dropped = clustered.join(reps, Seq("cluster"))
+      .filter(col("id") > col("rep") &&
+        graft.functions.CosineSimilarity.cosineFused(col("vec"), col("rep_vec")) >= minCosine)
+      .select("id")
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 }

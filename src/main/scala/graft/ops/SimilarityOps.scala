@@ -259,4 +259,89 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Rows whose vector can participate in fixed-dim cosine work:
+    * non-null, exactly `dim` elements, no null element — the
+    * [[graft.functions.TopCentroids]] null contract as a filter.
+    */
+  private def validVecs(
+      df: DataFrame, vecCol: String, idCol: String, dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) === dim &&
+        !exists(col("vec"), _.isNull))
+
+  /** Spherical k-means (Lloyd) centroids over an embedding column —
+    * the clustering stage SemDeDup (Abbas et al. 2023) and
+    * cluster-balanced sampling pipelines need. Deterministic: seeds are
+    * the `k` valid vectors with the smallest ids (cluster j = j-th
+    * smallest); each of the `iters` rounds assigns every vector to its
+    * max-cosine centroid (ties → lowest cluster, the
+    * [[graft.functions.TopCentroids]] contract) and recenters each
+    * cluster at the per-dimension mean, ROUNDED to 6 decimals and cast
+    * to float so the update is reproducible across engines and
+    * accumulation orders (assignment is scale-invariant under cosine,
+    * so skipping the usual sphere re-normalization changes nothing).
+    * A cluster that loses all members keeps its previous centroid.
+    * Vectors failing the fixed-dim/null contract are excluded.
+    *
+    * Scale shape (100 TB): per round = ONE narrow corpus pass (the
+    * fused TopCentroids assignment — no exchange, no row blowup) + a
+    * map-side-combined partial agg to k rows × dim columns + a k-row
+    * driver collect — the same constant-size broadcast-dim contract as
+    * [[ivfCosineSearch]]'s centroid pick. `iters+1` corpus reads total
+    * (persist the input upstream if reads dominate). The returned
+    * row-major (k × dim) matrix ships inside the serialized plan of
+    * whatever uses it.
+    */
+  def kmeansCentroids(
+      df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, dim: Int): Array[Float] = {
+    require(k >= 1 && iters >= 0 && dim >= 1)
+    val valid = validVecs(df, vecCol, idCol, dim)
+    val seeds = valid.orderBy("id").limit(k).orderBy("id").select("vec").collect()
+    require(seeds.nonEmpty, "kmeansCentroids: no valid vectors")
+    var mat = new Array[Float](seeds.length * dim)
+    seeds.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](0)
+      var j = 0
+      while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
+    }
+    for (_ <- 1 to iters) {
+      val cl = element_at(graft.functions.TopCentroids.topCentroids(
+        col("vec"), mat, dim, 1), 1)
+      val aggs = (0 until dim).map(j =>
+        round(avg(element_at(col("vec"), j + 1).cast("double")), 6)
+          .cast("float").as(s"c$j"))
+      val next = mat.clone()
+      valid.select(cl.as("cl"), col("vec"))
+        .groupBy("cl").agg(aggs.head, aggs.tail: _*)
+        .collect().foreach { r =>
+          val c = r.getInt(0)
+          var j = 0
+          while (j < dim) { next(c * dim + j) = r.getFloat(j + 1); j += 1 }
+        }
+      mat = next
+    }
+    mat
+  }
+
+  /** (idCol, cluster) assignment of every valid vector to its
+    * max-cosine centroid in a row-major (k × dim) matrix — one narrow
+    * fused pass, no exchange. Rows failing the fixed-dim/null contract
+    * are absent (they cannot be clustered).
+    */
+  def assignClusters(
+      df: DataFrame, vecCol: String, idCol: String,
+      mat: Array[Float], dim: Int): DataFrame =
+    validVecs(df, vecCol, idCol, dim)
+      .select(col("id").as(idCol),
+        element_at(graft.functions.TopCentroids.topCentroids(
+          col("vec"), mat, dim, 1), 1).as("cluster"))
+
+  /** [[kmeansCentroids]] + final [[assignClusters]] in one call. */
+  def kmeansAssign(
+      df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame =
+    assignClusters(df, vecCol, idCol,
+      kmeansCentroids(df, vecCol, idCol, k, iters, dim), dim)
 }

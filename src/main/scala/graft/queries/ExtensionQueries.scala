@@ -1090,6 +1090,117 @@ object ExtensionQueries {
       | exp(-sum(lp) / count(*)) AS ppl
       |FROM lp GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q65
+  private val q65K = 8
+  private val q65Iters = 2
+  private val q65Dim = 64
+
+  /** Left-to-right widened-double product chain over two DuckDB list
+    * columns — [[graft.functions.TopCentroids]]' accumulation order
+    * verbatim (`dot += v(j) * y` ascending j).
+    */
+  private def chainSql(a: String, b: String): String =
+    (0 until q65Dim).map(j =>
+      s"CAST($a[${j + 1}] AS DOUBLE) * CAST($b[${j + 1}] AS DOUBLE)").mkString(" + ")
+
+  /** One Lloyd round in SQL: assignment of every vector in `e` to its
+    * max-cosine centroid in `cFrom` (ties → lowest cluster, replaying
+    * TopCentroids' strict-displacement scan), then per-cluster
+    * per-dimension means rounded to 6 decimals and cast to REAL —
+    * [[graft.ops.SimilarityOps.kmeansCentroids]]' update — with empty
+    * clusters keeping their previous centroid.
+    */
+  private def kmeansRoundSql(cFrom: String, aName: String, cName: String): String = {
+    val avgList = (0 until q65Dim).map(j =>
+      s"CAST(round(avg(CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS REAL)")
+      .mkString(", ")
+    s"""$aName AS (
+      | SELECT vec_id, embedding, vn, cl FROM (
+      |  SELECT e.vec_id, e.embedding, e.vn, r.cl,
+      |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    (CASE WHEN sqrt(e.vn) * sqrt(r.cn) = 0 THEN 0
+      |     ELSE (${chainSql("e.embedding", "r.c")}) / (sqrt(e.vn) * sqrt(r.cn))
+      |     END) DESC, r.cl) AS rn
+      |  FROM e CROSS JOIN $cFrom r) WHERE rn = 1),
+      |${cName}_m AS (
+      | SELECT cl, [$avgList] AS c FROM $aName GROUP BY cl),
+      |$cName AS (
+      | SELECT cl, c, ${chainSql("c", "c")} AS cn FROM (
+      |  SELECT s.cl, coalesce(m.c, s.c) AS c
+      |  FROM $cFrom s LEFT JOIN ${cName}_m m USING (cl)))""".stripMargin
+  }
+
+  /** Shared k-means CTE prefix (valid vectors + seeds + `q65Iters`
+    * unrolled Lloyd rounds); `aOut` is the final assignment CTE name.
+    */
+  private def kmeansPrefixSql(aOut: String): String = {
+    val rounds = (1 to q65Iters).map(t =>
+      kmeansRoundSql(s"r${t - 1}", s"a$t", s"r$t")).mkString(",\n")
+    val finalAssign = s"""$aOut AS (
+      | SELECT vec_id, embedding, vn, cl FROM (
+      |  SELECT e.vec_id, e.embedding, e.vn, r.cl,
+      |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    (CASE WHEN sqrt(e.vn) * sqrt(r.cn) = 0 THEN 0
+      |     ELSE (${chainSql("e.embedding", "r.c")}) / (sqrt(e.vn) * sqrt(r.cn))
+      |     END) DESC, r.cl) AS rn
+      |  FROM e CROSS JOIN r$q65Iters r) WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (
+      | SELECT vec_id, embedding, ${chainSql("embedding", "embedding")} AS vn
+      | FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) = $q65Dim
+      |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      |seed AS (
+      | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+      |  embedding AS c
+      | FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $q65K)),
+      |r0 AS (SELECT cl, c, ${chainSql("c", "c")} AS cn FROM seed),
+      |$rounds,
+      |$finalAssign""".stripMargin
+  }
+
+  /** Spherical k-means assignment
+    * ([[graft.ops.SimilarityOps.kmeansAssign]], k=8, 2 Lloyd rounds):
+    * the oracle unrolls both rounds as CTEs, replaying the fused
+    * TopCentroids cosine (precomputed norm chains, strict-displacement
+    * tiebreak) and the round-to-6-decimals float centroid update that
+    * makes the iteration reproducible across engines.
+    */
+  def q65(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kmeansAssign(Tables.embeddings(spark, dir),
+      "embedding", "vec_id", k = q65K, iters = q65Iters, dim = q65Dim)
+
+  val q65Sql: String =
+    s"""${kmeansPrefixSql("af")}
+      |SELECT vec_id, cl AS cluster FROM af""".stripMargin
+
+  // --------------------------------------------------------------- q66
+  /** SemDeDup ([[graft.ops.DedupOps.semDedupKeepers]]): within each
+    * final k-means cluster, drop every non-rep member with cosine to
+    * the min-id rep >= 0.4. Shares q65's unrolled k-means prefix; the
+    * verify replays [[graft.functions.CosineSimilarity]]'s fused
+    * algebra via the same precomputed norm chains.
+    */
+  def q66(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.semDedupKeepers(Tables.embeddings(spark, dir),
+        "embedding", "vec_id", minCosine = 0.4,
+        k = q65K, iters = q65Iters, dim = q65Dim)
+      .select(col("vec_id"))
+
+  val q66Sql: String =
+    s"""${kmeansPrefixSql("af")},
+      |rep AS (
+      | SELECT cl, min(vec_id) AS rep, arg_min(embedding, vec_id) AS rep_vec,
+      |  arg_min(vn, vec_id) AS rep_vn
+      | FROM af GROUP BY cl),
+      |dropped AS (
+      | SELECT a.vec_id FROM af a JOIN rep r USING (cl)
+      | WHERE a.vec_id > r.rep
+      |  AND (CASE WHEN sqrt(a.vn) * sqrt(r.rep_vn) = 0 THEN 0
+      |   ELSE (${chainSql("a.embedding", "r.rep_vec")}) /
+      |    (sqrt(a.vn) * sqrt(r.rep_vn)) END) >= 0.4)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1123,5 +1234,7 @@ object ExtensionQueries {
     "q61_build_vocab" -> ((q61 _, q61Sql)),
     "q62_quantize_int8" -> ((q62 _, q62Sql)),
     "q63_span_dedup" -> ((q63 _, q63Sql)),
-    "q64_perplexity" -> ((q64 _, q64Sql)))
+    "q64_perplexity" -> ((q64 _, q64Sql)),
+    "q65_kmeans" -> ((q65 _, q65Sql)),
+    "q66_semdedup" -> ((q66 _, q66Sql)))
 }
