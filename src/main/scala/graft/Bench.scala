@@ -225,6 +225,20 @@ object Bench {
     "b_semdedup" -> ((s, dir) =>
       DedupOps.semDedupKeepers(Tables.embeddings(s, dir),
         "embedding", "vec_id", minCosine = 0.7, k = 16, iters = 2, dim = 64)),
+    // prototype-based diversity pruning: k-means + keep the cap
+    // farthest-from-centroid members per cluster (k-row broadcast join,
+    // cluster-partitioned ranking window)
+    "b_cluster_sample" -> ((s, dir) =>
+      SimilarityOps.clusterDiversitySample(Tables.embeddings(s, dir),
+        "embedding", "vec_id", k = 16, iters = 2, dim = 64, cap = 200)),
+    // CCNet head/middle/tail split at the production hash: bigram-LM
+    // ppl + tercile cutoffs on a 1-row broadcast
+    "b_ppl_buckets" -> ((s, dir) =>
+      graft.ops.CurationOps.quantileBuckets(
+        graft.ops.CurationOps.perplexitySelf(
+          Tables.documents(s, dir), "text", "doc_id"),
+        "ppl", "doc_id", Seq(1.0 / 3, 2.0 / 3),
+        Seq("head", "middle", "tail"))),
     // end-to-end corpus-curation shape — the composed 100 TB workload:
     // language-ID + quality score as NARROW column work pruned before
     // the (shuffling) dedup decision, so the expensive stage only sees

@@ -304,6 +304,40 @@ object CurationOps {
       lmUnigramCounts(df, textCol, tokenKey),
       lmBigramCounts(df, textCol, tokenKey), tokenKey)
 
+  /** Quantile-band tagging — CCNet's head/middle/tail split
+    * generalized: tag every row with the label of the quantile band its
+    * `valueCol` falls into (`labels(i)` ⇔ value ≤ the `probs(i)`
+    * cutoff, first match wins; `labels.last` above every cutoff; NULL
+    * values get a NULL tag). Cutoffs are exact interpolated
+    * percentiles over `round(value, 6)` — rounding first gives both
+    * engines identical percentile INPUTS, so the interpolated cutoff
+    * (same index arithmetic in Spark and DuckDB `quantile_cont`)
+    * agrees to the last bit wherever it matters: band membership flips
+    * only for a value within double-ulp of a cutoff, and 6-decimal
+    * values sit ≥ 1e-6 apart from each other.
+    *
+    * Plan shape at 100 TB: ONE exact-percentile aggregate to a single
+    * row — `percentile` keeps per-partition value buffers, so for
+    * corpus-scale inputs the cutoffs should be computed once per
+    * corpus version (or swapped for `approx_percentile`, same shape) —
+    * then the cutoff array rides a 1-row broadcast past every row (the
+    * q08 scalar pattern; the tag itself is a codegen'd when-chain).
+    */
+  def quantileBuckets(
+      df: DataFrame, valueCol: String, idCol: String,
+      probs: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(probs.nonEmpty && labels.size == probs.size + 1)
+    require(probs == probs.sorted && probs.forall(p => p > 0 && p < 1))
+    val v = round(col(valueCol), 6)
+    val cuts = df.agg(
+      percentile(v, array(probs.map(lit): _*)).as("q_cuts"))
+    val tag = probs.indices.foldRight(lit(labels.last): Column)((i, acc) =>
+      when(v <= element_at(col("q_cuts"), i + 1), lit(labels(i))).otherwise(acc))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket", when(v.isNull, lit(null: String)).otherwise(tag))
+      .drop("q_cuts")
+  }
+
   /** Corpus balancing: keep at most `cap` rows per bucket, best-ranked
     * first (`rank` descending, `idCol` ascending as the deterministic
     * tiebreak) — the data-mixing stage that stops one domain/language

@@ -344,4 +344,44 @@ object SimilarityOps {
       k: Int, iters: Int, dim: Int): DataFrame =
     assignClusters(df, vecCol, idCol,
       kmeansCentroids(df, vecCol, idCol, k, iters, dim), dim)
+
+  /** Cluster-balanced diversity sampling — the prototype-based corpus
+    * pruning shape (SemDeDup's companion: after clustering, KEEP the
+    * members farthest from their centroid — the most diverse
+    * examples — up to `cap` per cluster). Trains [[kmeansCentroids]],
+    * assigns every valid vector, scores each against its own centroid
+    * with the fused cosine, and keeps per cluster the `cap` LOWEST
+    * cosines (ascending `idCol` as the deterministic tiebreak) via
+    * [[graft.ops.CurationOps.capBuckets]]' losers-anti-join. Returns
+    * `(idCol, cluster, centroid_cos)`. Rows failing the fixed-dim/null
+    * vector contract cannot be scored and are absent.
+    *
+    * Scale shape: the k×dim centroid matrix becomes a k-ROW broadcast
+    * frame (BroadcastHashJoin on the cluster int — no replication of
+    * the corpus side), the ranking window partitions by cluster hash,
+    * and only (bucket_h, cosine, id) triples feed it; the corpus-sized
+    * exchange carries (cluster int, id, vec) exactly as
+    * [[graft.ops.DedupOps.semDedupKeepers]]' verify join does.
+    */
+  def clusterDiversitySample(
+      df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, dim: Int, cap: Int): DataFrame = {
+    require(cap >= 1)
+    val mat = kmeansCentroids(df, vecCol, idCol, k, iters, dim)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = (0 until mat.length / dim)
+      .map(c => (c, (0 until dim).map(j => mat(c * dim + j)).toArray))
+      .toDF("cluster", "centroid")
+    val scored = validVecs(df, vecCol, idCol, dim)
+      .select(col("id"), col("vec"),
+        element_at(graft.functions.TopCentroids.topCentroids(
+          col("vec"), mat, dim, 1), 1).as("cluster"))
+      .join(broadcast(cents), Seq("cluster"))
+      .select(col("id").as(idCol), col("cluster"),
+        graft.functions.CosineSimilarity.cosineFused(
+          col("vec"), col("centroid")).as("centroid_cos"))
+    graft.ops.CurationOps.capBuckets(
+      scored, Seq("cluster"), -col("centroid_cos"), idCol, cap)
+  }
 }

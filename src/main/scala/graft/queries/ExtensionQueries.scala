@@ -1065,7 +1065,10 @@ object ExtensionQueries {
         tokenKey = PortableHash.md5Long)
       .select("doc_id", "n_bigrams", "nll", "ppl")
 
-  val q64Sql: String =
+  /** Shared CTE prefix replaying [[graft.ops.CurationOps.perplexitySelf]]
+    * (md5 key family) up to the per-position log-prob frame `lp`.
+    */
+  private val pplPrefixSql: String =
     s"""WITH toks AS (
       | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
       | FROM documents),
@@ -1084,7 +1087,10 @@ object ExtensionQueries {
       |     CAST(coalesce(u.c, 0) + v.v AS DOUBLE)) AS lp
       | FROM bgs g
       | LEFT JOIN uni u ON u.k = ${dk("g.w1")}
-      | LEFT JOIN bi b ON b.k = ${dk("g.bg")}, v)
+      | LEFT JOIN bi b ON b.k = ${dk("g.bg")}, v)""".stripMargin
+
+  val q64Sql: String =
+    s"""$pplPrefixSql
       |SELECT doc_id, count(*) AS n_bigrams,
       | -sum(lp) / count(*) AS nll,
       | exp(-sum(lp) / count(*)) AS ppl
@@ -1201,6 +1207,65 @@ object ExtensionQueries {
       |SELECT vec_id FROM embeddings
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
+  // --------------------------------------------------------------- q67
+  /** CCNet head/middle/tail perplexity split
+    * ([[graft.ops.CurationOps.quantileBuckets]] over
+    * [[graft.ops.CurationOps.perplexitySelf]]): exact interpolated
+    * tercile cutoffs over round(ppl, 6) — rounding FIRST gives both
+    * engines identical percentile inputs — then a when-chain tag
+    * against the 1-row broadcast cutoff array.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.quantileBuckets(
+      CurationOps.perplexitySelf(Tables.documents(spark, dir), "text",
+        "doc_id", tokenKey = PortableHash.md5Long),
+      "ppl", "doc_id", Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+      .select("doc_id", "bucket")
+
+  val q67Sql: String =
+    s"""$pplPrefixSql,
+      |scored AS (
+      | SELECT doc_id, round(exp(-sum(lp) / count(*)), 6) AS p6
+      | FROM lp GROUP BY doc_id),
+      |cuts AS (
+      | SELECT quantile_cont(p6, [${1.0 / 3}, ${2.0 / 3}]) AS c FROM scored)
+      |SELECT doc_id,
+      | CASE WHEN p6 <= c[1] THEN 'head'
+      |      WHEN p6 <= c[2] THEN 'middle'
+      |      ELSE 'tail' END AS bucket
+      |FROM scored, cuts""".stripMargin
+
+  // --------------------------------------------------------------- q68
+  private val q68Cap = 40
+
+  /** Cluster-balanced diversity sampling
+    * ([[graft.ops.SimilarityOps.clusterDiversitySample]]): per final
+    * k-means cluster keep the `q68Cap` members FARTHEST from their
+    * centroid (lowest fused cosine, vec_id tiebreak). Shares q65's
+    * unrolled k-means prefix; the score replays the fused cosine via
+    * the same precomputed norm chains against the final centroids.
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.clusterDiversitySample(Tables.embeddings(spark, dir),
+      "embedding", "vec_id", k = q65K, iters = q65Iters, dim = q65Dim,
+      cap = q68Cap)
+
+  val q68Sql: String =
+    s"""${kmeansPrefixSql("af")},
+      |scored AS (
+      | SELECT a.vec_id, a.cl AS cluster,
+      |  (CASE WHEN sqrt(a.vn) * sqrt(r.cn) = 0 THEN 0
+      |   ELSE (${chainSql("a.embedding", "r.c")}) /
+      |    (sqrt(a.vn) * sqrt(r.cn)) END) AS centroid_cos
+      | FROM af a JOIN r$q65Iters r ON r.cl = a.cl),
+      |ranked AS (
+      | SELECT vec_id, cluster, centroid_cos,
+      |  row_number() OVER (PARTITION BY cluster
+      |   ORDER BY centroid_cos ASC, vec_id) AS rn
+      | FROM scored)
+      |SELECT vec_id, cluster, centroid_cos FROM ranked
+      |WHERE rn <= $q68Cap""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1236,5 +1301,7 @@ object ExtensionQueries {
     "q63_span_dedup" -> ((q63 _, q63Sql)),
     "q64_perplexity" -> ((q64 _, q64Sql)),
     "q65_kmeans" -> ((q65 _, q65Sql)),
-    "q66_semdedup" -> ((q66 _, q66Sql)))
+    "q66_semdedup" -> ((q66 _, q66Sql)),
+    "q67_ppl_buckets" -> ((q67 _, q67Sql)),
+    "q68_cluster_sample" -> ((q68 _, q68Sql)))
 }

@@ -49,13 +49,15 @@ class PlanShapeSpec extends AnyFunSuite {
     *  - q60: `docs × broadcast(1-row BM25 corpus stats)` — ditto;
     *  - q64: `occurrences × broadcast(1-row vocab size V)` — ditto
     *    (CurationOps.perplexity aggregates V to one row by
-    *    construction).
+    *    construction);
+    *  - q67: q64's V broadcast plus `docs × broadcast(1-row quantile
+    *    cutoff array)` (CurationOps.quantileBuckets) — ditto.
     */
   private val nestedLoopByContract = Set(
     "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
     "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub",
     "q59_curation_chain", // q59 embeds q54's scrub stage
-    "q60_bm25", "q64_perplexity")
+    "q60_bm25", "q64_perplexity", "q67_ppl_buckets")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -124,10 +126,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // test).
     // b_span_scrub and b_curation_full share q54's documented
     // 1-row-broadcast cross join; b_perplexity shares q64's (the
-    // vocabulary size V rides a one-row broadcast).
+    // vocabulary size V rides a one-row broadcast) and b_ppl_buckets
+    // adds q67's 1-row quantile-cutoff broadcast on top.
     val offenders = graft.Bench.scaleBenches.toSeq
       .filterNot(n => Set("b_minhash_converged", "b_span_scrub",
-        "b_curation_full", "b_perplexity").contains(n._1))
+        "b_curation_full", "b_perplexity", "b_ppl_buckets").contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {
