@@ -231,6 +231,13 @@ object Bench {
     "b_cluster_sample" -> ((s, dir) =>
       SimilarityOps.clusterDiversitySample(Tables.embeddings(s, dir),
         "embedding", "vec_id", k = 16, iters = 2, dim = 64, cap = 200)),
+    // duplicate-cluster labels at the production hash: MinHash verified
+    // pairs -> min-label propagation (per pass: one (id, long) shuffle)
+    "b_dup_components" -> ((s, dir) =>
+      DedupOps.dupComponents(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        DedupOps.minHashDedup(Tables.documents(s, dir), "text", "doc_id",
+          threshold = 0.6, bands = 4, rowsPerBand = 4))),
     // CCNet head/middle/tail split at the production hash: bigram-LM
     // ppl + tercile cutoffs on a 1-row broadcast
     "b_ppl_buckets" -> ((s, dir) =>

@@ -841,6 +841,83 @@ object DedupOps {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the
+    * smallest node id transitively reachable from it. Pass `t`:
+    * `label(v) ← min(label(v), min over neighbors' labels)` — one
+    * shuffle of (id, long-label) pairs per pass, text/payload never
+    * involved — until a pass changes nothing or `maxPasses` hits.
+    * Deterministic regardless of partitioning (min is
+    * order-insensitive).
+    *
+    * Scale notes (100 TB): plain propagation converges in
+    * graph-diameter passes. Near-dup graphs are the intended input and
+    * have tiny diameters (LSH banding yields star/clique-shaped
+    * components around min-id reps), so 2-4 passes is typical; a
+    * pathological chain-shaped graph is what the large-star/small-star
+    * contraction of Kiveris et al. (2014, "Connected Components in
+    * MapReduce") bounds — swap the pass body for star contraction if
+    * diameters grow. Per-pass persistence truncates the iterative
+    * lineage exactly as [[dedupKeepersConverged]] does (a real cluster
+    * run would also checkpoint every few passes).
+    *
+    * Returns `(id, component)`, one row per node appearing in `edges`.
+    * The returned frame is PERSISTED AND MATERIALIZED (an unpersisted
+    * result would replay every pass on first use) — the CALLER owns
+    * releasing it with `.unpersist()` once consumed.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxPasses: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("id"),
+      col(dstCol).cast("long").as("nb"))
+    val sym = e.union(e.select(col("nb").as("id"), col("id").as("nb")))
+      .distinct().persist()
+    var labels = sym.select("id").distinct()
+      .withColumn("component", col("id")).persist()
+    labels.count()
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      val nbLab = sym
+        .join(labels.select(col("id").as("nb"), col("component")), Seq("nb"))
+        .select("id", "component")
+      val next = labels.union(nbLab)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      pass += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster labels: every row of `df` tagged with the
+    * min-id of its transitive near-dup component under the verified
+    * pair list `pairs` (e.g. [[minHashDedup]]'s output) — the "group
+    * the dups before picking reps" deliverable every large dedup
+    * pipeline ships alongside keep/drop. Rows in no pair are their own
+    * component. Returns `df` + a `component` long column. The join
+    * embeds [[connectedComponents]]' persisted frame (unpersisting it
+    * would make every downstream use replay the passes), so the cache
+    * lives until the caller clears session caches — the Verify/Bench
+    * harnesses' per-query sweep does exactly that, the q59 pattern.
+    */
+  def dupComponents(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxPasses: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxPasses)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+  }
+
   /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     * then near-dedup WITHIN each cluster — keep the min-id rep, drop
     * every other member whose cosine to the rep reaches `minCosine`.

@@ -34,8 +34,12 @@ object ExtensionQueries {
       // string-set verify + md5 band hashes: exactly the oracle's algebra
       hashedVerify = false, portable = true)
 
-  val q21Sql: String =
-    s"""WITH t AS (
+  /** q21's CTE chain through the verified pair list `vpairs` — shared
+    * with q69's transitive closure (which needs the WITH to be
+    * RECURSIVE, hence no WITH keyword here).
+    */
+  private val minhashPairCtes: String =
+    s"""t AS (
       | SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
       |        len(list_distinct(string_split(text, ' '))) AS n
       | FROM documents),
@@ -51,15 +55,20 @@ object ExtensionQueries {
       |cand AS (
       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       | FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
-      |  AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b,
-      | CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-      |  / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) AS jaccard
-      |FROM cand
-      | JOIN t ta ON ta.doc_id = id_a
-      | JOIN t tb ON tb.doc_id = id_b
-      |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-      |  / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) >= 0.6""".stripMargin
+      |  AND a.doc_id < b.doc_id),
+      |vpairs AS (
+      | SELECT id_a, id_b,
+      |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      |   / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) AS jaccard
+      | FROM cand
+      |  JOIN t ta ON ta.doc_id = id_a
+      |  JOIN t tb ON tb.doc_id = id_b
+      | WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      |   / (ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))) >= 0.6)""".stripMargin
+
+  val q21Sql: String =
+    s"""WITH $minhashPairCtes
+      |SELECT id_a, id_b, jaccard FROM vpairs""".stripMargin
 
   // --------------------------------------------------------------- q22
   /** Near-dup pairs by word 3-gram (shingle) Jaccard >= 0.05. */
@@ -1266,6 +1275,32 @@ object ExtensionQueries {
       |SELECT vec_id, cluster, centroid_cos FROM ranked
       |WHERE rn <= $q68Cap""".stripMargin
 
+  // --------------------------------------------------------------- q69
+  /** Duplicate-cluster components ([[graft.ops.DedupOps.dupComponents]]
+    * over q21's verified MinHash pairs): every doc labeled with the
+    * min-id of its transitive near-dup component. The oracle computes
+    * the transitive closure with a recursive CTE (UNION dedup
+    * terminates it) over the same pair list q21 hash-matches.
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dupComponents(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id",
+      q21(spark, dir))
+
+  val q69Sql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+      |edges AS (
+      | SELECT id_a AS a, id_b AS b FROM vpairs
+      | UNION ALL
+      | SELECT id_b AS a, id_a AS b FROM vpairs),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1303,5 +1338,6 @@ object ExtensionQueries {
     "q65_kmeans" -> ((q65 _, q65Sql)),
     "q66_semdedup" -> ((q66 _, q66Sql)),
     "q67_ppl_buckets" -> ((q67 _, q67Sql)),
-    "q68_cluster_sample" -> ((q68 _, q68Sql)))
+    "q68_cluster_sample" -> ((q68 _, q68Sql)),
+    "q69_dup_components" -> ((q69 _, q69Sql)))
 }
