@@ -32,7 +32,10 @@ object Bench {
   private val excluded = Set(
     "q18_dedup", "q21_dedup_minhash", "q22_dedup_ngram", "q23_dedup_cosine",
     "q42_dedup_keepers", "q43_simhash_keepers", "q44_dedup_incremental",
-    "q46_ngram_keepers")
+    "q46_ngram_keepers",
+    // q69 embeds q21's md5-portable pair list; its production-hash
+    // bench representative is b_dup_components
+    "q69_dup_components")
 
   /** Evaluation-forcing action: xxhash64 of EVERY output column, folded
     * with bit_xor. Under a bare `count()` Catalyst is free to prune

@@ -857,25 +857,35 @@ object DedupOps {
     * pathological chain-shaped graph is what the large-star/small-star
     * contraction of Kiveris et al. (2014, "Connected Components in
     * MapReduce") bounds — swap the pass body for star contraction if
-    * diameters grow. Per-pass persistence truncates the iterative
-    * lineage exactly as [[dedupKeepersConverged]] does (a real cluster
-    * run would also checkpoint every few passes).
+    * diameters grow.
     *
-    * Returns `(id, component)`, one row per node appearing in `edges`.
-    * The returned frame is PERSISTED AND MATERIALIZED (an unpersisted
-    * result would replay every pass on first use) — the CALLER owns
-    * releasing it with `.unpersist()` once consumed.
+    * Every round-trip frame is `localCheckpoint`ed, NOT merely
+    * persisted: `labels` appears twice in each pass's plan (union
+    * branch + propagation join), so without LINEAGE truncation the
+    * logical plan doubles per pass and AQE's per-action plan
+    * re-stringification turns O(2^passes) plan text into a driver OOM
+    * long before the data is a problem — persist caches rows but keeps
+    * the full plan. (On a real cluster swap `localCheckpoint` for
+    * reliable `checkpoint` — executor loss invalidates local
+    * checkpoints.)
+    *
+    * Returns `(id, component)`, one row per node appearing in `edges`,
+    * checkpointed and materialized — do NOT `.unpersist()` it (that
+    * would drop the checkpoint blocks mid-use); the blocks are freed
+    * when the frame is garbage-collected.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxPasses: Int = 20): DataFrame = {
+    // checkpoint the edge projection BEFORE symmetrizing: the union's
+    // two branches would otherwise each re-evaluate the (possibly very
+    // expensive — e.g. a MinHash verify) upstream pair plan
     val e = edges.select(col(srcCol).cast("long").as("id"),
-      col(dstCol).cast("long").as("nb"))
+      col(dstCol).cast("long").as("nb")).localCheckpoint()
     val sym = e.union(e.select(col("nb").as("id"), col("id").as("nb")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = sym.select("id").distinct()
-      .withColumn("component", col("id")).persist()
-    labels.count()
+      .withColumn("component", col("id")).localCheckpoint()
     var pass = 0
     var converged = false
     while (pass < maxPasses && !converged) {
@@ -884,16 +894,14 @@ object DedupOps {
         .select("id", "component")
       val next = labels.union(nbLab)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
+        .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       pass += 1
     }
-    sym.unpersist()
     labels
   }
 
@@ -902,11 +910,9 @@ object DedupOps {
     * pair list `pairs` (e.g. [[minHashDedup]]'s output) — the "group
     * the dups before picking reps" deliverable every large dedup
     * pipeline ships alongside keep/drop. Rows in no pair are their own
-    * component. Returns `df` + a `component` long column. The join
-    * embeds [[connectedComponents]]' persisted frame (unpersisting it
-    * would make every downstream use replay the passes), so the cache
-    * lives until the caller clears session caches — the Verify/Bench
-    * harnesses' per-query sweep does exactly that, the q59 pattern.
+    * component. Returns `df` + a `component` long column; the embedded
+    * components frame is checkpointed ([[connectedComponents]]'
+    * contract), its blocks freed on garbage collection.
     */
   def dupComponents(
       df: DataFrame, idCol: String, pairs: DataFrame,

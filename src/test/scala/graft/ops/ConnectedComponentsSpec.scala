@@ -22,7 +22,6 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (20L, 21L)).toDF("a", "b")
     val comp = DedupOps.connectedComponents(edges, "a", "b")
     val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    comp.unpersist()
     assert((1L to 5L).forall(got(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
     assert(Seq(20L, 21L).forall(got(_) == 20L))
@@ -35,7 +34,6 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val b = DedupOps.connectedComponents(edges.repartition(7), "a", "b")
     val ra = a.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val rb = b.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    a.unpersist(); b.unpersist()
     assert(ra == rb)
     assert(ra.toMap.apply(7L) == 2L) // 7-5-9-2 chain bottoms at 2
   }
@@ -55,7 +53,6 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val full = DedupOps.connectedComponents(edges, "a", "b")
     val cm = capped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fm = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    capped.unpersist(); full.unpersist()
     assert(fm.values.toSet == Set(1L), s"uncapped must collapse fully: $fm")
     assert(cm(7L) != 1L, "one pass cannot collapse a 6-edge chain")
   }
