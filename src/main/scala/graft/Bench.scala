@@ -241,6 +241,32 @@ object Bench {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         DedupOps.minHashDedup(Tables.documents(s, dir), "text", "doc_id",
           threshold = 0.6, bands = 4, rowsPerBand = 4))),
+    // feature-hashed TF-IDF dense vectors at production hash (hashing
+    // trick: dim bounds model size; text hashes at the explode)
+    "b_tfidf_vectors" -> ((s, dir) =>
+      graft.ops.SearchOps.hashedTfidf(
+        Tables.documents(s, dir), "text", "doc_id", dim = 256)),
+    // the text -> vector -> ANN composition: hashed tf-idf vectors fed
+    // straight into hyperplane-LSH cosine top-k (lexical similarity
+    // search with no pretrained embedding dependency)
+    "b_tfidf_ann" -> ((s, dir) =>
+      graft.ops.SimilarityOps.lshCosineTopK(
+        graft.ops.SearchOps.hashedTfidf(
+          Tables.documents(s, dir), "text", "doc_id", dim = 256),
+        k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256)),
+    // classifier-based quality filtering: multinomial NB train+predict
+    // (model broadcasts; text hashes map-side; id-keyed numeric shuffles)
+    "b_nb_classifier" -> ((s, dir) =>
+      graft.ops.CurationOps.nbClassify(
+        Tables.documents(s, dir), "text", "doc_id", "lang")),
+    // DSIR importance weights at production hash (bucket distributions
+    // are broadcast dims; target = the key-split 1/5 slice)
+    "b_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.CurationOps.dsirLogWeights(docs, "text", "doc_id",
+        target = docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0),
+        buckets = 4096)
+    }),
     // CCNet head/middle/tail split at the production hash: bigram-LM
     // ppl + tercile cutoffs on a 1-row broadcast
     "b_ppl_buckets" -> ((s, dir) =>

@@ -452,4 +452,178 @@ object CurationOps {
     train.join(
       contaminatedIdsWithGramSet(train, gramSet, textCol, idCol, n, gramKeys),
       Seq(idCol), "left_anti")
+
+  // ------------------------------------------------------------------
+  // Classifier-based quality filtering (GPT-3 / PaLM style): train a
+  // multinomial Naive Bayes from a labeled seed, score every doc.
+  // ------------------------------------------------------------------
+
+  /** Per-(label, token-key) occurrence counts — the trainable state of
+    * [[nbClassify]]. One map-side-combined shuffle of (label, 64-bit
+    * key, partial count); token strings hash BEFORE the exchange. Train
+    * once per model version, persist to parquet, feed
+    * [[nbClassifyWith]] on every scoring batch (the standing-deployment
+    * contract of [[evalGramSet]] / [[graft.ops.DedupOps.corpusBucketReps]]).
+    */
+  def nbTokenCounts(
+      train: DataFrame, textCol: String, labelCol: String,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    train
+      .select(col(labelCol).as("label"),
+        explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
+      .select(col("label"), tokenKey(col("t")).as("tok_key"))
+      .groupBy("label", "tok_key").agg(count(lit(1)).as("c"))
+
+  /** Per-label document counts — [[nbClassify]]'s prior state. */
+  def nbDocCounts(train: DataFrame, labelCol: String): DataFrame =
+    train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+
+  /** Multinomial Naive Bayes scoring against a PRECOMPUTED model
+    * ([[nbTokenCounts]] + [[nbDocCounts]], read back from parquet in a
+    * real deployment): for each doc, `score(l) = ln P(l) + Σ_tok tf ·
+    * ln((c(l,tok) + 1) / (N_l + V))` (add-one smoothing; V = distinct
+    * token keys in the model; a token absent from label `l` contributes
+    * the smoothed floor `ln(1 / (N_l + V))`), and the prediction is the
+    * argmax label — round(score, 6) descending, label ascending, so the
+    * decision is engine-portable (a sub-1e-6 score tie breaks by label
+    * in both engines rather than by float ulp). Returns
+    * `(idCol, pred, score)` with the winning score rounded to 6
+    * decimals; docs with no tokens are absent (no evidence — filter or
+    * default upstream).
+    *
+    * This is the classifier-quality-filter stage of the published LLM
+    * pipelines (GPT-3's LR classifier over hashed features, LLaMA's
+    * fastText "reference-like" filter): train on a curated seed
+    * (label = curated/not), score the crawl, keep by score — all three
+    * published variants are this plan with different seeds.
+    *
+    * Scale shape (100 TB): docs explode to (id, tok_key, tf) — three
+    * numerics, text hashes map-side; the model (≤ V × L rows of longs)
+    * broadcasts; label-level scalars (N_l, prior, V) ride an L-row
+    * broadcast; the per-(id, label) re-aggregation and the L-row argmax
+    * window both shuffle numerics keyed by id. Document text never
+    * crosses an exchange.
+    */
+  def nbClassifyWith(
+      df: DataFrame, textCol: String, idCol: String,
+      tokenCounts: DataFrame, docCounts: DataFrame,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labelStats = tokenCounts.groupBy("label")
+      .agg(sum(col("c")).as("n_toks"))
+      .join(docCounts, Seq("label"))
+    val totalDocs = docCounts.agg(sum(col("n_docs")).cast("double").as("total_docs"))
+    val v = tokenCounts.select(col("tok_key")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    val labels = labelStats.crossJoin(totalDocs).crossJoin(v)
+      .select(col("label"), col("n_toks"), col("v"),
+        log(col("n_docs").cast("double") / col("total_docs")).as("prior_lp"))
+    val tf = df
+      .select(col(idCol), explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
+      .select(col(idCol), tokenKey(col("t")).as("tok_key"))
+      .groupBy(idCol, "tok_key").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .crossJoin(broadcast(labels))
+      .join(broadcast(tokenCounts), Seq("label", "tok_key"), "left")
+      .groupBy(col(idCol), col("label"), col("prior_lp"))
+      .agg(sum(col("tf").cast("double") *
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_toks").cast("double") + col("v")))).as("ll"))
+      .select(col(idCol), col("label"), (col("prior_lp") + col("ll")).as("score"))
+    val wnd = Window.partitionBy(idCol)
+      .orderBy(round(col("score"), 6).desc, col("label"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("pred"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** [[nbClassifyWith]] with the model trained on the scored corpus's
+    * own labels — the self-contained train+predict loop (e.g. learn
+    * `lang` from the labeled corpus, predict it from text alone).
+    */
+  def nbClassify(
+      df: DataFrame, textCol: String, idCol: String, labelCol: String,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    nbClassifyWith(df, textCol, idCol,
+      nbTokenCounts(df, textCol, labelCol, tokenKey),
+      nbDocCounts(df, labelCol), tokenKey)
+
+  // ------------------------------------------------------------------
+  // DSIR importance weighting (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling").
+  // ------------------------------------------------------------------
+
+  /** Hashed-ngram bucket counts over a corpus — DSIR's distribution
+    * estimate. The feature stream per doc is its unigrams followed by
+    * its space-joined bigrams (the paper's feature map), each hashed
+    * into one of `buckets` ids. Output `(bucket, c)` has at most
+    * `buckets` rows — a broadcast dim by construction. Strings hash at
+    * the explode; one map-side-combined shuffle of (int, partial count).
+    */
+  def gramBucketCounts(
+      df: DataFrame, textCol: String, buckets: Int,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    df.select(explode(gramStream(col(textCol))).as("g"))
+      .select(pmod(tokenKey(col("g")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Unigrams ++ bigrams of a text column, in doc order. */
+  private def gramStream(text: Column): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    concat(toks, transform(bigramOccurrences(text), o => o.getField("bg")))
+  }
+
+  /** DSIR importance log-weights against PRECOMPUTED bucket
+    * distributions: for each doc,
+    * `logw = Σ_gram [ln p̂_target(b(gram)) − ln p̂_raw(b(gram))]` with
+    * add-one-smoothed estimates `p̂(b) = (c(b) + 1) / (N + buckets)` —
+    * the importance weight of the doc under the target-vs-raw hashed
+    * n-gram bag model. Returns `(idCol, n_grams, logw)`; docs with no
+    * tokens are absent. Resampling is the composition the paper
+    * prescribes: feed `exp(logw − max)`-proportional probabilities to
+    * [[graft.ops.SplitOps.weightedSample]], or take the top-k by logw.
+    *
+    * Scale shape (100 TB): both distributions are ≤ `buckets`-row
+    * frames (train the target side ONCE per target corpus version,
+    * persist, reuse every batch — [[dsirLogWeights]] wires the
+    * self-serve form); the scoring side explodes to (id, bucket int) —
+    * text hashes map-side — joins the broadcast distributions, and
+    * re-aggregates per doc. Nothing corpus-sized ever shuffles but
+    * (id, bucket, count) numerics.
+    */
+  def dsirLogWeightsWith(
+      df: DataFrame, textCol: String, idCol: String,
+      targetCounts: DataFrame, rawCounts: DataFrame, buckets: Int,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame = {
+    val nt = targetCounts.agg(sum(col("c")).cast("double").as("n_t"))
+    val nr = rawCounts.agg(sum(col("c")).cast("double").as("n_r"))
+    val tf = df
+      .select(col(idCol), explode(gramStream(col(textCol))).as("g"))
+      .select(col(idCol), pmod(tokenKey(col("g")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(targetCounts.withColumnRenamed("c", "ct")), Seq("bucket"), "left")
+      .join(broadcast(rawCounts.withColumnRenamed("c", "cr")), Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .groupBy(idCol)
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(col("tf").cast("double") * (
+          log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_t") + lit(buckets.toDouble))) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_r") + lit(buckets.toDouble))))).as("logw"))
+  }
+
+  /** [[dsirLogWeightsWith]] with both distributions estimated in-query:
+    * the target from `target` (the curated seed corpus), the raw from
+    * the scored corpus itself — the paper's setup.
+    */
+  def dsirLogWeights(
+      df: DataFrame, textCol: String, idCol: String, target: DataFrame,
+      buckets: Int, tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    dsirLogWeightsWith(df, textCol, idCol,
+      gramBucketCounts(target, textCol, buckets, tokenKey),
+      gramBucketCounts(df, textCol, buckets, tokenKey), buckets, tokenKey)
 }

@@ -78,4 +78,63 @@ object SearchOps {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Feature-hashed TF-IDF weights — the hashing-trick vectorizer
+    * (Weinberger et al. 2009; the HashingVectorizer + TfidfTransformer
+    * composition): every whitespace token is hashed into one of `dim`
+    * buckets, per-doc bucket counts are weighted by smoothed idf
+    * `ln((1 + N) / (1 + df)) + 1` and L2-normalized. Returns the SPARSE
+    * form `(idCol, bucket, weight)` — docs with no tokens are absent;
+    * [[hashedTfidf]] densifies it into the engine's embedding column
+    * shape so text plugs straight into the ANN / k-means / SemDeDup
+    * family.
+    *
+    * Scale shape (100 TB): tokens hash to (id, bucket int) AT the
+    * explode — text never crosses an exchange; the df table is at most
+    * `dim` rows (a broadcast dim) and N rides a 1-row broadcast (the
+    * q08 scalar pattern); the only corpus-sized shuffles carry
+    * (id, bucket, count) / (id, weight) numerics. No vocabulary is
+    * materialized — `dim` bounds the model size by construction, which
+    * is the published point of the hashing trick.
+    */
+  def hashedTfidfWeights(
+      df: DataFrame, textCol: String, idCol: String, dim: Int,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(dim > 0, "hashedTfidfWeights: dim must be positive")
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = df
+      .select(col(idCol),
+        explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
+      .select(col(idCol), pmod(tokenKey(col("t")), lit(dim.toLong)).cast("int").as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df_docs"))
+    val w = tf
+      .join(broadcast(dfreq), "bucket")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("bucket"),
+        (col("tf").cast("double") *
+          (log((lit(1.0) + col("n_docs")) /
+            (lit(1.0) + col("df_docs").cast("double"))) + lit(1.0))).as("w"))
+    val nrm = w.groupBy(idCol).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.join(nrm, Seq(idCol))
+      .select(col(idCol), col("bucket"), (col("w") / col("nrm")).as("weight"))
+  }
+
+  /** Dense form of [[hashedTfidfWeights]]: `(idCol, vector)` with a
+    * fixed-`dim` float array (absent buckets 0.0) — the text → vector
+    * bridge into [[SimilarityOps]] (ANN top-k, k-means, SemDeDup,
+    * diversity sampling all take this column shape). Densify is one
+    * per-doc map build after the sparse aggregation; unit L2 norm is
+    * inherited from the sparse weights (float cast last).
+    */
+  def hashedTfidf(
+      df: DataFrame, textCol: String, idCol: String, dim: Int,
+      tokenKey: Column => Column = xxhash64(_),
+      vecCol: String = "embedding"): DataFrame =
+    hashedTfidfWeights(df, textCol, idCol, dim, tokenKey)
+      .groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight")))).as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => coalesce(element_at(col("m"), b), lit(0.0)).cast("float")).as(vecCol))
 }

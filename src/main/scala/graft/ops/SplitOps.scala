@@ -88,4 +88,24 @@ object SplitOps {
       df: DataFrame, idCol: String, prob: Column, seed: Long = 42L): DataFrame =
     df.filter(PortableHash.uniform01(col(idCol), lit(seed)) <
       least(greatest(prob, lit(0.0)), lit(1.0)))
+
+  /** Deterministic EXACT-size sample: the `k` rows with the smallest
+    * [[PortableHash.md5Long]] of (idCol, seed), id ascending as the
+    * tiebreak — the fixed-budget companion of [[weightedSample]]'s
+    * Bernoulli form (eval-set carving, "take exactly 100k docs"
+    * budgets). Key-derived, so the SAME k rows come back under any
+    * partitioning or input order, and adding new rows only perturbs the
+    * selection where a new hash displaces the old k-th (bounded churn —
+    * the consistent-hashing property; a `rand()`-based sort resamples
+    * everything).
+    *
+    * Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition partial top-k then a k-row merge on the driver, no
+    * global sort, no full-row shuffle.
+    */
+  def sampleExactK(
+      df: DataFrame, idCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 0, "sampleExactK: k must be non-negative")
+    df.orderBy(PortableHash.md5Long(col(idCol), lit(seed)), col(idCol)).limit(k)
+  }
 }

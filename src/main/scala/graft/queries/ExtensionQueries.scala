@@ -1301,6 +1301,138 @@ object ExtensionQueries {
       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q70
+  private val q70Dim = 64
+
+  /** Feature-hashed TF-IDF ([[graft.ops.SearchOps.hashedTfidfWeights]],
+    * sparse form, md5 bucket hash): per-(doc, bucket) L2-normalized
+    * smoothed-idf weights. The oracle replays count → idf → normalize;
+    * both engines round the final weight to 6 decimals (the grouped
+    * double sums under the norm agree far below 1e-6).
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame =
+    SearchOps.hashedTfidfWeights(Tables.documents(spark, dir),
+        "text", "doc_id", dim = q70Dim, tokenKey = PortableHash.md5Long)
+      .select(col("doc_id"), col("bucket"),
+        round(col("weight"), 6).as("weight"))
+
+  val q70Sql: String =
+    s"""WITH tok AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (
+      | SELECT doc_id, CAST(${dk("t")} % $q70Dim AS INT) AS bucket,
+      |  count(*) AS tf
+      | FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT bucket, count(*) AS dfn FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |w AS (
+      | SELECT doc_id, bucket,
+      |  tf * (ln((1.0 + n_docs) / (1.0 + dfn)) + 1.0) AS w
+      | FROM tf JOIN dfq USING (bucket) CROSS JOIN nd),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nr FROM w GROUP BY doc_id)
+      |SELECT w.doc_id, w.bucket, round(w.w / nrm.nr, 6) AS weight
+      |FROM w JOIN nrm ON w.doc_id = nrm.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q71
+  /** Naive Bayes language classifier
+    * ([[graft.ops.CurationOps.nbClassify]], md5 token keys): train
+    * multinomial NB on (text, lang), predict the language of every doc
+    * from text alone. The argmax orders by round(score, 6) desc, label
+    * asc in BOTH engines, so the decision never hinges on a float ulp.
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.nbClassify(Tables.documents(spark, dir),
+      "text", "doc_id", "lang", tokenKey = PortableHash.md5Long)
+
+  val q71Sql: String =
+    s"""WITH tok AS (
+      | SELECT doc_id, lang, ${dk("t")} AS tk
+      | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |       FROM documents)),
+      |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |cnt AS (SELECT lang, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+      |lab AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n_toks FROM cnt GROUP BY 1),
+      |pri AS (
+      | SELECT lang, ln(CAST(count(*) AS DOUBLE) /
+      |   (SELECT count(*) FROM documents)) AS prior_lp
+      | FROM documents GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tk) AS DOUBLE) AS v FROM tok),
+      |sc AS (
+      | SELECT tf.doc_id, lab.lang, pri.prior_lp +
+      |   sum(tf.tf * ln((coalesce(cnt.c, 0) + 1.0) / (lab.n_toks + v.v))) AS score
+      | FROM tf
+      |  CROSS JOIN lab
+      |  JOIN pri ON pri.lang = lab.lang
+      |  CROSS JOIN v
+      |  LEFT JOIN cnt ON cnt.lang = lab.lang AND cnt.tk = tf.tk
+      | GROUP BY tf.doc_id, lab.lang, pri.prior_lp)
+      |SELECT doc_id, lang AS pred, round(score, 6) AS score
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      | ORDER BY round(score, 6) DESC, lang) = 1""".stripMargin
+
+  // --------------------------------------------------------------- q72
+  private val q72Buckets = 256
+
+  /** DSIR importance log-weights
+    * ([[graft.ops.CurationOps.dsirLogWeights]], md5 gram hash): hashed
+    * unigram+bigram bucket distributions, target = the English slice,
+    * raw = the whole corpus; per-doc summed log-ratio under add-one
+    * smoothing.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CurationOps.dsirLogWeights(docs, "text", "doc_id",
+        target = docs.filter(col("lang") === "en"),
+        buckets = q72Buckets, tokenKey = PortableHash.md5Long)
+      .select(col("doc_id"), col("n_grams"), round(col("logw"), 6).as("logw"))
+  }
+
+  val q72Sql: String =
+    s"""WITH g AS (
+      | SELECT doc_id, lang,
+      |  CAST(${dk("gr")} % $q72Buckets AS INT) AS bucket
+      | FROM (SELECT doc_id, lang, unnest(list_concat(
+      |    string_split(text, ' '),
+      |    list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i + 1]))) AS gr
+      |   FROM documents)),
+      |tgt AS (SELECT bucket, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY 1),
+      |raw AS (SELECT bucket, count(*) AS cr FROM g GROUP BY 1),
+      |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_t FROM tgt),
+      |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS n_r FROM raw),
+      |tf AS (SELECT doc_id, bucket, count(*) AS tf FROM g GROUP BY 1, 2)
+      |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams,
+      | round(sum(tf.tf * (
+      |   ln((coalesce(tgt.ct, 0) + 1.0) / (nt.n_t + $q72Buckets.0)) -
+      |   ln((coalesce(raw.cr, 0) + 1.0) / (nr.n_r + $q72Buckets.0)))), 6) AS logw
+      |FROM tf
+      | LEFT JOIN tgt USING (bucket)
+      | LEFT JOIN raw USING (bucket)
+      | CROSS JOIN nt CROSS JOIN nr
+      |GROUP BY tf.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q73
+  private val q73K = 100
+
+  /** Deterministic exact-k sample
+    * ([[graft.ops.SplitOps.sampleExactK]]): the $q73K docs with the
+    * smallest md5(doc_id#seed) — replayed by the oracle as a
+    * row_number window over the same hash.
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.sampleExactK(Tables.documents(spark, dir), "doc_id",
+        k = q73K, seed = 7L)
+      .select("doc_id", "lang")
+
+  val q73Sql: String =
+    s"""SELECT doc_id, lang FROM documents
+      |QUALIFY row_number() OVER (
+      | ORDER BY ${dk("CAST(doc_id AS VARCHAR) || '#' || '7'")}, doc_id)
+      | <= $q73K""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1339,5 +1471,9 @@ object ExtensionQueries {
     "q66_semdedup" -> ((q66 _, q66Sql)),
     "q67_ppl_buckets" -> ((q67 _, q67Sql)),
     "q68_cluster_sample" -> ((q68 _, q68Sql)),
-    "q69_dup_components" -> ((q69 _, q69Sql)))
+    "q69_dup_components" -> ((q69 _, q69Sql)),
+    "q70_hashed_tfidf" -> ((q70 _, q70Sql)),
+    "q71_nb_classifier" -> ((q71 _, q71Sql)),
+    "q72_dsir_weights" -> ((q72 _, q72Sql)),
+    "q73_sample_exact_k" -> ((q73 _, q73Sql)))
 }

@@ -51,13 +51,21 @@ class PlanShapeSpec extends AnyFunSuite {
     *    (CurationOps.perplexity aggregates V to one row by
     *    construction);
     *  - q67: q64's V broadcast plus `docs × broadcast(1-row quantile
-    *    cutoff array)` (CurationOps.quantileBuckets) — ditto.
+    *    cutoff array)` (CurationOps.quantileBuckets) — ditto;
+    *  - q70: `tf × broadcast(1-row corpus doc count)` (hashedTfidf's
+    *    idf scalar) — ditto;
+    *  - q71: `tf × broadcast(L-row label stats)` — the NB label dim is
+    *    a bounded dimension (class cardinality) and the fan-out to all
+    *    L labels per token IS the scoring contract; plus the 1-row V
+    *    broadcast;
+    *  - q72: `tf × broadcast(1-row N_target / N_raw totals)` — ditto.
     */
   private val nestedLoopByContract = Set(
     "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
     "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub",
     "q59_curation_chain", // q59 embeds q54's scrub stage
-    "q60_bm25", "q64_perplexity", "q67_ppl_buckets")
+    "q60_bm25", "q64_perplexity", "q67_ppl_buckets",
+    "q70_hashed_tfidf", "q71_nb_classifier", "q72_dsir_weights")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -134,10 +142,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // sweep would pin its cache; the per-pass shape is a plain
     // (id, long) equi-join + min agg, swept nowhere else but spec'd in
     // ConnectedComponentsSpec.
+    // b_tfidf_vectors/b_tfidf_ann carry q70's 1-row doc-count
+    // broadcast, b_nb_classifier q71's L-row label-dim fan-out + 1-row
+    // V, b_dsir q72's 1-row totals — the registry sweep's documented
+    // scalar/dim-broadcast contracts (see nestedLoopByContract).
     val offenders = graft.Bench.scaleBenches.toSeq
       .filterNot(n => Set("b_minhash_converged", "b_span_scrub",
         "b_curation_full", "b_perplexity", "b_ppl_buckets",
-        "b_dup_components").contains(n._1))
+        "b_dup_components", "b_tfidf_vectors", "b_tfidf_ann",
+        "b_nb_classifier", "b_dsir").contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {
