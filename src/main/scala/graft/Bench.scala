@@ -241,6 +241,23 @@ object Bench {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         DedupOps.minHashDedup(Tables.documents(s, dir), "text", "doc_id",
           threshold = 0.6, bands = 4, rowsPerBand = 4))),
+    // sliding-window aggregation (1h window, 30min hop — the tumbling
+    // plan times the hop factor, one (key, window) keyed shuffle)
+    "b_sliding_window" -> ((s, dir) =>
+      graft.ops.SessionOps.slidingCounts(Tables.events(s, dir),
+        "ts", "event_type", "value", windowSeconds = 3600L, slideSeconds = 1800L)),
+    // C4-style blocklist filter at production hash (sorted hashed list
+    // on a 1-row broadcast, binary-search probe per token — pure
+    // codegen'd filter in the scan stage)
+    "b_blocklist" -> ((s, dir) =>
+      graft.ops.CurationOps.blocklistFilter(
+        Tables.documents(s, dir), "text", Seq("dup", "forbidden"))),
+    // edit-distance fuzzy dedup at production hash (SimHash-banded
+    // candidates, exact Levenshtein verify on the distinct pairs —
+    // text crosses exactly the two verify joins)
+    "b_edit_dedup" -> ((s, dir) =>
+      DedupOps.editKeepers(Tables.documents(s, dir), "text", "doc_id",
+        maxDist = 40)),
     // feature-hashed TF-IDF dense vectors at production hash (hashing
     // trick: dim bounds model size; text hashes at the explode)
     "b_tfidf_vectors" -> ((s, dir) =>

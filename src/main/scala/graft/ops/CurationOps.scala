@@ -453,6 +453,43 @@ object CurationOps {
       contaminatedIdsWithGramSet(train, gramSet, textCol, idCol, n, gramKeys),
       Seq(idCol), "left_anti")
 
+  /** C4-style blocklist filter: keep only docs whose token set is
+    * disjoint from `words` (Raffel et al. 2020 drop any page containing
+    * a word from a public blocklist — the stage between the length
+    * gates and the dedup passes). The word list is hashed, sorted into
+    * ONE row, broadcast, and probed per token by binary search
+    * ([[graft.functions.SortedLongContains]] — the [[frequentSpans]]
+    * probe): a pure codegen'd filter in the scan stage, zero corpus
+    * shuffles, list size bounded by the blocklist (thousands), not the
+    * corpus.
+    */
+  def blocklistFilter(
+      df: DataFrame, textCol: String, words: Seq[String],
+      tokenKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(words.nonEmpty, "blocklistFilter: empty blocklist")
+    import df.sparkSession.implicits._
+    val wset = words.toDF("w")
+      .agg(sort_array(collect_list(tokenKey(col("w")))).as("bl_keys"))
+    df.crossJoin(broadcast(wset))
+      .filter(!exists(TextOps.whitespaceTokenize(col(textCol)),
+        t => graft.functions.SortedLongContains.sortedLongContains(
+          col("bl_keys"), tokenKey(t))))
+      .drop("bl_keys")
+  }
+
+  /** Hash-free twin of [[blocklistFilter]] (the oracle form): the SAME
+    * keep/drop decision via a literal string-array intersection —
+    * replayable verbatim by DuckDB `list_intersect`. Differential-spec
+    * pinned equal to the hashed production path.
+    */
+  def blocklistFilterPortable(
+      df: DataFrame, textCol: String, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklistFilterPortable: empty blocklist")
+    df.filter(size(array_intersect(
+      TextOps.whitespaceTokenize(col(textCol)),
+      array(words.map(lit): _*))) === 0)
+  }
+
   // ------------------------------------------------------------------
   // Classifier-based quality filtering (GPT-3 / PaLM style): train a
   // multinomial Naive Bayes from a labeled seed, score every doc.

@@ -757,6 +757,72 @@ object DedupOps {
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Edit-distance fuzzy dedup DECISION path — the record-linkage
+    * verify (classic Levenshtein matching) grafted onto the SimHash
+    * candidate plan: per chunk bucket the min-id doc is the rep, a
+    * candidate is any (doc, rep) pair whose signatures are within
+    * `maxHamming` (the [[simHashKeepers]] gate — cheap, text-free), and
+    * a candidate is DROPPED only if the exact character-level
+    * `levenshtein(doc, rep) <= maxDist`. Keep/drop per doc, no pair
+    * list.
+    *
+    * Scale shape: the banded/rep stage shuffles (id, sig, chunk) longs
+    * only; candidates collapse to DISTINCT (id, rep) pairs BEFORE any
+    * text is fetched, so document text crosses an exchange exactly
+    * twice (once per side of the verify join, keyed by id) and the
+    * O(len²) Levenshtein DP runs once per surviving candidate pair —
+    * bounded by bucket occupancy, never |corpus|². Banding recall
+    * contract is [[simHashKeepers]]'s: a true near-dup pair farther
+    * than `maxHamming` in signature space is not seen (raise chunks /
+    * lower `maxHamming` trades recall for candidates).
+    */
+  def editKeepers(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "banding guarantee needs maxHamming < chunks")
+    val banded = simHashBanded(df, textCol, idCol)
+    editKeepersFrom(df, banded, textCol, idCol, maxDist, maxHamming)
+  }
+
+  /** ORACLE-portable twin of [[editKeepers]]: identical decision plan
+    * over the 48-bit md5-family signature (q29/q43's chain) so DuckDB
+    * replays every candidate AND the Levenshtein verify row-level
+    * (both engines implement the classic unit-cost DP).
+    */
+  def editKeepersPortable(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "banding guarantee needs maxHamming < chunks")
+    val banded = df
+      .select(col(idCol).as("id"),
+        graft.functions.SimHashMd5.simHashMd5(split(col(textCol), " "), 48).as("sig"))
+      .select(col("id"), col("sig"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 12).bitwiseAND(0xFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    editKeepersFrom(df, banded, textCol, idCol, maxDist, maxHamming)
+  }
+
+  private def editKeepersFrom(
+      df: DataFrame, banded: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, maxHamming: Int): DataFrame = {
+    val reps = banded.groupBy("chunk", "chunk_val")
+      .agg(min("id").as("rep"), min_by(col("sig"), col("id")).as("rep_sig"))
+    val cand = banded.join(reps, Seq("chunk", "chunk_val"))
+      .filter(col("id") > col("rep") &&
+        hamming64(col("sig"), col("rep_sig")) <= maxHamming)
+      .select("id", "rep").distinct()
+    val texts = df.select(col(idCol).as("tid"), col(textCol).as("ttxt"))
+    val dropped = cand
+      .join(texts, col("id") === col("tid"))
+      .select(col("id"), col("rep"), col("ttxt").as("txt_a"))
+      .join(texts, col("rep") === col("tid"))
+      .filter(levenshtein(col("txt_a"), col("ttxt")) <= maxDist)
+      .select("id").distinct()
+    df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** (id, sig, chunk, chunk_val) rows — 4 per doc, 16-bit chunks. The
     * signature comes from the fused codegen expression
     * ([[graft.functions.SimHash64]], value-identical to

@@ -41,4 +41,36 @@ object SessionOps {
     df.withColumn("session_id",
       sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Sliding (hopping) window aggregation — `window(ts, w, s)` with
+    * `slideSeconds < windowSeconds`, the other standard streaming
+    * window family next to [[timeBucket]]'s tumbling form: every event
+    * lands in `windowSeconds / slideSeconds` overlapping windows
+    * (epoch-aligned starts, `[start, start + w)` half-open), and the
+    * output has one row per (key, window) with `n` and a
+    * DECIMAL(38,6)-accumulated `sum_value` (the q12 float-parity rule).
+    * The window start is emitted as a formatted string for
+    * cross-engine hash parity. The same transform runs unchanged under
+    * Structured Streaming (`window()` is the streaming-native
+    * grouping; add a watermark for append mode).
+    *
+    * Scale shape: the explode-into-hops is narrow (w/s rows per event,
+    * a small constant); one map-side-combined shuffle keyed by
+    * (key, window) — identical to the tumbling plan times the hop
+    * factor.
+    */
+  def slidingCounts(
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowSeconds: Long, slideSeconds: Long): DataFrame = {
+    require(windowSeconds > 0 && slideSeconds > 0 &&
+      windowSeconds % slideSeconds == 0,
+      "slidingCounts: windowSeconds must be a positive multiple of slideSeconds")
+    df.groupBy(col(keyCol),
+        window(col(tsCol), s"$windowSeconds seconds", s"$slideSeconds seconds"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(col(keyCol),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n"), col("sum_value"))
+  }
 }

@@ -1433,6 +1433,96 @@ object ExtensionQueries {
       | ORDER BY ${dk("CAST(doc_id AS VARCHAR) || '#' || '7'")}, doc_id)
       | <= $q73K""".stripMargin
 
+  // --------------------------------------------------------------- q74
+  /** Sliding 1-hour window, 30-minute hop
+    * ([[graft.ops.SessionOps.slidingCounts]]): every event lands in 2
+    * overlapping epoch-aligned windows; count + DECIMAL-accumulated
+    * value sum per (event_type, window). The oracle replays Spark's
+    * window assignment as integer micro-arithmetic: starts are
+    * `floor(eu / slide) * slide - i * slide` for hop i, kept while
+    * `eu < start + window`.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame =
+    SessionOps.slidingCounts(Tables.events(spark, dir),
+      "ts", "event_type", "value",
+      windowSeconds = 3600L, slideSeconds = 1800L)
+
+  val q74Sql: String =
+    """WITH e AS (
+      | SELECT event_type, value, epoch_us(ts) AS eu FROM events),
+      |w AS (
+      | SELECT event_type, value,
+      |  (eu // 1800000000) * 1800000000 - u.i * 1800000000 AS ws
+      | FROM e, (SELECT unnest(generate_series(0, 1)) AS i) u
+      | WHERE eu < (eu // 1800000000) * 1800000000 - u.i * 1800000000
+      |   + 3600000000)
+      |SELECT event_type,
+      | strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY event_type, bucket""".stripMargin
+
+  // --------------------------------------------------------------- q75
+  private val q75Words = Seq("dup", "forbidden")
+
+  /** C4-style blocklist filter
+    * ([[graft.ops.CurationOps.blocklistFilterPortable]], the hash-free
+    * twin of the `SortedLongContains` production probe — differential-
+    * spec'd equal): keep docs whose token set avoids every blocklist
+    * word.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.blocklistFilterPortable(
+        Tables.documents(spark, dir), "text", q75Words)
+      .select("doc_id", "n_chars")
+
+  val q75Sql: String =
+    s"""SELECT doc_id, n_chars FROM documents
+      |WHERE len(list_intersect(string_split(text, ' '),
+      | [${q75Words.map(w => s"'$w'").mkString(", ")}])) = 0""".stripMargin
+
+  // --------------------------------------------------------------- q76
+  private val q76MaxDist = 40
+
+  /** Edit-distance fuzzy dedup DECISION
+    * ([[graft.ops.DedupOps.editKeepersPortable]]): SimHash-banded
+    * candidates (48-bit md5 family, Hamming ≤ 3 gate) verified by
+    * exact `levenshtein(doc, rep) <= $q76MaxDist` — both engines run
+    * the classic unit-cost DP, so the keep/drop decision replays
+    * row-level.
+    */
+  def q76(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.editKeepersPortable(Tables.documents(spark, dir),
+        "text", "doc_id", maxDist = q76MaxDist, maxHamming = 3)
+      .select(col("doc_id"))
+
+  val q76Sql: String =
+    s"""WITH s AS (
+      | SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+      |    CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
+      |      CASE WHEN (CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT) >> b) & 1 = 1
+      |        THEN 1 ELSE -1 END)) > 0
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+      | FROM documents),
+      |band AS (
+      | SELECT doc_id, sig, u.c AS chunk, (sig >> (12 * u.c)) & 4095 AS cv
+      | FROM s, (SELECT unnest(generate_series(0, 3)) AS c) u),
+      |rep AS (
+      | SELECT chunk, cv, min(doc_id) AS rep, arg_min(sig, doc_id) AS rep_sig
+      | FROM band GROUP BY chunk, cv),
+      |cand AS (
+      | SELECT DISTINCT b.doc_id AS id, r.rep
+      | FROM band b JOIN rep r ON b.chunk = r.chunk AND b.cv = r.cv
+      | WHERE b.doc_id > r.rep AND bit_count(xor(b.sig, r.rep_sig)) <= 3),
+      |dropped AS (
+      | SELECT DISTINCT c.id FROM cand c
+      |  JOIN documents da ON da.doc_id = c.id
+      |  JOIN documents db ON db.doc_id = c.rep
+      | WHERE levenshtein(da.text, db.text) <= $q76MaxDist)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1475,5 +1565,8 @@ object ExtensionQueries {
     "q70_hashed_tfidf" -> ((q70 _, q70Sql)),
     "q71_nb_classifier" -> ((q71 _, q71Sql)),
     "q72_dsir_weights" -> ((q72 _, q72Sql)),
-    "q73_sample_exact_k" -> ((q73 _, q73Sql)))
+    "q73_sample_exact_k" -> ((q73 _, q73Sql)),
+    "q74_sliding_window" -> ((q74 _, q74Sql)),
+    "q75_blocklist" -> ((q75 _, q75Sql)),
+    "q76_edit_dedup" -> ((q76 _, q76Sql)))
 }

@@ -144,13 +144,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // ConnectedComponentsSpec.
     // b_tfidf_vectors/b_tfidf_ann carry q70's 1-row doc-count
     // broadcast, b_nb_classifier q71's L-row label-dim fan-out + 1-row
-    // V, b_dsir q72's 1-row totals — the registry sweep's documented
+    // V, b_dsir q72's 1-row totals, b_blocklist the 1-row sorted
+    // blocklist-key broadcast — the registry sweep's documented
     // scalar/dim-broadcast contracts (see nestedLoopByContract).
     val offenders = graft.Bench.scaleBenches.toSeq
       .filterNot(n => Set("b_minhash_converged", "b_span_scrub",
         "b_curation_full", "b_perplexity", "b_ppl_buckets",
         "b_dup_components", "b_tfidf_vectors", "b_tfidf_ann",
-        "b_nb_classifier", "b_dsir").contains(n._1))
+        "b_nb_classifier", "b_dsir", "b_blocklist").contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {

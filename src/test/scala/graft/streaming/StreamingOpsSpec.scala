@@ -42,6 +42,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("sliding window: streaming (complete mode) == batch on the same files") {
+    import graft.ops.SessionOps
+    val batch = SessionOps.slidingCounts(Tables.events(spark, sfDir),
+        "ts", "event_type", "value", windowSeconds = 3600L, slideSeconds = 1800L)
+      .as[(String, String, Long, Double)].collect().toSet
+
+    val streamDir = Files.createTempDirectory("events-stream-sliding").toFile
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(src.getAbsolutePath),
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(streamDir.getAbsolutePath, "part-0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    // the IDENTICAL batch transform runs as a streaming query — the
+    // q74-pinned hop semantics carry over unchanged
+    val streaming = StreamingOps.runToMemory(
+      SessionOps.slidingCounts(
+        StreamingOps.eventsStream(spark, streamDir.getAbsolutePath),
+        "ts", "event_type", "value", windowSeconds = 3600L, slideSeconds = 1800L),
+      "sliding_test", "complete")
+      .as[(String, String, Long, Double)].collect().toSet
+
+    assert(streaming == batch)
+  }
+
   test("session_window (batch mode) agrees with the lag+cumsum sessionization on session counts") {
     val events = Tables.events(spark, sfDir)
     val viaWindow = events
