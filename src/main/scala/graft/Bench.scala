@@ -241,6 +241,11 @@ object Bench {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         DedupOps.minHashDedup(Tables.documents(s, dir), "text", "doc_id",
           threshold = 0.6, bands = 4, rowsPerBand = 4))),
+    // hard-negative mining at the production plan (hyperplane-LSH
+    // candidates, same-label candidates rejected AT the bucket join
+    // before any cosine; q79 pins the brute-force baseline)
+    "b_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegativesLsh(Tables.embeddings(s, dir), k = 5)),
     // sliding-window aggregation (1h window, 30min hop — the tumbling
     // plan times the hop factor, one (key, window) keyed shuffle)
     "b_sliding_window" -> ((s, dir) =>

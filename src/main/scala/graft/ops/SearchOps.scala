@@ -120,6 +120,38 @@ object SearchOps {
       .select(col(idCol), col("bucket"), (col("w") / col("nrm")).as("weight"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-search combiner: each input ranking contributes
+    * `1 / (rrfK + rank)` per doc (1-based ranks), fused score = the
+    * sum, output = the global top-`k` by round(score, 6) descending
+    * with id ascending as the engine-portable tiebreak (IEEE addition
+    * is commutative, so the two-list sum is order-exact; beyond two
+    * lists the 6-decimal round absorbs association noise). Docs
+    * missing from a list simply contribute nothing — RRF's point is
+    * that no score calibration between retrievers (BM25 vs cosine vs
+    * anything) is needed, only ranks.
+    *
+    * Input frames carry `(idCol, rank)`; `n_lists` in the output
+    * counts how many retrievers surfaced the doc.
+    *
+    * Scale shape: each ranking is already top-k-bounded by its
+    * retriever, so the union/aggregate runs over (lists × k) rows of
+    * (id, rank) longs — driver-negligible at any corpus size; the
+    * final cut is TakeOrdered.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    val u = rankings.map(_.select(col(idCol), col("rank"))).reduce(_ unionByName _)
+    u.groupBy(idCol)
+      .agg(sum(lit(1.0) / (lit(rrfK.toDouble) + col("rank").cast("double"))).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(round(col("rrf"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("rrf"), 6).as("rrf"), col("n_lists"))
+  }
+
   /** Dense form of [[hashedTfidfWeights]]: `(idCol, vector)` with a
     * fixed-`dim` float array (absent buckets 0.0) — the text → vector
     * bridge into [[SimilarityOps]] (ANN top-k, k-means, SemDeDup,

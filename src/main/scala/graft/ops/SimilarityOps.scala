@@ -207,6 +207,75 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep stage): for every vector, the top-`k` most-similar
+    * vectors with a DIFFERENT label — near the anchor in embedding
+    * space but known non-matches, the negatives that actually move a
+    * contrastive loss. Same hyperplane-LSH candidate plan as
+    * [[lshCosineSearch]] with the label riding the banded stream
+    * (one small column next to the vector); same-label candidates are
+    * rejected AT the bucket join, before the cosine and the per-query
+    * top-k, so a cluster of same-label twins costs nothing downstream.
+    * Banding recall contract is lshCosineSearch's.
+    */
+  def hardNegativesLsh(
+      df: DataFrame, k: Int, labelCol: String = "label",
+      bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    def banded(d: DataFrame): DataFrame = {
+      val sigs = graft.functions.HyperplaneBandSigs
+        .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
+      d.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col(labelCol).as("lbl"), sigs.as("buckets"))
+        .select(col("id"), col("vec"), col("lbl"), col("buckets"),
+          posexplode(col("buckets")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+    val l = banded(df).select(col("band"), col("bucket"),
+      col("id").as("query_id"), col("vec").as("q_vec"),
+      col("lbl").as("q_lbl"), col("buckets").as("bk_q"))
+    val r = banded(df).select(col("band"), col("bucket"),
+      col("id").as("neighbor_id"), col("vec").as("c_vec"),
+      col("lbl").as("c_lbl"), col("buckets").as("bk_c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_lbl") =!= col("c_lbl"))
+      .filter(graft.functions.FirstEqualIndex
+        .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Brute-force twin of [[hardNegativesLsh]] for a bounded query set —
+    * the oracle/recall baseline ([[bruteCosineTopK]]'s contract: all
+    * (query, corpus) pairs, label-filtered; quadratic by design, so
+    * fixture-scale validation only).
+    */
+  def hardNegativesBrute(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_lbl"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_lbl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id") && col("q_lbl") =!= col("c_lbl"))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Two-frame IVF search: centroids are picked from (and the inverted
     * lists built over) `corpus`; `queries` probe their `nprobe` nearest
     * lists — the standing deployment of which [[ivfCosineTopK]] is the

@@ -108,4 +108,25 @@ object SplitOps {
     require(k >= 0, "sampleExactK: k must be non-negative")
     df.orderBy(PortableHash.md5Long(col(idCol), lit(seed)), col(idCol)).limit(k)
   }
+
+  /** Per-stratum [[sampleExactK]]: exactly `min(k, |stratum|)` rows
+    * from every `strataCol` group (the balanced-eval-set carve: "200
+    * docs per language"). Same key-derived hash order, so per-stratum
+    * selections inherit sampleExactK's determinism, prefix property
+    * and churn bound.
+    *
+    * Scale shape: one shuffle keyed by the stratum, ranking window
+    * PARTITIONED by it (never global); only the hash rank is computed
+    * per row.
+    */
+  def sampleExactKStratified(
+      df: DataFrame, idCol: String, strataCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 0, "sampleExactKStratified: k must be non-negative")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(PortableHash.md5Long(col(idCol), lit(seed)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

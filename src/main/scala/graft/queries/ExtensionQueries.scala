@@ -1523,6 +1523,140 @@ object ExtensionQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  // --------------------------------------------------------------- q77
+  private val q77Terms = Seq("spark", "table", "fast")
+  private val q77PerList = 50
+  private val q77K = 20
+
+  /** Hybrid search via reciprocal-rank fusion
+    * ([[graft.ops.SearchOps.rrfFuse]]): BM25 top-$q77PerList over
+    * `documents` (q60's replayable scoring) fused with cosine
+    * top-$q77PerList against the vec_id-0 embedding (q24's replayable
+    * chain) — ranks only, no score calibration, the published hybrid
+    * retrieval combiner. Both per-list rank orders are bit-exact across
+    * engines (their scores already hash-match in q60/q24), so the
+    * fused top-$q77K replays row-level.
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+    val bm = SearchOps.bm25TopK(docs, "text", "doc_id", q77Terms, k = q77PerList)
+    val bmRank = JoinOps.withRowIndex(
+        bm.sort(col("score").desc, col("doc_id")), "rank0")
+      .select(col("doc_id"), (col("rank0") + 1).as("rank"))
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+    val cosTop = embs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.CosineSimilarity
+          .cosineFused(col("embedding"), col("q_vec")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(q77PerList)
+    val cosRank = JoinOps.withRowIndex(
+        cosTop.sort(col("cos").desc, col("doc_id")), "rank0")
+      .select(col("doc_id"), (col("rank0") + 1).as("rank"))
+    SearchOps.rrfFuse(Seq(bmRank, cosRank), "doc_id", k = q77K)
+  }
+
+  val q77Sql: String = {
+    def term(i: Int): String =
+      s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+         |   * (tf_$i * (1.2 + 1.0))
+         |   / (tf_$i + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))""".stripMargin
+    val dfAggs = q77Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n  ")
+    val tfCols = q77Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n  ")
+    val scoreSum = q77Terms.indices.map(term).mkString("\n + ")
+    s"""WITH t AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |st AS (
+      | SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |  avg(CAST(len(tk) AS DOUBLE)) AS avgdl,
+      |  $dfAggs
+      | FROM t),
+      |bm AS (
+      | SELECT doc_id, $scoreSum AS score
+      | FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, $tfCols FROM t) d, st),
+      |bmr AS (
+      | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      | FROM bm QUALIFY rank <= $q77PerList),
+      |e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings),
+      |cs AS (
+      | SELECT b.vec_id AS doc_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (a.nrm * b.nrm) AS cos
+      | FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
+      |csr AS (
+      | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+      | FROM cs QUALIFY rank <= $q77PerList),
+      |u AS (SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM csr),
+      |f AS (
+      | SELECT doc_id, sum(1.0 / (60.0 + rank)) AS rrf,
+      |  CAST(count(*) AS BIGINT) AS n_lists
+      | FROM u GROUP BY doc_id)
+      |SELECT doc_id, round(rrf, 6) AS rrf, n_lists FROM f
+      |QUALIFY ROW_NUMBER() OVER (ORDER BY round(rrf, 6) DESC, doc_id) <= $q77K""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q78
+  private val q78K = 30
+
+  /** Stratified exact-k sample
+    * ([[graft.ops.SplitOps.sampleExactKStratified]]): exactly
+    * min($q78K, |stratum|) docs per language by the portable hash
+    * order — the balanced-eval-set carve.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame =
+    SplitOps.sampleExactKStratified(Tables.documents(spark, dir),
+        "doc_id", "lang", k = q78K, seed = 11L)
+      .select("doc_id", "lang")
+
+  val q78Sql: String =
+    s"""SELECT doc_id, lang FROM documents
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+      | ORDER BY ${dk("CAST(doc_id AS VARCHAR) || '#' || '11'")}, doc_id)
+      | <= $q78K""".stripMargin
+
+  // --------------------------------------------------------------- q79
+  /** Hard-negative mining
+    * ([[graft.ops.SimilarityOps.hardNegativesBrute]] — the bounded
+    * brute baseline, q24's contract): for the first 20 vectors, the
+    * top-5 most-cosine-similar vectors with a DIFFERENT label. The
+    * production plan is [[graft.ops.SimilarityOps.hardNegativesLsh]]
+    * (b_hard_negatives), which rejects same-label candidates at the
+    * bucket join.
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    SimilarityOps.hardNegativesBrute(
+      e.filter(col("vec_id") < 20), e, k = 5)
+  }
+
+  val q79Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings),
+      |c AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (a.nrm * b.nrm) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+      |  AND b.label <> a.label),
+      |r AS (
+      | SELECT query_id, neighbor_id, cosine,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      | FROM c)
+      |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1568,5 +1702,8 @@ object ExtensionQueries {
     "q73_sample_exact_k" -> ((q73 _, q73Sql)),
     "q74_sliding_window" -> ((q74 _, q74Sql)),
     "q75_blocklist" -> ((q75 _, q75Sql)),
-    "q76_edit_dedup" -> ((q76 _, q76Sql)))
+    "q76_edit_dedup" -> ((q76 _, q76Sql)),
+    "q77_hybrid_rrf" -> ((q77 _, q77Sql)),
+    "q78_stratified_k" -> ((q78 _, q78Sql)),
+    "q79_hard_negatives" -> ((q79 _, q79Sql)))
 }

@@ -58,14 +58,21 @@ class PlanShapeSpec extends AnyFunSuite {
     *    a bounded dimension (class cardinality) and the fan-out to all
     *    L labels per token IS the scoring contract; plus the 1-row V
     *    broadcast;
-    *  - q72: `tf × broadcast(1-row N_target / N_raw totals)` — ditto.
+    *  - q72: `tf × broadcast(1-row N_target / N_raw totals)` — ditto;
+    *  - q77: `embeddings × broadcast(1-row query vector)` for the dense
+    *    retriever leg — the q08/q60 scalar-broadcast pattern;
+    *  - q79: hard-negative brute-force BASELINE (q24's contract) —
+    *    bounded query side, non-equi (id/label inequality) broadcast
+    *    join by definition; the scale path is hardNegativesLsh
+    *    (swept as b_hard_negatives below).
     */
   private val nestedLoopByContract = Set(
     "q05_theta_join", "q08_set_ops", "q17_eval_f1", "q24_sim_topk",
     "q18_dedup", "q22_dedup_ngram", "q23_dedup_cosine", "q54_span_scrub",
     "q59_curation_chain", // q59 embeds q54's scrub stage
     "q60_bm25", "q64_perplexity", "q67_ppl_buckets",
-    "q70_hashed_tfidf", "q71_nb_classifier", "q72_dsir_weights")
+    "q70_hashed_tfidf", "q71_nb_classifier", "q72_dsir_weights",
+    "q77_hybrid_rrf", "q79_hard_negatives")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
