@@ -246,6 +246,36 @@ object Bench {
     // before any cosine; q79 pins the brute-force baseline)
     "b_hard_negatives" -> ((s, dir) =>
       SimilarityOps.hardNegativesLsh(Tables.embeddings(s, dir), k = 5)),
+    // incremental-ingest snapshot diff: ONE co-partitioned full-outer
+    // join of two corpus-sized versions, output ∝ churn (~20% here)
+    "b_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.DiffOps.snapshotDiff(
+        d.filter(graft.core.PortableHash.uniform01(col("doc_id"), lit("bo")) < 0.95),
+        d.filter(graft.core.PortableHash.uniform01(col("doc_id"), lit("bn")) < 0.95)
+          .withColumn("lang",
+            when(graft.core.PortableHash.uniform01(col("doc_id"), lit("bc")) < 0.1,
+              concat(col("lang"), lit("-x"))).otherwise(col("lang"))),
+        Seq("doc_id"), Seq("lang", "n_chars"))
+    }),
+    // temperature-balanced mixture sampling: |strata|-row ordered-fold
+    // weight dim broadcast back, per-row hash-vs-rate codegen filter —
+    // zero corpus shuffles
+    "b_temperature_mix" -> ((s, dir) =>
+      graft.ops.MixOps.temperatureSample(Tables.documents(s, dir),
+        "lang", "doc_id", budget = 200L, seed = 13L)),
+    // ROUGE-2 over lang-adjacent pairs: per-row clipped-overlap column
+    // algebra after one lang-partitioned lead window
+    "b_rouge2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text").as("ref_text"))
+        .withColumn("cand_text", lead(col("ref_text"), 1).over(w))
+        .filter(col("cand_text").isNotNull)
+      graft.ops.EvalMetrics.rougeN(pairs, "ref_text", "cand_text", n = 2)
+        .select("doc_id", "overlap", "rouge_f1")
+    }),
     // sliding-window aggregation (1h window, 30min hop — the tumbling
     // plan times the hop factor, one (key, window) keyed shuffle)
     "b_sliding_window" -> ((s, dir) =>

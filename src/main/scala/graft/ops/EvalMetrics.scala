@@ -103,4 +103,53 @@ object EvalMetrics {
     lv2m.crossJoin(lv1m).withColumn("mean_f1",
       (col("lv2_f1_macro") + col("lv1_f1_macro") + col("lv1_f1_micro") + col("lv2_f1_micro")) / 4.0)
   }
+
+  /** ROUGE-N (Lin 2004) per reference/candidate pair: clipped n-gram
+    * overlap — for each distinct candidate gram, `min(count_in_ref,
+    * count_in_cand)` summed (the multiset-intersection size) — with
+    * precision = overlap / |cand grams|, recall = overlap / |ref grams|,
+    * F1 their harmonic mean (null when a side has no grams, matching
+    * the metric's undefined-not-zero convention).
+    *
+    * Whitespace tokenization (the reference-free form; swap in any
+    * tokenizer upstream by pre-splitting). Pure per-row column algebra
+    * over the two text columns — zero shuffles, so it composes with
+    * whatever join produced the pairs. The distinct-gram loop is
+    * O(distinct grams × grams) per ROW, not per corpus: fine for the
+    * summary-length texts the metric is defined over.
+    *
+    * Appends `overlap`, `ref_n`, `cand_n` (long), `rouge_p`, `rouge_r`,
+    * `rouge_f1` (double).
+    */
+  def rougeN(pairs: DataFrame, refCol: String, candCol: String, n: Int): DataFrame = {
+    require(n >= 1, "rougeN: n must be >= 1")
+    def grams(c: Column): Column = {
+      val toks = filter(split(c, " "), t => t =!= "")
+      // sequence(0, size-n) flips to a DESCENDING range when size < n
+      // (Spark's default step is -1 there) — guard to an empty gram list
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", array((0 until n).map(j =>
+            element_at(toks, (i + j + 1).cast("int"))): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val withGrams = pairs
+      .withColumn("__rg", grams(col(refCol)))
+      .withColumn("__cg", grams(col(candCol)))
+    def cnt(arr: Column, g: Column): Column = size(filter(arr, x => x === g))
+    withGrams
+      .withColumn("overlap",
+        aggregate(array_distinct(col("__cg")), lit(0L), (acc, g) =>
+          acc + least(cnt(col("__rg"), g), cnt(col("__cg"), g)).cast("long")))
+      .withColumn("ref_n", size(col("__rg")).cast("long"))
+      .withColumn("cand_n", size(col("__cg")).cast("long"))
+      .withColumn("rouge_p",
+        when(col("cand_n") > 0, col("overlap").cast("double") / col("cand_n")))
+      .withColumn("rouge_r",
+        when(col("ref_n") > 0, col("overlap").cast("double") / col("ref_n")))
+      .withColumn("rouge_f1",
+        when(col("rouge_p") + col("rouge_r") > 0.0,
+          lit(2.0) * col("rouge_p") * col("rouge_r") / (col("rouge_p") + col("rouge_r"))))
+      .drop("__rg", "__cg")
+  }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.PortableHash
+
+/** Corpus mixture re-weighting — the multilingual/multi-source sampling
+  * recipe from the XLM-R / mBERT line of work (Conneau et al. 2020 §3.1;
+  * also the data-mixing stage of every multi-source pretraining run):
+  * a stratum with share `p_s = n_s / N` is sampled proportionally to
+  * `p_s^alpha`, flattening the head so low-resource strata are not
+  * drowned out. `alpha = 1` keeps natural proportions, `alpha = 0` makes
+  * all strata equal.
+  *
+  * This implementation fixes `alpha = 0.5` (`sqrt`) — the common choice,
+  * and the one exponent whose `pow` is an IEEE-754 correctly-rounded
+  * primitive (`sqrt`) in every engine, so the computed rates replay
+  * bit-level across Spark, DuckDB and anything else (a general
+  * `pow(x, a)` is transcendental and may differ in the last ulp, which
+  * a rate-threshold comparison would amplify into membership flips).
+  * The one remaining order-dependent step — the cross-stratum SUM of
+  * sqrt shares — is pinned to a left-to-right fold in stratum-ascending
+  * order (collect_list → array_sort → aggregate), the same defined
+  * order the DuckDB oracle replays via `list_sum(list(... ORDER BY
+  * stratum))`; an unordered `sum()` could differ in the last ulp
+  * between engines (or between Spark runs) and flip a membership at
+  * the rate threshold.
+  *
+  * Scale shape: the weight table is one partial-agg `groupBy` over the
+  * stratum column producing |strata| rows — the ordered fold and the
+  * 1-row total broadcast run over that bounded dim, never the corpus —
+  * broadcast back for the sampling filter, which is then a pure
+  * codegen'd per-row predicate on the key-derived
+  * [[PortableHash.uniform01]] (same contract as
+  * [[SplitOps.weightedSample]]): zero extra shuffles at any corpus size,
+  * deterministic under any partitioning.
+  */
+object MixOps {
+
+  /** Per-stratum mixture weights at `alpha = 0.5`: one row per stratum
+    * with `n` (stratum size), `q` (normalized `sqrt`-share, sums to 1)
+    * and `rate` (per-row keep probability hitting an expected total of
+    * `budget` rows, capped at 1 for strata smaller than their
+    * allocation — the cap means the realized expectation can undershoot
+    * `budget`; callers wanting exactness re-normalize or take the
+    * [[SplitOps.sampleExactKStratified]] route).
+    */
+  def temperatureMixWeights(
+      df: DataFrame, strataCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "temperatureMixWeights: budget must be non-negative")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+    // cross-stratum total: ordered fold over the |strata|-row dim
+    // (stratum-ascending, left-to-right — the engine-portable order;
+    // see object scaladoc), broadcast back as a 1-row scalar
+    val tot = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(
+          col(strataCol).as("s"), sqrt(col("n").cast("double")).as("r")))),
+        lit(0.0), (acc, x) => acc + x.getField("r")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("q", sqrt(col("n").cast("double")) / col("tot"))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget.toDouble) * col("q") / col("n").cast("double")))
+      .select(col(strataCol), col("n"), col("q"), col("rate"))
+  }
+
+  /** Temperature-balanced Bernoulli sample: keeps each row of stratum
+    * `s` with probability `rate_s` from [[temperatureMixWeights]],
+    * decided by the key-derived uniform hash — deterministic,
+    * engine-portable, zero-shuffle beyond the tiny weight aggregation
+    * (broadcast back onto the corpus).
+    */
+  def temperatureSample(
+      df: DataFrame, strataCol: String, idCol: String, budget: Long,
+      seed: Long = 42L): DataFrame = {
+    val rates = temperatureMixWeights(df, strataCol, budget)
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(PortableHash.uniform01(col(idCol), lit(seed)) < col("rate"))
+      .drop("rate")
+  }
+}

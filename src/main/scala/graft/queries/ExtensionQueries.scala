@@ -1657,6 +1657,129 @@ object ExtensionQueries {
       | FROM c)
       |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  // --------------------------------------------------------------- q80
+  private val q80Budget = 200L
+
+  /** Temperature-balanced corpus mixture
+    * ([[graft.ops.MixOps.temperatureSample]], alpha = 0.5): per-language
+    * keep rates proportional to sqrt-share, hitting an expected
+    * $q80Budget docs total — low-resource languages over-sampled
+    * relative to natural proportions. sqrt is the one correctly-rounded
+    * pow, and the cross-stratum share total is an ORDERED fold
+    * (stratum-ascending), so the rates — and therefore every
+    * hash-vs-rate membership decision — replay bit-level in the oracle.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame =
+    MixOps.temperatureSample(Tables.documents(spark, dir),
+        "lang", "doc_id", budget = q80Budget, seed = 13L)
+      .select("doc_id", "lang")
+
+  val q80Sql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS tot
+      |      FROM c),
+      |r AS (SELECT lang,
+      |  least(1.0, $q80Budget.0 * (sqrt(CAST(n AS DOUBLE)) / tot)
+      |    / CAST(n AS DOUBLE)) AS rate
+      | FROM c CROSS JOIN t)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE ${dk("d.doc_id || '#' || '13'")}
+      |    / 1152921504606846976.0 < r.rate""".stripMargin
+
+  // --------------------------------------------------------------- q81
+  /** Snapshot diff ([[graft.ops.DiffOps.snapshotDiff]]) between two
+    * deterministically-derived corpus versions: "old" drops the ~5% of
+    * doc_ids whose 81o-hash exceeds 0.95, "new" drops a different ~5%
+    * (81n) and rewrites `lang` for the ~10% with 81c-hash < 0.1 — so
+    * the diff must classify added / removed / changed (on the
+    * (lang, n_chars) compare set) and drop the unchanged majority.
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val oldDf = d.filter(PortableHash.uniform01(col("doc_id"), lit("81o")) < 0.95)
+    val newDf = d.filter(PortableHash.uniform01(col("doc_id"), lit("81n")) < 0.95)
+      .withColumn("lang",
+        when(PortableHash.uniform01(col("doc_id"), lit("81c")) < 0.1,
+          concat(col("lang"), lit("-x"))).otherwise(col("lang")))
+    DiffOps.snapshotDiff(oldDf, newDf, Seq("doc_id"), Seq("lang", "n_chars"))
+  }
+
+  val q81Sql: String = {
+    def u(salt: String): String =
+      s"${dk(s"doc_id || '#' || '$salt'")} / 1152921504606846976.0"
+    s"""WITH o AS (
+      | SELECT doc_id, lang, n_chars FROM documents WHERE ${u("81o")} < 0.95),
+      |n AS (
+      | SELECT doc_id,
+      |  CASE WHEN ${u("81c")} < 0.1 THEN lang || '-x' ELSE lang END AS lang,
+      |  n_chars
+      | FROM documents WHERE ${u("81n")} < 0.95),
+      |j AS (
+      | SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN NOT (o.lang IS NOT DISTINCT FROM n.lang
+      |             AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+      |        THEN 'changed' END AS change
+      | FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q82
+  /** ROUGE-2 ([[graft.ops.EvalMetrics.rougeN]]) over deterministic
+    * reference/candidate pairs: each short doc (≤250 chars) paired with
+    * the next doc_id in its language — clipped bigram overlap,
+    * precision/recall/F1 per pair. Integer overlap counts are exact;
+    * the P/R/F1 doubles are single correctly-rounded division chains,
+    * so the replay is bit-level.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val pairs = Tables.documents(spark, dir)
+      .filter(col("n_chars") <= 250)
+      .select(col("doc_id"), col("lang"), col("text").as("ref_text"))
+      .withColumn("cand_text", lead(col("ref_text"), 1).over(w))
+      .filter(col("cand_text").isNotNull)
+    EvalMetrics.rougeN(pairs, "ref_text", "cand_text", n = 2)
+      .select("doc_id", "overlap", "ref_n", "cand_n",
+        "rouge_p", "rouge_r", "rouge_f1")
+  }
+
+  val q82Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, lang,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS rt
+      | FROM documents WHERE n_chars <= 250),
+      |p AS (
+      | SELECT doc_id, rt,
+      |  lead(rt) OVER (PARTITION BY lang ORDER BY doc_id) AS ct
+      | FROM d),
+      |g AS (
+      | SELECT doc_id,
+      |  list_transform(generate_series(1, len(rt) - 1),
+      |    i -> rt[i] || ' ' || rt[i + 1]) AS rg,
+      |  list_transform(generate_series(1, len(ct) - 1),
+      |    i -> ct[i] || ' ' || ct[i + 1]) AS cg
+      | FROM p WHERE ct IS NOT NULL),
+      |m AS (
+      | SELECT doc_id,
+      |  COALESCE(CAST(list_sum(list_transform(list_distinct(cg), x ->
+      |    least(len(list_filter(rg, y -> y = x)),
+      |          len(list_filter(cg, y -> y = x))))) AS BIGINT), 0) AS overlap,
+      |  CAST(len(rg) AS BIGINT) AS ref_n,
+      |  CAST(len(cg) AS BIGINT) AS cand_n
+      | FROM g)
+      |SELECT doc_id, overlap, ref_n, cand_n,
+      | CASE WHEN cand_n > 0 THEN CAST(overlap AS DOUBLE) / cand_n END AS rouge_p,
+      | CASE WHEN ref_n > 0 THEN CAST(overlap AS DOUBLE) / ref_n END AS rouge_r,
+      | CASE WHEN (CASE WHEN cand_n > 0 THEN CAST(overlap AS DOUBLE) / cand_n END)
+      |         + (CASE WHEN ref_n > 0 THEN CAST(overlap AS DOUBLE) / ref_n END) > 0.0
+      |  THEN 2.0 * (CAST(overlap AS DOUBLE) / cand_n) * (CAST(overlap AS DOUBLE) / ref_n)
+      |     / ((CAST(overlap AS DOUBLE) / cand_n) + (CAST(overlap AS DOUBLE) / ref_n))
+      |  END AS rouge_f1
+      |FROM m""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1705,5 +1828,8 @@ object ExtensionQueries {
     "q76_edit_dedup" -> ((q76 _, q76Sql)),
     "q77_hybrid_rrf" -> ((q77 _, q77Sql)),
     "q78_stratified_k" -> ((q78 _, q78Sql)),
-    "q79_hard_negatives" -> ((q79 _, q79Sql)))
+    "q79_hard_negatives" -> ((q79 _, q79Sql)),
+    "q80_temperature_mix" -> ((q80 _, q80Sql)),
+    "q81_snapshot_diff" -> ((q81 _, q81Sql)),
+    "q82_rouge2" -> ((q82 _, q82Sql)))
 }

@@ -72,7 +72,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q59_curation_chain", // q59 embeds q54's scrub stage
     "q60_bm25", "q64_perplexity", "q67_ppl_buckets",
     "q70_hashed_tfidf", "q71_nb_classifier", "q72_dsir_weights",
-    "q77_hybrid_rrf", "q79_hard_negatives")
+    "q77_hybrid_rrf", "q79_hard_negatives",
+    // q80: corpus × broadcast(1-row ordered-fold share total) — the
+    // q72 1-row-totals pattern over the |strata| dim
+    "q80_temperature_mix")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -152,13 +155,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // b_tfidf_vectors/b_tfidf_ann carry q70's 1-row doc-count
     // broadcast, b_nb_classifier q71's L-row label-dim fan-out + 1-row
     // V, b_dsir q72's 1-row totals, b_blocklist the 1-row sorted
-    // blocklist-key broadcast — the registry sweep's documented
+    // blocklist-key broadcast, b_temperature_mix q80's 1-row
+    // ordered-fold share total — the registry sweep's documented
     // scalar/dim-broadcast contracts (see nestedLoopByContract).
     val offenders = graft.Bench.scaleBenches.toSeq
       .filterNot(n => Set("b_minhash_converged", "b_span_scrub",
         "b_curation_full", "b_perplexity", "b_ppl_buckets",
         "b_dup_components", "b_tfidf_vectors", "b_tfidf_ann",
-        "b_nb_classifier", "b_dsir", "b_blocklist").contains(n._1))
+        "b_nb_classifier", "b_dsir", "b_blocklist",
+        "b_temperature_mix").contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {

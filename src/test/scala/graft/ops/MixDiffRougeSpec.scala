@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** temperatureSample / snapshotDiff / rougeN contracts (part-9
+  * additions). Engine-vs-DuckDB parity is pinned by q80-q82.
+  */
+class MixDiffRougeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------- temperatureSample
+
+  test("temperatureMixWeights: sqrt flattening, q sums to 1, rate caps at 1") {
+    // 900 'big' vs 100 'small': natural shares .9/.1, sqrt shares .75/.25
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 900) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val w = MixOps.temperatureMixWeights(df, "lang", budget = 400)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w("big")._1 == 900L && w("small")._1 == 100L)
+    assert(math.abs(w("big")._2 - 0.75) < 1e-12)
+    assert(math.abs(w("small")._2 - 0.25) < 1e-12)
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-12)
+    // big: 400*.75/900 = 1/3; small: 400*.25/100 = 1 (capped)
+    assert(math.abs(w("big")._3 - 400.0 * 0.75 / 900.0) < 1e-12)
+    assert(w("small")._3 == 1.0)
+  }
+
+  test("temperatureSample is deterministic, stratum-balanced toward the budget") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 1800) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val s1 = MixOps.temperatureSample(df, "lang", "doc_id", budget = 500, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = MixOps.temperatureSample(df, "lang", "doc_id", budget = 500, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same seed must reproduce the same sample")
+    val byLang = MixOps.temperatureSample(df, "lang", "doc_id", budget = 500, seed = 7L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // small stratum (200 docs) is over-represented vs its natural 10%:
+    // expected ~ 500*.25 = 125 of 200; big ~ 375 of 1800. Bernoulli
+    // noise is ~±3 sigma bounded below.
+    assert(byLang("small") > 80, s"small stratum undersampled: $byLang")
+    assert(byLang("big") < 500, s"big stratum not thinned: $byLang")
+  }
+
+  // ------------------------------------------------------ snapshotDiff
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((2L, "b", 20.0), (3L, "CHANGED", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val out = DiffOps.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: null-safe compare (null==null unchanged, null->value changed)") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val neu = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "s")
+    val out = DiffOps.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed"))
+  }
+
+  test("snapshotDiff honors an explicit compareCols subset") {
+    val old = Seq((1L, "same", 1.0)).toDF("k", "s", "v")
+    val neu = Seq((1L, "same", 2.0)).toDF("k", "s", "v")
+    assert(DiffOps.snapshotDiff(old, neu, Seq("k"), Seq("s")).count() == 0)
+    assert(DiffOps.snapshotDiff(old, neu, Seq("k"), Seq("v")).count() == 1)
+  }
+
+  // ------------------------------------------------------------ rougeN
+
+  test("rougeN clipped bigram overlap matches the hand-computed value") {
+    // ref  : "the cat sat on the mat"  -> 5 bigrams
+    // cand : "the cat the cat sat"     -> 4 bigrams
+    // clipped overlap: "the cat" min(1,2)=1, "cat the" min(0,1)=0,
+    //                  "cat sat" min(1,1)=1 -> 2
+    val df = Seq(("the cat sat on the mat", "the cat the cat sat"))
+      .toDF("ref", "cand")
+    val r = EvalMetrics.rougeN(df, "ref", "cand", 2)
+      .select("overlap", "ref_n", "cand_n", "rouge_p", "rouge_r").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.4)
+  }
+
+  test("rougeN: identical texts score P=R=F1=1; short/empty sides go null") {
+    val df = Seq(
+      ("a b c", "a b c"),   // identical
+      ("a", "a b"),         // ref shorter than n -> ref_n=0 -> recall null
+      ("", "")              // both empty
+    ).toDF("ref", "cand")
+    val rs = EvalMetrics.rougeN(df, "ref", "cand", 2)
+      .select("rouge_p", "rouge_r", "rouge_f1").collect()
+    assert(rs(0).getDouble(0) == 1.0 && rs(0).getDouble(1) == 1.0 &&
+      rs(0).getDouble(2) == 1.0)
+    assert(rs(1).isNullAt(1) && rs(1).isNullAt(2))
+    assert(rs(2).isNullAt(0) && rs(2).isNullAt(1) && rs(2).isNullAt(2))
+  }
+
+  test("rougeN-1 equals token-level clipped overlap") {
+    val df = Seq(("x y z", "x x y w")).toDF("ref", "cand")
+    val r = EvalMetrics.rougeN(df, "ref", "cand", 1)
+      .select("overlap", "ref_n", "cand_n").head()
+    // clipped: x min(1,2)=1, y min(1,1)=1, w 0 -> 2 of cand 4 / ref 3
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 4L)
+  }
+}
