@@ -543,7 +543,7 @@ object Bench {
     // must never overwrite each other's stream input mid-run
     val streamDir =
       java.nio.file.Files.createTempDirectory("graft_bench_stream_").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.core.Tables.events(spark, sfDir)
       .repartition(8).write.mode("overwrite").parquet(streamDir)
     // time-ORDERED re-lay for the watermarked row: with the hash-random
     // layout above every file spans the whole time range, so the
@@ -555,18 +555,19 @@ object Bench {
     // path, but parallel write tasks can finish out of order).
     val streamDirOrdered =
       java.nio.file.Files.createTempDirectory("graft_bench_stream_ord_").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.core.Tables.events(spark, sfDir)
       .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(streamDirOrdered)
     new java.io.File(streamDirOrdered).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L * (i + 1)) }
 
+    // the re-laid temp dirs were written from the normalized batch frame,
+    // so `ts` is already a proper TimestampType — no conversion needed
     def srcFrom(dir: String): DataFrame = spark.readStream
-      .schema(StreamingOps.eventsRawSchema)
+      .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", "2")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     def src: DataFrame = srcFrom(streamDir)
 
     def run(name: String, df: DataFrame, mode: String): (String, Double, Long, Option[String]) = {

@@ -88,22 +88,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * the column reads as LongType nanos; we truncate to microseconds —
-    * identical to DuckDB's cast from TIMESTAMP_NS to TIMESTAMP — and expose
-    * a proper TimestampType `ts`. Without the flag set (driver-owned
-    * sessions), reading would fail, so the flag is also set in
-    * Verify/Bench/GraftSession.
+  /** Normalize a physically-varying event timestamp to TimestampType.
+    *
+    * The driver has shipped `events.parquet` with `ts` as parquet
+    * TIMESTAMP(NANOS) (reads as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads as TimestampNTZType). The engine's
+    * contract is schema-fixed (SURVEY §1.3), so drift in the PHYSICAL
+    * encoding is absorbed here, at the scan boundary, and nowhere else:
+    *  - LongType        → epoch-nanos, truncated to micros with integer
+    *    `div` (double division loses precision above 2^53; epoch-nanos
+    *    are ~1.7e18). Identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+    *  - TimestampNTZType → reinterpreted as a UTC instant. Sessions run
+    *    with `spark.sql.session.timeZone=UTC`, so the cast is the
+    *    identity on the underlying micros — exactly how the DuckDB
+    *    oracle reads the same file.
+    *  - TimestampType    → already canonical.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = read(spark, dir, "events")
-    raw.schema("ts").dataType match {
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
       case LongType =>
-        // integer `div`, not `/`: double division loses precision above
-        // 2^53 and epoch-nanos are ~1.7e18.
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
     }
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "events"))
 }

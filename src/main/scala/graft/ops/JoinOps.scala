@@ -57,6 +57,51 @@ object JoinOps {
     *        orderable right-side surrogate (e.g. a row id) through the
     *        as-of and join the unorderable column back on it.
     */
+  /** Range (interval) join — the second operator Spark lacks natively
+    * (SURVEY §2.3 tier (a) composition): pair every `points` row with
+    * every `intervals` row of the same `key` whose HALF-OPEN interval
+    * `[startCol, endCol)` contains the point. Spark plans the naive
+    * `p.pt >= i.start AND p.pt < i.end` formulation as a per-key
+    * cross product (BroadcastNestedLoop / sort-merge with a residual
+    * range filter over all per-key pairs) — quadratic in the key's row
+    * count, a scale killer when one user has millions of events.
+    *
+    * Scale path (grid bucketing, the Flink/interval-join shape): carve
+    * the number line into `cellWidth`-sized cells; a point lands in
+    * exactly ONE cell, an interval is exploded to the ~len/cellWidth
+    * cells it overlaps, and the range predicate is evaluated only
+    * inside the (key, cell) equi-join. Each qualifying pair is emitted
+    * exactly once (the point's single cell), so no post-dedup shuffle.
+    * Work is O(points + intervals × cellsPerInterval + matches); pick
+    * `cellWidth` on the order of the typical interval length to keep
+    * the explode factor ~2.
+    *
+    * `ptCol`/`startCol`/`endCol` are LongType (e.g. `unix_micros`);
+    * empty/inverted intervals (end <= start) match nothing and are
+    * dropped before the explode. Column names of the two sides must be
+    * disjoint apart from `key`.
+    */
+  def rangeJoinBucketed(
+      points: DataFrame, intervals: DataFrame, key: String,
+      ptCol: String, startCol: String, endCol: String,
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    // Floor-division that is correct for negative values too: pmod
+    // yields the non-negative remainder, so the numerator is an exact
+    // multiple of cellWidth and the double division is exact whenever
+    // |value| < 2^53 (any epoch-micros timestamp qualifies).
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(cellWidth))) / cellWidth).cast("long")
+    val pts = points.withColumn("__cell", cellOf(col(ptCol)))
+    val ivs = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(startCol)), cellOf(col(endCol) - 1))))
+    pts.join(ivs, Seq(key, "__cell"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__cell")
+  }
+
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, valueCols: Seq[String]): DataFrame = {

@@ -1780,6 +1780,41 @@ object ExtensionQueries {
       |  END AS rouge_f1
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------------- q83
+  private val q83WindowUs = 1800000000L // 30 min in micros
+
+  /** Range (interval) join ([[graft.ops.JoinOps.rangeJoinBucketed]]):
+    * every purchase paired with EVERY view of the same user in the
+    * preceding 30 minutes — the all-matches counterpart of q38's
+    * latest-only as-of join. The engine buckets the number line into
+    * window-sized cells so the range predicate runs inside a (user,
+    * cell) equi-join instead of the per-user cross product DuckDB (and
+    * naive Spark) plan for the raw inequality.
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val points = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    val intervals = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + q83WindowUs).as("hi"))
+    JoinOps.rangeJoinBucketed(points, intervals, "user_id",
+        "pt", "lo", "hi", cellWidth = q83WindowUs)
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        (col("pt") - col("lo")).as("gap_us"))
+  }
+
+  val q83Sql: String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+      | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      | ON p.user_id = v.user_id
+      | AND epoch_us(p.ts) >= epoch_us(v.ts)
+      | AND epoch_us(p.ts) < epoch_us(v.ts) + $q83WindowUs""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1831,5 +1866,6 @@ object ExtensionQueries {
     "q79_hard_negatives" -> ((q79 _, q79Sql)),
     "q80_temperature_mix" -> ((q80 _, q80Sql)),
     "q81_snapshot_diff" -> ((q81 _, q81Sql)),
-    "q82_rouge2" -> ((q82 _, q82Sql)))
+    "q82_rouge2" -> ((q82 _, q82Sql)),
+    "q83_range_join" -> ((q83 _, q83Sql)))
 }

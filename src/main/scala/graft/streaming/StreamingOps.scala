@@ -18,24 +18,23 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet on-disk schema (ts = TIMESTAMP(NANOS) read as long
-    * under `nanosAsLong`; converted to a proper timestamp here).
+  /** Streaming source over an events parquet directory.
+    *
+    * A file stream needs a declared schema; the physical form of `ts`
+    * has drifted across driver data generations (long nanos vs
+    * TIMESTAMP_NTZ micros vs proper timestamp — see
+    * `Tables.normalizeTs`), so the schema is taken from a one-time
+    * batch footer read of the SAME directory and `ts` is normalized
+    * with the same scan-boundary rule batch uses. The footer read is a
+    * driver-side metadata operation (no data scan) done once at stream
+    * construction — irrelevant at any scale.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over an events parquet directory. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeTs(
+      spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
 
   /** Tumbling 1-hour counts per event type — streaming analog of Q12.
     * Works identically on a batch DataFrame.

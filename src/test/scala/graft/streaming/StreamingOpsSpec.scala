@@ -141,8 +141,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"tumbling state $maxState outside (0, $horizonBound]: eviction regressed")
     // every emitted (closed) window must carry exactly the batch value
     val batch = StreamingOps.tumblingCounts(
-      spark.read.schema(StreamingOps.eventsRawSchema).parquet(streamDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      Tables.normalizeTs(spark.read.parquet(streamDir)))
       .as[(String, String, Long, Double)].collect().toMap2
     val emitted = got.as[(String, String, Long, Double)].collect()
     assert(emitted.nonEmpty && emitted.length < 11,
