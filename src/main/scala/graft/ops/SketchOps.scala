@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.PortableHash
+
+/** Approximate frequency / cardinality sketches (SURVEY §2 extension:
+  * the streaming-friendly summaries a 100 TB curation pipeline keeps
+  * instead of exact tables when the exact answer would itself be
+  * TB-sized).
+  *
+  * Both sketches here are expressed as PLAIN AGGREGATIONS over
+  * key-derived hashes, which makes them
+  *  - distributed-native: the map-side partial aggregate IS the
+  *    per-partition sketch and the shuffle merge IS the sketch merge
+  *    (CMS cells add; HLL registers max) — at most `depth*width` /
+  *    `2^b` rows cross the exchange per partition, regardless of
+  *    corpus size;
+  *  - engine-portable: the md5-family [[graft.core.PortableHash]]
+  *    hashes replay bit-identically in the DuckDB oracle (q84/q85),
+  *    unlike a binary sketch blob, which could only be rows-checked.
+  *
+  * Production twins with xxhash64 in place of md5 are a one-line salt
+  * swap (the [[graft.ops.DedupOps]] convention).
+  */
+object SketchOps {
+
+  private def tokens(textCol: String): Column =
+    filter(split(col(textCol), " "), t => t =!= "")
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) over the
+    * whitespace tokens of `textCol`: a `depth × width` grid of
+    * counters, cell `(r, h_r(x) mod width)` incremented for every
+    * occurrence of token `x`. Emitted as a (r, bucket, cnt) frame of
+    * at most `depth*width` rows — broadcastable state, built in ONE
+    * corpus pass with map-side combine (each partition contributes
+    * its own partial sketch; the shuffle adds cells).
+    *
+    * Collisions only ever ADD counts, so estimates are upper bounds:
+    * `exact <= est <= exact + eps*N` w.p. `1 - delta` at
+    * `width = ceil(e/eps)`, `depth = ceil(ln(1/delta))`.
+    */
+  def cmsSketch(
+      df: DataFrame, textCol: String,
+      depth: Int, width: Int, seed: Long): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive")
+    df.select(explode(tokens(textCol)).as("tok"))
+      .select(col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(PortableHash.md5Long(col("tok"),
+          concat_ws("#", lit(seed), col("r"))), lit(width)).as("bucket"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates for `keys` (a one-column frame of probe
+    * strings) against a built sketch: `min` over the `depth` cells the
+    * key hashes to. The sketch is at most `depth*width` rows, so the
+    * join is a broadcast — probes never shuffle.
+    */
+  def cmsEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int, seed: Long): DataFrame = {
+    val probes = keys
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col(keyCol), col("r"),
+        pmod(PortableHash.md5Long(col(keyCol),
+          concat_ws("#", lit(seed), col("r"))), lit(width)).as("bucket"))
+    probes.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      // an unseen (r, bucket) cell is an implicit zero counter
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over the whitespace
+    * tokens of `textCol`: the 48-bit portable hash splits into a
+    * `b`-bit bucket (top bits) and a `48-b`-bit suffix whose
+    * leading-zero run length (+1) is the register value; registers
+    * take the MAX per bucket. Output is the ≤ `2^b`-row register
+    * frame — the sketch itself, exactly mergeable by register-wise
+    * max, and the oracle-checkable part of HLL (the estimate is a
+    * constant-size scalar postprocess, [[hllEstimate]]).
+    *
+    * `length(bin(low))` is the bit-length of the suffix — identical
+    * semantics in Spark and DuckDB — so `rho = lowWidth -
+    * bitlen(low) + 1`, with the all-zero suffix pinned to
+    * `lowWidth + 1`.
+    */
+  def hllRegisters(
+      df: DataFrame, textCol: String, b: Int, seed: Long): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val lowWidth = 48 - b
+    val h = PortableHash.md5Long48(concat_ws("#", col("tok"), lit(seed)))
+    val low = h.bitwiseAND(lit((1L << lowWidth) - 1))
+    df.select(explode(tokens(textCol)).as("tok"))
+      .select(
+        shiftright(h, lowWidth).as("bucket"),
+        when(low === 0, lit(lowWidth + 1))
+          .otherwise(lit(lowWidth + 1) - length(bin(low))).as("rho"))
+      .groupBy("bucket")
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** The HLL cardinality estimate from a register frame: harmonic mean
+    * with the standard bias constant and the small-range
+    * linear-counting correction. The register frame is ≤ `2^b` rows —
+    * constant-size state — so the driver-side fold here is the
+    * broadcast-dim contract, fine at any corpus scale.
+    */
+  def hllEstimate(registers: DataFrame, b: Int): Double = {
+    val m = 1 << b
+    val regs = registers.select("bucket", "rho_max").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val zeros = m - regs.size
+    val sum = (0 until m).map(j => math.pow(2.0, -regs.getOrElse(j.toLong, 0).toDouble)).sum
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+}

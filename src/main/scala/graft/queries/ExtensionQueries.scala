@@ -1815,6 +1815,65 @@ object ExtensionQueries {
       | AND epoch_us(p.ts) >= epoch_us(v.ts)
       | AND epoch_us(p.ts) < epoch_us(v.ts) + $q83WindowUs""".stripMargin
 
+  // --------------------------------------------------------------- q84
+  /** Count-Min Sketch ([[graft.ops.SketchOps.cmsSketch]] /
+    * [[graft.ops.SketchOps.cmsEstimate]], depth 4 × width 512,
+    * md5-portable hashes): point-frequency estimates for the q61
+    * top-30 vocabulary probed against the one-pass mergeable sketch —
+    * the constant-state stand-in for an exact token count table that
+    * would itself be TB-sized at corpus scale. Every cell count and
+    * min-fold is integer, so the replay is exact.
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sketch = SketchOps.cmsSketch(d, "text", depth = 4, width = 512, seed = 7L)
+    val probes = SearchOps.buildVocab(d, "text", maxSize = 30).select("token")
+    SketchOps.cmsEstimate(sketch, probes, "token", depth = 4, width = 512, seed = 7L)
+  }
+
+  val q84Sql: String =
+    s"""WITH toks AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS tok
+      | FROM documents),
+      |sk AS (
+      | SELECT r, ${dk("tok || '#' || '7' || '#' || r")} % 512 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      | FROM toks CROSS JOIN range(0, 4) t(r)
+      | GROUP BY 1, 2),
+      |vocab AS (
+      | SELECT tok AS token FROM toks GROUP BY tok
+      | ORDER BY count(*) DESC, tok LIMIT 30),
+      |pr AS (
+      | SELECT token, r, ${dk("token || '#' || '7' || '#' || r")} % 512 AS bucket
+      | FROM vocab CROSS JOIN range(0, 4) t(r))
+      |SELECT token, min(COALESCE(cnt, CAST(0 AS BIGINT))) AS est
+      |FROM pr LEFT JOIN sk USING (r, bucket) GROUP BY token""".stripMargin
+
+  // --------------------------------------------------------------- q85
+  /** HyperLogLog registers ([[graft.ops.SketchOps.hllRegisters]],
+    * b = 8 → 256 buckets over the 48-bit portable hash): the
+    * register frame IS the cardinality sketch — mergeable by
+    * register-wise max, constant-size, and integer-exact for the
+    * oracle (the scalar estimate on top is
+    * [[graft.ops.SketchOps.hllEstimate]], spec-checked against exact
+    * distinct counts).
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame =
+    SketchOps.hllRegisters(Tables.documents(spark, dir), "text", b = 8, seed = 9L)
+
+  val q85Sql: String =
+    """WITH toks AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS tok
+      | FROM documents),
+      |h AS (
+      | SELECT CAST('0x' || substr(md5(tok || '#' || '9'), 1, 12) AS BIGINT) AS h
+      | FROM toks)
+      |SELECT h >> 40 AS bucket,
+      | CAST(max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 40) - 1)) = 0 THEN 41
+      |  ELSE 41 - length(bin(h & ((CAST(1 AS BIGINT) << 40) - 1))) END) AS INT)
+      |  AS rho_max
+      |FROM h GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1867,5 +1926,7 @@ object ExtensionQueries {
     "q80_temperature_mix" -> ((q80 _, q80Sql)),
     "q81_snapshot_diff" -> ((q81 _, q81Sql)),
     "q82_rouge2" -> ((q82 _, q82Sql)),
-    "q83_range_join" -> ((q83 _, q83Sql)))
+    "q83_range_join" -> ((q83 _, q83Sql)),
+    "q84_cms_counts" -> ((q84 _, q84Sql)),
+    "q85_hll_registers" -> ((q85 _, q85Sql)))
 }

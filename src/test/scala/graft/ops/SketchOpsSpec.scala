@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class SketchOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // skewed synthetic corpus: token ti appears ~i times across docs
+  private lazy val docs = {
+    val rows = for (i <- 1 to 60; j <- 1 to i) yield (i.toLong * 100 + j, s"t$i")
+    rows.groupBy(_._1 % 37).map { case (id, grp) =>
+      (id, grp.map(_._2).mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+  }
+  private lazy val exact = docs
+    .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    .groupBy("tok").count()
+    .as[(String, Long)].collect().toMap
+
+  test("CMS estimates are upper bounds within the eps*N error budget") {
+    val (d, w, seed) = (4, 256, 7L)
+    val sketch = SketchOps.cmsSketch(docs, "text", d, w, seed)
+    val keys = exact.keys.toSeq.toDF("tok")
+    val est = SketchOps.cmsEstimate(sketch, keys, "tok", d, w, seed)
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val budget = math.ceil(math.E / w * n).toLong * 3 // generous 3x eps*N
+    exact.foreach { case (tok, ex) =>
+      val e = est(tok)
+      assert(e >= ex, s"$tok: CMS must never under-count ($e < $ex)")
+      assert(e <= ex + budget, s"$tok: est $e exceeds exact $ex + $budget")
+    }
+  }
+
+  test("CMS cells cap at depth*width and an unseen key estimates near zero") {
+    val (d, w, seed) = (4, 64, 7L)
+    val sketch = SketchOps.cmsSketch(docs, "text", d, w, seed)
+    assert(sketch.count() <= d.toLong * w)
+    val est = SketchOps.cmsEstimate(sketch, Seq("never-in-corpus").toDF("tok"),
+        "tok", d, w, seed)
+      .as[(String, Long)].collect().head._2
+    val n = exact.values.sum
+    assert(est <= math.ceil(math.E / w * n).toLong * 3,
+      s"unseen key est $est outside the collision budget")
+  }
+
+  test("CMS merge: cell-wise sum of split sketches == whole-corpus sketch") {
+    val (d, w, seed) = (4, 128, 11L)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = SketchOps.cmsSketch(a, "text", d, w, seed)
+      .unionByName(SketchOps.cmsSketch(b, "text", d, w, seed))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = SketchOps.cmsSketch(docs, "text", d, w, seed)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("HLL estimate lands within the m=256 error band; registers stay bounded") {
+    val regs = SketchOps.hllRegisters(docs, "text", b = 8, seed = 9L)
+    assert(regs.count() <= 256)
+    val rhos = regs.select("rho_max").as[Int].collect()
+    assert(rhos.forall(r => r >= 1 && r <= 41), "rho outside [1, lowWidth+1]")
+    val est = SketchOps.hllEstimate(regs, b = 8)
+    val truth = exact.size.toDouble // 60 distinct tokens
+    // std error at m=256 is 1.04/16 = 6.5%; small-range correction
+    // applies here — allow a generous 20% band
+    assert(math.abs(est - truth) / truth < 0.20,
+      s"HLL estimate $est vs exact $truth drifted > 20%")
+  }
+
+  test("HLL merge: register-wise max of split sketches == whole-corpus registers") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = SketchOps.hllRegisters(a, "text", 8, 9L)
+      .unionByName(SketchOps.hllRegisters(b, "text", 8, 9L))
+      .groupBy("bucket").agg(max("rho_max").as("rho_max"))
+      .as[(Long, Int)].collect().toSet
+    val whole = SketchOps.hllRegisters(docs, "text", 8, 9L)
+      .as[(Long, Int)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("HLL estimate tracks scale on a larger synthetic cardinality") {
+    val big = (1 to 20000).map(i => (i.toLong, s"u$i v${i % 7919}"))
+      .toDF("doc_id", "text")
+    val est = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(big, "text", b = 8, seed = 3L), b = 8)
+    val truth = 20000.0 + 7919.0
+    assert(math.abs(est - truth) / truth < 0.15,
+      s"HLL estimate $est vs exact $truth drifted > 15%")
+  }
+}
