@@ -281,6 +281,49 @@ object Bench {
     "b_sliding_window" -> ((s, dir) =>
       graft.ops.SessionOps.slidingCounts(Tables.events(s, dir),
         "ts", "event_type", "value", windowSeconds = 3600L, slideSeconds = 1800L)),
+    // grid-bucketed range join (purchases × 30-min view windows): the
+    // range predicate runs inside a (user, cell) equi-join — work is
+    // O(points + intervals×2 + matches), never the per-key cross
+    // product
+    "b_range_join" -> ((s, dir) => {
+      val windowUs = 1800000000L
+      val e = Tables.events(s, dir)
+      val points = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("pt"))
+      val intervals = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + windowUs).as("hi"))
+      graft.ops.JoinOps.rangeJoinBucketed(points, intervals, "user_id",
+        "pt", "lo", "hi", cellWidth = windowUs)
+    }),
+    // Count-Min sketch build + probe: one corpus pass, map-side
+    // partial sketches merged through a ≤ depth×width-row exchange,
+    // probes against the broadcast cell frame
+    "b_cms_probe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sketch = graft.ops.SketchOps.cmsSketch(d, "text", 4, 512, 7L)
+      val probes = graft.ops.SearchOps.buildVocab(d, "text", 30).select("token")
+      graft.ops.SketchOps.cmsEstimate(sketch, probes, "token", 4, 512, 7L)
+    }),
+    // HyperLogLog register build: per-partition registers merged by
+    // max through a ≤ 2^b-row exchange — the constant-state distinct
+    // count at any corpus size
+    "b_hll_registers" -> ((s, dir) =>
+      graft.ops.SketchOps.hllRegisters(
+        Tables.documents(s, dir), "text", b = 8, seed = 9L)),
+    // ordered conversion funnel: k tiny user-keyed passes over events
+    // pruned to each step's type; intermediates are (user, ts) pairs
+    "b_funnel" -> ((s, dir) =>
+      graft.ops.FunnelOps.funnelCounts(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))),
+    // cohort retention grid: two user-keyed shuffles + one grid-keyed
+    // distinct; output |cohorts| x |periods|, independent of volume
+    "b_cohort_retention" -> ((s, dir) =>
+      graft.ops.FunnelOps.cohortRetention(Tables.events(s, dir),
+        "user_id", "ts", bucketSeconds = 86400L)),
     // C4-style blocklist filter at production hash (sorted hashed list
     // on a 1-row broadcast, binary-search probe per token — pure
     // codegen'd filter in the scan stage)

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events table (SURVEY §2 extension:
+  * the conversion/retention shapes every behavioral-analytics engine
+  * ships; the reference's training-metrics plumbing has no equivalent,
+  * so these are engine extensions like q38/q83).
+  *
+  * Scale design: every pass shuffles on the USER key only — after the
+  * first aggregation the frames are co-partitioned on `userCol`, so
+  * the per-step joins reuse the partitioning (no re-exchange under
+  * AQE), and the outputs are step/bucket-sized dims, never
+  * event-sized.
+  */
+object FunnelOps {
+
+  /** Ordered-funnel completion counts: for `steps = Seq(s1, s2, ...)`,
+    * a user completes step i when an event of type `steps(i)` occurs
+    * AT OR AFTER the user's completion time of step i-1 (first
+    * qualifying occurrence, `min`). Emits one row per step with the
+    * number of users who completed through it — the classic
+    * monotonically-decreasing conversion funnel.
+    *
+    * Each step is one aggregation + one co-partitioned join over the
+    * events PRUNED to that step's type — k tiny passes (k = funnel
+    * length) beats a per-user sort+fold when the funnel is short, and
+    * every intermediate is a (user, ts) pair frame, never wider.
+    */
+  def funnelCounts(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // (user, completion ts) per step; step i filtered to ts >= step i-1
+    val completions = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prevOpt, (step, _)) =>
+        val stepEvents = events
+          .filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol))
+        val qualified = prevOpt match {
+          case None => stepEvents
+          case Some(prev) =>
+            stepEvents.join(prev.select(col(userCol), col(tsCol).as("__prev_ts")),
+                Seq(userCol))
+              .filter(col(tsCol) >= col("__prev_ts"))
+              .select(col(userCol), col(tsCol))
+        }
+        Some(qualified.groupBy(userCol).agg(min(tsCol).as(tsCol)))
+      }
+      .flatten
+
+    completions.zip(steps).zipWithIndex
+      .map { case ((frame, step), i) =>
+        frame.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(i + 1).as("step_idx"),
+            col("n_users"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Cohort retention grid: users cohorted by the time bucket of their
+    * FIRST event (any type), then for every (cohort, later-or-equal
+    * activity bucket) the count of distinct cohort users active in
+    * that bucket, plus the period index (activity - cohort in
+    * buckets). `bucketSeconds` is the cohort granularity (86400 = daily,
+    * 604800 = weekly). Buckets are epoch-aligned integer divisions of
+    * the epoch-micros timestamp, so the grid replays exactly anywhere.
+    *
+    * Two user-keyed shuffles (first-seen agg + cohort join back) and
+    * one grid-keyed count-distinct; output is |cohorts| × |periods|,
+    * independent of event volume.
+    */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / (bucketSeconds * 1000000L))
+    val firstSeen = events
+      .groupBy(userCol).agg(min(col(tsCol)).as("__first_ts"))
+      .select(col(userCol), bucketOf(col("__first_ts")).as("cohort"))
+    events
+      .select(col(userCol), bucketOf(col(tsCol)).as("bucket"))
+      .join(firstSeen, Seq(userCol))
+      .groupBy("cohort", "bucket")
+      .agg(countDistinct(userCol).as("n_active"))
+      .select(col("cohort"), (col("bucket") - col("cohort")).as("period"),
+        col("n_active"))
+  }
+}

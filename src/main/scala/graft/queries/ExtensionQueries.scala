@@ -1874,6 +1874,69 @@ object ExtensionQueries {
       |  AS rho_max
       |FROM h GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q86
+  /** Ordered conversion funnel ([[graft.ops.FunnelOps.funnelCounts]]):
+    * signup → view → click → purchase completion counts, each step's
+    * first occurrence at-or-after the previous step's completion. Run
+    * over a deterministic 1-in-8 event subsample (portable hash of
+    * event_id) so the ordering constraint discriminates — the full
+    * fixture is dense enough that every user completes every funnel.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = Tables.events(spark, dir)
+      .filter(pmod(PortableHash.md5Long(col("event_id"), lit("86")), lit(8)) === 0)
+    FunnelOps.funnelCounts(sampled, "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+  }
+
+  val q86Sql: String =
+    s"""WITH ev AS (
+      | SELECT * FROM events
+      | WHERE ${dk("event_id || '#' || '86'")} % 8 = 0),
+      |u1 AS (
+      | SELECT user_id, min(ts) AS t FROM ev
+      | WHERE event_type = 'signup' GROUP BY 1),
+      |u2 AS (
+      | SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN u1 USING (user_id)
+      | WHERE e.event_type = 'view' AND e.ts >= u1.t GROUP BY 1),
+      |u3 AS (
+      | SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN u2 USING (user_id)
+      | WHERE e.event_type = 'click' AND e.ts >= u2.t GROUP BY 1),
+      |u4 AS (
+      | SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN u3 USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.ts >= u3.t GROUP BY 1)
+      |SELECT 'signup' AS step, CAST(1 AS INT) AS step_idx,
+      | CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+      |UNION ALL SELECT 'view', CAST(2 AS INT),
+      | CAST((SELECT count(*) FROM u2) AS BIGINT)
+      |UNION ALL SELECT 'click', CAST(3 AS INT),
+      | CAST((SELECT count(*) FROM u3) AS BIGINT)
+      |UNION ALL SELECT 'purchase', CAST(4 AS INT),
+      | CAST((SELECT count(*) FROM u4) AS BIGINT)""".stripMargin
+
+  // --------------------------------------------------------------- q87
+  /** Cohort retention grid ([[graft.ops.FunnelOps.cohortRetention]],
+    * daily buckets): users cohorted by first-event day, distinct
+    * active users per (cohort, period) cell. Epoch-aligned integer
+    * day buckets replay exactly in both engines.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame =
+    FunnelOps.cohortRetention(Tables.events(spark, dir), "user_id", "ts",
+      bucketSeconds = 86400L)
+
+  val q87Sql: String =
+    """WITH f AS (
+      | SELECT user_id,
+      |  CAST(floor(epoch_us(min(ts)) / 86400000000) AS BIGINT) AS cohort
+      | FROM events GROUP BY 1),
+      |a AS (
+      | SELECT user_id,
+      |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket
+      | FROM events)
+      |SELECT cohort, bucket - cohort AS period,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM a JOIN f USING (user_id) GROUP BY cohort, bucket""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1928,5 +1991,7 @@ object ExtensionQueries {
     "q82_rouge2" -> ((q82 _, q82Sql)),
     "q83_range_join" -> ((q83 _, q83Sql)),
     "q84_cms_counts" -> ((q84 _, q84Sql)),
-    "q85_hll_registers" -> ((q85 _, q85Sql)))
+    "q85_hll_registers" -> ((q85 _, q85Sql)),
+    "q86_funnel" -> ((q86 _, q86Sql)),
+    "q87_cohort_retention" -> ((q87 _, q87Sql)))
 }

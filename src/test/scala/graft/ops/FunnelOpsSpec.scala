@@ -1,0 +1,80 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.core.Tables
+
+class FunnelOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("funnelCounts enforces step order and first-qualifying-occurrence") {
+    val events = Seq(
+      // u1 completes view -> click -> buy in order
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "buy"),
+      // u2 clicks BEFORE viewing; the click can't count, so stalls at view
+      (2L, ts(3), "click"), (2L, ts(4), "view"),
+      // u3 views only
+      (3L, ts(1), "view"),
+      // u4 buys with no view: contributes to nothing
+      (4L, ts(2), "buy"),
+      // u5 same-instant view+click (ties allowed by >=), then buy
+      (5L, ts(7), "view"), (5L, ts(7), "click"), (5L, ts(8), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val got = FunnelOps.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "buy"))
+      .select("step", "step_idx", "n_users")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("view", 1, 4L), ("click", 2, 2L), ("buy", 3, 2L)))
+  }
+
+  test("funnel is monotonically decreasing on the real fixture") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = FunnelOps.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_idx").select("n_users").as[Long].collect()
+    assert(got.length == 4 && got.head > 0)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"funnel must not grow: $a -> $b") }
+  }
+
+  test("cohortRetention: hand-checked grid, period 0 counts whole cohort") {
+    val day = 86400L
+    def dts(d: Long, min: Long) = new Timestamp(d * day * 1000L + min * 60000L)
+    val events = Seq(
+      (1L, dts(0, 10)), (1L, dts(0, 50)), (1L, dts(2, 0)), // cohort 0, active d0,d2
+      (2L, dts(0, 30)), (2L, dts(1, 0)),                   // cohort 0, active d0,d1
+      (3L, dts(1, 5))                                      // cohort 1, active d1
+    ).toDF("user_id", "ts")
+    val got = FunnelOps.cohortRetention(events, "user_id", "ts", day)
+      .as[(Long, Long, Long)].collect().toSet
+    // buckets are epoch-aligned: day d -> cohort/bucket index d (1970 epoch)
+    assert(got == Set(
+      (0L, 0L, 2L), // cohort d0: both users active on day 0
+      (0L, 1L, 1L), // u2 on day 1
+      (0L, 2L, 1L), // u1 on day 2
+      (1L, 0L, 1L)  // cohort d1: u3
+    ))
+  }
+
+  test("cohortRetention on the fixture: period-0 row equals cohort size; no negative periods") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val grid = FunnelOps.cohortRetention(events, "user_id", "ts", 604800L)
+    val rows = grid.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0), "period must be >= 0")
+    val cohortSizes = events.groupBy("user_id").agg(min("ts").as("f"))
+      .select(floor(unix_micros(col("f")) / (604800L * 1000000L)).as("cohort"))
+      .groupBy("cohort").count().as[(Long, Long)].collect().toMap
+    rows.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(n == cohortSizes(c), s"cohort $c period-0 $n != size ${cohortSizes(c)}")
+    }
+    // retention never exceeds the cohort size at any period
+    rows.foreach { case (c, _, n) => assert(n <= cohortSizes(c)) }
+  }
+}
