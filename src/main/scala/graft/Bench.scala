@@ -324,6 +324,17 @@ object Bench {
     "b_cohort_retention" -> ((s, dir) =>
       graft.ops.FunnelOps.cohortRetention(Tables.events(s, dir),
         "user_id", "ts", bucketSeconds = 86400L)),
+    // Bloom membership build + probe: one corpus pass to the ≤ m-row
+    // bit frame, probes against the broadcast bits
+    "b_bloom_probe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bits = graft.ops.SketchOps.bloomBits(
+        d.filter(col("doc_id") % 20 === 0), "text", m = 4096, k = 3, seed = 5L)
+      val vocab = graft.ops.SearchOps.buildVocab(d, "text", 30).select("token")
+      graft.ops.SketchOps.bloomProbe(bits,
+        vocab.unionByName(vocab.select(concat(col("token"), lit("-x")).as("token"))),
+        "token", m = 4096, k = 3, seed = 5L)
+    }),
     // C4-style blocklist filter at production hash (sorted hashed list
     // on a 1-row broadcast, binary-search probe per token — pure
     // codegen'd filter in the scan stage)

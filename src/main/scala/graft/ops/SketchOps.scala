@@ -102,6 +102,43 @@ object SketchOps {
       .agg(max(col("rho")).as("rho_max"))
   }
 
+  /** Bloom filter bit set over the whitespace tokens of `textCol`:
+    * each token sets `k` bits (`h_j(x) mod m`); emitted as the
+    * distinct set-bit frame (≤ `m` rows of one long). Mergeable by
+    * plain union+distinct, built in one corpus pass with map-side
+    * distinct — the constant-size membership summary that replaces a
+    * corpus-sized join when only "definitely absent / maybe present"
+    * is needed (e.g. the decontamination pre-filter: probe benchmark
+    * grams against the corpus bloom, full-join only the maybes).
+    */
+  def bloomBits(
+      df: DataFrame, textCol: String, m: Int, k: Int, seed: Long): DataFrame = {
+    require(m > 0 && k > 0, "m/k must be positive")
+    df.select(explode(tokens(textCol)).as("tok"))
+      .select(col("tok"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(pmod(PortableHash.md5Long(col("tok"),
+        concat_ws("#", lit(seed), col("j"))), lit(m)).as("bit"))
+      .distinct()
+  }
+
+  /** Membership probes against a built bit set: a key is
+    * `maybe_present` iff ALL `k` of its bits are set (no false
+    * negatives; false positives at the standard `(1-e^{-kn/m})^k`
+    * rate). The bit frame is ≤ `m` rows, so the probe join is a
+    * broadcast — probes never shuffle.
+    */
+  def bloomProbe(
+      bits: DataFrame, keys: DataFrame, keyCol: String,
+      m: Int, k: Int, seed: Long): DataFrame = {
+    val probes = keys
+      .select(col(keyCol), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col(keyCol), pmod(PortableHash.md5Long(col(keyCol),
+        concat_ws("#", lit(seed), col("j"))), lit(m)).as("bit"))
+    probes.join(broadcast(bits.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(keyCol)
+      .agg((count(col("__set")) === lit(k.toLong)).as("maybe_present"))
+  }
+
   /** The HLL cardinality estimate from a register frame: harmonic mean
     * with the standard bias constant and the small-range
     * linear-counting correction. The register frame is ≤ `2^b` rows —

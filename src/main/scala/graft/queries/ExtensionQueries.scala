@@ -1937,6 +1937,48 @@ object ExtensionQueries {
       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
       |FROM a JOIN f USING (user_id) GROUP BY cohort, bucket""".stripMargin
 
+  // --------------------------------------------------------------- q88
+  /** Bloom membership filter ([[graft.ops.SketchOps.bloomBits]] /
+    * [[graft.ops.SketchOps.bloomProbe]], m = 4096, k = 3): corpus
+    * tokens of the benchmark slice (doc_id % 20 = 0, the
+    * decontamination convention) summarized as a ≤ m-row bit frame;
+    * probed with the q61 top-30 vocabulary plus 30 definitely-absent
+    * variants — no false negatives by construction, and the absent
+    * probes discriminate (30 true / 30 false at sf0.01). The
+    * 100 TB use: probe grams against the broadcast bloom and
+    * full-join only the maybes.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bits = SketchOps.bloomBits(
+      d.filter(col("doc_id") % 20 === 0), "text", m = 4096, k = 3, seed = 5L)
+    val vocab = SearchOps.buildVocab(d, "text", maxSize = 30).select("token")
+    val probes = vocab.unionByName(
+      vocab.select(concat(col("token"), lit("-x")).as("token")))
+    SketchOps.bloomProbe(bits, probes, "token", m = 4096, k = 3, seed = 5L)
+  }
+
+  val q88Sql: String =
+    s"""WITH btoks AS (
+      | SELECT DISTINCT unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS tok
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bits AS (
+      | SELECT DISTINCT ${dk("tok || '#' || '5' || '#' || j")} % 4096 AS bit
+      | FROM btoks CROSS JOIN range(0, 3) t(j)),
+      |toks AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS tok
+      | FROM documents),
+      |vocab AS (
+      | SELECT tok AS token FROM toks GROUP BY tok
+      | ORDER BY count(*) DESC, tok LIMIT 30),
+      |pr0 AS (
+      | SELECT token FROM vocab UNION ALL SELECT token || '-x' FROM vocab),
+      |pr AS (
+      | SELECT token, ${dk("token || '#' || '5' || '#' || j")} % 4096 AS bit
+      | FROM pr0 CROSS JOIN range(0, 3) t(j))
+      |SELECT token, count(b.bit) = 3 AS maybe_present
+      |FROM pr LEFT JOIN bits b USING (bit) GROUP BY token""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -1993,5 +2035,6 @@ object ExtensionQueries {
     "q84_cms_counts" -> ((q84 _, q84Sql)),
     "q85_hll_registers" -> ((q85 _, q85Sql)),
     "q86_funnel" -> ((q86 _, q86Sql)),
-    "q87_cohort_retention" -> ((q87 _, q87Sql)))
+    "q87_cohort_retention" -> ((q87 _, q87Sql)),
+    "q88_bloom_probe" -> ((q88 _, q88Sql)))
 }

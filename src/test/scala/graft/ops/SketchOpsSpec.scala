@@ -86,6 +86,33 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("Bloom: no false negatives; absent keys mostly reject; bits cap at m") {
+    val (m, k, seed) = (4096, 3, 5L)
+    val bits = SketchOps.bloomBits(docs, "text", m, k, seed)
+    assert(bits.count() <= m)
+    val present = exact.keys.toSeq
+    val absent = present.map(_ + "-nope")
+    val got = SketchOps.bloomProbe(bits, (present ++ absent).toDF("tok"),
+        "tok", m, k, seed)
+      .as[(String, Boolean)].collect().toMap
+    present.foreach(t => assert(got(t), s"$t: bloom false negative"))
+    // FP rate at n=60, m=4096, k=3 is ~1e-5; allow a couple anyway
+    val fps = absent.count(got(_))
+    assert(fps <= 2, s"$fps false positives out of ${absent.size}")
+  }
+
+  test("Bloom merge: union of split bit sets == whole-corpus bit set") {
+    val (m, k, seed) = (512, 3, 5L)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = SketchOps.bloomBits(a, "text", m, k, seed)
+      .unionByName(SketchOps.bloomBits(b, "text", m, k, seed))
+      .distinct().as[Long].collect().toSet
+    val whole = SketchOps.bloomBits(docs, "text", m, k, seed)
+      .as[Long].collect().toSet
+    assert(merged == whole)
+  }
+
   test("HLL estimate tracks scale on a larger synthetic cardinality") {
     val big = (1 to 20000).map(i => (i.toLong, s"u$i v${i % 7919}"))
       .toDF("doc_id", "text")
