@@ -1979,6 +1979,97 @@ object ExtensionQueries {
       |SELECT token, count(b.bit) = 3 AS maybe_present
       |FROM pr LEFT JOIN bits b USING (bit) GROUP BY token""".stripMargin
 
+  // --------------------------------------------------------------- q89
+  /** Pivot (cross-tab): daily event counts pivoted to one column per
+    * event type — Spark's native `groupBy.pivot` with the value list
+    * pinned (no discovery pass), replayed as conditional aggregation.
+    * One (day)-keyed shuffle of partial counts; the pivot itself is
+    * column arithmetic, not a second exchange.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .pivot("event_type", Seq("signup", "view", "click", "purchase", "error"))
+      .count()
+      .na.fill(0L)
+
+  val q89Sql: String =
+    """SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+      | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q90
+  /** Exact interpolated percentiles per group (Spark `percentile`, the
+    * quantileBuckets primitive surfaced as a query): p25/p50/p75 of
+    * order totals per status. Both engines linearly interpolate
+    * between the same two order statistics, so the doubles agree.
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("o_orderstatus"),
+        col("p").getItem(0).as("p25"),
+        col("p").getItem(1).as("p50"),
+        col("p").getItem(2).as("p75"))
+  }
+
+  val q90Sql: String =
+    """SELECT o_orderstatus,
+      | quantile_cont(o_totalprice, 0.25) AS p25,
+      | quantile_cont(o_totalprice, 0.5) AS p50,
+      | quantile_cont(o_totalprice, 0.75) AS p75
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q91
+  /** Pearson correlation per group, decimal-exact: the five
+    * sufficient-statistic sums accumulate in DECIMAL (order-free,
+    * exact — the OracleQueries float-parity rule), and the final
+    * correlation is ONE double expression over identical decimal
+    * values, so it replays bit-level. Spark's built-in `corr`
+    * (streaming double co-moments) is the non-portable twin — same
+    * math, order-dependent rounding.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = col("l_quantity").cast(DecimalType(19, 6))
+    val y = col("l_extendedprice").cast(DecimalType(19, 6))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_qty_price"))
+  }
+
+  val q91Sql: String =
+    """WITH s AS (
+      | SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      | AS corr_qty_price
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2036,5 +2127,8 @@ object ExtensionQueries {
     "q85_hll_registers" -> ((q85 _, q85Sql)),
     "q86_funnel" -> ((q86 _, q86Sql)),
     "q87_cohort_retention" -> ((q87 _, q87Sql)),
-    "q88_bloom_probe" -> ((q88 _, q88Sql)))
+    "q88_bloom_probe" -> ((q88 _, q88Sql)),
+    "q89_pivot" -> ((q89 _, q89Sql)),
+    "q90_percentiles" -> ((q90 _, q90Sql)),
+    "q91_corr" -> ((q91 _, q91Sql)))
 }
