@@ -88,18 +88,60 @@ object SketchOps {
     * `lowWidth + 1`.
     */
   def hllRegisters(
-      df: DataFrame, textCol: String, b: Int, seed: Long): DataFrame = {
+      df: DataFrame, textCol: String, b: Int, seed: Long): DataFrame =
+    hllRegistersBy(df, Seq.empty, textCol, b, seed)
+
+  /** Per-group HLL registers: one register frame per `groupCols`
+    * combination — ≤ `2^b` rows per group, the constant-state
+    * approximate-distinct-per-group that replaces an exact
+    * `countDistinct` whose per-group key sets would be data-sized.
+    * The single shuffle is on (group, bucket) with map-side max.
+    */
+  def hllRegistersBy(
+      df: DataFrame, groupCols: Seq[String], textCol: String,
+      b: Int, seed: Long): DataFrame = {
     require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
     val lowWidth = 48 - b
     val h = PortableHash.md5Long48(concat_ws("#", col("tok"), lit(seed)))
     val low = h.bitwiseAND(lit((1L << lowWidth) - 1))
-    df.select(explode(tokens(textCol)).as("tok"))
-      .select(
+    df.select(groupCols.map(col) :+ explode(tokens(textCol)).as("tok"): _*)
+      .select(groupCols.map(col) ++ Seq(
         shiftright(h, lowWidth).as("bucket"),
         when(low === 0, lit(lowWidth + 1))
-          .otherwise(lit(lowWidth + 1) - length(bin(low))).as("rho"))
-      .groupBy("bucket")
+          .otherwise(lit(lowWidth + 1) - length(bin(low))).as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Per-group HLL estimates as a DataFrame — the distributed form of
+    * [[hllEstimate]] (no driver collect): harmonic mean + bias
+    * constant + small-range linear counting, all as column algebra
+    * over the per-group register aggregate. Engine-portable: the
+    * `2^-rho` terms are exact powers of two whose per-group sum spans
+    * < 53 mantissa bits, so even the double accumulation is exact and
+    * order-free; the final expression replays bit-level (log is the
+    * one correctly-rounded-in-practice transcendental, the q64
+    * precedent).
+    */
+  def hllEstimateBy(
+      registers: DataFrame, groupCols: Seq[String], b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val agg = registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__np"),
+        sum(pow(lit(2.0), -col("rho_max"))).as("__sp"))
+    val zeros = lit(m) - col("__np")
+    // absent buckets contribute 2^0 = 1 each to the harmonic sum
+    val raw = lit(alpha * m * m) / (col("__sp") + zeros.cast("double"))
+    agg.select(groupCols.map(col) :+
+      when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+        .otherwise(raw).as("est_distinct"): _*)
   }
 
   /** Bloom filter bit set over the whitespace tokens of `textCol`:

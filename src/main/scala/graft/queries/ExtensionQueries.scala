@@ -2070,6 +2070,45 @@ object ExtensionQueries {
       | AS corr_qty_price
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q92
+  /** Per-group HLL distinct estimate
+    * ([[graft.ops.SketchOps.hllRegistersBy]] +
+    * [[graft.ops.SketchOps.hllEstimateBy]]): approximate distinct
+    * tokens per language with ≤ 2^b register rows per group — the
+    * constant-state replacement for a countDistinct whose per-group
+    * key sets would be data-sized. Fully portable INCLUDING the float
+    * path: the 2^-rho harmonic terms are exact powers of two whose
+    * per-group sum spans < 53 mantissa bits (order-free, exact), and
+    * the final expression is one shared double formula.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame =
+    SketchOps.hllEstimateBy(
+      SketchOps.hllRegistersBy(Tables.documents(spark, dir), Seq("lang"),
+        "text", b = 8, seed = 9L),
+      Seq("lang"), b = 8)
+
+  val q92Sql: String =
+    """WITH toks AS (
+      | SELECT lang, unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS tok
+      | FROM documents),
+      |h AS (
+      | SELECT lang, CAST('0x' || substr(md5(tok || '#' || '9'), 1, 12) AS BIGINT) AS h
+      | FROM toks),
+      |r AS (
+      | SELECT lang, h >> 40 AS bucket,
+      |  max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 40) - 1)) = 0 THEN 41
+      |   ELSE 41 - length(bin(h & ((CAST(1 AS BIGINT) << 40) - 1))) END) AS rho_max
+      | FROM h GROUP BY 1, 2),
+      |s AS (
+      | SELECT lang, count(*) AS np, SUM(pow(2.0, -rho_max)) AS sp FROM r GROUP BY 1)
+      |SELECT lang,
+      | CASE WHEN ((0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 / (sp + (256 - np))) <= 640.0
+      |        AND (256 - np) > 0
+      |  THEN 256.0 * ln(256.0 / (256 - np))
+      |  ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 / (sp + (256 - np)) END
+      |  AS est_distinct
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2130,5 +2169,6 @@ object ExtensionQueries {
     "q88_bloom_probe" -> ((q88 _, q88Sql)),
     "q89_pivot" -> ((q89 _, q89Sql)),
     "q90_percentiles" -> ((q90 _, q90Sql)),
-    "q91_corr" -> ((q91 _, q91Sql)))
+    "q91_corr" -> ((q91 _, q91Sql)),
+    "q92_hll_by_group" -> ((q92 _, q92Sql)))
 }

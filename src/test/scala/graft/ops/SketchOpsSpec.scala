@@ -113,6 +113,27 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("per-group HLL: registers partition cleanly; estimates match the driver fold") {
+    val grouped = docs.withColumn("grp", (col("doc_id") % 2).cast("int"))
+    val regs = SketchOps.hllRegistersBy(grouped, Seq("grp"), "text", 8, 9L)
+    // each group's register slice must equal the global registers of
+    // that group's docs alone
+    for (g <- Seq(0, 1)) {
+      val slice = regs.filter(col("grp") === g).select("bucket", "rho_max")
+        .as[(Long, Int)].collect().toSet
+      val direct = SketchOps.hllRegisters(
+          grouped.filter(col("grp") === g), "text", 8, 9L)
+        .as[(Long, Int)].collect().toSet
+      assert(slice == direct, s"group $g register slice diverged")
+      // the distributed estimate equals the driver-side fold exactly
+      val est = SketchOps.hllEstimateBy(regs.filter(col("grp") === g), Seq("grp"), 8)
+        .select("est_distinct").as[Double].collect().head
+      val driver = SketchOps.hllEstimate(
+        SketchOps.hllRegisters(grouped.filter(col("grp") === g), "text", 8, 9L), 8)
+      assert(est == driver, s"group $g: column estimate $est != driver fold $driver")
+    }
+  }
+
   test("HLL estimate tracks scale on a larger synthetic cardinality") {
     val big = (1 to 20000).map(i => (i.toLong, s"u$i v${i % 7919}"))
       .toDF("doc_id", "text")
