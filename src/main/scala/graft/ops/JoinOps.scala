@@ -36,27 +36,6 @@ object JoinOps {
     withRowIndex(left, "__zip_idx").join(
       withRowIndex(right, "__zip_idx"), "__zip_idx").drop("__zip_idx")
 
-  /** As-of join — an operator Spark lacks natively, composed from
-    * built-ins (preference tier (a), SURVEY §2.3): for every `left` row,
-    * attach the most recent `right` row with the same `key` and
-    * `right.ts <= left.ts` (DuckDB/kdb ASOF semantics; right rows at the
-    * exact same timestamp DO match).
-    *
-    * Plan shape: union the two sides tagged, ONE window over
-    * (key, ts-order) carrying the last-seen right payload forward, then
-    * keep the left rows — a single shuffle on `key` regardless of side
-    * sizes, no range cross-product. At 100 TB this beats the
-    * non-equi-join formulation (which degenerates to a per-key
-    * cross product) by construction.
-    *
-    * @param valueCols right-side columns to attach (prefixed `asof_`).
-    *        Must all be of ORDERABLE types (atomics, arrays, structs —
-    *        not maps): the payload struct participates in the window
-    *        sort to break ties among equal-timestamp right rows
-    *        deterministically. To attach an unorderable column, carry an
-    *        orderable right-side surrogate (e.g. a row id) through the
-    *        as-of and join the unorderable column back on it.
-    */
   /** Range (interval) join — the second operator Spark lacks natively
     * (SURVEY §2.3 tier (a) composition): pair every `points` row with
     * every `intervals` row of the same `key` whose HALF-OPEN interval
@@ -102,6 +81,27 @@ object JoinOps {
       .drop("__cell")
   }
 
+  /** As-of join — an operator Spark lacks natively, composed from
+    * built-ins (preference tier (a), SURVEY §2.3): for every `left` row,
+    * attach the most recent `right` row with the same `key` and
+    * `right.ts <= left.ts` (DuckDB/kdb ASOF semantics; right rows at the
+    * exact same timestamp DO match).
+    *
+    * Plan shape: union the two sides tagged, ONE window over
+    * (key, ts-order) carrying the last-seen right payload forward, then
+    * keep the left rows — a single shuffle on `key` regardless of side
+    * sizes, no range cross-product. At 100 TB this beats the
+    * non-equi-join formulation (which degenerates to a per-key
+    * cross product) by construction.
+    *
+    * @param valueCols right-side columns to attach (prefixed `asof_`).
+    *        Must all be of ORDERABLE types (atomics, arrays, structs —
+    *        not maps): the payload struct participates in the window
+    *        sort to break ties among equal-timestamp right rows
+    *        deterministically. To attach an unorderable column, carry an
+    *        orderable right-side surrogate (e.g. a row id) through the
+    *        as-of and join the unorderable column back on it.
+    */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, valueCols: Seq[String]): DataFrame = {
@@ -124,6 +124,36 @@ object JoinOps {
     valueCols.foldLeft(attached) { (df, c) =>
       df.withColumn(s"asof_$c", col("__asof").getField(c))
     }.filter(col("__side") === 1)
+      .drop("__side", "__payload", "__asof")
+  }
+
+  /** Forward as-of join: for every `left` row, attach the EARLIEST
+    * `right` row with the same `key` and `right.ts >= left.ts` — the
+    * time-to-next-event attribution twin of [[asOfJoin]] (e.g.
+    * purchase → next error, signup → first activity). Identical plan
+    * shape: one union, one key-partitioned window (here scanning
+    * FORWARD via `first(ignoreNulls)` over [current, unbounded
+    * following]), one shuffle, no range cross-product. Same orderable
+    * `valueCols` contract; attached columns are prefixed `next_`.
+    */
+  def asOfJoinForward(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCols: Seq[String]): DataFrame = {
+    val rTagged = right.select(col(key), col(ts), lit(1).as("__side"),
+      struct(valueCols.map(col): _*).as("__payload"))
+    val lTagged = left.withColumn("__side", lit(0))
+    // left rows sort BEFORE right rows at equal ts (side 0 < 1) so a
+    // same-timestamp right row is inside the left row's forward frame
+    // (>= rule); ties among equal-ts right rows break deterministically
+    // on the payload struct (ascending ⇒ first() takes the min payload).
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col("__payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = unioned
+      .withColumn("__asof", first(col("__payload"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(attached) { (df, c) =>
+      df.withColumn(s"next_$c", col("__asof").getField(c))
+    }.filter(col("__side") === 0)
       .drop("__side", "__payload", "__asof")
   }
 }

@@ -2109,6 +2109,32 @@ object ExtensionQueries {
       |  AS est_distinct
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q93
+  /** Forward as-of join ([[graft.ops.JoinOps.asOfJoinForward]]):
+    * every purchase attached to the user's NEXT error event —
+    * time-to-next-event attribution, checked against DuckDB's native
+    * forward ASOF (`e.ts >= p.ts`). q38 pins the backward twin.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val errors = e.filter(col("event_type") === "error")
+    JoinOps.asOfJoinForward(purchases, errors, "user_id", "ts",
+        Seq("event_id", "ts"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("next_event_id").as("next_error_id"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("wait_us"))
+  }
+
+  val q93Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS next_error_id,
+      | epoch_us(e.ts) - epoch_us(p.ts) AS wait_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      | ON p.user_id = e.user_id AND e.ts >= p.ts""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2170,5 +2196,6 @@ object ExtensionQueries {
     "q89_pivot" -> ((q89 _, q89Sql)),
     "q90_percentiles" -> ((q90 _, q90Sql)),
     "q91_corr" -> ((q91 _, q91Sql)),
-    "q92_hll_by_group" -> ((q92 _, q92Sql)))
+    "q92_hll_by_group" -> ((q92 _, q92Sql)),
+    "q93_asof_forward" -> ((q93 _, q93Sql)))
 }
