@@ -122,4 +122,23 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Hive-partitioned parquet sink — the partition-PRUNING layout for
+    * columns that are FILTERED repeatedly at scale (lang, source,
+    * date). Each distinct partition-column combination becomes its own
+    * directory (`lang=en/...`), so a filtered read never opens the
+    * other directories at all: at 100 TB a `lang = 'en'` scan touches
+    * 1/|langs| of the files, enforced by the planner's
+    * PartitionFilters (spec-asserted on the physical plan), not by
+    * row-level filtering. Choose LOW-cardinality columns — one
+    * directory (and ≥ 1 file) per combination; high-cardinality keys
+    * belong in [[writeBucketed]] instead.
+    */
+  def writeHivePartitioned(
+      df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
 }
