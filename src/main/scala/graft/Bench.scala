@@ -319,6 +319,12 @@ object Bench {
       graft.ops.FunnelOps.funnelCounts(Tables.events(s, dir),
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
+    // gap-constrained window funnel: per level one grid-bucketed range
+    // join of step events vs live anchor windows + (user, anchor) min
+    "b_window_funnel" -> ((s, dir) =>
+      graft.ops.FunnelOps.windowFunnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 12L * 3600 * 1000000)),
     // cohort retention grid: two user-keyed shuffles + one grid-keyed
     // distinct; output |cohorts| x |periods|, independent of volume
     "b_cohort_retention" -> ((s, dir) =>

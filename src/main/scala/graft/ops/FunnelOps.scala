@@ -63,6 +63,51 @@ object FunnelOps {
       .reduce(_ unionByName _)
   }
 
+  /** Gap-constrained funnel (ClickHouse `windowFunnel` semantics): a
+    * user reaches level k when SOME step-1 event (the anchor) is
+    * followed by steps 2..k in order, ALL inside the anchor's
+    * `[t1, t1 + windowUs)` window. Emits one row per level with the
+    * distinct-user count.
+    *
+    * Greedy-min chaining is exact for the existence question: taking
+    * the EARLIEST qualifying occurrence of each step leaves maximal
+    * room in the window for the rest, so a user completes level k via
+    * the greedy chain iff they complete it at all.
+    *
+    * Scale path: each level is one [[JoinOps.rangeJoinBucketed]] of
+    * the step's (user, ts) events against the live (anchor chain-time,
+    * window-end) intervals — never a per-user cross product — followed
+    * by a (user, anchor)-keyed min. Intermediates carry three longs
+    * per live anchor; anchors that miss a step drop out of later
+    * levels entirely.
+    */
+  def windowFunnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val evs = events.select(col(userCol),
+      unix_micros(col(tsCol)).as("__t"), col(typeCol))
+
+    val anchors = evs.filter(col(typeCol) === steps.head)
+      .select(col(userCol), col("__t").as("__anchor"),
+        col("__t").as("__chain"))
+    val levels = steps.tail.scanLeft(anchors) { (live, step) =>
+      val pts = evs.filter(col(typeCol) === step)
+        .select(col(userCol), col("__t").as("__pt"))
+      val ivs = live.select(col(userCol), col("__anchor"),
+        col("__chain").as("__lo"), (col("__anchor") + windowUs).as("__hi"))
+      JoinOps.rangeJoinBucketed(pts, ivs, userCol,
+          "__pt", "__lo", "__hi", cellWidth = windowUs)
+        .groupBy(userCol, "__anchor").agg(min(col("__pt")).as("__chain"))
+    }
+    levels.zip(steps).zipWithIndex.map { case ((frame, step), i) =>
+      frame.agg(countDistinct(col(userCol)).as("n_users"))
+        .select(lit(step).as("step"), lit(i + 1).as("step_idx"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cohort retention grid: users cohorted by the time bucket of their
     * FIRST event (any type), then for every (cohort, later-or-equal
     * activity bucket) the count of distinct cohort users active in

@@ -2135,6 +2135,42 @@ object ExtensionQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       | ON p.user_id = e.user_id AND e.ts >= p.ts""".stripMargin
 
+  // --------------------------------------------------------------- q94
+  private val q94WindowUs = 12L * 3600 * 1000000 // 12 h
+
+  /** Gap-constrained window funnel
+    * ([[graft.ops.FunnelOps.windowFunnel]], ClickHouse `windowFunnel`
+    * semantics): view → click → purchase with all steps inside a
+    * 12-hour window from the anchoring view — 150/136/36 users at
+    * sf0.01, vs q86's unbounded-gap funnel. Each level is one
+    * grid-bucketed range join (never a per-user cross product).
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame =
+    FunnelOps.windowFunnel(Tables.events(spark, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), windowUs = q94WindowUs)
+
+  val q94Sql: String =
+    s"""WITH a1 AS (
+      | SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+      |a2 AS (
+      | SELECT a1.user_id, a1.t1, min(e.ts) AS t2
+      | FROM a1 JOIN events e ON e.user_id = a1.user_id
+      |  AND e.event_type = 'click' AND e.ts >= a1.t1
+      |  AND epoch_us(e.ts) < epoch_us(a1.t1) + $q94WindowUs
+      | GROUP BY 1, 2),
+      |a3 AS (
+      | SELECT a2.user_id, a2.t1, min(e.ts) AS t3
+      | FROM a2 JOIN events e ON e.user_id = a2.user_id
+      |  AND e.event_type = 'purchase' AND e.ts >= a2.t2
+      |  AND epoch_us(e.ts) < epoch_us(a2.t1) + $q94WindowUs
+      | GROUP BY 1, 2)
+      |SELECT 'view' AS step, CAST(1 AS INT) AS step_idx,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM a1
+      |UNION ALL SELECT 'click', CAST(2 AS INT),
+      | CAST(count(DISTINCT user_id) AS BIGINT) FROM a2
+      |UNION ALL SELECT 'purchase', CAST(3 AS INT),
+      | CAST(count(DISTINCT user_id) AS BIGINT) FROM a3""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2197,5 +2233,6 @@ object ExtensionQueries {
     "q90_percentiles" -> ((q90 _, q90Sql)),
     "q91_corr" -> ((q91 _, q91Sql)),
     "q92_hll_by_group" -> ((q92 _, q92Sql)),
-    "q93_asof_forward" -> ((q93 _, q93Sql)))
+    "q93_asof_forward" -> ((q93 _, q93Sql)),
+    "q94_window_funnel" -> ((q94 _, q94Sql)))
 }

@@ -44,6 +44,57 @@ class FunnelOpsSpec extends AnyFunSuite {
       assert(a >= b, s"funnel must not grow: $a -> $b") }
   }
 
+  test("windowFunnel: anchor choice matters — a later anchor can succeed where the first fails") {
+    val events = Seq(
+      // u1: first view's 10-min window misses the click; the second
+      // view anchors a complete chain
+      (1L, ts(0), "view"), (1L, ts(40), "view"),
+      (1L, ts(45), "click"), (1L, ts(49), "buy"),
+      // u2: click inside the window, buy outside it
+      (2L, ts(0), "view"), (2L, ts(5), "click"), (2L, ts(30), "buy"),
+      // u3: click before view never counts
+      (3L, ts(10), "click"), (3L, ts(12), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = FunnelOps.windowFunnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "buy"), windowUs = 10L * 60 * 1000000)
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("windowFunnel matches a brute-force fold on random event streams") {
+    val rnd = new scala.util.Random(21)
+    val types = Vector("a", "b", "c")
+    val rows = for (u <- 0L until 40L; _ <- 0 until 30) yield
+      (u, ts(rnd.nextInt(600)), types(rnd.nextInt(3)))
+    val events = rows.toDF("user_id", "ts", "event_type")
+    val w = 90L * 60 * 1000000 // 90 min
+
+    def brute(evs: Seq[(Long, Long)]): Int = { // (tsUs, stepIdx) per user -> level
+      val byStep = (0 until 3).map(i => evs.filter(_._2 == i).map(_._1).sorted)
+      def reach(level: Int): Boolean = byStep(0).exists { t1 =>
+        var c = t1
+        var ok = true
+        for (k <- 1 to level if ok)
+          byStep(k).find(t => t >= c && t < t1 + w) match {
+            case Some(t) => c = t
+            case None => ok = false
+          }
+        ok
+      }
+      if (byStep(0).isEmpty) 0 else (2 to 0 by -1).find(reach).map(_ + 1).getOrElse(0)
+    }
+    val perUser = rows.groupBy(_._1).map { case (u, es) =>
+      u -> brute(es.map(e => (e._2.getTime * 1000L, types.indexOf(e._3))))
+    }
+    val want = (1 to 3).map(l => l.toLong -> perUser.values.count(_ >= l).toLong).toMap
+
+    val got = FunnelOps.windowFunnel(events, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"), w)
+      .select("step_idx", "n_users").as[(Int, Long)].collect()
+      .map { case (i, n) => i.toLong -> n }.toMap
+    assert(got == want, s"windowFunnel $got != brute $want")
+  }
+
   test("cohortRetention: hand-checked grid, period 0 counts whole cohort") {
     val day = 86400L
     def dts(d: Long, min: Long) = new Timestamp(d * day * 1000L + min * 60000L)
