@@ -2171,6 +2171,27 @@ object ExtensionQueries {
       |UNION ALL SELECT 'purchase', CAST(3 AS INT),
       | CAST(count(DISTINCT user_id) AS BIGINT) FROM a3""".stripMargin
 
+  // --------------------------------------------------------------- q95
+  /** Dataset profile ([[graft.ops.ProfileOps.profile]]): per-column
+    * completeness/domain stats in one pass — the data-quality report
+    * every ingest gate reads before the pipeline runs. min/max as
+    * strings (binary UTF8 comparison, identical in both engines).
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.profile(Tables.documents(spark, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
+  val q95Sql: String = {
+    def leg(c: String): String =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        | CAST(min($c) AS VARCHAR) AS min_val,
+        | CAST(max($c) AS VARCHAR) AS max_val
+        |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(leg).mkString("\nUNION ALL ")
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2234,5 +2255,6 @@ object ExtensionQueries {
     "q91_corr" -> ((q91 _, q91Sql)),
     "q92_hll_by_group" -> ((q92 _, q92Sql)),
     "q93_asof_forward" -> ((q93 _, q93Sql)),
-    "q94_window_funnel" -> ((q94 _, q94Sql)))
+    "q94_window_funnel" -> ((q94 _, q94Sql)),
+    "q95_profile" -> ((q95 _, q95Sql)))
 }
