@@ -42,6 +42,34 @@ object SessionOps {
       sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Gaps-and-islands: collapse CONSECUTIVE equal values of `valueCol`
+    * (in (key, order) sequence) into one row per run — the classic
+    * state-interval builder (SCD-2 validity ranges, status-change
+    * tracking, streak analysis). A new island starts where the value
+    * differs from its predecessor (null-safe compare, so null runs
+    * collapse too); island ids are 1-based per key in order.
+    *
+    * Same plan as [[sessionize]]: one shuffle on `keyCol`, the lag and
+    * running-sum windows share a single (key, order) sort, then one
+    * map-side-combined aggregation per island. Output is one row per
+    * island: (key, island_id, value, n, start/end order values).
+    */
+  def islands(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      tieBreakCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol, tieBreakCol)
+    val changed = when(
+      col(valueCol) <=> lag(col(valueCol), 1).over(w), 0L).otherwise(1L)
+    df.withColumn("__island",
+        sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__island").as("island_id"))
+      .agg(
+        first(col(valueCol)).as(valueCol),
+        count(lit(1)).as("n"),
+        min(col(orderCol)).as("start_" + orderCol),
+        max(col(orderCol)).as("end_" + orderCol))
+  }
+
   /** Sliding (hopping) window aggregation — `window(ts, w, s)` with
     * `slideSeconds < windowSeconds`, the other standard streaming
     * window family next to [[timeBucket]]'s tumbling form: every event

@@ -2192,6 +2192,66 @@ object ExtensionQueries {
     Seq("doc_id", "lang", "source", "n_chars").map(leg).mkString("\nUNION ALL ")
   }
 
+  // --------------------------------------------------------------- q96
+  /** Gaps-and-islands ([[graft.ops.SessionOps.islands]]): consecutive
+    * equal event_type runs per user collapsed to one row each — the
+    * SCD-2 validity-interval / streak-analysis builder, same
+    * single-sort plan as q19's sessionize.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame =
+    SessionOps.islands(Tables.events(spark, dir), "user_id", "ts", "event_type")
+
+  val q96Sql: String =
+    """WITH o AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |  CASE WHEN event_type IS NOT DISTINCT FROM
+      |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |  THEN 0 ELSE 1 END AS chg
+      | FROM events),
+      |i AS (
+      | SELECT user_id, event_type, ts,
+      |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS island_id
+      | FROM o)
+      |SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+      | min(event_type) AS event_type, CAST(count(*) AS BIGINT) AS n,
+      | min(ts) AS start_ts, max(ts) AS end_ts
+      |FROM i GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q97
+  /** Trailing 7-day rolling revenue ([[graft.ops.TrendOps.rollingAgg]]):
+    * daily DECIMAL-exact totals, then rolling sum/avg with RANGE
+    * semantics (day gaps excluded, partial head windows) — computed by
+    * contribution-explode + one keyed aggregation, NO unpartitioned
+    * window, checked against DuckDB's native RANGE frame.
+    */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // o_orderdate may read as TIMESTAMP_NTZ (see Tables.normalizeTs);
+    // the cast is a no-op on TimestampType and a UTC reinterpretation
+    // otherwise. Applied here, not in the reader: a reader-level cast
+    // would sit between q01's l_shipdate filter and the scan and break
+    // its pushdown (PlanShapeSpec-pinned).
+    val daily = Tables.orders(spark, dir)
+      .groupBy(floor(unix_micros(col("o_orderdate")
+        .cast(org.apache.spark.sql.types.TimestampType)) / lit(86400000000L)).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(19, 6))).as("rev"))
+    TrendOps.rollingAgg(daily, "day", "rev", window = 7)
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        col("roll_sum"), col("roll_avg"), col("n_terms"))
+  }
+
+  val q97Sql: String =
+    """WITH daily AS (
+      | SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |  SUM(CAST(o_totalprice AS DECIMAL(19,6))) AS rev
+      | FROM orders GROUP BY 1)
+      |SELECT day, CAST(rev AS DOUBLE) AS rev,
+      | CAST(SUM(rev) OVER w AS DOUBLE) AS roll_sum,
+      | CAST(SUM(rev) OVER w AS DOUBLE) / CAST(count(*) OVER w AS BIGINT) AS roll_avg,
+      | CAST(count(*) OVER w AS BIGINT) AS n_terms
+      |FROM daily WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2256,5 +2316,7 @@ object ExtensionQueries {
     "q92_hll_by_group" -> ((q92 _, q92Sql)),
     "q93_asof_forward" -> ((q93 _, q93Sql)),
     "q94_window_funnel" -> ((q94 _, q94Sql)),
-    "q95_profile" -> ((q95 _, q95Sql)))
+    "q95_profile" -> ((q95 _, q95Sql)),
+    "q96_islands" -> ((q96 _, q96Sql)),
+    "q97_rolling" -> ((q97 _, q97Sql)))
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class TrendIslandsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("islands collapses consecutive equal values, including null runs") {
+    val df = Seq(
+      (1L, 1L, ts(0), Some("a")), (1L, 2L, ts(1), Some("a")),
+      (1L, 3L, ts(2), Some("b")),
+      (1L, 4L, ts(3), None), (1L, 5L, ts(4), None),
+      (1L, 6L, ts(5), Some("a")),
+      (2L, 7L, ts(0), Some("x"))
+    ).toDF("user_id", "event_id", "ts", "v")
+    val got = SessionOps.islands(df, "user_id", "ts", "v")
+      .select("user_id", "island_id", "v", "n")
+      .as[(Long, Long, Option[String], Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, Some("a"), 2L), (1L, 2L, Some("b"), 1L),
+      (1L, 3L, None, 2L), (1L, 4L, Some("a"), 1L),
+      (2L, 1L, Some("x"), 1L)))
+  }
+
+  test("islands: start/end carry the run's order bounds") {
+    val df = Seq(
+      (1L, 1L, ts(10), "a"), (1L, 2L, ts(20), "a"), (1L, 3L, ts(30), "b")
+    ).toDF("user_id", "event_id", "ts", "v")
+    val got = SessionOps.islands(df, "user_id", "ts", "v")
+      .select("island_id", "start_ts", "end_ts")
+      .as[(Long, Timestamp, Timestamp)].collect()
+      .map { case (k, s, e) => k -> ((s.getTime, e.getTime)) }.toMap
+    assert(got(1L) == ((ts(10).getTime, ts(20).getTime)))
+    assert(got(2L) == ((ts(30).getTime, ts(30).getTime)))
+  }
+
+  test("rollingAgg: hand-checked trailing window with a gap in the axis") {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (5L, 60.0))
+      .toDF("day", "v")
+      .select(col("day"), col("v").cast(DecimalType(19, 6)).as("v"))
+    val got = TrendOps.rollingAgg(daily, "day", "v", window = 3)
+      .select("day", "roll_sum", "roll_avg", "n_terms")
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 10.0, 10.0, 1L)))
+    assert(got(1L) == ((1L, 30.0, 15.0, 2L)))
+    assert(got(2L) == ((2L, 60.0, 20.0, 3L)))
+    // day 5: days 3-4 are absent — only day 5 contributes
+    assert(got(5L) == ((5L, 60.0, 60.0, 1L)))
+    assert(got.size == 4, "only real axis points are emitted")
+  }
+}
