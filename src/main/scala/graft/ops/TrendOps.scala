@@ -41,4 +41,39 @@ object TrendOps {
         (col("__sum").cast("double") / col("n_terms")).as("roll_avg"),
         col("n_terms"))
   }
+
+  /** Trailing-window anomaly score: each point's deviation from the
+    * PRECEDING `window` points (current point excluded — the detector
+    * must not condition on the value it judges), as a z-score against
+    * the trailing population mean/std. Points with fewer than
+    * `minPoints` trailing observations, or zero trailing variance,
+    * get a NULL score. Same contribution-explode shape as
+    * [[rollingAgg]] (targets `order+1 .. order+window`), decimal-exact
+    * sum and sum-of-squares, one shared double formula — replays
+    * bit-level in the oracle.
+    */
+  def rollingZScore(
+      df: DataFrame, orderCol: String, valueCol: String,
+      window: Int, minPoints: Int): DataFrame = {
+    require(window > 0 && minPoints > 0, "window/minPoints must be positive")
+    val contrib = df
+      .select(col(orderCol).as("__src"), col(valueCol).as("__v"))
+      .withColumn(orderCol,
+        explode(sequence(col("__src") + 1, col("__src") + lit(window))))
+    val rolled = contrib.groupBy(orderCol)
+      .agg(count(lit(1)).as("n_prev"),
+        sum(col("__v")).as("__sum"),
+        sum(col("__v") * col("__v")).as("__sumsq"))
+    val n = col("n_prev").cast("double")
+    val mean = col("__sum").cast("double") / n
+    // population variance; clamp the tiny negative float residue a
+    // near-constant window can produce
+    val variance = greatest(
+      col("__sumsq").cast("double") / n - mean * mean, lit(0.0))
+    df.join(rolled, Seq(orderCol), "left")
+      .select(col(orderCol), col(valueCol),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        when(col("n_prev") >= minPoints && variance > 0,
+          (col(valueCol).cast("double") - mean) / sqrt(variance)).as("z"))
+  }
 }

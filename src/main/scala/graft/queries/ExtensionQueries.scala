@@ -2252,6 +2252,77 @@ object ExtensionQueries {
       | CAST(count(*) OVER w AS BIGINT) AS n_terms
       |FROM daily WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // --------------------------------------------------------------- q98
+  /** Market-basket association rules
+    * ([[graft.ops.BasketOps.associationRules]]): directed A → B
+    * support/confidence/lift over (user, day) baskets of event types —
+    * the classic co-occurrence miner. Every metric is an exact count
+    * ratio in one double division.
+    */
+  def q98(spark: SparkSession, dir: String): DataFrame =
+    BasketOps.associationRules(
+      Tables.events(spark, dir)
+        .withColumn("day",
+          floor(unix_micros(col("ts")) / lit(86400000000L))),
+      Seq("user_id", "day"), "event_type")
+
+  val q98Sql: String =
+    """WITH obs AS (
+      | SELECT DISTINCT user_id,
+      |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |  event_type AS item
+      | FROM events),
+      |nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM obs)),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM obs GROUP BY 1),
+      |p AS (
+      | SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      | FROM obs a JOIN obs b ON a.user_id = b.user_id AND a.day = b.day
+      |  AND a.item <> b.item
+      | GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      | CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+      | CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+      | CAST(n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+      |  / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+      |FROM p JOIN ic ia ON p.item_a = ia.item JOIN ic ib ON p.item_b = ib.item
+      |CROSS JOIN nb""".stripMargin
+
+  // --------------------------------------------------------------- q99
+  /** Trailing-window anomaly score
+    * ([[graft.ops.TrendOps.rollingZScore]]): each day's revenue
+    * z-scored against the preceding ≤ 7 days (current excluded, ≥ 3
+    * required) — decimal-exact trailing sums, one shared double
+    * formula, vs DuckDB's RANGE ... 1 PRECEDING frame.
+    */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    val daily = Tables.orders(spark, dir)
+      .groupBy(floor(unix_micros(col("o_orderdate").cast(TimestampType))
+        / lit(86400000000L)).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(19, 6))).as("rev"))
+    TrendOps.rollingZScore(daily, "day", "rev", window = 7, minPoints = 3)
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        col("n_prev"), col("z"))
+  }
+
+  val q99Sql: String =
+    """WITH daily AS (
+      | SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |  SUM(CAST(o_totalprice AS DECIMAL(19,6))) AS rev
+      | FROM orders GROUP BY 1),
+      |t AS (SELECT day, rev,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_prev,
+      |  SUM(rev) OVER w AS s, SUM(rev * rev) OVER w AS sq
+      | FROM daily WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, CAST(rev AS DOUBLE) AS rev, n_prev,
+      | CASE WHEN n_prev >= 3 AND greatest(CAST(sq AS DOUBLE) / n_prev
+      |   - (CAST(s AS DOUBLE) / n_prev) * (CAST(s AS DOUBLE) / n_prev), 0.0) > 0
+      |  THEN (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n_prev)
+      |   / sqrt(greatest(CAST(sq AS DOUBLE) / n_prev
+      |     - (CAST(s AS DOUBLE) / n_prev) * (CAST(s AS DOUBLE) / n_prev), 0.0))
+      | END AS z
+      |FROM t""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2318,5 +2389,7 @@ object ExtensionQueries {
     "q94_window_funnel" -> ((q94 _, q94Sql)),
     "q95_profile" -> ((q95 _, q95Sql)),
     "q96_islands" -> ((q96 _, q96Sql)),
-    "q97_rolling" -> ((q97 _, q97Sql)))
+    "q97_rolling" -> ((q97 _, q97Sql)),
+    "q98_market_basket" -> ((q98 _, q98Sql)),
+    "q99_anomaly" -> ((q99 _, q99Sql)))
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class BasketOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("associationRules: hand-checked support/confidence/lift; in-basket dups count once") {
+    // baskets: b1={x,y}, b2={x,y}, b3={x}, b4={y,z} — x appears twice
+    // in b1 to check the distinct rule
+    val df = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y"), (4L, "z")
+    ).toDF("basket", "item")
+    val got = BasketOps.associationRules(df, Seq("basket"), "item")
+      .select("item_a", "item_b", "n_ab", "support", "confidence", "lift")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+
+    // n(x)=3, n(y)=3, n(z)=1, baskets=4, n(x,y)=2
+    val xy = got(("x", "y"))
+    assert(xy._3 == 2L)
+    assert(xy._4 == 2.0 / 4.0, "support = n_ab / baskets")
+    assert(xy._5 == 2.0 / 3.0, "confidence = n_ab / n_a")
+    assert(xy._6 == (2.0 * 4.0) / (3.0 * 3.0), "lift")
+    val yz = got(("y", "z"))
+    assert(yz._3 == 1L && yz._5 == 1.0 / 3.0)
+    assert(got(("z", "y"))._5 == 1.0, "z always co-occurs with y")
+    assert(!got.contains(("x", "z")), "never co-occurring pairs are absent")
+    // directed: both directions present with mirrored counts
+    assert(got(("y", "x"))._3 == 2L)
+  }
+
+  test("rules are repartition-invariant") {
+    val rows = (0 until 300).map(i => (i.toLong % 40, s"i${i % 7}"))
+    val a = BasketOps.associationRules(
+      rows.toDF("basket", "item"), Seq("basket"), "item")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    val b = BasketOps.associationRules(
+      rows.toDF("basket", "item").repartition(13), Seq("basket"), "item")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}

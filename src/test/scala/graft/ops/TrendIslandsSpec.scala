@@ -42,6 +42,25 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(got(2L) == ((ts(30).getTime, ts(30).getTime)))
   }
 
+  test("rollingZScore: current point excluded, minPoints and zero-variance guard") {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Seq((0L, 10.0), (1L, 10.0), (2L, 10.0), (3L, 22.0), (4L, 10.0))
+      .toDF("day", "v")
+      .select(col("day"), col("v").cast(DecimalType(19, 6)).as("v"))
+    val got = TrendOps.rollingZScore(daily, "day", "v", window = 7, minPoints = 3)
+      .select("day", "n_prev", "z")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((0L, None)), "no history -> null z")
+    assert(got(2L) == ((2L, None)), "below minPoints -> null z")
+    // day 3: trailing {10,10,10} has zero variance -> null despite n>=3
+    assert(got(3L) == ((3L, None)))
+    // day 4: trailing {10,10,10,22}: mean 13, var 27, z = (10-13)/sqrt(27)
+    val (n4, z4) = got(4L)
+    assert(n4 == 4L && z4.isDefined)
+    assert(math.abs(z4.get - (10.0 - 13.0) / math.sqrt(27.0)) < 1e-12)
+  }
+
   test("rollingAgg: hand-checked trailing window with a gap in the axis") {
     import org.apache.spark.sql.types.DecimalType
     val daily = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (5L, 60.0))
