@@ -341,6 +341,33 @@ object Bench {
         vocab.unionByName(vocab.select(concat(col("token"), lit("-x")).as("token"))),
         "token", m = 4096, k = 3, seed = 5L)
     }),
+    // gaps-and-islands: one (user, ts) sort + per-island agg
+    "b_islands" -> ((s, dir) =>
+      graft.ops.SessionOps.islands(Tables.events(s, dir),
+        "user_id", "ts", "event_type")),
+    // market-basket pair rules: distinct (basket, item) first, pairs
+    // via the basket-keyed self-join, supports broadcast back
+    "b_market_basket" -> ((s, dir) =>
+      graft.ops.BasketOps.associationRules(
+        Tables.events(s, dir).withColumn("day",
+          floor(unix_micros(col("ts")) / lit(86400000000L))),
+        Seq("user_id", "day"), "event_type")),
+    // one-pass dataset profile: 4x|cols| partial cells, EXPAND distincts
+    "b_profile" -> ((s, dir) =>
+      graft.ops.ProfileOps.profile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+    // PSI drift gate between two derived corpus versions: two
+    // |categories|-row count dims + 1-row broadcast totals
+    "b_drift_psi" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.DriftOps.categoricalDrift(
+        d.filter(graft.core.PortableHash.uniform01(col("doc_id"), lit("bdo")) < 0.95),
+        d.filter(graft.core.PortableHash.uniform01(col("doc_id"), lit("bdn")) < 0.95)
+          .withColumn("lang",
+            when(graft.core.PortableHash.uniform01(col("doc_id"), lit("bdc")) < 0.1,
+              concat(col("lang"), lit("-x"))).otherwise(col("lang"))),
+        "lang")
+    }),
     // C4-style blocklist filter at production hash (sorted hashed list
     // on a 1-row broadcast, binary-search probe per token — pure
     // codegen'd filter in the scan stage)

@@ -55,4 +55,30 @@ object DriftOps {
         .cast("double").as("psi_total"))
     withTerms.crossJoin(broadcast(total))
   }
+
+  /** Numeric drift: PSI over the OLD version's `nBins` quantile bins —
+    * the original (credit-scoring) PSI formulation. Bin edges are
+    * exact interpolated percentiles of `round(value, 6)` computed on
+    * the old side only (the reference distribution), ride a 1-row
+    * broadcast, and bin both sides with the same codegen'd when-chain
+    * (the quantileBuckets pattern); then [[categoricalDrift]] runs on
+    * the integer bin ids. NULL values are excluded from both sides.
+    * Equal-frequency bins on the reference mean each old bin holds
+    * ~1/nBins of the mass, so the PSI terms are well-conditioned.
+    */
+  def numericDrift(
+      oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val v = round(col(valueCol), 6)
+    val cuts = oldDf.filter(v.isNotNull)
+      .agg(percentile(v, array(probs.map(lit): _*)).as("__cuts"))
+    def binned(df: DataFrame): DataFrame = {
+      val tag = probs.indices.foldRight(lit(nBins - 1): Column)((i, acc) =>
+        when(v <= element_at(col("__cuts"), i + 1), lit(i)).otherwise(acc))
+      df.filter(v.isNotNull).crossJoin(broadcast(cuts)).select(tag.as("bin"))
+    }
+    categoricalDrift(binned(oldDf), binned(newDf), "bin")
+  }
 }

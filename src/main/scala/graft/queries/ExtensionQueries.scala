@@ -2366,6 +2366,57 @@ object ExtensionQueries {
       |SELECT * FROM w2 CROSS JOIN tt""".stripMargin
   }
 
+  // --------------------------------------------------------------- q101
+  /** Numeric drift ([[graft.ops.DriftOps.numericDrift]]): PSI of
+    * `n_chars` over the OLD version's quintile bins — the original
+    * credit-scoring PSI. The "new" version deterministically
+    * under-samples long docs (keep rate 0.5 above 300 chars vs 0.95),
+    * a genuine length shift the gate must flag; edges are computed on
+    * the reference side only and ride a 1-row broadcast.
+    */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val oldDf = d.filter(
+      PortableHash.uniform01(col("doc_id"), lit("101o")) < 0.95)
+    val newDf = d.filter(
+      PortableHash.uniform01(col("doc_id"), lit("101n")) <
+        when(col("n_chars") > 300, 0.5).otherwise(0.95))
+    DriftOps.numericDrift(oldDf, newDf, "n_chars", nBins = 5)
+  }
+
+  val q101Sql: String = {
+    def u(salt: String): String =
+      s"${dk(s"doc_id || '#' || '$salt'")} / 1152921504606846976.0"
+    val probs = (1 until 5).map(i => (i.toDouble / 5).toString).mkString(", ")
+    val binCase = "CASE " + (0 until 4).map(i =>
+      s"WHEN round(n_chars, 6) <= c[${i + 1}] THEN CAST($i AS INT)").mkString(" ") +
+      " ELSE CAST(4 AS INT) END"
+    s"""WITH o AS (SELECT n_chars FROM documents
+      |  WHERE ${u("101o")} < 0.95 AND n_chars IS NOT NULL),
+      |n AS (SELECT n_chars FROM documents
+      |  WHERE ${u("101n")} < (CASE WHEN n_chars > 300 THEN 0.5 ELSE 0.95 END)
+      |   AND n_chars IS NOT NULL),
+      |cu AS (SELECT quantile_cont(round(n_chars, 6), [$probs]) AS c FROM o),
+      |ob AS (SELECT $binCase AS bin FROM o CROSS JOIN cu),
+      |nb2 AS (SELECT $binCase AS bin FROM n CROSS JOIN cu),
+      |co AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_old FROM ob GROUP BY 1),
+      |cn AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_new FROM nb2 GROUP BY 1),
+      |j AS (SELECT COALESCE(co.bin, cn.bin) AS bin,
+      |  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old,
+      |  COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
+      | FROM co FULL JOIN cn ON co.bin = cn.bin),
+      |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, count(*) AS k FROM j),
+      |w AS (SELECT bin, n_old, n_new,
+      |  (CAST(n_old AS DOUBLE) + 1.0) / (CAST(t_old AS DOUBLE) + CAST(k AS DOUBLE)) AS p_old,
+      |  (CAST(n_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + CAST(k AS DOUBLE)) AS p_new
+      | FROM j CROSS JOIN t),
+      |w2 AS (SELECT bin, n_old, n_new, p_old, p_new,
+      |  (p_new - p_old) * ln(p_new / p_old) AS psi_term FROM w),
+      |tt AS (SELECT CAST(SUM(CAST(round(psi_term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |       AS psi_total FROM w2)
+      |SELECT * FROM w2 CROSS JOIN tt""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2435,5 +2486,6 @@ object ExtensionQueries {
     "q97_rolling" -> ((q97 _, q97Sql)),
     "q98_market_basket" -> ((q98 _, q98Sql)),
     "q99_anomaly" -> ((q99 _, q99Sql)),
-    "q100_drift_psi" -> ((q100 _, q100Sql)))
+    "q100_drift_psi" -> ((q100 _, q100Sql)),
+    "q101_numeric_drift" -> ((q101 _, q101Sql)))
 }

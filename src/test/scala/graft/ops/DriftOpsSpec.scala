@@ -37,6 +37,28 @@ class DriftOpsSpec extends AnyFunSuite {
     got.values.foreach(r => assert(r._6 >= 0.0))
   }
 
+  test("numericDrift: identical distributions ~ 0; a mean shift is flagged; nulls excluded") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 1000).map(i => Tuple1(Some(i.toDouble))).toDF("v")
+    val self = DriftOps.numericDrift(base, base, "v", nBins = 4)
+      .select("psi_total").as[Double].collect().head
+    assert(self == 0.0, s"self numeric drift must be 0, got $self")
+
+    val shifted = (1 to 1000).map(i => Tuple1(Some(i.toDouble + 400))).toDF("v")
+    val drift = DriftOps.numericDrift(base, shifted, "v", nBins = 4)
+    val rows = drift.select("bin", "psi_total").as[(Int, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(0, 1, 2, 3))
+    assert(rows.head._2 > 0.25, s"a 40% mean shift must flag: PSI ${rows.head._2}")
+
+    val withNulls = base.unionByName(
+      Seq(Tuple1(Option.empty[Double])).toDF("v"))
+    val a = DriftOps.numericDrift(base, base, "v", 4)
+      .select("n_old").as[Long].collect().sorted
+    val b = DriftOps.numericDrift(withNulls, withNulls, "v", 4)
+      .select("n_old").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq, "null values must not land in any bin")
+  }
+
   test("drift is repartition-invariant") {
     val oldDf = (0 until 500).map(i => Tuple1(s"c${i % 7}")).toDF("cat")
     val newDf = (0 until 400).map(i => Tuple1(s"c${i % 5}")).toDF("cat")
