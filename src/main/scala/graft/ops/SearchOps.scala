@@ -40,6 +40,30 @@ object SearchOps {
       counted.sort(col("n").desc, col("token")), "id")
   }
 
+  /** Inverted index build: one row per token with its document
+    * frequency and the SORTED posting list — the persistable retrieval
+    * artifact behind [[bm25TopK]] (compute once per corpus version,
+    * write to parquet, serve lookups with a token-keyed read). The
+    * postings are emitted as a CSV string so the frame is flat and
+    * oracle-hashable; sorted order makes the artifact deterministic
+    * under any partitioning.
+    *
+    * Scale shape: distinct (doc, token) pairs first (map-side
+    * distinct), then ONE token-keyed aggregation. A stop-word-grade
+    * token concentrates its whole posting list in one task — cap with
+    * `maxDf` (drop tokens appearing in more than that many docs:
+    * they're stop words to retrieval anyway) to bound the skew.
+    */
+  def invertedIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDf: Long = Long.MaxValue): DataFrame =
+    df.select(col(idCol), explode(TextOps.whitespaceTokenize(col(textCol))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", sort_array(collect_list(col(idCol)))).as("postings"))
+      .filter(col("df") <= maxDf)
+
   /** BM25 (Lucene idf form) top-k: (idCol, score) for the `k`
     * best-scoring docs against `query` terms, score descending with
     * `idCol` ascending as the deterministic tiebreak. Docs matching no

@@ -70,6 +70,33 @@ object SessionOps {
         max(col(orderCol)).as("end_" + orderCol))
   }
 
+  /** First-order Markov transition matrix over per-key event
+    * sequences: counts and conditional probabilities of value v →
+    * next value w within each key's (order, tiebreak) sequence — the
+    * sequence-analytics complement of [[islands]] (which collapses
+    * the self-transitions this matrix measures).
+    *
+    * One (key, order) sort for the lead pairing, one (from, to) keyed
+    * count, and the per-from totals broadcast back (a ≤ |vocabulary|²
+    * dim). The probability is one exact-count double division.
+    */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      tieBreakCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol, tieBreakCol)
+    val pairs = df
+      .select(col(valueCol).as("from_" + valueCol),
+        lead(col(valueCol), 1).over(w).as("to_" + valueCol))
+      .filter(col("to_" + valueCol).isNotNull)
+    val counts = pairs.groupBy("from_" + valueCol, "to_" + valueCol)
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_" + valueCol)
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), Seq("from_" + valueCol))
+      .select(col("from_" + valueCol), col("to_" + valueCol), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("p"))
+  }
+
   /** Sliding (hopping) window aggregation — `window(ts, w, s)` with
     * `slideSeconds < windowSeconds`, the other standard streaming
     * window family next to [[timeBucket]]'s tumbling form: every event

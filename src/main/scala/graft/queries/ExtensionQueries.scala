@@ -2417,6 +2417,48 @@ object ExtensionQueries {
       |SELECT * FROM w2 CROSS JOIN tt""".stripMargin
   }
 
+  // --------------------------------------------------------------- q102
+  /** Markov transition matrix
+    * ([[graft.ops.SessionOps.transitionMatrix]]): event_type → next
+    * event_type counts and conditional probabilities over per-user
+    * sequences — the sequence complement of q96's islands (which
+    * collapse the self-transitions measured here).
+    */
+  def q102(spark: SparkSession, dir: String): DataFrame =
+    SessionOps.transitionMatrix(Tables.events(spark, dir),
+      "user_id", "ts", "event_type")
+
+  val q102Sql: String =
+    """WITH p AS (
+      | SELECT event_type AS from_event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS to_event_type
+      | FROM events),
+      |c AS (SELECT from_event_type, to_event_type, CAST(count(*) AS BIGINT) AS n
+      | FROM p WHERE to_event_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_event_type, SUM(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_event_type, c.to_event_type, n,
+      | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_event_type)""".stripMargin
+
+  // --------------------------------------------------------------- q103
+  /** Inverted index ([[graft.ops.SearchOps.invertedIndex]]): per-token
+    * document frequency + sorted posting list, the persistable
+    * retrieval artifact behind q60's BM25. Sorted CSV postings make
+    * the frame deterministic and oracle-hashable.
+    */
+  def q103(spark: SparkSession, dir: String): DataFrame =
+    SearchOps.invertedIndex(Tables.documents(spark, dir), "text", "doc_id")
+
+  val q103Sql: String =
+    """WITH toks AS (
+      | SELECT DISTINCT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), tk -> tk <> '')) AS token
+      | FROM documents)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df,
+      | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      |FROM toks GROUP BY token""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2487,5 +2529,7 @@ object ExtensionQueries {
     "q98_market_basket" -> ((q98 _, q98Sql)),
     "q99_anomaly" -> ((q99 _, q99Sql)),
     "q100_drift_psi" -> ((q100 _, q100Sql)),
-    "q101_numeric_drift" -> ((q101 _, q101Sql)))
+    "q101_numeric_drift" -> ((q101 _, q101Sql)),
+    "q102_transitions" -> ((q102 _, q102Sql)),
+    "q103_inverted_index" -> ((q103 _, q103Sql)))
 }

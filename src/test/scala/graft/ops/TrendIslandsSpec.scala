@@ -61,6 +61,40 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(math.abs(z4.get - (10.0 - 13.0) / math.sqrt(27.0)) < 1e-12)
   }
 
+  test("transitionMatrix: hand-checked counts and row-stochastic probabilities") {
+    val df = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "a"),
+      (1L, 4L, ts(3), "a"),
+      (2L, 5L, ts(0), "a"), (2L, 6L, ts(1), "b")
+    ).toDF("user_id", "event_id", "ts", "v")
+    val got = SessionOps.transitionMatrix(df, "user_id", "ts", "v")
+      .select("from_v", "to_v", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // u1: a->b, b->a, a->a; u2: a->b  =>  from a: {b:2, a:1}; from b: {a:1}
+    assert(got(("a", "b")) == ((2L, 2.0 / 3.0)))
+    assert(got(("a", "a")) == ((1L, 1.0 / 3.0)))
+    assert(got(("b", "a")) == ((1L, 1.0)))
+    assert(got.size == 3, "sequences never cross user boundaries")
+    // rows of the matrix sum to 1
+    got.groupBy(_._1._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("invertedIndex: sorted postings, df cap, in-doc dups count once") {
+    val df = Seq(
+      (3L, "x y x"), (1L, "x z"), (2L, "x")
+    ).toDF("doc_id", "text")
+    val got = SearchOps.invertedIndex(df, "text", "doc_id")
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("x") == ((3L, "1,2,3")), "postings sorted; doc-3 dup counted once")
+    assert(got("y") == ((1L, "3")) && got("z") == ((1L, "1")))
+    val capped = SearchOps.invertedIndex(df, "text", "doc_id", maxDf = 2)
+      .as[(String, Long, String)].collect().map(_._1).toSet
+    assert(capped == Set("y", "z"), "stop-word-grade tokens dropped by maxDf")
+  }
+
   test("rollingAgg: hand-checked trailing window with a gap in the axis") {
     import org.apache.spark.sql.types.DecimalType
     val daily = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (5L, 60.0))
