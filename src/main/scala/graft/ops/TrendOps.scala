@@ -76,4 +76,35 @@ object TrendOps {
         when(col("n_prev") >= minPoints && variance > 0,
           (col(valueCol).cast("double") - mean) / sqrt(variance)).as("z"))
   }
+
+  /** Time-weighted average (TWAP): per key, each observation weighted
+    * by how long it was "current" — the duration to the NEXT
+    * observation of the same key (the last observation has no
+    * duration and is dropped, the standard left-closed convention;
+    * pass a sentinel end-of-horizon row to include it). The
+    * irregular-sampling mean for sensor readings, prices, state
+    * gauges — where the plain `avg` over-weights bursty periods.
+    *
+    * Portability: values are `round(·, 6)` then DECIMAL, weights are
+    * exact micros, so every product and both sums are exact decimals;
+    * the TWAP is one double division. One (key, ts) sort + one keyed
+    * aggregation.
+    */
+  def twap(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieBreakCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieBreakCol)
+    val dur = unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol))
+    df.select(col(keyCol),
+        round(col(valueCol), 6).cast(DecimalType(19, 6)).as("__v"),
+        dur.as("__w"))
+      .filter(col("__w").isNotNull)
+      .groupBy(keyCol)
+      .agg(
+        (sum(col("__v") * col("__w")).cast("double") /
+          sum(col("__w")).cast("double")).as("twap"),
+        count(lit(1)).as("n_obs"))
+  }
 }

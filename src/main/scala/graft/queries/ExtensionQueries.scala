@@ -2459,6 +2459,28 @@ object ExtensionQueries {
       | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       |FROM toks GROUP BY token""".stripMargin
 
+  // --------------------------------------------------------------- q104
+  /** Time-weighted average ([[graft.ops.TrendOps.twap]]): per-user
+    * TWAP of the event value — each observation weighted by its
+    * duration-until-next, the irregular-sampling mean a plain avg
+    * gets wrong on bursty streams. Exact decimal products/sums, one
+    * double division.
+    */
+  def q104(spark: SparkSession, dir: String): DataFrame =
+    TrendOps.twap(Tables.events(spark, dir), "user_id", "ts", "value")
+
+  val q104Sql: String =
+    """WITH p AS (
+      | SELECT user_id, value,
+      |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |   - epoch_us(ts) AS w
+      | FROM events)
+      |SELECT user_id,
+      | CAST(SUM(CAST(round(value, 6) AS DECIMAL(19,6)) * w) AS DOUBLE)
+      |  / CAST(SUM(w) AS DOUBLE) AS twap,
+      | CAST(count(*) AS BIGINT) AS n_obs
+      |FROM p WHERE w IS NOT NULL GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2531,5 +2553,6 @@ object ExtensionQueries {
     "q100_drift_psi" -> ((q100 _, q100Sql)),
     "q101_numeric_drift" -> ((q101 _, q101Sql)),
     "q102_transitions" -> ((q102 _, q102Sql)),
-    "q103_inverted_index" -> ((q103 _, q103Sql)))
+    "q103_inverted_index" -> ((q103 _, q103Sql)),
+    "q104_twap" -> ((q104 _, q104Sql)))
 }

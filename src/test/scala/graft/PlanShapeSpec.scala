@@ -75,7 +75,15 @@ class PlanShapeSpec extends AnyFunSuite {
     "q77_hybrid_rrf", "q79_hard_negatives",
     // q80: corpus × broadcast(1-row ordered-fold share total) — the
     // q72 1-row-totals pattern over the |strata| dim
-    "q80_temperature_mix")
+    "q80_temperature_mix",
+    // q98: pair dim × broadcast(1-row basket total) — the q08 scalar
+    // pattern; the pair frame itself comes from a basket-KEYED
+    // equi-join, never a cross product
+    "q98_market_basket",
+    // q100/q101: |categories|-row term frame × broadcast(1-row
+    // totals), twice (smoothing totals + PSI total) — scalar pattern
+    // over dims whose size is the category/bin count, not the data
+    "q100_drift_psi", "q101_numeric_drift")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -156,14 +164,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast, b_nb_classifier q71's L-row label-dim fan-out + 1-row
     // V, b_dsir q72's 1-row totals, b_blocklist the 1-row sorted
     // blocklist-key broadcast, b_temperature_mix q80's 1-row
-    // ordered-fold share total — the registry sweep's documented
-    // scalar/dim-broadcast contracts (see nestedLoopByContract).
+    // ordered-fold share total, b_market_basket q98's 1-row basket
+    // total, b_drift_psi q100's twin 1-row totals — the registry
+    // sweep's documented scalar/dim-broadcast contracts (see
+    // nestedLoopByContract).
     val offenders = graft.Bench.scaleBenches.toSeq
       .filterNot(n => Set("b_minhash_converged", "b_span_scrub",
         "b_curation_full", "b_perplexity", "b_ppl_buckets",
         "b_dup_components", "b_tfidf_vectors", "b_tfidf_ann",
         "b_nb_classifier", "b_dsir", "b_blocklist",
-        "b_temperature_mix").contains(n._1))
+        "b_temperature_mix", "b_market_basket", "b_drift_psi")
+        .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
       val crossProduct = {

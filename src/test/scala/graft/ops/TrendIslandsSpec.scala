@@ -95,6 +95,19 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(capped == Set("y", "z"), "stop-word-grade tokens dropped by maxDf")
   }
 
+  test("twap weights by duration-until-next; last observation dropped") {
+    val df = Seq(
+      // u1: value 10 held 3 min, value 40 held 1 min -> twap 17.5
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(3), 40.0), (1L, 3L, ts(4), 99.0),
+      // u2: single observation -> no duration, no output row
+      (2L, 4L, ts(0), 5.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = TrendOps.twap(df, "user_id", "ts", "value")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == (((10.0 * 3 + 40.0 * 1) / 4.0, 2L)))
+  }
+
   test("rollingAgg: hand-checked trailing window with a gap in the axis") {
     import org.apache.spark.sql.types.DecimalType
     val daily = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (5L, 60.0))
