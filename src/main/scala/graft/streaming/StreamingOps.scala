@@ -208,6 +208,60 @@ object StreamingOps {
       .toDF(keyCol, ordCol, "ema")
   }
 
+  /** Rows for [[streamingTwap]]. */
+  case class TwapEvent(key: String, ts: Long, value: Double)
+  case class TwapPoint(key: String, ts: Long, twap: Double, n_obs: Long)
+  case class TwapState(lastTs: Long, lastV: Double, sumVW: Double, sumW: Double, n: Long)
+
+  /** Streaming time-weighted average via `flatMapGroupsWithState` —
+    * the live-monitoring twin of [[graft.ops.TrendOps.twap]]: each
+    * arriving event closes the previous observation's interval and
+    * emits the running TWAP. State is O(1) per key (last observation +
+    * two accumulators) with no watermark needed — runs forever on an
+    * ingest firehose; at 1000 executors state hash-partitions by key.
+    *
+    * Accumulation contract: sums here fold in DOUBLE in arrival order
+    * (streaming cannot re-sort the past), so this is the monitoring
+    * path; [[graft.ops.TrendOps.twap]]'s decimal-exact batch fold
+    * remains the oracle path (the streamingSimHashDedup honesty
+    * pattern). With in-order files the running value at each key's
+    * last event matches the batch TWAP to double-fold tolerance,
+    * which the spec pins.
+    */
+  def streamingTwap(
+      events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col(keyCol).cast("string").as("key"),
+      unix_micros(col(tsCol)).as("ts"),
+      col(valueCol).cast("double").as("value")).as[TwapEvent]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[TwapState, TwapPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption
+        val out = rows.toArray.sortBy(e => (e.ts, e.value)).flatMap { e =>
+          val (emitted, next) = st match {
+            case Some(s) =>
+              val w = (e.ts - s.lastTs).toDouble
+              val sumVW = s.sumVW + s.lastV * w
+              val sumW = s.sumW + w
+              val n = s.n + 1
+              (Some(TwapPoint(key, e.ts, sumVW / sumW, n)),
+                TwapState(e.ts, e.value, sumVW, sumW, n))
+            case None =>
+              (None, TwapState(e.ts, e.value, 0.0, 0.0, 0L))
+          }
+          st = Some(next)
+          emitted
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+      .toDF(keyCol, "ts_us", "twap", "n_obs")
+  }
+
   /** Drain a streaming DataFrame into an in-memory table synchronously
     * (test/local harness): returns the materialized result.
     */

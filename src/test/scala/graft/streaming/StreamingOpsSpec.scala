@@ -336,6 +336,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batchIds.size == 2 && batchIds.contains(3L))
   }
 
+  test("streamingTwap carries state across micro-batches; final row matches batch twap") {
+    import org.apache.spark.sql.types._
+    import graft.ops.TrendOps
+    val streamDir = Files.createTempDirectory("twap-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("twap-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // clean quarter values so double and decimal folds agree exactly
+    def rows(lo: Long): Seq[(String, Long, java.sql.Timestamp, Double)] =
+      for (k <- Seq("a", "b"); m <- lo until (lo + 4))
+        yield (k, m, ts(m * 3), (m % 7) * 0.25 + (if (k == "a") 1.0 else 2.0))
+    writeBatch(rows(0).toDF("key", "event_id", "ts", "value"), "b1.parquet", 1000000L)
+    writeBatch(rows(4).toDF("key", "event_id", "ts", "value"), "b2.parquet", 2000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingTwap(stream, "key", "ts", "value"),
+      "twap_test", "append")
+      .as[(String, Long, Double, Long)].collect()
+    // 8 events per key -> 7 closed intervals each
+    assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
+    // running n_obs crossed the file boundary (state carried)
+    assert(got.filter(_._1 == "a").map(_._4).sorted.toSeq == (1L to 7L))
+
+    val batch = TrendOps.twap(
+      spark.read.schema(schema).parquet(streamDir), "key", "ts", "value")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for (k <- Seq("a", "b")) {
+      val last = got.filter(_._1 == k).maxBy(_._2)
+      assert(last._4 == batch(k)._2, s"$k: n_obs drifted from batch")
+      assert(math.abs(last._3 - batch(k)._1) < 1e-12,
+        s"$k: streaming twap ${last._3} != batch ${batch(k)._1}")
+    }
+  }
+
   test("streamingEma in batch mode reproduces emaByKey bit-for-bit") {
     import graft.ops.VectorOps
     val events = Tables.events(spark, sfDir).select("event_type", "event_id", "value")
