@@ -691,6 +691,10 @@ object Bench {
       run("s_session_30m", StreamingOps.sessionCounts(src, "30 minutes", "1 hour"), "append"),
       // O(1)-per-key EMA state via flatMapGroupsWithState
       run("s_ema_by_key",
-        StreamingOps.streamingEma(src, "user_id", "event_id", "value", 0.9), "append"))
+        StreamingOps.streamingEma(src, "user_id", "event_id", "value", 0.9), "append"),
+      // O(1)-per-key running TWAP (last observation + two accumulators;
+      // state rows = live keys, never input size)
+      run("s_twap",
+        StreamingOps.streamingTwap(src, "user_id", "ts", "value"), "append"))
   }
 }
