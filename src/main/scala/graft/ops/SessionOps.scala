@@ -70,6 +70,30 @@ object SessionOps {
         max(col(orderCol)).as("end_" + orderCol))
   }
 
+  /** Per-key ordered event-symbol sequence: every key's events
+    * collapsed, in (order, tiebreak) order, into ONE string of
+    * caller-supplied symbols — the MATCH_RECOGNIZE-lite substrate:
+    * compose with `regexp_count`/`regexp_extract_all` for sequence
+    * pattern mining (funnel regexes with tolerated interruptions,
+    * cycle detection, etc.).
+    *
+    * Scale contract: one (key, symbol-struct) shuffle of three narrow
+    * fields, then the per-key sort+join inside the aggregation. The
+    * sequence string is per-key-event-count-sized BY DEFINITION —
+    * that's the sequence-mining contract, same as collect-based
+    * session features; cap upstream (e.g. a time window) for keys
+    * with unbounded histories.
+    */
+  def eventSequence(
+      df: DataFrame, keyCol: String, orderCol: String,
+      symbol: Column, tieBreakCol: String = "event_id"): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(orderCol), col(tieBreakCol),
+            symbol.as("c")))),
+          x => x.getField("c")), "").as("seq"))
+
   /** First-order Markov transition matrix over per-key event
     * sequences: counts and conditional probabilities of value v →
     * next value w within each key's (order, tiebreak) sequence — the

@@ -2481,6 +2481,37 @@ object ExtensionQueries {
       | CAST(count(*) AS BIGINT) AS n_obs
       |FROM p WHERE w IS NOT NULL GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q105
+  /** Sequence pattern mining ([[graft.ops.SessionOps.eventSequence]] +
+    * `regexp_count` — MATCH_RECOGNIZE-lite): per-user counts of the
+    * strict contiguous view→click→purchase run and the lenient form
+    * tolerating signup/error interruptions. Identical RE2-safe
+    * regexes in both engines.
+    */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val sym = when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .otherwise("e")
+    SessionOps.eventSequence(Tables.events(spark, dir), "user_id", "ts", sym)
+      .select(col("user_id"),
+        regexp_count(col("seq"), lit("vcp")).cast("long").as("n_strict"),
+        regexp_count(col("seq"), lit("v[se]*c[se]*p")).cast("long").as("n_lenient"))
+  }
+
+  val q105Sql: String =
+    """WITH s AS (
+      | SELECT user_id,
+      |  string_agg(CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+      |   WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' ELSE 'e' END, ''
+      |   ORDER BY ts, event_id) AS seq
+      | FROM events GROUP BY 1)
+      |SELECT user_id,
+      | CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS n_strict,
+      | CAST(len(regexp_extract_all(seq, 'v[se]*c[se]*p')) AS BIGINT) AS n_lenient
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2554,5 +2585,6 @@ object ExtensionQueries {
     "q101_numeric_drift" -> ((q101 _, q101Sql)),
     "q102_transitions" -> ((q102 _, q102Sql)),
     "q103_inverted_index" -> ((q103 _, q103Sql)),
-    "q104_twap" -> ((q104 _, q104Sql)))
+    "q104_twap" -> ((q104 _, q104Sql)),
+    "q105_seq_pattern" -> ((q105 _, q105Sql)))
 }

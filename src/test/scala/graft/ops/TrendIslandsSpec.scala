@@ -108,6 +108,17 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(got(1L) == (((10.0 * 3 + 40.0 * 1) / 4.0, 2L)))
   }
 
+  test("eventSequence orders by (order, tiebreak) within each key") {
+    val df = Seq(
+      (1L, 2L, ts(1), "b"), (1L, 1L, ts(0), "a"), (1L, 3L, ts(1), "c"),
+      (2L, 4L, ts(5), "z")
+    ).toDF("user_id", "event_id", "ts", "v")
+    val got = SessionOps.eventSequence(df, "user_id", "ts", col("v"))
+      .as[(Long, String)].collect().toMap
+    // same-ts events (ids 2,3) break ties on event_id: b before c
+    assert(got == Map(1L -> "abc", 2L -> "z"))
+  }
+
   test("rollingAgg: hand-checked trailing window with a gap in the axis") {
     import org.apache.spark.sql.types.DecimalType
     val daily = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (5L, 60.0))
