@@ -695,6 +695,11 @@ object Bench {
       // O(1)-per-key running TWAP (last observation + two accumulators;
       // state rows = live keys, never input size)
       run("s_twap",
-        StreamingOps.streamingTwap(src, "user_id", "ts", "value"), "append"))
+        StreamingOps.streamingTwap(src, "user_id", "ts", "value"), "append"),
+      // live funnel tracker: depth + chain ts per key (two fields),
+      // hits emitted the moment a level completes
+      run("s_funnel",
+        StreamingOps.streamingFunnel(src, "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase")), "append"))
   }
 }

@@ -208,6 +208,57 @@ object StreamingOps {
       .toDF(keyCol, ordCol, "ema")
   }
 
+  /** Rows for [[streamingFunnel]]. */
+  case class FunnelEvent(key: String, ts: Long, typ: String)
+  case class FunnelHit(key: String, step_idx: Int, ts: Long)
+  case class FunnelState(depth: Int, chainTs: Long)
+
+  /** Streaming ordered-funnel tracker via `flatMapGroupsWithState` —
+    * the live twin of [[graft.ops.FunnelOps.funnelCounts]]: each key
+    * advances through `steps` on its FIRST qualifying occurrence
+    * (type matches the next step, timestamp at-or-after the previous
+    * completion) and emits a (key, step_idx, ts) hit the moment a
+    * level completes. State is O(1) per key — current depth + chain
+    * timestamp, two fields, no watermark needed.
+    *
+    * Within a micro-batch events process in (ts, step-priority)
+    * order — earlier funnel steps first at equal timestamps, so a
+    * same-instant view+click chains exactly like the batch
+    * operator's `>=` joins. Across micro-batches arrival order rules
+    * (the streamingEma contract): with in-order files the emitted
+    * hits per level equal batch funnelCounts, which the spec pins.
+    */
+  def streamingFunnel(
+      events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps, s"bad steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val ds = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts"), col(typeCol).as("typ"))
+      .as[FunnelEvent]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+        val hits = rows.toArray
+          .sortBy(e => (e.ts, stepIdx(e.typ)))
+          .flatMap { e =>
+            if (st.depth < steps.size && e.typ == steps(st.depth) &&
+                (st.depth == 0 || e.ts >= st.chainTs)) {
+              st = FunnelState(st.depth + 1, e.ts)
+              Some(FunnelHit(key, st.depth, e.ts))
+            } else None
+          }
+        state.update(st)
+        hits.iterator
+      }
+      .toDF(keyCol, "step_idx", "ts_us")
+  }
+
   /** Rows for [[streamingTwap]]. */
   case class TwapEvent(key: String, ts: Long, value: Double)
   case class TwapPoint(key: String, ts: Long, twap: Double, n_obs: Long)

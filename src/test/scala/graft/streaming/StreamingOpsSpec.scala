@@ -384,6 +384,57 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingFunnel: per-level users match batch funnelCounts; state crosses batches") {
+    import org.apache.spark.sql.types._
+    import graft.ops.FunnelOps
+    val streamDir = Files.createTempDirectory("funnel-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("funnel-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+    // file 1: u1 view+click; u2 click only (can't start); u3 view
+    writeBatch(Seq(
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(5), "click"),
+      (2L, 3L, ts(1), "click"), (3L, 4L, ts(2), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type"), "b1.parquet", 1000000L)
+    // file 2: u1 buys (chain crossed the batch boundary); u2 views
+    // then clicks same-instant (>= tie rule); u3 stalls
+    writeBatch(Seq(
+      (1L, 5L, ts(10), "buy"),
+      (2L, 6L, ts(20), "view"), (2L, 7L, ts(20), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type"), "b2.parquet", 2000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val hits = StreamingOps.runToMemory(
+      StreamingOps.streamingFunnel(stream, "user_id", "ts", "event_type",
+        Seq("view", "click", "buy")),
+      "funnel_stream_test", "append")
+      .select(col("user_id").cast("long"), col("step_idx"))
+      .as[(Long, Int)].collect().toSet
+    assert(hits == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (3L, 1)))
+
+    // per-level distinct-user counts equal the batch operator on the
+    // same files
+    val batchEvents = spark.read.schema(schema).parquet(streamDir)
+    val batchCounts = FunnelOps.funnelCounts(batchEvents, "user_id", "ts",
+        "event_type", Seq("view", "click", "buy"))
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    val streamCounts = hits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(streamCounts == batchCounts)
+  }
+
   test("streamingEma in batch mode reproduces emaByKey bit-for-bit") {
     import graft.ops.VectorOps
     val events = Tables.events(spark, sfDir).select("event_type", "event_id", "value")
