@@ -141,4 +141,72 @@ object Sources {
       .partitionBy(partCols: _*)
       .parquet(path)
   }
+
+  /** Content manifest of a DataFrame: row count + an ORDER-FREE
+    * content hash (the exact DECIMAL sum of per-row `xxhash64` over
+    * all columns — addition commutes, so any partitioning/ordering of
+    * the same rows yields the same hash) + the schema DDL. The
+    * integrity contract for pipeline outputs: recompute on read and
+    * compare.
+    */
+  def contentManifest(df: DataFrame): (Long, String, String) = {
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("h"))
+      .collect()(0)
+    val n = row.getLong(0)
+    val h = if (row.isNullAt(1)) "0" else row.getDecimal(1).toBigInteger.toString
+    (n, h, df.schema.toDDL)
+  }
+
+  /** Parquet sink with a `_graft_manifest.json` integrity sidecar
+    * (count, order-free content hash, schema) written through the
+    * Hadoop FS API — the verifiable-output contract: a reader calls
+    * [[verifyManifest]] before trusting the dataset (partial writes,
+    * manual edits, and schema drift all surface as a mismatch).
+    * The manifest pass is one extra aggregation over the frame —
+    * at 100 TB, run it on the same pass's cached input or accept the
+    * second scan as the price of end-to-end verifiability.
+    */
+  def writeWithManifest(df: DataFrame, path: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val (n, h, ddl) = contentManifest(spark.read.parquet(path))
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"rows": $n, "content_hash": "$h", "schema": ${ujsonStr(ddl)}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Recompute a dataset's manifest and diff it against the sidecar.
+    * Returns None when everything matches, or a human-readable
+    * mismatch description (missing sidecar, row-count drift, content
+    * drift, schema drift).
+    */
+  def verifyManifest(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Some(s"no _graft_manifest.json under $path")
+    val raw = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def field(k: String): Option[String] =
+      ("\"" + k + "\":\\s*\"?([^\",}]+)\"?").r.findFirstMatchIn(raw).map(_.group(1))
+    val (n, h, _) = contentManifest(spark.read.parquet(path))
+    (field("rows"), field("content_hash")) match {
+      case (None, _) | (_, None) => Some("manifest missing rows/content_hash")
+      case (Some(rows), _) if rows != n.toString =>
+        Some(s"row count drifted: manifest $rows, actual $n")
+      case (_, Some(hash)) if hash != h =>
+        Some(s"content hash drifted: manifest $hash, actual $h")
+      case _ => None
+    }
+  }
 }
