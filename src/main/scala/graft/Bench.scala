@@ -341,6 +341,14 @@ object Bench {
         vocab.unionByName(vocab.select(concat(col("token"), lit("-x")).as("token"))),
         "token", m = 4096, k = 3, seed = 5L)
     }),
+    // native streaming corr — the scale path a production user runs
+    // when cross-engine bit-parity isn't required (q91's decimal
+    // sufficient-statistic form is the portable twin)
+    "b_corr_native" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(corr(col("l_quantity"), col("l_extendedprice"))
+          .as("corr_qty_price"))),
     // gaps-and-islands: one (user, ts) sort + per-island agg
     "b_islands" -> ((s, dir) =>
       graft.ops.SessionOps.islands(Tables.events(s, dir),
