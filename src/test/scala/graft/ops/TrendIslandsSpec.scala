@@ -61,6 +61,25 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(math.abs(z4.get - (10.0 - 13.0) / math.sqrt(27.0)) < 1e-12)
   }
 
+  test("islands matches an independent fold on random sequences") {
+    val rnd = new scala.util.Random(17)
+    val rows = for (u <- 0L until 25L; i <- 0 until 40) yield
+      (u, u * 1000 + i, ts(i), if (rnd.nextBoolean()) "a" else "b")
+    val got = SessionOps.islands(
+        rows.toDF("user_id", "event_id", "ts", "v"), "user_id", "ts", "v")
+      .select("user_id", "island_id", "v", "n")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3.getTime, e._2)).map(_._4)
+      val runs = ordered.foldLeft(List.empty[(String, Long)]) {
+        case ((v, n) :: tail, x) if v == x => (v, n + 1) :: tail
+        case (acc, x) => (x, 1L) :: acc
+      }.reverse
+      runs.zipWithIndex.map { case ((v, n), i) => (u, i + 1L, v, n) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("transitionMatrix: hand-checked counts and row-stochastic probabilities") {
     val df = Seq(
       (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "a"),
