@@ -140,6 +140,26 @@ object SplitOps {
       .limit(k)
   }
 
+  /** Per-stratum [[weightedSampleExactK]]: `min(k, |stratum|)` rows
+    * per `strataCol` group by the same A-ES priority, ranked in a
+    * stratum-PARTITIONED window (never global) — the full sampling
+    * matrix closes: exact budget × weights × strata. Same engine-only
+    * contract as the global form (transcendental priority ⇒ spec
+    * differential, no oracle row).
+    */
+  def weightedSampleExactKStratified(
+      df: DataFrame, idCol: String, strataCol: String, weight: Column,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 0, "weightedSampleExactKStratified: k must be non-negative")
+    val u = PortableHash.uniform01(col(idCol), lit(seed))
+    val priority = -log(greatest(u, lit(java.lang.Double.MIN_VALUE))) / weight
+    val w = Window.partitionBy(strataCol).orderBy(priority, col(idCol))
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Per-stratum [[sampleExactK]]: exactly `min(k, |stratum|)` rows
     * from every `strataCol` group (the balanced-eval-set carve: "200
     * docs per language"). Same key-derived hash order, so per-stratum

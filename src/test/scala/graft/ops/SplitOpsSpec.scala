@@ -94,6 +94,23 @@ class SplitOpsSpec extends AnyFunSuite {
     assert(guarded.length == 100 && guarded.forall(_ >= 1900))
   }
 
+  test("weightedSampleExactKStratified: per-stratum selection equals per-group global form") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 900).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("int"))
+      .withColumn("w", (col("id") % 5 + 1).cast("double"))
+    val got = SplitOps.weightedSampleExactKStratified(df, "id", "g", col("w"), 40, 9L)
+      .select("g", "id").as[(Int, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for (g <- 0 to 2) {
+      val direct = SplitOps.weightedSampleExactK(
+        df.filter(col("g") === g), "id", col("w"), 40, 9L)
+        .select("id").as[Long].collect().toSet
+      assert(got(g) == direct, s"stratum $g diverged from the global form")
+      assert(got(g).size == 40)
+    }
+  }
+
   test("weightedSample: deterministic, repartition-proof, tracks the probability") {
     val big = spark.range(0, 4000).toDF("id")
     val kept = SplitOps.weightedSample(big, "id", lit(0.3), seed = 5L)
