@@ -95,6 +95,55 @@ class FunnelOpsSpec extends AnyFunSuite {
     assert(got == want, s"windowFunnel $got != brute $want")
   }
 
+  test("windowFunnel: 4-step funnel matches brute force across seeds") {
+    val types = Vector("a", "b", "c", "d")
+    for (seed <- Seq(3, 9)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = for (u <- 0L until 30L; _ <- 0 until 24) yield
+        (u, ts(rnd.nextInt(400)), types(rnd.nextInt(4)))
+      val events = rows.toDF("user_id", "ts", "event_type")
+      val w = 60L * 60 * 1000000 // 60 min
+
+      def brute(evs: Seq[(Long, Int)]): Int = {
+        val byStep = (0 until 4).map(i => evs.filter(_._2 == i).map(_._1).sorted)
+        def reach(level: Int): Boolean = byStep(0).exists { t1 =>
+          var c = t1; var ok = true
+          for (k <- 1 to level if ok)
+            byStep(k).find(t => t >= c && t < t1 + w) match {
+              case Some(t) => c = t
+              case None => ok = false
+            }
+          ok
+        }
+        if (byStep(0).isEmpty) 0 else (3 to 0 by -1).find(reach).map(_ + 1).getOrElse(0)
+      }
+      val perUser = rows.groupBy(_._1).map { case (u, es) =>
+        u -> brute(es.map(e => (e._2.getTime * 1000L, types.indexOf(e._3))))
+      }
+      val want = (1 to 4).map(l => l -> perUser.values.count(_ >= l).toLong).toMap
+      val got = FunnelOps.windowFunnel(events, "user_id", "ts", "event_type",
+          Seq("a", "b", "c", "d"), w)
+        .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
+  test("cohortRetention matches an independent fold on random events") {
+    val rnd = new scala.util.Random(31)
+    val day = 86400L
+    val rows = for (u <- 0L until 60L; _ <- 0 until 15) yield
+      (u, new Timestamp(rnd.nextInt(20 * day.toInt).toLong * 1000L))
+    val got = FunnelOps.cohortRetention(
+        rows.toDF("user_id", "ts"), "user_id", "ts", day)
+      .as[(Long, Long, Long)].collect().toSet
+    val bucket = (t: Timestamp) => t.getTime / (day * 1000L)
+    val firstSeen = rows.groupBy(_._1).view.mapValues(es => es.map(e => bucket(e._2)).min)
+    val want = rows.map { case (u, t) => (firstSeen(u), bucket(t), u) }
+      .groupBy(r => (r._1, r._2))
+      .map { case ((c, b), rs) => (c, b - c, rs.map(_._3).distinct.size.toLong) }.toSet
+    assert(got == want)
+  }
+
   test("cohortRetention: hand-checked grid, period 0 counts whole cohort") {
     val day = 86400L
     def dts(d: Long, min: Long) = new Timestamp(d * day * 1000L + min * 60000L)

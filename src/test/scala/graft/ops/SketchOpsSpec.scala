@@ -86,6 +86,35 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("CMS cells and estimates match an independent Scala sketch") {
+    val (d, w, seed) = (4, 128, 13L)
+    def md5Long60(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (java.nio.ByteBuffer.wrap(dig.take(8)).getLong >>> 4) & ((1L << 60) - 1)
+    }
+    val toks = docs.select(explode(filter(split(col("text"), " "), t => t =!= "")))
+      .as[String].collect()
+    val wantCells = toks.flatMap(t => (0 until d).map(r =>
+      (r, md5Long60(s"$t#$seed#$r") % w))).groupBy(identity)
+      .map { case ((r, b), hits) => (r, b, hits.size.toLong) }.toSet
+    val gotCells = SketchOps.cmsSketch(docs, "text", d, w, seed)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(gotCells == wantCells, "engine CMS cells != independent Scala sketch")
+
+    val probes = exact.keys.toSeq
+    val est = SketchOps.cmsEstimate(
+        SketchOps.cmsSketch(docs, "text", d, w, seed),
+        probes.toDF("tok"), "tok", d, w, seed)
+      .as[(String, Long)].collect().toMap
+    val cellMap = wantCells.map { case (r, b, c) => (r, b) -> c }.toMap
+    probes.foreach { t =>
+      val wantEst = (0 until d).map(r =>
+        cellMap.getOrElse((r, md5Long60(s"$t#$seed#$r") % w), 0L)).min
+      assert(est(t) == wantEst, s"$t: estimate ${est(t)} != $wantEst")
+    }
+  }
+
   test("Bloom: no false negatives; absent keys mostly reject; bits cap at m") {
     val (m, k, seed) = (4096, 3, 5L)
     val bits = SketchOps.bloomBits(docs, "text", m, k, seed)
