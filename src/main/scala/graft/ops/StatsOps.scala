@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical hypothesis testing over contingency counts — the
+  * A/B-testing / independence-check staple next to [[DriftOps]]'s
+  * distribution monitors. Everything derives from exact integer
+  * counts, so results replay bit-level across engines.
+  */
+object StatsOps {
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: observed (a, b) cell counts vs the independence
+    * expectation `row_total × col_total / n`, with
+    * `chi2 = Σ (o - e)² / e` and `dof = (|a|-1)(|b|-1)`. The
+    * cross-engine total sums `round(term, 9)` as DECIMAL (exact,
+    * order-free — the PSI pattern); p-value thresholds belong to the
+    * caller's chi-square table.
+    *
+    * Scale shape: one (a, b) keyed count (map-side combined), two
+    * marginal dims and a 1-row total broadcast back over the
+    * |a|×|b|-cell frame — output is ONE row regardless of data size.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n"))
+    val r = o.groupBy(col(aCol)).agg(sum(col("n")).as("__rn"))
+    val c = o.groupBy(col(bCol)).agg(sum(col("n")).as("__cn"))
+    val t = o.agg(sum(col("n")).as("__tot"),
+      countDistinct(col(aCol)).as("__ka"),
+      countDistinct(col(bCol)).as("__kb"))
+    val d = (x: Column) => x.cast("double")
+    val expCt = d(col("__rn")) * d(col("__cn")) / d(col("__tot"))
+    val term = (d(col("n")) - expCt) * (d(col("n")) - expCt) / expCt
+    o.join(broadcast(r), Seq(aCol))
+      .join(broadcast(c), Seq(bCol))
+      .crossJoin(broadcast(t))
+      .select(term.as("__term"), col("__ka"), col("__kb"), col("__tot"))
+      .groupBy("__ka", "__kb", "__tot")
+      .agg(sum(round(col("__term"), 9).cast("decimal(38,9)"))
+        .cast("double").as("chi2"))
+      .select(col("chi2"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        col("__tot").as("n_total"))
+  }
+}

@@ -2512,6 +2512,39 @@ object ExtensionQueries {
       | CAST(len(regexp_extract_all(seq, 'v[se]*c[se]*p')) AS BIGINT) AS n_lenient
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q106
+  /** Chi-square independence test ([[graft.ops.StatsOps.chiSquare]]):
+    * weekday × event_type contingency over events — the A/B-testing
+    * staple. All inputs exact counts; the statistic sums
+    * round(term, 9) as DECIMAL (order-free, the PSI pattern).
+    */
+  def q106(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.chiSquare(
+      Tables.events(spark, dir).withColumn("wd",
+        pmod(floor(unix_micros(col("ts")) / lit(86400000000L)), lit(7))),
+      "wd", "event_type")
+
+  val q106Sql: String =
+    """WITH o AS (
+      | SELECT CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS wd,
+      |  event_type AS et, CAST(count(*) AS BIGINT) AS n
+      | FROM events GROUP BY 1, 2),
+      |r AS (SELECT wd, SUM(n) AS rn FROM o GROUP BY 1),
+      |c AS (SELECT et, SUM(n) AS cn FROM o GROUP BY 1),
+      |t AS (SELECT SUM(n) AS tot FROM o),
+      |e AS (
+      | SELECT o.wd, o.et, o.n,
+      |  CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(t.tot AS DOUBLE) AS exp
+      | FROM o JOIN r USING (wd) JOIN c USING (et) CROSS JOIN t),
+      |s AS (
+      | SELECT (CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp) / exp AS term
+      | FROM e)
+      |SELECT CAST(SUM(CAST(round(term, 9) AS DECIMAL(38,9))) AS DOUBLE) AS chi2,
+      | CAST((SELECT count(*) FROM r) - 1 AS BIGINT)
+      |  * CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS dof,
+      | CAST((SELECT tot FROM t) AS BIGINT) AS n_total
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2586,5 +2619,6 @@ object ExtensionQueries {
     "q102_transitions" -> ((q102 _, q102Sql)),
     "q103_inverted_index" -> ((q103 _, q103Sql)),
     "q104_twap" -> ((q104 _, q104Sql)),
-    "q105_seq_pattern" -> ((q105 _, q105Sql)))
+    "q105_seq_pattern" -> ((q105 _, q105Sql)),
+    "q106_chi2" -> ((q106 _, q106Sql)))
 }

@@ -83,7 +83,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // q100/q101: |categories|-row term frame × broadcast(1-row
     // totals), twice (smoothing totals + PSI total) — scalar pattern
     // over dims whose size is the category/bin count, not the data
-    "q100_drift_psi", "q101_numeric_drift")
+    "q100_drift_psi", "q101_numeric_drift",
+    // q106: |a|×|b|-cell contingency frame × broadcast(1-row totals) —
+    // the same scalar pattern
+    "q106_chi2")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class StatsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("chiSquare: hand-checked 2x2 table") {
+    // classic 2x2: a={x:30,y:10}, b={x:10,y:30} -> chi2 = 20·(sum of
+    // (|o-e|=10)^2/e over cells e=20) = 4·(100/20) = 20, dof = 1
+    val rows = Seq.fill(30)(("g1", "x")) ++ Seq.fill(10)(("g1", "y")) ++
+      Seq.fill(10)(("g2", "x")) ++ Seq.fill(30)(("g2", "y"))
+    val got = StatsOps.chiSquare(rows.toDF("g", "v"), "g", "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(got._2 == 1L && got._3 == 80L)
+    assert(math.abs(got._1 - 20.0) < 1e-9, s"chi2 ${got._1} != 20")
+  }
+
+  test("chiSquare: perfectly independent table scores ~0; dof tracks level counts") {
+    // counts exactly proportional -> every observed == expected
+    val rows = for (g <- Seq("a", "b", "c"); v <- Seq("p", "q"); _ <- 0 until (
+      (if (g == "a") 2 else if (g == "b") 4 else 6) * (if (v == "p") 3 else 1)))
+      yield (g, v)
+    val got = StatsOps.chiSquare(rows.toDF("g", "v"), "g", "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(got._1 == 0.0, s"independent table must score exactly 0, got ${got._1}")
+    assert(got._2 == 2L) // (3-1)(2-1)
+  }
+
+  test("chiSquare is repartition-invariant") {
+    val rows = (0 until 700).map(i => (s"g${i % 4}", s"v${i % 3 + i % 5}"))
+    val a = StatsOps.chiSquare(rows.toDF("g", "v"), "g", "v")
+      .as[(Double, Long, Long)].collect().head
+    val b = StatsOps.chiSquare(rows.toDF("g", "v").repartition(11), "g", "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(a == b)
+  }
+}
