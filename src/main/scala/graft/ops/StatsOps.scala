@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
+  /** Shannon entropy of a categorical column (nats): `-Σ p ln p` over
+    * the category distribution — the diversity gauge next to
+    * [[graft.ops.DriftOps]]'s shift monitors (a collapsing source mix
+    * shows up as falling entropy before any single category's drift
+    * term flags). One category-keyed count, a 1-row total broadcast,
+    * and the order-free round-then-DECIMAL term sum; output is one
+    * row. NULL categories count as a category (they are a real mass
+    * in the distribution); filter upstream to exclude.
+    */
+  def entropy(df: DataFrame, catCol: String): DataFrame = {
+    val c = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("__tot"),
+      count(lit(1)).as("__k"))
+    val p = col("n").cast("double") / col("__tot").cast("double")
+    c.crossJoin(broadcast(t))
+      .select((-p * log(p)).as("__term"), col("__k"), col("__tot"))
+      .groupBy("__k", "__tot")
+      .agg(sum(round(col("__term"), 9).cast("decimal(38,9)"))
+        .cast("double").as("entropy"))
+      .select(col("entropy"), col("__k").as("n_categories"),
+        col("__tot").as("n_rows"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns: observed (a, b) cell counts vs the independence
     * expectation `row_total × col_total / n`, with

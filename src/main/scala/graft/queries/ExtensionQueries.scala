@@ -2545,6 +2545,27 @@ object ExtensionQueries {
       | CAST((SELECT tot FROM t) AS BIGINT) AS n_total
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q107
+  /** Shannon entropy ([[graft.ops.StatsOps.entropy]]) of the source
+    * mix — the diversity gauge: a collapsing mix shows up as falling
+    * entropy before any single category's drift term flags.
+    * ln(20 sources, uniform) ≈ 2.9957 here.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.entropy(Tables.documents(spark, dir), "source")
+
+  val q107Sql: String =
+    """WITH c AS (SELECT source AS cat, CAST(count(*) AS BIGINT) AS n
+      | FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(n) AS tot FROM c),
+      |s AS (SELECT -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+      |        * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS term
+      | FROM c CROSS JOIN t)
+      |SELECT CAST(SUM(CAST(round(term, 9) AS DECIMAL(38,9))) AS DOUBLE) AS entropy,
+      | CAST((SELECT count(*) FROM c) AS BIGINT) AS n_categories,
+      | CAST((SELECT tot FROM t) AS BIGINT) AS n_rows
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2620,5 +2641,6 @@ object ExtensionQueries {
     "q103_inverted_index" -> ((q103 _, q103Sql)),
     "q104_twap" -> ((q104 _, q104Sql)),
     "q105_seq_pattern" -> ((q105 _, q105Sql)),
-    "q106_chi2" -> ((q106 _, q106Sql)))
+    "q106_chi2" -> ((q106 _, q106Sql)),
+    "q107_entropy" -> ((q107 _, q107Sql)))
 }

@@ -84,9 +84,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // totals), twice (smoothing totals + PSI total) — scalar pattern
     // over dims whose size is the category/bin count, not the data
     "q100_drift_psi", "q101_numeric_drift",
-    // q106: |a|×|b|-cell contingency frame × broadcast(1-row totals) —
+    // q106/q107: contingency/category dim × broadcast(1-row totals) —
     // the same scalar pattern
-    "q106_chi2")
+    "q106_chi2", "q107_entropy")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

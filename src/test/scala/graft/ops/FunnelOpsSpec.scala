@@ -128,6 +128,22 @@ class FunnelOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-operator invariant: windowFunnel never exceeds the unbounded funnel per level") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val steps = Seq("view", "click", "purchase")
+    val unbounded = FunnelOps.funnelCounts(events, "user_id", "ts", "event_type", steps)
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    val windowed = FunnelOps.windowFunnel(events, "user_id", "ts", "event_type",
+        steps, windowUs = 6L * 3600 * 1000000)
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    steps.indices.foreach { i =>
+      assert(windowed(i + 1) <= unbounded(i + 1),
+        s"level ${i + 1}: window-constrained ${windowed(i + 1)} > unbounded ${unbounded(i + 1)}")
+    }
+    // level 1 is identical by definition (any anchor counts)
+    assert(windowed(1) == unbounded(1))
+  }
+
   test("cohortRetention matches an independent fold on random events") {
     val rnd = new scala.util.Random(31)
     val day = 86400L

@@ -30,6 +30,23 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got._2 == 2L) // (3-1)(2-1)
   }
 
+  test("entropy: uniform = ln(k); single category = 0; skew lowers it") {
+    val uniform = (0 until 800).map(i => Tuple1(s"c${i % 8}")).toDF("cat")
+    val (e1, k1, n1) = StatsOps.entropy(uniform, "cat")
+      .as[(Double, Long, Long)].collect().head
+    assert(k1 == 8L && n1 == 800L)
+    assert(math.abs(e1 - math.log(8.0)) < 1e-8, s"uniform entropy $e1 != ln 8")
+
+    val single = Seq.fill(50)(Tuple1("only")).toDF("cat")
+    assert(StatsOps.entropy(single, "cat")
+      .as[(Double, Long, Long)].collect().head._1 == 0.0)
+
+    val skewed = ((0 until 700).map(_ => "big") ++ (0 until 100).map(i => s"c${i % 4}"))
+      .map(Tuple1(_)).toDF("cat")
+    val e2 = StatsOps.entropy(skewed, "cat").as[(Double, Long, Long)].collect().head._1
+    assert(e2 < e1, "a collapsing mix must lower entropy")
+  }
+
   test("chiSquare is repartition-invariant") {
     val rows = (0 until 700).map(i => (s"g${i % 4}", s"v${i % 3 + i % 5}"))
     val a = StatsOps.chiSquare(rows.toDF("g", "v"), "g", "v")
