@@ -394,13 +394,23 @@ object Bench {
       graft.ops.SearchOps.hashedTfidf(
         Tables.documents(s, dir), "text", "doc_id", dim = 256)),
     // the text -> vector -> ANN composition: hashed tf-idf vectors fed
-    // straight into hyperplane-LSH cosine top-k (lexical similarity
-    // search with no pretrained embedding dependency)
+    // into hyperplane-LSH cosine top-k (lexical similarity search with
+    // no pretrained embedding dependency). The vector frame is
+    // persisted INSIDE the timed row: the self-join probes it from two
+    // plan branches, and recomputing the multi-shuffle tf-idf per
+    // branch times tokenization twice, not the ANN (19.6 s of the r6
+    // row was exactly that plus the uncapped hot-bucket join) — at
+    // scale the vectors are a materialized corpus artifact. maxBucket
+    // 64 (not the 256 default): this fixture's 31-word vocab collapses
+    // signatures into a handful of buckets BY CONSTRUCTION, the
+    // degenerate case where a few dozen reps per (band, bucket) carry
+    // all the recall that banding can deliver.
     "b_tfidf_ann" -> ((s, dir) =>
       graft.ops.SimilarityOps.lshCosineTopK(
         graft.ops.SearchOps.hashedTfidf(
-          Tables.documents(s, dir), "text", "doc_id", dim = 256),
-        k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256)),
+          Tables.documents(s, dir), "text", "doc_id", dim = 256).persist(),
+        k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256,
+        maxBucket = 64)),
     // classifier-based quality filtering: multinomial NB train+predict
     // (model broadcasts; text hashes map-side; id-keyed numeric shuffles)
     "b_nb_classifier" -> ((s, dir) =>
@@ -566,9 +576,14 @@ object Bench {
     // recorded ~110s of b_* rows ahead of q01 and a leaked cache riding
     // through them; family order plus the per-row cache sweep below
     // makes the record insensitive to what the heavy rows do.
+    // optional row filter (args(0) = comma-separated name list): run a
+    // subset while iterating on one operator without paying the full
+    // sweep. The driver passes no args — full run.
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val ordered =
-      SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toSeq.sortBy(_._1) ++
-        scaleBenches.toSeq.sortBy(_._1)
+      (SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toSeq.sortBy(_._1) ++
+        scaleBenches.toSeq.sortBy(_._1)).filter(t => wanted(t._1))
     // (name, seconds, error): failures are REPORTED, never silently
     // recorded as a plausible timing.
     val results = ordered.map { case (name, fn) =>
@@ -598,7 +613,9 @@ object Bench {
       val passes = convergedPasses.synchronized(convergedPasses.toList.sortBy(_._1))
       (name, sec, err, passes)
     }
-    val streaming = streamingBenches(spark, sfDir)
+    val streaming =
+      if (only.exists(names => !names.exists(_.startsWith("s_")))) Nil
+      else streamingBenches(spark, sfDir).filter(t => wanted(t._1))
     val allTimings = results.map { case (k, v, e, _) => (k, v, e) } ++
       streaming.map { case (k, v, _, e) => (k, v, e) }
     val qs = allTimings.map { case (k, v, err) =>
@@ -619,7 +636,19 @@ object Bench {
         "],\"pass_survivors\":[" + passes.map(_._2).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = allTimings.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"diag":$diag,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"diag":$diag,"sf":"$sfDir"}"""
+    println(json)
+    // VERDICT r6 #5: the driver's stdout capture truncates long runs
+    // (BENCH_r06.json lost the whole q-family to a 2 KB tail), so the
+    // gate must be verifiable from a committed artifact. Full runs
+    // (no row filter) also write the complete JSON line into the repo.
+    if (only.isEmpty) {
+      val out = new java.io.File("bench_out")
+      out.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(out, "latest.json").toPath,
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 

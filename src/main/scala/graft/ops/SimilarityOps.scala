@@ -160,8 +160,62 @@ object SimilarityOps {
   def lshCosineTopK(
       df: DataFrame, k: Int, bands: Int = 8, planesPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): DataFrame =
-    lshCosineSearch(df, df, k, bands, planesPerBand, idCol, vecCol, dim)
+      dim: Int = 64, maxBucket: Int = defaultMaxBucket): DataFrame =
+    lshCosineSearch(df, df, k, bands, planesPerBand, idCol, vecCol, dim,
+      maxBucket)
+
+  /** Default corpus-side (band, bucket) occupancy cap for the LSH
+    * search family. Uncapped, a hot bucket costs |bucket|² cosines in
+    * ONE task — the measured 47× blowup on collapsed-signature inputs
+    * (hashed-TFIDF over a tiny vocab) and the classic 100 TB straggler
+    * (boilerplate/near-dup clusters concentrate in a handful of
+    * buckets). 256 keeps fixture-scale buckets untouched (results
+    * bit-identical to uncapped) while bounding every bucket's join
+    * output at |queries_in_bucket| × 256.
+    */
+  val defaultMaxBucket: Int = 256
+
+  /** Deterministic per-(band, bucket) occupancy cap: keep the `m`
+    * members with the smallest (xxhash64(band, id), id) — an unbiased,
+    * reproducible sample of the bucket, salted by band so hot-bucket
+    * survivors DIFFER across bands (candidate diversity: a query
+    * probing `bands` capped buckets sees up to bands × m distinct
+    * reps, not the same m repeated). The rank window partitions on
+    * exactly the join keys, so its exchange is the one the bucket
+    * join needs anyway and its sort is a prefix-compatible superset —
+    * capping adds NO extra shuffle.
+    *
+    * Recall trade (documented contract): a pair co-occurring only in
+    * buckets where the corpus member was capped out is lost; with the
+    * band-salted hash the chance a true neighbor is capped out of ALL
+    * `bands` buckets decays geometrically in bands for buckets a few ×
+    * over the cap — and a bucket 100× over the cap is precisely the
+    * degenerate near-dup cluster where any m members represent it.
+    */
+  private def capBucketSide(banded: DataFrame, idName: String, m: Int): DataFrame =
+    if (m <= 0) banded
+    else {
+      val wb = Window.partitionBy("band", "bucket")
+        .orderBy(xxhash64(col("band"), col(idName)), col(idName))
+      banded.withColumn("__occ", row_number().over(wb))
+        .filter(col("__occ") <= m).drop("__occ")
+    }
+
+  /** Drop duplicate (query_id, neighbor_id) occurrences from a scored
+    * pair stream that is about to be top-k ranked: occurrences of the
+    * same pair are ADJACENT under the rank window's own
+    * (cosine desc, neighbor_id) ordering, so a `lag` over the very
+    * same window identifies them — dedup costs one extra window pass
+    * over the exchange+sort the top-k already pays, zero extra
+    * shuffles (Filter preserves partitioning and ordering, so the
+    * row_number window below it reuses them).
+    */
+  private def dedupAdjacentPairs(scored: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    scored
+      .withColumn("__dup",
+        lag("neighbor_id", 1).over(w) === col("neighbor_id") &&
+          lag("cosine", 1).over(w) === col("cosine"))
+      .filter(col("__dup").isNull || !col("__dup")).drop("__dup")
 
   /** Two-frame hyperplane-LSH search: for every `queries` row, the
     * approximate top-k `corpus` neighbors — the standing ANN deployment
@@ -175,12 +229,43 @@ object SimilarityOps {
     * (ids, cosine) ride the per-query top-k shuffle. Cost scales with
     * bucket co-occupancy, never |queries| × |corpus|. Self-pairs are
     * excluded when ids collide ([[bruteCosineTopK]]'s convention).
+    *
+    * `maxBucket` > 0 caps the CORPUS side of every (band, bucket) at
+    * that many members ([[capBucketSide]] — deterministic top-m by
+    * band-salted key hash), bounding the join output at
+    * |banded queries| × maxBucket regardless of signature skew.
+    * Capping switches pair dedup from the first-colliding-band filter
+    * (which would LOSE a pair whose first shared band had its member
+    * capped out) to an adjacent-duplicate drop inside the top-k
+    * window's own sort ([[dedupAdjacentPairs]]) — same shuffle count,
+    * at most `bands` redundant cosines per multi-band pair.
+    * `maxBucket` <= 0 = uncapped, bit-identical to the legacy plan.
     */
   def lshCosineSearch(
       queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 8, planesPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    lshScoredPairs(queries, corpus, bands, planesPerBand, idCol, vecCol, dim, maxBucket)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The unique scored candidate pairs behind [[lshCosineSearch]]
+    * (everything before the per-query top-k): one row per distinct
+    * (query_id, neighbor_id) sharing a surviving (band, bucket), with
+    * the exact cosine. Public as the occupancy-bound diagnostic — the
+    * planted-hot-bucket spec asserts `count() <=
+    * |banded queries| × maxBucket` — and as a building block for
+    * pair-graph consumers that want candidates, not ranks.
+    */
+  def lshScoredPairs(
+      queries: DataFrame, corpus: DataFrame,
+      bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, maxBucket: Int = defaultMaxBucket): DataFrame = {
     def banded(df: DataFrame): DataFrame = {
       val sigs = graft.functions.HyperplaneBandSigs
         .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
@@ -190,21 +275,28 @@ object SimilarityOps {
     }
     val l = banded(queries).select(col("band"), col("bucket"),
       col("id").as("query_id"), col("vec").as("q_vec"), col("buckets").as("bk_q"))
-    val r = banded(corpus).select(col("band"), col("bucket"),
+    val r0 = banded(corpus).select(col("band"), col("bucket"),
       col("id").as("neighbor_id"), col("vec").as("c_vec"), col("buckets").as("bk_c"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      // first-collision-wins: this occurrence survives only if band is
-      // the first position where the two bucket arrays agree — each
-      // unique pair is scored exactly once, with zero extra shuffle.
-      .filter(graft.functions.FirstEqualIndex
-        .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    if (maxBucket <= 0) {
+      l.join(r0, Seq("band", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        // first-collision-wins: this occurrence survives only if band is
+        // the first position where the two bucket arrays agree — each
+        // unique pair is scored exactly once, with zero extra shuffle.
+        .filter(graft.functions.FirstEqualIndex
+          .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
+    } else {
+      val r = capBucketSide(r0, "neighbor_id", maxBucket)
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      dedupAdjacentPairs(
+        l.join(r, Seq("band", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine")),
+        w)
+    }
   }
 
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
@@ -216,13 +308,17 @@ object SimilarityOps {
     * (one small column next to the vector); same-label candidates are
     * rejected AT the bucket join, before the cosine and the per-query
     * top-k, so a cluster of same-label twins costs nothing downstream.
-    * Banding recall contract is lshCosineSearch's.
+    * Banding recall contract is lshCosineSearch's, including the
+    * `maxBucket` occupancy cap (corpus side capped label-blind — a
+    * bucket drowned in same-label twins can cap out the cross-label
+    * candidates; raise `maxBucket` or pre-partition by label if labels
+    * are that skewed).
     */
   def hardNegativesLsh(
       df: DataFrame, k: Int, labelCol: String = "label",
       bands: Int = 8, planesPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Int = defaultMaxBucket): DataFrame = {
     def banded(d: DataFrame): DataFrame = {
       val sigs = graft.functions.HyperplaneBandSigs
         .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
@@ -235,18 +331,29 @@ object SimilarityOps {
     val l = banded(df).select(col("band"), col("bucket"),
       col("id").as("query_id"), col("vec").as("q_vec"),
       col("lbl").as("q_lbl"), col("buckets").as("bk_q"))
-    val r = banded(df).select(col("band"), col("bucket"),
+    val r0 = banded(df).select(col("band"), col("bucket"),
       col("id").as("neighbor_id"), col("vec").as("c_vec"),
       col("lbl").as("c_lbl"), col("buckets").as("bk_c"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id") &&
-        col("q_lbl") =!= col("c_lbl"))
-      .filter(graft.functions.FirstEqualIndex
-        .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
+    val ranked =
+      if (maxBucket <= 0)
+        l.join(r0, Seq("band", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id") &&
+            col("q_lbl") =!= col("c_lbl"))
+          .filter(graft.functions.FirstEqualIndex
+            .firstEqualIndex(col("bk_q"), col("bk_c")) === col("band"))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine"))
+      else
+        dedupAdjacentPairs(
+          l.join(capBucketSide(r0, "neighbor_id", maxBucket), Seq("band", "bucket"))
+            .filter(col("query_id") =!= col("neighbor_id") &&
+              col("q_lbl") =!= col("c_lbl"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine")),
+          w)
+    ranked
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** The (band, bucket) occupancy cap in the hyperplane-LSH search
+  * family (VERDICT r6 #1): a hot bucket — collapsed signatures from
+  * near-dup clusters or low-entropy vectors — must NOT cost
+  * |bucket|² cosines in one straggler task. The cap bounds the join
+  * output at |banded queries| × maxBucket, deterministically.
+  */
+class LshBucketCapSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val Dim = 8
+  private val Bands = 8
+
+  /** n vectors all pointing the SAME direction (tiny jitter in a
+    * single coordinate keeps ids distinguishable without moving the
+    * sign pattern): every vector lands in the same bucket of every
+    * band — the planted hot bucket.
+    */
+  private def hotCorpus(n: Int) =
+    (0L until n.toLong).map { i =>
+      (i, Array.tabulate(Dim)(d => if (d == 0) 1.0f else 0.01f + (i % 7) * 1e-5f).toSeq)
+    }.toDF("vec_id", "embedding")
+
+  test("planted hot bucket: candidate pair count is bounded by n x bands x cap") {
+    val n = 400
+    val cap = 16
+    val df = hotCorpus(n)
+    val pairs = SimilarityOps.lshScoredPairs(
+      df, df, bands = Bands, planesPerBand = 8, dim = Dim, maxBucket = cap)
+    val cnt = pairs.count()
+    // uncapped this corpus yields n*(n-1) = 159,600 unique pairs; the
+    // cap bounds candidates at (banded query rows) x cap = n*bands*cap
+    // occurrences, and dedup only shrinks that.
+    assert(cnt <= n.toLong * Bands * cap,
+      s"capped candidate count $cnt exceeds n*bands*cap = ${n.toLong * Bands * cap}")
+    assert(cnt > 0, "cap must not empty the candidate set")
+    // pairs are unique after the adjacent-dup drop
+    assert(pairs.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("every query still gets k neighbors from a capped hot bucket") {
+    val n = 100
+    val got = SimilarityOps.lshCosineTopK(
+      hotCorpus(n), k = 3, dim = Dim, maxBucket = 8)
+    // capped survivors are shared bucket reps, so every query finds >= k
+    // candidates (n >> cap >= k); ranks are exactly 1..3 per query.
+    assert(got.groupBy("query_id").count().filter(col("count") =!= 3).isEmpty)
+    assert(got.select(countDistinct("query_id")).as[Long].head() == n.toLong)
+  }
+
+  test("capped equals uncapped when no bucket exceeds the cap") {
+    // well-spread vectors: key-derived pseudo-random signs, buckets far
+    // below the cap at n=60 over 8x8-bit bands.
+    val df = (0L until 60L).map { i =>
+      (i, Array.tabulate(Dim) { d =>
+        val z = (i * 31 + d * 7 + 13) % 17
+        (z - 8).toFloat / 8f
+      }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val capped = SimilarityOps.lshCosineTopK(df, k = 5, dim = Dim, maxBucket = 1000)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val uncapped = SimilarityOps.lshCosineTopK(df, k = 5, dim = Dim, maxBucket = 0)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(capped.sameElements(uncapped))
+  }
+
+  test("hardNegativesLsh under a capped hot bucket keeps only cross-label pairs") {
+    val n = 120
+    val df = hotCorpus(n).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val got = SimilarityOps.hardNegativesLsh(df, k = 2, dim = Dim, maxBucket = 8)
+    val joined = got.join(
+        df.select(col("vec_id").as("query_id"), col("label").as("q_lbl")), "query_id")
+      .join(df.select(col("vec_id").as("neighbor_id"), col("label").as("c_lbl")), "neighbor_id")
+    assert(joined.filter(col("q_lbl") === col("c_lbl")).isEmpty,
+      "hard negatives must never share the anchor's label")
+    assert(got.count() > 0)
+  }
+}
