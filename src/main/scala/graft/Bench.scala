@@ -264,8 +264,10 @@ object Bench {
     "b_temperature_mix" -> ((s, dir) =>
       graft.ops.MixOps.temperatureSample(Tables.documents(s, dir),
         "lang", "doc_id", budget = 200L, seed = 13L)),
-    // ROUGE-2 over lang-adjacent pairs: per-row clipped-overlap column
-    // algebra after one lang-partitioned lead window
+    // ROUGE-2 over lang-adjacent pairs: the fused production form
+    // (sorted gram-hash multisets + two-pointer clipped overlap) after
+    // one lang-partitioned lead window; the string-exact HOF twin is
+    // pinned by q82 and the differential spec
     "b_rouge2" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("doc_id")
@@ -273,7 +275,7 @@ object Bench {
         .select(col("doc_id"), col("lang"), col("text").as("ref_text"))
         .withColumn("cand_text", lead(col("ref_text"), 1).over(w))
         .filter(col("cand_text").isNotNull)
-      graft.ops.EvalMetrics.rougeN(pairs, "ref_text", "cand_text", n = 2)
+      graft.ops.EvalMetrics.rougeNFused(pairs, "ref_text", "cand_text", n = 2)
         .select("doc_id", "overlap", "rouge_f1")
     }),
     // sliding-window aggregation (1h window, 30min hop — the tumbling

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 14.5 s → see BASELINE.md). Fewer than `n` tokens → empty array
   * (the composable form's `size(toks) < n` branch).
   */
-case class ShingleHashes64(child: Expression, n: Int)
+case class ShingleHashes64(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   require(n > 0, s"shingle size must be positive, got $n")
 
@@ -34,11 +34,12 @@ case class ShingleHashes64(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(a: Any): Any =
-    ShingleHashes64.sortedDistinct(a.asInstanceOf[ArrayData], n)
+    if (distinct) ShingleHashes64.sortedDistinct(a.asInstanceOf[ArrayData], n)
+    else ShingleHashes64.sortedMulti(a.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashes64.sortedDistinct($c, $n)")
+      c => s"graft.functions.ShingleHashes64.${if (distinct) "sortedDistinct" else "sortedMulti"}($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -50,8 +51,13 @@ object ShingleHashes64 {
 
   private val space = UTF8String.fromString(" ")
 
-  /** Sorted distinct xxhash64 (seed 42) of every n-token window. */
-  def sortedDistinct(arr: ArrayData, n: Int): ArrayData = {
+  /** Sorted xxhash64 (seed 42) MULTISET of every n-token window —
+    * duplicates kept, one hash per window position. The clipped-
+    * overlap representation: two-pointer-merging two of these counts
+    * Σ_g min(count_a, count_b) ([[SortedIntersectCount]] on multiset
+    * inputs), which is exactly ROUGE-N's numerator.
+    */
+  def sortedMulti(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](len - n + 1)
@@ -67,6 +73,13 @@ object ShingleHashes64 {
       i += 1
     }
     java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct xxhash64 (seed 42) of every n-token window. */
+  def sortedDistinct(arr: ArrayData, n: Int): ArrayData = {
+    val multi = sortedMulti(arr, n)
+    val out = multi.toLongArray()
     var w = 0
     var k = 0
     while (k < out.length) {
@@ -78,4 +91,9 @@ object ShingleHashes64 {
 
   def shingleHashes64(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes64(ColumnBridge.expression(toks), n))
+
+  /** The multiset form ([[sortedMulti]]) as a Column. */
+  def shingleHashesMulti64(toks: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHashes64(ColumnBridge.expression(toks), n, distinct = false))
 }

@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * of candidate pairs each need |A∩B| over token-hash sets.
   * `array_intersect` builds a per-pair hash set of boxed values and
   * returns a materialized array nobody needs; this returns just the
-  * count. Caller contract: both arrays sorted ascending and duplicate-
-  * free (see `DedupOps.hashedTokenSet`).
+  * count. Caller contract: both arrays sorted ascending. On duplicate-
+  * free inputs (`DedupOps.hashedTokenSet`) the count is |A∩B|; on
+  * sorted MULTISETS the same merge counts Σ_v min(count_a(v),
+  * count_b(v)) — the clipped multiset-intersection size ROUGE-N needs
+  * (`EvalMetrics.rougeNFused` over `ShingleHashes64.sortedMulti`).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -152,4 +152,43 @@ object EvalMetrics {
           lit(2.0) * col("rouge_p") * col("rouge_r") / (col("rouge_p") + col("rouge_r"))))
       .drop("__rg", "__cg")
   }
+
+  /** Production ROUGE-N: same metric as [[rougeN]], computed in three
+    * fused codegen passes per row instead of the HOF tower — each
+    * side's grams become a SORTED xxhash64 multiset in one pass
+    * ([[graft.functions.ShingleHashes64]] multiset form), and the
+    * clipped overlap Σ_g min(count_ref, count_cand) is a two-pointer
+    * merge ([[graft.functions.SortedIntersectCount]], which on
+    * multiset inputs counts exactly the multiset-intersection size).
+    * O(L log L) per row vs the HOF form's O(distinct × L) re-scans —
+    * the same pathology-and-fix as `TopNgramFrac` (VERDICT r6 #2;
+    * b_rouge2 10.1 s → see BASELINE.md).
+    *
+    * Equal to [[rougeN]] up to xxhash64 gram collisions (~L²/2⁶⁴ per
+    * pair — vanishing; the differential spec pins equality on real
+    * text). [[rougeN]] stays as the string-exact oracle twin (q82
+    * replays it verbatim in DuckDB).
+    */
+  def rougeNFused(pairs: DataFrame, refCol: String, candCol: String, n: Int): DataFrame = {
+    require(n >= 1, "rougeNFused: n must be >= 1")
+    def gramHashes(c: Column): Column =
+      graft.functions.ShingleHashes64.shingleHashesMulti64(
+        filter(split(c, " "), t => t =!= ""), n)
+    pairs
+      .withColumn("__rh", gramHashes(col(refCol)))
+      .withColumn("__ch", gramHashes(col(candCol)))
+      .withColumn("overlap",
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("__rh"), col("__ch")).cast("long"))
+      .withColumn("ref_n", size(col("__rh")).cast("long"))
+      .withColumn("cand_n", size(col("__ch")).cast("long"))
+      .withColumn("rouge_p",
+        when(col("cand_n") > 0, col("overlap").cast("double") / col("cand_n")))
+      .withColumn("rouge_r",
+        when(col("ref_n") > 0, col("overlap").cast("double") / col("ref_n")))
+      .withColumn("rouge_f1",
+        when(col("rouge_p") + col("rouge_r") > 0.0,
+          lit(2.0) * col("rouge_p") * col("rouge_r") / (col("rouge_p") + col("rouge_r"))))
+      .drop("__rh", "__ch")
+  }
 }

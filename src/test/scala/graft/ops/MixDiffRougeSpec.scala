@@ -111,4 +111,28 @@ class MixDiffRougeSpec extends AnyFunSuite {
     // clipped: x min(1,2)=1, y min(1,1)=1, w 0 -> 2 of cand 4 / ref 3
     assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 4L)
   }
+
+  test("rougeNFused is bit-equal to the HOF form (differential, n=1 and n=2)") {
+    // repetition-heavy pairs exercise the clipping; plus the edge rows
+    // (identical, sub-n, empty, multi-space) the HOF form pins above
+    val texts = Seq(
+      ("the cat sat on the mat the cat", "the cat the cat sat on a mat"),
+      ("a b a b a b a", "b a b a b"),
+      ("x y z", "x x y w"),
+      ("a b c", "a b c"),
+      ("a", "a b"),
+      ("", ""),
+      ("one  two   three", "one two two three"),
+      ("repeat repeat repeat repeat", "repeat repeat"))
+    val df = texts.toDF("ref", "cand")
+    for (n <- Seq(1, 2)) {
+      val cols = Seq("ref", "cand", "overlap", "ref_n", "cand_n",
+        "rouge_p", "rouge_r", "rouge_f1").map(col)
+      val hof = EvalMetrics.rougeN(df, "ref", "cand", n)
+        .select(cols: _*).orderBy("ref", "cand").collect()
+      val fused = EvalMetrics.rougeNFused(df, "ref", "cand", n)
+        .select(cols: _*).orderBy("ref", "cand").collect()
+      assert(hof.sameElements(fused), s"n=$n: fused ROUGE diverged from the HOF oracle form")
+    }
+  }
 }
