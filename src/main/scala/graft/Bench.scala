@@ -241,6 +241,14 @@ object Bench {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         DedupOps.minHashDedup(Tables.documents(s, dir), "text", "doc_id",
           threshold = 0.6, bands = 4, rowsPerBand = 4))),
+    // the PRODUCTION component path: verified (member, bucket-rep)
+    // star edges — O(docs x bands) edges, no pair list — into the same
+    // min-label propagation (the pair form above keeps the quadratic
+    // floor visible for comparison; q69 pins the oracle)
+    "b_dup_components_reps" -> ((s, dir) =>
+      DedupOps.dupComponentsFromReps(
+        Tables.documents(s, dir).select("doc_id", "text"), "text", "doc_id",
+        threshold = 0.6, bands = 4, rowsPerBand = 4)),
     // hard-negative mining at the production plan (hyperplane-LSH
     // candidates, same-label candidates rejected AT the bucket join
     // before any cosine; q79 pins the brute-force baseline)

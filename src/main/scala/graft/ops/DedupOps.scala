@@ -619,7 +619,11 @@ object DedupOps {
     * an empty SHINGLE set just means the doc is shorter than n — no
     * evidence, never a match.
     */
-  private def verifiedDropIds(
+  /** Candidate (id, rep) edges that pass the exact-Jaccard verify —
+    * the shared verify stage of the decision ([[verifiedDropIds]]) and
+    * component ([[dupComponentsFromReps]]) paths.
+    */
+  private def verifiedEdges(
       edges: DataFrame, aToks: DataFrame, bToks: DataFrame,
       threshold: Double, emptyMatchesEmpty: Boolean = true): DataFrame = {
     val inter = graft.functions.SortedIntersectCount
@@ -633,9 +637,15 @@ object DedupOps {
       .join(bToks.select(col("id").as("rep"), col("toks").as("toks_b"), col("n").as("n_b")), "rep")
       .withColumn("inter", inter)
       .filter(jaccard >= threshold)
+      .select("id", "rep")
+  }
+
+  private def verifiedDropIds(
+      edges: DataFrame, aToks: DataFrame, bToks: DataFrame,
+      threshold: Double, emptyMatchesEmpty: Boolean = true): DataFrame =
+    verifiedEdges(edges, aToks, bToks, threshold, emptyMatchesEmpty)
       .select("id")
       .distinct()
-  }
 
   /** Shift with a COLUMN bit count — the `functions.shiftright/left`
     * overloads only take a literal Int; the underlying Catalyst
@@ -985,6 +995,54 @@ object DedupOps {
       aCol: String = "id_a", bCol: String = "id_b",
       maxPasses: Int = 20): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol, maxPasses)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+  }
+
+  /** PRODUCTION duplicate-cluster labels with a BOUNDED edge list
+    * (VERDICT r6 #3): instead of consuming an all-pairs verified list
+    * (quadratic by contract on dup-dense data — a cluster of m
+    * near-dups has m·(m-1)/2 pairs, and [[dupComponents]] fed from
+    * [[minHashDedup]] inherits that floor), build the component graph
+    * from the VERIFIED (member, bucket-rep) STAR edges of the keepers
+    * plan — ≤ bands edges per doc, O(docs × bands) total, the same
+    * linear banding/verify stages as [[dedupKeepers]]. Two members of
+    * one bucket connect THROUGH their verified rep, so tight clusters
+    * collapse to one component without ever materializing their pair
+    * list.
+    *
+    * Recall caveat (the decision path's chain contract): two bucket
+    * co-members that BOTH fail the verify against the bucket's min-id
+    * rep but would verify against each other are not linked — the star
+    * graph only probes member↔rep. Loose chains a pair graph would
+    * join can therefore split; on planted tight clusters (the dedup
+    * deliverable) the components are identical, which the differential
+    * spec pins. Rows in no verified edge are their own component.
+    *
+    * Returns `df` + a `component` long column (min reachable id, the
+    * [[dupComponents]] convention); the embedded components frame is
+    * checkpointed ([[connectedComponents]]' contract).
+    */
+  def dupComponentsFromReps(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 20): DataFrame = {
+    val withSets = df.select(col(idCol).as("id"),
+      hashedTokenSet(col(textCol)).as("toks"))
+    val banded = withSets
+      .select(col("id"),
+        graft.functions.MinHashBandHashes.minHashBandHashes(
+          col("toks"), bands, rowsPerBand).as("band_arr"))
+      .select(col("id"), posexplode(col("band_arr")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
+    val starEdges = banded.join(reps, Seq("band", "band_hash"))
+      .filter(col("id") > col("rep"))
+      .select("id", "rep").distinct()
+    val toks = withSets.withColumn("n", size(col("toks")))
+    val verified = verifiedEdges(starEdges, toks, toks, threshold)
+    val comp = connectedComponents(verified, "id", "rep", maxPasses)
     df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("component",
         coalesce(col("component"), col(idCol).cast("long")))

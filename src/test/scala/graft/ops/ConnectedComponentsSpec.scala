@@ -46,6 +46,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("dupComponentsFromReps matches the pair-graph components on planted tight clusters") {
+    // three planted near-dup clusters (shared long template, one token
+    // of drift per member — every within-cluster pair verifies) plus
+    // two singletons; star-edge components must equal pair-graph
+    // components exactly here
+    def doc(cluster: String, i: Int): String =
+      s"$cluster common words shared across the whole cluster body " +
+        s"alpha beta gamma delta epsilon zeta eta theta variant$i"
+    val rows =
+      (0 until 6).map(i => (10L + i, doc("apple", i))) ++
+        (0 until 4).map(i => (30L + i, doc("banana", i))) ++
+        (0 until 5).map(i => (50L + i, doc("cherry", i))) ++
+        Seq((70L, "totally different text about one thing"),
+          (71L, "another unrelated document entirely on purpose"))
+    val df = rows.toDF("doc_id", "text")
+    val fromReps = DedupOps.dupComponentsFromReps(
+        df, "text", "doc_id", threshold = 0.6, bands = 8, rowsPerBand = 2)
+      .select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromPairs = DedupOps.dupComponents(
+        df.select("doc_id"), "doc_id",
+        DedupOps.minHashDedup(df, "text", "doc_id", threshold = 0.6,
+          bands = 8, rowsPerBand = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromReps == fromPairs,
+      s"star-edge components diverged: reps=$fromReps pairs=$fromPairs")
+    // sanity: the clusters actually merged and the singletons did not
+    assert(fromReps(70L) == 70L && fromReps(71L) == 71L)
+    assert((0 until 6).map(i => fromReps(10L + i)).toSet.size == 1)
+    assert((0 until 4).map(i => fromReps(30L + i)).toSet.size == 1)
+  }
+
   test("maxPasses caps the iteration") {
     // a 6-long chain needs >2 min-propagation passes to fully collapse
     val edges = (1L until 7L).map(i => (i, i + 1)).toDF("a", "b")
