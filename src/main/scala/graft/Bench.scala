@@ -739,6 +739,16 @@ object Bench {
       // O(1)-per-key EMA state via flatMapGroupsWithState
       run("s_ema_by_key",
         StreamingOps.streamingEma(src, "user_id", "event_id", "value", 0.9), "append"),
+      // the run-forever form: event-time idle TTL over the time-ordered
+      // replay — keys silent while the watermark advances 2h past their
+      // last batch are EVICTED (state tracks recently-active keys, not
+      // keys-ever-seen; on this fixture every user stays active, so the
+      // recorded state equals live keys and the row times the timeout
+      // bookkeeping overhead vs s_ema_by_key)
+      run("s_ema_ttl",
+        StreamingOps.streamingEma(srcFrom(streamDirOrdered), "user_id", "event_id",
+          "value", 0.9, tsCol = "ts", watermarkDelay = "30 minutes",
+          idleTtlMs = 2L * 3600 * 1000), "append"),
       // O(1)-per-key running TWAP (last observation + two accumulators;
       // state rows = live keys, never input size)
       run("s_twap",

