@@ -197,15 +197,29 @@ object Sources {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    def field(k: String): Option[String] =
-      ("\"" + k + "\":\\s*\"?([^\",}]+)\"?").r.findFirstMatchIn(raw).map(_.group(1))
-    val (n, h, _) = contentManifest(spark.read.parquet(path))
-    (field("rows"), field("content_hash")) match {
-      case (None, _) | (_, None) => Some("manifest missing rows/content_hash")
-      case (Some(rows), _) if rows != n.toString =>
+    // a REAL JSON parse (Jackson ships with Spark): a malformed or
+    // truncated sidecar is a hard verification failure, never a silent
+    // regex miss (ADVICE r6 — the ad-hoc field regex mis-parsed under
+    // reordering/whitespace and could match inside the schema DDL)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+      catch {
+        case e: java.io.IOException =>
+          return Some(s"manifest is not valid JSON: ${e.getMessage}")
+      }
+    def textField(k: String): Option[String] =
+      Option(node.get(k)).filter(_.isTextual).map(_.asText)
+    val rowsField = Option(node.get("rows")).filter(_.canConvertToLong).map(_.asLong)
+    val (n, h, ddl) = contentManifest(spark.read.parquet(path))
+    (rowsField, textField("content_hash"), textField("schema")) match {
+      case (None, _, _) | (_, None, _) | (_, _, None) =>
+        Some("manifest missing/mistyped rows, content_hash, or schema")
+      case (Some(rows), _, _) if rows != n =>
         Some(s"row count drifted: manifest $rows, actual $n")
-      case (_, Some(hash)) if hash != h =>
+      case (_, Some(hash), _) if hash != h =>
         Some(s"content hash drifted: manifest $hash, actual $h")
+      case (_, _, Some(schema)) if schema != ddl =>
+        Some(s"schema drifted: manifest '$schema', actual '$ddl'")
       case _ => None
     }
   }

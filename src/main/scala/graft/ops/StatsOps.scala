@@ -44,6 +44,13 @@ object StatsOps {
     * Scale shape: one (a, b) keyed count (map-side combined), two
     * marginal dims and a 1-row total broadcast back over the
     * |a|×|b|-cell frame — output is ONE row regardless of data size.
+    *
+    * The statistic sums over the FULL |a|×|b| grid, not just observed
+    * combinations: an unobserved cell contributes `(0 - e)²/e = e`,
+    * and dof = (|a|-1)(|b|-1) already assumes the full grid — so the
+    * grid is built by cross-joining the two marginal dims and
+    * left-joining the observed counts with n coalesced to 0 (ADVICE r6:
+    * omitting empty cells understated chi2 on sparse tables).
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val o = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n"))
@@ -53,10 +60,11 @@ object StatsOps {
       countDistinct(col(aCol)).as("__ka"),
       countDistinct(col(bCol)).as("__kb"))
     val d = (x: Column) => x.cast("double")
+    val n0 = coalesce(col("n"), lit(0L))
     val expCt = d(col("__rn")) * d(col("__cn")) / d(col("__tot"))
-    val term = (d(col("n")) - expCt) * (d(col("n")) - expCt) / expCt
-    o.join(broadcast(r), Seq(aCol))
-      .join(broadcast(c), Seq(bCol))
+    val term = (d(n0) - expCt) * (d(n0) - expCt) / expCt
+    broadcast(r).crossJoin(broadcast(c))
+      .join(o, Seq(aCol, bCol), "left")
       .crossJoin(broadcast(t))
       .select(term.as("__term"), col("__ka"), col("__kb"), col("__tot"))
       .groupBy("__ka", "__kb", "__tot")

@@ -15,11 +15,33 @@ import org.apache.spark.sql.functions._
   */
 object TrendOps {
 
+  /** Runtime-enforced one-row-per-axis-point precondition (ADVICE r6):
+    * a duplicated `orderCol` value would silently double-count
+    * contributions AND fan out the join-back — plausible wrong numbers.
+    * The guard joins a per-point count and `assert_true`s it to 1, so
+    * violated input ABORTS the query inside the same job (no extra
+    * action); the filter on the assert's null result keeps the check
+    * alive through column pruning. The axis frame is a small dim by
+    * contract, so the extra keyed count is noise at any scale.
+    */
+  private def assertUniqueAxis(
+      df: DataFrame, orderCol: String, op: String): DataFrame =
+    df.join(
+        df.groupBy(col(orderCol)).agg(count(lit(1)).as("__c"))
+          .select(col(orderCol),
+            assert_true(col("__c") === 1,
+              concat(lit(s"$op: one row per '$orderCol' required; duplicated axis point "),
+                col(orderCol).cast("string"))).as("__axis_ok")),
+        Seq(orderCol))
+      .filter(col("__axis_ok").isNull)
+      .drop("__axis_ok")
+
   /** Rolling sum/avg over the trailing `window` axis points
     * (`RANGE BETWEEN window-1 PRECEDING AND CURRENT ROW` semantics,
     * partial windows included — the first points average over what
     * exists). `df` must hold ONE row per `orderCol` value (the
-    * per-bucket aggregate); `valueCol` should be a DECIMAL for exact,
+    * per-bucket aggregate — ENFORCED at runtime, violated input fails
+    * the query); `valueCol` should be a DECIMAL for exact,
     * order-free accumulation (the float-parity rule) — the emitted
     * sum/avg are double casts of exact decimals.
     */
@@ -27,7 +49,8 @@ object TrendOps {
       df: DataFrame, orderCol: String, valueCol: String,
       window: Int): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    val contrib = df
+    val u = assertUniqueAxis(df, orderCol, "rollingAgg")
+    val contrib = u
       .select(col(orderCol).as("__src"), col(valueCol).as("__v"))
       .withColumn(orderCol,
         explode(sequence(col("__src"), col("__src") + lit(window - 1))))
@@ -35,7 +58,7 @@ object TrendOps {
       .agg(sum(col("__v")).as("__sum"), count(lit(1)).as("n_terms"))
     // inner join back to the real axis points: contributions land on
     // every covered point, including ones absent from the data
-    df.join(rolled, Seq(orderCol))
+    u.join(rolled, Seq(orderCol))
       .select(col(orderCol), col(valueCol),
         col("__sum").cast("double").as("roll_sum"),
         (col("__sum").cast("double") / col("n_terms")).as("roll_avg"),
@@ -56,7 +79,8 @@ object TrendOps {
       df: DataFrame, orderCol: String, valueCol: String,
       window: Int, minPoints: Int): DataFrame = {
     require(window > 0 && minPoints > 0, "window/minPoints must be positive")
-    val contrib = df
+    val u = assertUniqueAxis(df, orderCol, "rollingZScore")
+    val contrib = u
       .select(col(orderCol).as("__src"), col(valueCol).as("__v"))
       .withColumn(orderCol,
         explode(sequence(col("__src") + 1, col("__src") + lit(window))))
@@ -70,7 +94,7 @@ object TrendOps {
     // near-constant window can produce
     val variance = greatest(
       col("__sumsq").cast("double") / n - mean * mean, lit(0.0))
-    df.join(rolled, Seq(orderCol), "left")
+    u.join(rolled, Seq(orderCol), "left")
       .select(col(orderCol), col(valueCol),
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         when(col("n_prev") >= minPoints && variance > 0,

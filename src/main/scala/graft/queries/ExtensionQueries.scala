@@ -2533,9 +2533,11 @@ object ExtensionQueries {
       |c AS (SELECT et, SUM(n) AS cn FROM o GROUP BY 1),
       |t AS (SELECT SUM(n) AS tot FROM o),
       |e AS (
-      | SELECT o.wd, o.et, o.n,
+      | SELECT r.wd, c.et, COALESCE(o.n, 0) AS n,
       |  CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(t.tot AS DOUBLE) AS exp
-      | FROM o JOIN r USING (wd) JOIN c USING (et) CROSS JOIN t),
+      | FROM r CROSS JOIN c
+      | LEFT JOIN o ON o.wd = r.wd AND o.et = c.et
+      | CROSS JOIN t),
       |s AS (
       | SELECT (CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp) / exp AS term
       | FROM e)

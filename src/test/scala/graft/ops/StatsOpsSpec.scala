@@ -30,6 +30,22 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got._2 == 2L) // (3-1)(2-1)
   }
 
+  test("chiSquare: sparse table counts unobserved cells (ADVICE r6)") {
+    // 2x2 with cell (g2, x) NEVER observed: a={x:10,y:10}, b={y:20}.
+    // marginals: rn(g1)=20, rn(g2)=20, cn(x)=10, cn(y)=30, tot=40
+    // e(g1,x)=5  o=10 -> 5 ; e(g1,y)=15 o=10 -> 25/15
+    // e(g2,x)=5  o=0  -> 5 ; e(g2,y)=15 o=20 -> 25/15
+    // chi2 = 5 + 5 + 50/15 = 13.3333...; omitting the empty cell
+    // would understate it by exactly e = 5
+    val rows = Seq.fill(10)(("g1", "x")) ++ Seq.fill(10)(("g1", "y")) ++
+      Seq.fill(20)(("g2", "y"))
+    val got = StatsOps.chiSquare(rows.toDF("g", "v"), "g", "v")
+      .as[(Double, Long, Long)].collect().head
+    assert(got._2 == 1L && got._3 == 40L)
+    assert(math.abs(got._1 - (10.0 + 50.0 / 15.0)) < 1e-8,
+      s"chi2 ${got._1} must include the zero cell's (0-e)^2/e = e term")
+  }
+
   test("entropy: uniform = ln(k); single category = 0; skew lowers it") {
     val uniform = (0 until 800).map(i => Tuple1(s"c${i % 8}")).toDF("cat")
     val (e1, k1, n1) = StatsOps.entropy(uniform, "cat")

@@ -154,4 +154,20 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(got(5L) == ((5L, 60.0, 60.0, 1L)))
     assert(got.size == 4, "only real axis points are emitted")
   }
+
+  test("rollingAgg / rollingZScore abort on a duplicated axis point (ADVICE r6)") {
+    import org.apache.spark.sql.types.DecimalType
+    val dup = Seq((0L, 10.0), (1L, 20.0), (1L, 25.0), (2L, 30.0))
+      .toDF("day", "v")
+      .select(col("day"), col("v").cast(DecimalType(19, 6)).as("v"))
+    val e1 = intercept[Exception] {
+      TrendOps.rollingAgg(dup, "day", "v", window = 3).collect()
+    }
+    assert(e1.getMessage.contains("duplicated axis point"),
+      s"expected the uniqueness guard, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      TrendOps.rollingZScore(dup, "day", "v", window = 3, minPoints = 1).collect()
+    }
+    assert(e2.getMessage.contains("duplicated axis point"))
+  }
 }
