@@ -43,22 +43,44 @@ case class WordPieceTokenize(
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  private def isCjk(c: Char): Boolean =
-    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
+  /** HF `BasicTokenizer._is_chinese_char` ranges (google-research/bert
+    * `tokenization.py` — the published list, INCLUDING the astral-plane
+    * extension blocks and the compatibility-ideograph block; the
+    * previous two-range Char test missed ideographs beyond U+FFFF
+    * entirely, and a Char-based loop would have split their surrogate
+    * pairs as two bogus punctuation marks).
+    */
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+      (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
 
-  private def isPunct(c: Char): Boolean =
-    !Character.isLetterOrDigit(c) && !Character.isWhitespace(c)
+  private def isPunct(cp: Int): Boolean =
+    !Character.isLetterOrDigit(cp) && !Character.isWhitespace(cp)
 
-  /** basic tokenizer: whitespace split + CJK isolation + punct split. */
+  /** basic tokenizer: lowercase (+ accent strip, the HF
+    * `do_lower_case` contract: NFD then drop combining marks) →
+    * whitespace split + CJK isolation + punct split, iterated by CODE
+    * POINT so astral-plane ideographs stay whole.
+    */
   private[functions] def basicTokens(text: String): Seq[String] = {
-    val t = if (lowercase) text.toLowerCase else text
+    val t =
+      if (lowercase)
+        java.text.Normalizer.normalize(text.toLowerCase, java.text.Normalizer.Form.NFD)
+          .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+      else text
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     def flush(): Unit = { if (cur.nonEmpty) { out += cur.toString; cur.clear() } }
-    t.foreach { c =>
-      if (Character.isWhitespace(c)) flush()
-      else if (isCjk(c) || isPunct(c)) { flush(); out += c.toString }
-      else cur.append(c)
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (Character.isWhitespace(cp)) flush()
+      else if (isCjk(cp) || isPunct(cp)) { flush(); out += t.substring(i, i + n) }
+      else cur.appendAll(t.substring(i, i + n))
+      i += n
     }
     flush()
     out.result()

@@ -252,4 +252,25 @@ object VectorOps {
     val idx = array_sort(transform(chosen, s => s.getField("i")))
     transform(idx, i => element_at(frames, i + 1))
   }
+
+  /** ORACLE-portable twin of [[seededSample]] (the MlmMaskMd5 /
+    * dedupKeepersPortable honesty pattern): the SAME select-sort-gather
+    * plan with the per-(key, index) draw from the md5 family DuckDB
+    * replays (`md5Long("key#i#seed")`) instead of production xxhash64 —
+    * so the key-derived DRAW itself, not just the plan, gets a
+    * row-level cross-engine oracle (q108). Production calls
+    * [[seededSample]].
+    */
+  def seededSamplePortable(
+      frames: Column, key: Column, maxFrames: Int, seed: Long): Column = {
+    val scored = transform(frames,
+      (_, i) => struct(
+        graft.core.PortableHash.md5Long(
+          concat_ws("#", key.cast("string"), i.cast("string"),
+            lit(seed.toString))).as("h"),
+        i.as("i")))
+    val chosen = slice(array_sort(scored), 1, maxFrames)
+    val idx = array_sort(transform(chosen, s => s.getField("i")))
+    transform(idx, i => element_at(frames, i + 1))
+  }
 }

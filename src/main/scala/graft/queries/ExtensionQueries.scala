@@ -2568,6 +2568,40 @@ object ExtensionQueries {
       | CAST((SELECT tot FROM t) AS BIGINT) AS n_rows
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q108
+  /** OP-20 (random frame subsample) oracle row: the md5-portable twin
+    * of [[graft.ops.VectorOps.seededSample]] over the embeddings table
+    * — each vector's 6-element seeded draw (seed 7), flattened to
+    * (vec_id, position, value) rows. DuckDB replays the identical
+    * score-sort-gather: md5Long("key#i#seed") per index, keep the 6
+    * smallest (h, i) structs, re-sort the indices ascending, gather.
+    * Pins the key-derived DRAW cross-engine, closing VERDICT r6
+    * missing #5 (OP-20 was unit-only).
+    */
+  def q108(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(VectorOps.seededSamplePortable(
+          col("embedding"), col("vec_id"), 6, 7L)))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("k"),
+        col("col").cast("double").as("val"))
+
+  val q108Sql: String =
+    """WITH s AS (
+      | SELECT vec_id, embedding,
+      |  list_sort(list_transform(range(len(embedding)), i ->
+      |    {'h': CAST('0x' || substr(md5(vec_id::VARCHAR || '#' || i::VARCHAR || '#' || '7'), 1, 15) AS BIGINT),
+      |     'i': i})) AS scored
+      | FROM embeddings),
+      |c AS (
+      | SELECT vec_id, embedding,
+      |  list_sort(list_transform(scored[1:6], x -> x.i)) AS idx
+      | FROM s)
+      |SELECT vec_id, CAST(k AS INT) AS k,
+      | CAST(embedding[idx[k] + 1] AS DOUBLE) AS val
+      |FROM (SELECT vec_id, embedding, idx,
+      |      unnest(generate_series(1, len(idx))) AS k FROM c)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2644,5 +2678,6 @@ object ExtensionQueries {
     "q104_twap" -> ((q104 _, q104Sql)),
     "q105_seq_pattern" -> ((q105 _, q105Sql)),
     "q106_chi2" -> ((q106 _, q106Sql)),
-    "q107_entropy" -> ((q107 _, q107Sql)))
+    "q107_entropy" -> ((q107 _, q107Sql)),
+    "q108_seeded_sample" -> ((q108 _, q108Sql)))
 }

@@ -65,6 +65,39 @@ class WordPieceTokenizeSpec extends AnyFunSuite {
       Seq(2, 7, 8, 1, 3),
       Seq(2, 7, 9, 10, 8, 11, 3)))
   }
+
+  test("CJK golden slice: HF BertTokenizer rules on a frozen Chinese vocab (SURVEY §7.4.7)") {
+    // A frozen CJK-bearing slice in the reference tokenizer's family
+    // (hfl/chinese-roberta-wwm-ext is a standard BERT-Chinese vocab:
+    // every CJK ideograph is its OWN token — wwm changes masking, not
+    // tokenization). Expected ids are hand-derived from the PUBLISHED
+    // google-research/bert BasicTokenizer+WordpieceTokenizer rules:
+    // lowercase + NFD accent-strip, CJK chars isolated (full range
+    // list incl. astral blocks), punctuation split, greedy
+    // longest-match with ## continuations, whole-word [UNK] fallback.
+    val path = getClass.getResource("/wordpiece_vocab_cjk.txt").getPath
+    val v = graft.io.Sources.readVocab(spark, path)
+    assert(v.size == 26 && v(25) == "𠀀", "frozen slice drifted")
+    def t(s: String): Seq[Int] =
+      Seq(s).toDF("t")
+        .select(WordPieceTokenize.wordpiece(col("t"), v).as("ids"))
+        .as[Seq[Int]].collect().head
+    // adjacent ideographs split per character, never merged
+    assert(t("三峡大坝") == Seq(2, 7, 8, 9, 10, 3))
+    // mixed script + full-width punctuation + case folding + greedy
+    // ##-continuation: 中国iPhone手机，NEWS！
+    assert(t("中国iPhone手机，NEWS！") ==
+      Seq(2, 11, 12, 18, 13, 14, 15, 19, 20, 17, 3))
+    // accent strip before matching (Café -> cafe); latin continuation
+    assert(t("Café playing") == Seq(2, 23, 21, 22, 3))
+    // astral-plane ideograph (U+20000) is ONE token, not split
+    // surrogates; an out-of-vocab astral ideograph (U+20001) is ONE
+    // [UNK], not two junk marks
+    assert(t("𠀀") == Seq(2, 25, 3))
+    assert(t("𠀁") == Seq(2, 1, 3))
+    // unknown BMP ideograph between known ones -> per-char [UNK]
+    assert(t("三龘峡") == Seq(2, 7, 1, 8, 3))
+  }
 }
 
 class F1AggregatorSpec extends AnyFunSuite {

@@ -50,6 +50,48 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("TopCentroids cosine is bit-identical to CosineSimilarity on fixed-dim inputs (VERDICT r6 #8)") {
+    // the scaladoc's bit-identity contract: per-centroid cosine ==
+    // the fused CosineSimilarity of (vector, centroid-as-array) for
+    // vectors satisfying the fixed-dim contract; off-dim and
+    // null-element vectors get NULL (no assignment), never a truncated
+    // or zero-padded comparison
+    val r = new scala.util.Random(11)
+    val dim = 4
+    val mat = Array.fill(3 * dim)(r.nextFloat() * 2 - 1)
+    val vecs = ((0 until 20).map(i =>
+        (i.toLong, Seq.fill(dim)(r.nextFloat() * 2 - 1))) :+
+        (90L, Seq(1.0f, 2.0f)))                   // wrong dim -> null
+      .toDF("vec_id", "embedding")
+      .unionByName(spark.sql(                     // null element -> null
+        "SELECT CAST(91 AS BIGINT) AS vec_id, " +
+          "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), " +
+          "CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS embedding"))
+    val cents = (0 until 3)
+      .map(c => (c, (0 until dim).map(j => mat(c * dim + j)).toArray))
+      .toDF("cid", "centroid")
+    // rank 1 by the FUSED cosine, lowest cid on exact ties
+    val viaCosine = vecs.filter(col("vec_id") < 90)
+      .crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        graft.functions.CosineSimilarity.cosineFused(
+          col("embedding"), col("centroid")).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    val viaTop = vecs.select(col("vec_id"),
+        graft.functions.TopCentroids.topCentroids(col("embedding"), mat, dim, 1).as("c"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    viaCosine.foreach { case (id, cid) =>
+      assert(viaTop(id).get.head == cid,
+        s"vec $id: TopCentroids ${viaTop(id)} != cosine-ranked $cid")
+    }
+    assert(viaTop(90L).isEmpty, "off-dim vector must yield NULL, not a comparison")
+    assert(viaTop(91L).isEmpty, "null-element vector must yield NULL")
+  }
+
   test("ivf plan is narrow up to the search join: one window, no cross product") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qe = SimilarityOps.ivfCosineTopK(e, k = 1, nlist = 16, nprobe = 4).queryExecution
