@@ -421,6 +421,14 @@ object Bench {
           Tables.documents(s, dir), "text", "doc_id", dim = 256).persist(),
         k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256,
         maxBucket = 64)),
+    // C4 line-level cleaning + Gopher rule flags: per-row column
+    // algebra, zero shuffles — the pre-dedup curation gate pair
+    "b_c4_line_filter" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.ops.TextAnalysis.c4LineFilter(col("text")).as("c"))),
+    "b_gopher_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.ops.TextAnalysis.gopherQualityFlags(col("text")).as("g"))),
     // classifier-based quality filtering: multinomial NB train+predict
     // (model broadcasts; text hashes map-side; id-keyed numeric shuffles)
     "b_nb_classifier" -> ((s, dir) =>

@@ -140,4 +140,84 @@ object TextAnalysis {
     when(size(grams) === 0, lit(null).cast("long"))
       .otherwise(array_min(transform(grams, g => PortableHash.md5Long(g))))
   }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    * "Colossal Clean Crawled Corpus" rules, fixed and documented):
+    * split on newlines; KEEP a line only if it ends in a terminal
+    * punctuation mark (`.`/`!`/`?`/closing quote after one), has at
+    * least `minWords` whitespace words, and does not mention
+    * "javascript" (case-insensitive — the boilerplate-warning rule).
+    * Doc-level: `keep` = cleaned text has at least `minSentences`
+    * sentence-terminal marks AND the ORIGINAL text contains neither
+    * "lorem ipsum" nor a curly brace (code, not prose).
+    *
+    * Pure per-row column algebra (one `filter` HOF over the line
+    * array — line counts are tens, not thousands, so the interpreted
+    * HOF is not a hot path), zero shuffles; returns
+    * struct(cleaned string, n_lines_kept int, n_sentences int,
+    * keep int 0/1). Run it BEFORE the shuffling dedup stages so
+    * boilerplate never reaches an exchange.
+    */
+  def c4LineFilter(
+      text: Column, minWords: Int = 3, minSentences: Int = 5): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?][\"']?\\s*$") &&
+        size(filter(split(l, " "), w => w =!= "")) >= minWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+    val lower_all = lower(text)
+    val keep = (nSentences >= minSentences) &&
+      !lower_all.contains("lorem ipsum") && !lower_all.contains("{")
+    struct(
+      cleaned.as("cleaned"),
+      size(kept).cast("int").as("n_lines_kept"),
+      nSentences.cast("int").as("n_sentences"),
+      when(keep, 1).otherwise(0).as("keep"))
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, Table A1 — the
+    * published MassiveWeb filter, fixed thresholds as defaults):
+    * word count within [minWords, maxWords]; mean word length within
+    * [3, 10]; symbol-to-word ratio (`#` or `...` occurrences / words)
+    * at most 0.1; fraction of words containing at least one
+    * alphabetic character at least 0.8; at least 2 distinct of the 8
+    * Gopher stop words (the/be/to/of/and/that/have/with — a
+    * real-prose signal, not langid). Returns a struct of per-rule 0/1
+    * flags plus the conjunction `keep`; per-rule flags are the
+    * curation-debugging surface (which rule kills how much of a
+    * crawl). Pure column algebra, zero shuffles.
+    *
+    * (The published line-shape rules — bullet-start / ellipsis-end
+    * fractions — live with the other line-level pass: compose
+    * [[c4LineFilter]] first; repetition rules are
+    * [[repetitionSignals]].)
+    */
+  def gopherQualityFlags(
+      text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    val n = size(toks)
+    val nD = n.cast("double")
+    val meanLen = when(n === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0.0),
+        (acc, t) => acc + length(t).cast("double")) / nD)
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopHits = (Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(array_contains(transform(toks, lower _), w), 1).otherwise(0))
+      .reduce((a, b) => a + b))
+    val fWordCount = when(n >= minWords && n <= maxWords, 1).otherwise(0)
+    val fMeanLen = when(meanLen >= 3.0 && meanLen <= 10.0, 1).otherwise(0)
+    val fSymbol = when(n > 0 && symbols.cast("double") / nD <= 0.1, 1).otherwise(0)
+    val fAlpha = when(n > 0 && alphaWords.cast("double") / nD >= 0.8, 1).otherwise(0)
+    val fStop = when(stopHits >= 2, 1).otherwise(0)
+    struct(
+      fWordCount.as("f_word_count"),
+      fMeanLen.as("f_mean_word_len"),
+      fSymbol.as("f_symbol_ratio"),
+      fAlpha.as("f_alpha_words"),
+      fStop.as("f_stop_words"),
+      (fWordCount * fMeanLen * fSymbol * fAlpha * fStop).as("keep"))
+  }
 }

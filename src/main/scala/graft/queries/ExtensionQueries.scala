@@ -2602,6 +2602,151 @@ object ExtensionQueries {
       |FROM (SELECT vec_id, embedding, idx,
       |      unnest(generate_series(1, len(idx))) AS k FROM c)""".stripMargin
 
+  // --------------------------------------------------------------- q109
+  /** C4 line-level cleaning ([[graft.ops.TextAnalysis.c4LineFilter]]):
+    * the fixture's texts are single-line and punctuation-free (every
+    * row would be a degenerate all-zeros case), so the query first
+    * composes a deterministic MULTI-LINE document from each row's real
+    * text — a terminal-punct line, a too-short line, a no-punct line,
+    * a javascript line, a question line, `doc_id % 7` repeated
+    * sentences, a `% 11` curly-brace poison line and a `% 13` lorem
+    * ipsum poison line — IDENTICALLY in both engines, so every rule
+    * (line keep/drop, sentence floor, both doc-level poisons) takes
+    * both branches across the corpus and the whole decision replays
+    * row-level in DuckDB.
+    */
+  def q109(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(" end.")),
+        lit("too short."),
+        lit("no terminal punct here"),
+        lit("Watch javascript warnings drop lines."),
+        concat(lit("does "), substring(col("text"), 1, 20), lit(" hold?")),
+        expr("repeat('More sentences here. ', CAST(doc_id % 7 AS INT))"),
+        when(col("doc_id") % 11 === 0, lit("brace { line"))
+          .otherwise(lit("clean tail line.")),
+        when(col("doc_id") % 13 === 0, lit("includes lorem ipsum text."))
+          .otherwise(lit("regular extra sentence."))).as("synth"))
+      .select(col("doc_id"),
+        TextAnalysis.c4LineFilter(col("synth")).as("c4"))
+      .select(col("doc_id"), col("c4.cleaned").as("cleaned"),
+        col("c4.n_lines_kept").as("n_lines_kept"),
+        col("c4.n_sentences").as("n_sentences"),
+        col("c4.keep").as("keep"))
+
+  val q109Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, concat_ws(chr(10),
+      |   substr(text, 1, 40) || ' end.',
+      |   'too short.',
+      |   'no terminal punct here',
+      |   'Watch javascript warnings drop lines.',
+      |   'does ' || substr(text, 1, 20) || ' hold?',
+      |   repeat('More sentences here. ', CAST(doc_id % 7 AS INT)),
+      |   CASE WHEN doc_id % 11 = 0 THEN 'brace { line' ELSE 'clean tail line.' END,
+      |   CASE WHEN doc_id % 13 = 0 THEN 'includes lorem ipsum text.'
+      |        ELSE 'regular extra sentence.' END) AS synth
+      | FROM documents),
+      |k AS (
+      | SELECT doc_id, synth,
+      |  list_filter(string_split(synth, chr(10)), l ->
+      |    regexp_matches(l, '[.!?]["'']?\s*$')
+      |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+      |    AND NOT contains(lower(l), 'javascript')) AS kept
+      | FROM d),
+      |c AS (
+      | SELECT doc_id, synth, kept,
+      |  COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+      | FROM k)
+      |SELECT doc_id, cleaned,
+      | CAST(len(kept) AS INT) AS n_lines_kept,
+      | CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INT) AS n_sentences,
+      | CAST(CASE WHEN len(regexp_extract_all(cleaned, '[.!?]')) >= 5
+      |   AND NOT contains(lower(synth), 'lorem ipsum')
+      |   AND NOT contains(lower(synth), '{') THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM c""".stripMargin
+
+  // --------------------------------------------------------------- q110
+  /** Gopher quality rules
+    * ([[graft.ops.TextAnalysis.gopherQualityFlags]]) over documents:
+    * per-doc 0/1 flag per published rule + the conjunction — the
+    * curation-debugging surface (which rule kills how much of a
+    * crawl), replayed rule-for-rule in DuckDB. The fixture's synthetic
+    * vocabulary never trips the stop-word / symbol / alpha rules, so
+    * deterministic tails are appended by doc_id residue — a stop-word
+    * tail (`% 3`), a `#`/`...` symbol burst (`% 5`), a numeric-word
+    * run (`% 4`) — IDENTICALLY in both engines, putting every rule on
+    * both branches across the corpus.
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" and that the rest have to go with be of"))
+          .when(col("doc_id") % 3 === 1, lit(" and only and again"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" ### ... ### ... ### ... ### ...")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit(" 111 222 333 444 555 666 777 888 999 000" +
+            " 123 456 789 321 654 987 135 246 357 468" +
+            " 579 680 791 802 913")).otherwise(lit(""))).as("synth"))
+      .select(col("doc_id"),
+        TextAnalysis.gopherQualityFlags(col("synth"), minWords = 20).as("g"))
+      .select(col("doc_id"), col("g.f_word_count").as("f_word_count"),
+        col("g.f_mean_word_len").as("f_mean_word_len"),
+        col("g.f_symbol_ratio").as("f_symbol_ratio"),
+        col("g.f_alpha_words").as("f_alpha_words"),
+        col("g.f_stop_words").as("f_stop_words"),
+        col("g.keep").as("keep"))
+
+  val q110Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, text
+      |  || CASE WHEN doc_id % 3 = 0 THEN ' and that the rest have to go with be of'
+      |          WHEN doc_id % 3 = 1 THEN ' and only and again' ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 0 THEN ' ### ... ### ... ### ... ### ...' ELSE '' END
+      |  || CASE WHEN doc_id % 4 = 0 THEN ' 111 222 333 444 555 666 777 888 999 000 123 456 789 321 654 987 135 246 357 468 579 680 791 802 913' ELSE '' END
+      |  AS text
+      | FROM documents),
+      |t AS (
+      | SELECT doc_id, text,
+      |  list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      | FROM d),
+      |s AS (
+      | SELECT doc_id, text, toks, len(toks) AS n,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |   ELSE CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+      |     / len(toks) END AS mean_len,
+      |  len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+      |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+      |  (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have') THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with') THEN 1 ELSE 0 END) AS stop_hits
+      | FROM t),
+      |f AS (
+      | SELECT doc_id,
+      |  CASE WHEN n >= 20 AND n <= 100000 THEN 1 ELSE 0 END AS f_word_count,
+      |  CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END AS f_mean_word_len,
+      |  CASE WHEN n > 0 AND CAST(symbols AS DOUBLE) / n <= 0.1 THEN 1 ELSE 0 END AS f_symbol_ratio,
+      |  CASE WHEN n > 0 AND CAST(alpha_words AS DOUBLE) / n >= 0.8 THEN 1 ELSE 0 END AS f_alpha_words,
+      |  CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS f_stop_words
+      | FROM s)
+      |SELECT doc_id, CAST(f_word_count AS INT) AS f_word_count,
+      | CAST(f_mean_word_len AS INT) AS f_mean_word_len,
+      | CAST(f_symbol_ratio AS INT) AS f_symbol_ratio,
+      | CAST(f_alpha_words AS INT) AS f_alpha_words,
+      | CAST(f_stop_words AS INT) AS f_stop_words,
+      | CAST(f_word_count * f_mean_word_len * f_symbol_ratio
+      |   * f_alpha_words * f_stop_words AS INT) AS keep
+      |FROM f""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2679,5 +2824,7 @@ object ExtensionQueries {
     "q105_seq_pattern" -> ((q105 _, q105Sql)),
     "q106_chi2" -> ((q106 _, q106Sql)),
     "q107_entropy" -> ((q107 _, q107Sql)),
-    "q108_seeded_sample" -> ((q108 _, q108Sql)))
+    "q108_seeded_sample" -> ((q108 _, q108Sql)),
+    "q109_c4_line_filter" -> ((q109 _, q109Sql)),
+    "q110_gopher_quality" -> ((q110 _, q110Sql)))
 }

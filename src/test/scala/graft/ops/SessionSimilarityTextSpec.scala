@@ -200,6 +200,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.forall { case (q, p) => q >= 0.0 && q <= 1.0 && p >= 0.0 && p <= 1.0 })
   }
 
+  test("c4LineFilter: line rules, sentence floor, doc-level poisons (multi-line)") {
+    val doc = Seq(
+      "This line survives the filter today.",   // kept
+      "too short.",                             // < 3 words
+      "no terminal punctuation on this line",   // no [.!?] ending
+      "Enable javascript to view this page.",   // boilerplate rule
+      "Is this a question? Yes it is!",         // kept (ends !)
+      "Quoted sentence ends well.\"").mkString("\n")
+    val got = Seq(doc, "short doc.", "has lorem ipsum. " + "Five. Full. Sentences. Here. Now.",
+        "curly { brace. One. Two. Three. Four. Five.")
+      .toDF("text")
+      .select(TextAnalysis.c4LineFilter(col("text"), minWords = 3, minSentences = 3).as("c"))
+      .select(col("c.n_lines_kept"), col("c.n_sentences"), col("c.keep"))
+      .as[(Int, Int, Int)].collect().toSeq
+    // doc 1: kept lines 1, 5, 6 -> sentences: 1 + 2 + 1 = 4 >= 3, no poison
+    assert(got(0) == ((3, 4, 1)))
+    // doc 2: "short doc." has 2 words -> dropped -> 0 sentences
+    assert(got(1) == ((0, 0, 0)))
+    // doc 3: enough sentences but lorem ipsum poisons it
+    assert(got(2)._3 == 0 && got(2)._2 >= 3)
+    // doc 4: curly brace poisons it
+    assert(got(3)._3 == 0)
+  }
+
+  test("gopherQualityFlags: each published rule flips on its planted violation") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the and that have with be to of"
+    val rows = Seq(
+      good,                                         // all pass
+      "the and of short",                           // word count fails
+      good + " " + Seq.fill(40)("12345").mkString(" "),  // alpha fraction fails
+      good + " ### ... ### ... ### ... ### ... ### ...", // symbol ratio fails
+      (1 to 60).map(i => s"word$i").mkString(" ")  // no stop words
+    ).toDF("text")
+      .select(TextAnalysis.gopherQualityFlags(col("text"), minWords = 50).as("g"))
+      .select(col("g.f_word_count"), col("g.f_mean_word_len"),
+        col("g.f_symbol_ratio"), col("g.f_alpha_words"),
+        col("g.f_stop_words"), col("g.keep"))
+      .as[(Int, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(rows(0) == ((1, 1, 1, 1, 1, 1)), s"clean doc must pass all: ${rows(0)}")
+    assert(rows(1)._1 == 0 && rows(1)._6 == 0)
+    assert(rows(2)._4 == 0 && rows(2)._6 == 0)
+    assert(rows(3)._3 == 0 && rows(3)._6 == 0)
+    assert(rows(4)._5 == 0 && rows(4)._6 == 0)
+  }
+
   test("regexTokenCount: alpha runs, digit runs, single punct glyphs") {
     val df = Seq("abc12 de,f!").toDF("text")
     // tokens: abc, 12, de, ',', f, '!' -> 6
