@@ -194,6 +194,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"degenerate plan in bench scale paths: ${offenders.mkString(", ")}")
   }
 
+  test("LSH occupancy cap adds no exchange: the rank window shares the bucket join's shuffle") {
+    // the claim is about the AT-SCALE regime where both banded sides
+    // are too big to broadcast (sort-merge join, one exchange per
+    // side) — at fixture scale the join is a BroadcastHashJoin and the
+    // capped window's exchange would read as +1; disable broadcast to
+    // plan the 100 TB shape.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    def shuffles(df: DataFrame): Int =
+      physical(df).collect { case ex: ShuffleExchangeExec => ex }.size
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val capped = graft.ops.SimilarityOps.lshCosineTopK(e, k = 5, maxBucket = 64)
+      val uncapped = graft.ops.SimilarityOps.lshCosineTopK(e, k = 5, maxBucket = 0)
+      assert(shuffles(capped) == shuffles(uncapped),
+        s"capping must ride the join's own exchange (capped ${shuffles(capped)}, " +
+          s"uncapped ${shuffles(uncapped)})")
+      // and every window in the capped plan is properly partitioned
+      val w = physical(capped).collect {
+        case wx: org.apache.spark.sql.execution.window.WindowExec => wx
+      }
+      assert(w.nonEmpty && w.forall(_.partitionSpec.nonEmpty),
+        "no unpartitioned window in the capped plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact dedup shuffles only (hash64, id) — no string attribute crosses an exchange") {
     // the groupBy key is xxhash64(normText), NOT the normalized text:
     // at 100 TB a full-text shuffle key would make the exchange payload
