@@ -421,6 +421,21 @@ object Bench {
           Tables.documents(s, dir), "text", "doc_id", dim = 256).persist(),
         k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256,
         maxBucket = 64)),
+    // retrieval evaluation at production scale: the LSH run list
+    // scored against an arithmetic judgment dim (bounded 200-doc
+    // qrels per query by construction — the evaluation-dim contract)
+    "b_ranking_metrics" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val runs = SimilarityOps.lshCosineTopK(e, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = e.select(col("vec_id").as("query_id"))
+        .crossJoin(e.filter(col("vec_id") < 200).select(col("vec_id").as("doc_id")))
+        .withColumn("rel", {
+          val r = pmod(col("query_id") * 7 + col("doc_id") * 13, lit(11))
+          when(r >= 9, 2).when(r >= 6, 1).otherwise(0)
+        })
+      graft.ops.SearchOps.rankingMetrics(runs, qrels, k = 10)
+    }),
     // C4 line-level cleaning + Gopher rule flags: per-row column
     // algebra, zero shuffles — the pre-dedup curation gate pair
     "b_c4_line_filter" -> ((s, dir) =>

@@ -193,4 +193,79 @@ object SearchOps {
       .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)),
           b => coalesce(element_at(col("m"), b), lit(0.0)).cast("float")).as(vecCol))
+
+  /** Ranking-quality metrics per query — the evaluation layer the
+    * retrieval family (BM25 / ANN / RRF) is tuned against: reciprocal
+    * rank, recall@k, and nDCG@k of a run list against graded
+    * relevance judgments.
+    *
+    * Inputs: `runs` (queryCol, docCol, `rank` 1-based — the retrieval
+    * output contract every SearchOps/SimilarityOps top-k already
+    * emits) and `qrels` (queryCol, docCol, `rel` int ≥ 0; 0 = judged
+    * irrelevant). Unjudged retrieved docs score rel 0 (the trec_eval
+    * convention). Output: one row per query holding
+    * `rr` (1/first-relevant-rank within the top k, 0 if none),
+    * `recall_k` (|relevant ∩ top-k| / |relevant|, null for queries
+    * with no relevant docs), and `ndcg_k` (DCG@k / IDCG@k with the
+    * (2^rel − 1)/log2(rank+1) gain, null when IDCG is 0). Queries in
+    * `qrels` with no run rows still appear (zero scores) — a
+    * retrieval system that returns nothing must not vanish from its
+    * own evaluation. Corpus means are one `avg` away.
+    *
+    * Scale shape: one equi-join on (query, doc) — rank lists are
+    * k-bounded so the join input is |queries| × k — and one keyed
+    * aggregation; the IDCG side is a |queries|-row aggregate of
+    * sorted judgment lists (judgment lists are human-bounded, never
+    * corpus-sized). Per-term `round(·, 9)` before the DECIMAL sums
+    * keeps the DCG folds order-free and bit-equal cross-engine (the
+    * PSI/chi-square pattern).
+    */
+  def rankingMetrics(
+      runs: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"rankingMetrics: k must be >= 1, got $k")
+    val r = runs.select(col(queryCol).as("q"), col(docCol).as("d"),
+      col("rank").cast("int").as("rank")).filter(col("rank") <= k)
+    val j = qrels.select(col(queryCol).as("q"), col(docCol).as("d"),
+      col("rel").cast("int").as("rel"))
+    // retrieved side: rel of each retrieved doc (0 when unjudged)
+    val scored = r.join(j, Seq("q", "d"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcgTerm = round(
+      (pow(lit(2.0), col("rel").cast("double")) - 1.0) /
+        (log(2.0, col("rank").cast("double") + 1.0)), 9)
+      .cast("decimal(28,9)")
+    val perQueryRun = scored.groupBy("q").agg(
+      min(when(col("rel") > 0, col("rank"))).as("first_rel_rank"),
+      count(when(col("rel") > 0, lit(1))).as("n_rel_retrieved"),
+      sum(dcgTerm).as("dcg"))
+    // judgment side: total relevant + ideal DCG from the top-k rels
+    // sequence(1, 0) flips to a DESCENDING [1, 0] (the rougeN guard's
+    // lesson) — zero-judgment queries take the literal-0 branch
+    val idcgTerm = (relsDesc: Column) =>
+      when(size(relsDesc) === 0, lit(0).cast("decimal(28,9)"))
+        .otherwise(aggregate(
+          zip_with(slice(relsDesc, 1, k),
+            sequence(lit(1), least(size(relsDesc), lit(k))),
+            (rel, rk) => round(
+              (pow(lit(2.0), rel.cast("double")) - 1.0) /
+                log(2.0, rk.cast("double") + 1.0), 9).cast("decimal(28,9)")),
+          // decimal + decimal widens to (29,9); fold back so the
+          // accumulator type stays fixed (exact: k bounded terms)
+          lit(0).cast("decimal(28,9)"), (acc, x) => (acc + x).cast("decimal(28,9)")))
+    val perQueryJudged = j.groupBy("q").agg(
+      count(when(col("rel") > 0, lit(1))).as("n_relevant"),
+      sort_array(collect_list(when(col("rel") > 0, col("rel"))), asc = false)
+        .as("rels_desc"))
+      .select(col("q"), col("n_relevant"), idcgTerm(col("rels_desc")).as("idcg"))
+    perQueryJudged.join(perQueryRun, Seq("q"), "left")
+      .select(col("q").as(queryCol),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0)).as("rr"),
+        when(col("n_relevant") > 0,
+          coalesce(col("n_rel_retrieved").cast("double"), lit(0.0)) /
+            col("n_relevant").cast("double")).as("recall_k"),
+        when(col("idcg") > 0,
+          coalesce(col("dcg"), lit(0).cast("decimal(28,9)")).cast("double") /
+            col("idcg").cast("double")).as("ndcg_k"))
+  }
 }

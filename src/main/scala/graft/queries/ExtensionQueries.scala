@@ -2747,6 +2747,80 @@ object ExtensionQueries {
       |   * f_alpha_words * f_stop_words AS INT) AS keep
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** Retrieval-evaluation metrics
+    * ([[graft.ops.SearchOps.rankingMetrics]]): per-query reciprocal
+    * rank, recall@10 and nDCG@10 of the brute-force cosine top-10 run
+    * (q24's oracle-pinned contract) against a DETERMINISTIC graded
+    * judgment set built from integer arithmetic on (query, doc) ids —
+    * both engines derive identical qrels, runs, and the
+    * round-then-DECIMAL DCG folds, so the whole evaluation replays
+    * row-level. DuckDB's log2 is replaced by ln/ln to match Spark's
+    * `log(2, ·)` float-for-float.
+    */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val runs = SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 20), e, 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val qrels = e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
+      .crossJoin(e.filter(col("vec_id") < 50).select(col("vec_id").as("doc_id")))
+      .withColumn("rel", {
+        val r = pmod(col("query_id") * 7 + col("doc_id") * 13, lit(11))
+        when(r >= 9, 2).when(r >= 6, 1).otherwise(0)
+      })
+    SearchOps.rankingMetrics(runs, qrels, k = 10)
+  }
+
+  val q111Sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings),
+      |c AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (a.nrm * b.nrm) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+      |runs AS (
+      | SELECT query_id, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS rank
+      | FROM c QUALIFY rank <= 10),
+      |qr AS (
+      | SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+      |  CASE WHEN (q.vec_id * 7 + d.vec_id * 13) % 11 >= 9 THEN 2
+      |       WHEN (q.vec_id * 7 + d.vec_id * 13) % 11 >= 6 THEN 1 ELSE 0 END AS rel
+      | FROM e q, e d WHERE q.vec_id < 20 AND d.vec_id < 50),
+      |scored AS (
+      | SELECT runs.query_id, runs.rank, COALESCE(qr.rel, 0) AS rel
+      | FROM runs LEFT JOIN qr ON qr.query_id = runs.query_id AND qr.doc_id = runs.doc_id),
+      |prun AS (
+      | SELECT query_id,
+      |  MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank,
+      |  COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel_retrieved,
+      |  SUM(CAST(round((POW(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0)), 9)
+      |    AS DECIMAL(28,9))) AS dcg
+      | FROM scored GROUP BY 1),
+      |rr AS (
+      | SELECT query_id, rel,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+      | FROM qr WHERE rel > 0),
+      |pidcg AS (
+      | SELECT query_id,
+      |  SUM(CAST(round((POW(2.0, rel) - 1.0) / (ln(rk + 1.0) / ln(2.0)), 9)
+      |    AS DECIMAL(28,9))) AS idcg
+      | FROM rr WHERE rk <= 10 GROUP BY 1),
+      |pj AS (
+      | SELECT query_id, COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_relevant
+      | FROM qr GROUP BY 1)
+      |SELECT pj.query_id,
+      | COALESCE(1.0 / first_rel_rank, 0.0) AS rr,
+      | CASE WHEN n_relevant > 0
+      |   THEN COALESCE(n_rel_retrieved, 0) / CAST(n_relevant AS DOUBLE) END AS recall_k,
+      | CASE WHEN idcg > 0
+      |   THEN CAST(COALESCE(dcg, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)
+      |     / CAST(idcg AS DOUBLE) END AS ndcg_k
+      |FROM pj LEFT JOIN prun USING (query_id) LEFT JOIN pidcg USING (query_id)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2826,5 +2900,6 @@ object ExtensionQueries {
     "q107_entropy" -> ((q107 _, q107Sql)),
     "q108_seeded_sample" -> ((q108 _, q108Sql)),
     "q109_c4_line_filter" -> ((q109 _, q109Sql)),
-    "q110_gopher_quality" -> ((q110 _, q110Sql)))
+    "q110_gopher_quality" -> ((q110 _, q110Sql)),
+    "q111_ranking_metrics" -> ((q111 _, q111Sql)))
 }

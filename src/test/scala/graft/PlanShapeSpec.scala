@@ -86,7 +86,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q100_drift_psi", "q101_numeric_drift",
     // q106/q107: contingency/category dim × broadcast(1-row totals) —
     // the same scalar pattern
-    "q106_chi2", "q107_entropy")
+    "q106_chi2", "q107_entropy",
+    // q111: q24's brute-force run baseline (bounded query side) plus
+    // the 20×50 judgment-dim cross — both bounded evaluation dims,
+    // never corpus-sized
+    "q111_ranking_metrics")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -176,7 +180,11 @@ class PlanShapeSpec extends AnyFunSuite {
         "b_curation_full", "b_perplexity", "b_ppl_buckets",
         "b_dup_components", "b_tfidf_vectors", "b_tfidf_ann",
         "b_nb_classifier", "b_dsir", "b_blocklist",
-        "b_temperature_mix", "b_market_basket", "b_drift_psi")
+        "b_temperature_mix", "b_market_basket", "b_drift_psi",
+        // b_dup_components_reps runs its propagation at construction
+        // (b_dup_components' reason); b_ranking_metrics carries q111's
+        // bounded judgment-dim cross by contract
+        "b_dup_components_reps", "b_ranking_metrics")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

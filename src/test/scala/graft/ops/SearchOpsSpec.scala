@@ -82,4 +82,36 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$s")
     assert(s.contains("BroadcastExchange"), s"expected stats broadcast in:\n$s")
   }
+
+  test("rankingMetrics: hand-computed MRR/recall@k/nDCG@k incl. edge queries") {
+    import spark.implicits._
+    val runs = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4)
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 11L, 2), (1L, 12L, 1), (1L, 99L, 1), (1L, 10L, 0),
+      (2L, 10L, 0),            // judged, nothing relevant
+      (3L, 11L, 1)             // relevant but system returned nothing
+    ).toDF("query_id", "doc_id", "rel")
+    val got = SearchOps.rankingMetrics(runs, qrels, k = 3)
+      .orderBy("query_id")
+      .as[(Long, Double, Option[Double], Option[Double])].collect().toSeq
+    // q1: first relevant at rank 2 -> rr 1/2; recall 2 of 3 relevant;
+    // DCG = 0 + 3/log2(3) + 1/log2(4), IDCG from rels [2,1,1]
+    val dcg = BigDecimal((math.pow(2, 2) - 1) / (math.log(3.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.5
+    val idcg = 3.0 + BigDecimal(1.0 / (math.log(3.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.5
+    assert(got(0)._1 == 1L && got(0)._2 == 0.5)
+    assert(math.abs(got(0)._3.get - 2.0 / 3) < 1e-15)
+    assert(math.abs(got(0)._4.get - dcg / idcg) < 1e-12,
+      s"ndcg ${got(0)._4} != ${dcg / idcg}")
+    // q2: judged but zero relevant -> rr 0, recall/ndcg undefined
+    assert(got(1) == ((2L, 0.0, None, None)))
+    // q3: relevant exists, nothing retrieved -> all-zero scores, row kept
+    assert(got(2)._1 == 3L && got(2)._2 == 0.0 &&
+      got(2)._3.contains(0.0) && got(2)._4.contains(0.0))
+    // rank 4 (beyond k) must not have contributed anywhere
+    assert(got.size == 3)
+  }
 }
