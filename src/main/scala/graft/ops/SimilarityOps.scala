@@ -391,11 +391,23 @@ object SimilarityOps {
     * same corpus always search the same index. Same narrow
     * [[graft.functions.TopCentroids]] assignment on both sides; the
     * only shuffle is the search join on the centroid id.
+    *
+    * `maxList` > 0 caps each centroid's inverted list at that many
+    * members (deterministic top-m by key hash via a rank window that
+    * shares the search join's exchange — [[capBucketSide]]'s
+    * construction on the centroid key), bounding the join output at
+    * |probes| × maxList under any cell skew. Unlike the LSH cap this
+    * DEFAULTS OFF: an IVF cell is a Voronoi region, not a near-dup
+    * bucket — its members are genuinely distinct neighbors, and the
+    * principled answer to oversized cells is more centroids (`nlist`
+    * up); the cap is the emergency bound for corpora whose density
+    * no centroid budget can equalize.
     */
   def ivfCosineSearch(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxList: Int = 0): DataFrame = {
     val picked = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
@@ -417,10 +429,18 @@ object SimilarityOps {
 
     val cands = graft.functions.TopCentroids.topCentroids(
       col("vec"), mat, dim, math.max(nprobe, 1))
-    val assigned = corpus
+    val assigned0 = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id").as("neighbor_id"), col("vec").as("c_vec2"),
         element_at(cands, 1).as("centroid"))
+    val assigned =
+      if (maxList <= 0) assigned0
+      else {
+        val wl = Window.partitionBy("centroid")
+          .orderBy(xxhash64(col("centroid"), col("neighbor_id")), col("neighbor_id"))
+        assigned0.withColumn("__occ", row_number().over(wl))
+          .filter(col("__occ") <= maxList).drop("__occ")
+      }
     val probes = queries
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id").as("query_id"), col("vec").as("q_vec"),

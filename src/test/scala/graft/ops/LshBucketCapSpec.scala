@@ -74,6 +74,26 @@ class LshBucketCapSpec extends AnyFunSuite {
     assert(capped.sameElements(uncapped))
   }
 
+  test("ivfCosineSearch maxList bounds a hot cell; equals uncapped when lists fit") {
+    val n = 200
+    val df = hotCorpus(n) // identical directions -> ONE centroid cell
+    val capped = SimilarityOps.ivfCosineSearch(df, df, k = 3,
+      nlist = 4, nprobe = 2, maxList = 8)
+    // every query still ranks k of the <= 8 cell reps; nothing blows up
+    assert(capped.groupBy("query_id").count().filter(col("count") =!= 3).isEmpty)
+    // corpus-wide candidate pool is bounded by nlist x maxList reps
+    // (near-identical vectors can still split across cells on jitter)
+    assert(capped.select(countDistinct("neighbor_id")).as[Long].head() <= 32L)
+    val wide = SimilarityOps.ivfCosineSearch(df, df, k = 3,
+      nlist = 4, nprobe = 2, maxList = 100000)
+    val plain = SimilarityOps.ivfCosineSearch(df, df, k = 3, nlist = 4, nprobe = 2)
+    val a = wide.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val b = plain.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(a.sameElements(b), "an oversized cap must not change results")
+  }
+
   test("hardNegativesLsh under a capped hot bucket keeps only cross-label pairs") {
     val n = 120
     val df = hotCorpus(n).withColumn("label",
