@@ -421,6 +421,23 @@ object Bench {
           Tables.documents(s, dir), "text", "doc_id", dim = 256).persist(),
         k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256,
         maxBucket = 64)),
+    // classifier-evaluation gauges: AUC rides the range-partitioned
+    // sort + zipWithIndex rank pattern (no unpartitioned window); ECE
+    // is one keyed agg to <= 10 bins
+    "b_auc" -> ((s, dir) =>
+      graft.ops.EvalMetrics.aucRoc(
+        Tables.documents(s, dir)
+          .select(floor(col("n_chars") / 50).cast("double").as("score"),
+            (pmod(col("doc_id") * 13, lit(7)) < 3).cast("int").as("label")),
+        "score", "label")),
+    "b_calibration" -> ((s, dir) =>
+      graft.ops.EvalMetrics.calibrationBins(
+        Tables.documents(s, dir).select(
+          graft.core.PortableHash.uniform01(col("doc_id"), lit("cal")).as("score"),
+          (graft.core.PortableHash.uniform01(col("doc_id"), lit("lab")) <
+            graft.core.PortableHash.uniform01(col("doc_id"), lit("cal")) * 0.8 + 0.1)
+            .cast("int").as("label")),
+        "score", "label")),
     // retrieval evaluation at production scale: the LSH run list
     // scored against an arithmetic judgment dim (bounded 200-doc
     // qrels per query by construction — the evaluation-dim contract)

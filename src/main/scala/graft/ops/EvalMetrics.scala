@@ -153,6 +153,83 @@ object EvalMetrics {
       .drop("__rg", "__cg")
   }
 
+  /** ROC AUC via the Mann-Whitney U statistic — the quality-classifier
+    * evaluation gauge next to [[f1Block]] (a DSIR / NB / quality-score
+    * filter is tuned by how well its SCORE separates good from bad,
+    * threshold-free): `AUC = (Σ_{positives} avgrank − P(P+1)/2) /
+    * (P·N)` with tie-AVERAGED ranks (the exact tie convention —
+    * pessimistic/optimistic rank choices bias AUC on quantized
+    * scores). Returns one row: (auc double — null when a class is
+    * empty, n_pos, n_neg).
+    *
+    * Scale shape: global ranks come from the range-partitioned
+    * sort + `zipWithIndex` pattern ([[JoinOps.withRowIndex]]) — NO
+    * unpartitioned window; tie groups collapse to per-score average
+    * ranks in one keyed agg (average of a contiguous integer run, so
+    * partition order inside a tie never matters), and the final sums
+    * are one aggregate. Per-score `round(·, 9)` then DECIMAL keeps
+    * the positives' rank sum order-free and bit-equal cross-engine.
+    */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val ranked = graft.ops.JoinOps.withRowIndex(
+      df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("int").as("y")).sort("s"), "__ri")
+    val avgRanks = ranked.groupBy("s").agg(
+      round(avg(col("__ri") + 1), 9).cast("decimal(28,9)").as("ar"),
+      sum(col("y")).as("np"), count(lit(1)).as("nt"))
+    avgRanks.agg(
+      sum(col("ar") * col("np")).as("rank_sum_pos"),
+      sum(col("np")).as("p"),
+      sum(col("nt") - col("np")).as("n"))
+      .select(
+        when(col("p") > 0 && col("n") > 0,
+          (col("rank_sum_pos").cast("double") -
+            col("p").cast("double") * (col("p").cast("double") + 1.0) / 2.0) /
+            (col("p").cast("double") * col("n").cast("double"))).as("auc"),
+        col("p").cast("long").as("n_pos"), col("n").cast("long").as("n_neg"))
+  }
+
+  /** Expected calibration error (Naeini et al. 2015; Guo et al. 2017's
+    * reliability-diagram summary): scores in [0, 1] land in `bins`
+    * equal-width bins (right-closed at 1), ECE = Σ_b (n_b / N) ·
+    * |accuracy_b − confidence_b|. Returns the per-bin reliability
+    * frame (bin, n, avg confidence, accuracy, |gap|) PLUS the ECE on
+    * every row — one keyed agg over ≤ `bins` rows, round-then-DECIMAL
+    * terms so the weighted sum replays bit-level cross-engine.
+    */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "calibrationBins: bins must be >= 1")
+    val b = least(floor(col(scoreCol).cast("double") * bins), lit(bins - 1))
+      .cast("int")
+    // per-row round-then-DECIMAL before the bin sums: a double `avg`
+    // folds in partition order and can differ in the last ulp across
+    // engines; an exact decimal sum divided once is order-free
+    val perBin = df
+      .select(b.as("bin"), col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("s"), 9).cast("decimal(28,9)")).as("__ssum"),
+        sum(col("y")).as("__ysum"))
+      .select(col("bin"), col("n"),
+        round(col("__ssum").cast("double") / col("n"), 9)
+          .cast("decimal(28,9)").as("confidence"),
+        round(col("__ysum").cast("double") / col("n"), 9)
+          .cast("decimal(28,9)").as("accuracy"))
+      .withColumn("gap", abs(col("accuracy") - col("confidence")))
+    val tot = perBin.agg(
+      sum(col("n")).as("__N"),
+      sum(col("gap") * col("n")).as("__gsum"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        col("confidence").cast("double").as("confidence"),
+        col("accuracy").cast("double").as("accuracy"),
+        col("gap").cast("double").as("gap"),
+        (col("__gsum").cast("double") / col("__N").cast("double")).as("ece"))
+  }
+
   /** Production ROUGE-N: same metric as [[rougeN]], computed in three
     * fused codegen passes per row instead of the HOF tower — each
     * side's grams become a SORTED xxhash64 multiset in one pass

@@ -2821,6 +2821,85 @@ object ExtensionQueries {
       |     / CAST(idcg AS DOUBLE) END AS ndcg_k
       |FROM pj LEFT JOIN prun USING (query_id) LEFT JOIN pidcg USING (query_id)""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  /** ROC AUC ([[graft.ops.EvalMetrics.aucRoc]]) of a deterministic
+    * quantized score (floor(n_chars / 50) — deliberately TIE-heavy so
+    * the averaged-rank convention is what's being verified) against an
+    * arithmetic label. DuckDB replays the identical rank construction:
+    * ROW_NUMBER ordered by score, tie groups collapsed to average
+    * ranks (average of a contiguous run — tie order irrelevant),
+    * Mann-Whitney normalization.
+    */
+  def q112(spark: SparkSession, dir: String): DataFrame =
+    EvalMetrics.aucRoc(
+      Tables.documents(spark, dir)
+        .select(floor(col("n_chars") / 50).cast("double").as("score"),
+          (pmod(col("doc_id") * 13, lit(7)) < 3).cast("int").as("label")),
+      "score", "label")
+
+  val q112Sql: String =
+    """WITH s AS (
+      | SELECT CAST(floor(n_chars / 50) AS DOUBLE) AS s,
+      |  CASE WHEN (doc_id * 13) % 7 < 3 THEN 1 ELSE 0 END AS y
+      | FROM documents),
+      |r AS (SELECT s, y, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM s),
+      |a AS (
+      | SELECT s, CAST(round(AVG(rn), 9) AS DECIMAL(28,9)) AS ar,
+      |  SUM(y) AS np, COUNT(*) AS nt
+      | FROM r GROUP BY s),
+      |t AS (
+      | SELECT SUM(ar * np) AS rsp, SUM(np) AS p, SUM(nt - np) AS n FROM a)
+      |SELECT
+      | CASE WHEN p > 0 AND n > 0 THEN
+      |  (CAST(rsp AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0) / 2.0)
+      |   / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) END AS auc,
+      | CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------------------- q113
+  /** Expected calibration error
+    * ([[graft.ops.EvalMetrics.calibrationBins]]) of a key-derived
+    * pseudo-probability against a label drawn correlated with it
+    * (u2 < 0.8·score + 0.1) — both md5-portable draws, so the whole
+    * reliability diagram (bin populations, exact-decimal confidence /
+    * accuracy, weighted ECE) replays row-level in DuckDB.
+    */
+  def q113(spark: SparkSession, dir: String): DataFrame =
+    EvalMetrics.calibrationBins(
+      Tables.documents(spark, dir).select(
+        graft.core.PortableHash.uniform01(col("doc_id"), lit("cal")).as("score"),
+        (graft.core.PortableHash.uniform01(col("doc_id"), lit("lab")) <
+          graft.core.PortableHash.uniform01(col("doc_id"), lit("cal")) * 0.8 + 0.1)
+          .cast("int").as("label")),
+      "score", "label", bins = 10)
+
+  val q113Sql: String =
+    """WITH u AS (
+      | SELECT
+      |  CAST('0x' || substr(md5(doc_id || '#' || 'cal'), 1, 15) AS BIGINT)
+      |    / 1152921504606846976.0 AS s,
+      |  CAST('0x' || substr(md5(doc_id || '#' || 'lab'), 1, 15) AS BIGINT)
+      |    / 1152921504606846976.0 AS u2
+      | FROM documents),
+      |s AS (
+      | SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s,
+      |  CASE WHEN u2 < s * 0.8 + 0.1 THEN 1 ELSE 0 END AS y
+      | FROM u),
+      |pb AS (
+      | SELECT bin, COUNT(*) AS n,
+      |  CAST(round(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |    / COUNT(*), 9) AS DECIMAL(28,9)) AS confidence,
+      |  CAST(round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(28,9)) AS accuracy
+      | FROM s GROUP BY 1),
+      |g AS (SELECT *, abs(accuracy - confidence) AS gap FROM pb),
+      |t AS (SELECT SUM(n) AS nn, SUM(gap * n) AS gsum FROM g)
+      |SELECT bin, n,
+      | CAST(confidence AS DOUBLE) AS confidence,
+      | CAST(accuracy AS DOUBLE) AS accuracy,
+      | CAST(gap AS DOUBLE) AS gap,
+      | CAST(gsum AS DOUBLE) / CAST(nn AS DOUBLE) AS ece
+      |FROM g CROSS JOIN t""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2901,5 +2980,7 @@ object ExtensionQueries {
     "q108_seeded_sample" -> ((q108 _, q108Sql)),
     "q109_c4_line_filter" -> ((q109 _, q109Sql)),
     "q110_gopher_quality" -> ((q110 _, q110Sql)),
-    "q111_ranking_metrics" -> ((q111 _, q111Sql)))
+    "q111_ranking_metrics" -> ((q111 _, q111Sql)),
+    "q112_auc" -> ((q112 _, q112Sql)),
+    "q113_calibration" -> ((q113 _, q113Sql)))
 }

@@ -90,7 +90,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // q111: q24's brute-force run baseline (bounded query side) plus
     // the 20×50 judgment-dim cross — both bounded evaluation dims,
     // never corpus-sized
-    "q111_ranking_metrics")
+    "q111_ranking_metrics",
+    // q113: ≤bins-row reliability frame × broadcast(1-row N/ECE
+    // totals) — the q08 scalar pattern
+    "q113_calibration")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -183,8 +186,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "b_temperature_mix", "b_market_basket", "b_drift_psi",
         // b_dup_components_reps runs its propagation at construction
         // (b_dup_components' reason); b_ranking_metrics carries q111's
-        // bounded judgment-dim cross by contract
-        "b_dup_components_reps", "b_ranking_metrics")
+        // bounded judgment-dim cross by contract; b_calibration q113's
+        // 1-row totals broadcast
+        "b_dup_components_reps", "b_ranking_metrics", "b_calibration")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

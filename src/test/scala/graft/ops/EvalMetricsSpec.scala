@@ -53,4 +53,38 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(messages.contains("absent from category dim"),
       s"expected the raise_error contract, got:\n$messages")
   }
+
+  test("aucRoc: perfect separation, ties averaged, degenerate class -> null") {
+    // perfect: every positive outscores every negative -> AUC 1
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("score", "label")
+    val p = EvalMetrics.aucRoc(perfect, "score", "label")
+      .as[(Option[Double], Long, Long)].head()
+    assert(p == ((Some(1.0), 2L, 2L)))
+    // hand case with a tie straddling the classes:
+    // scores asc: 0.1(y0) rank1, 0.5(y0) & 0.5(y1) avgrank 2.5, 0.9(y1) rank4
+    // U = (2.5 + 4) - 2*3/2 = 3.5 -> AUC = 3.5 / (2*2) = 0.875
+    val tied = Seq((0.1, 0), (0.5, 0), (0.5, 1), (0.9, 1)).toDF("score", "label")
+    val t = EvalMetrics.aucRoc(tied, "score", "label")
+      .as[(Option[Double], Long, Long)].head()
+    assert(t._1.contains(0.875), s"tie-averaged AUC must be 0.875, got $t")
+    // all one class: AUC undefined
+    val one = Seq((0.3, 1), (0.7, 1)).toDF("score", "label")
+    assert(EvalMetrics.aucRoc(one, "score", "label")
+      .as[(Option[Double], Long, Long)].head()._1.isEmpty)
+  }
+
+  test("calibrationBins: hand-checked reliability bins and weighted ECE") {
+    // bin 0 ([0,0.1)): scores 0.05,0.05 labels 0,1 -> conf .05, acc .5, gap .45
+    // bin 9 (score 1.0 clamps): score 1.0 label 1 -> gap 0
+    // bin 5: scores 0.55 label 1 -> conf .55 acc 1 gap .45
+    val df = Seq((0.05, 0), (0.05, 1), (1.0, 1), (0.55, 1)).toDF("score", "label")
+    val rows = EvalMetrics.calibrationBins(df, "score", "label", bins = 10)
+      .orderBy("bin")
+      .as[(Int, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq((0, 2L), (5, 1L), (9, 1L)))
+    assert(rows(0)._3 == 0.05 && rows(0)._4 == 0.5 && rows(0)._5 == 0.45)
+    assert(rows(1)._5 == 0.45 && rows(2)._5 == 0.0)
+    // ECE = (2*0.45 + 1*0.45 + 1*0) / 4 = 0.3375, same on every row
+    assert(rows.forall(r => math.abs(r._6 - 0.3375) < 1e-12))
+  }
 }
