@@ -438,6 +438,16 @@ object Bench {
             graft.core.PortableHash.uniform01(col("doc_id"), lit("cal")) * 0.8 + 0.1)
             .cast("int").as("label")),
         "score", "label")),
+    // the standing ANN deployment: today's query batch (key-split 20%)
+    // against the PERSISTED bucketed LSH index — corpus side comes off
+    // the bucketed scan with no exchange; build cost paid once per
+    // corpus version at warmup (precomputedLshIndex)
+    "b_lsh_indexed" -> ((s, dir) => {
+      val t = precomputedLshIndex(s, dir)
+      SimilarityOps.lshSearchIndexed(
+        Tables.embeddings(s, dir)
+          .filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0), t, k = 10)
+    }),
     // retrieval evaluation at production scale: the LSH run list
     // scored against an arithmetic judgment dim (bounded 200-doc
     // qrels per query by construction — the evaluation-dim contract)
@@ -559,6 +569,19 @@ object Bench {
       out
     })
 
+  /** Once-per-corpus-version LSH index build (the [[precomputedRepsPath]]
+    * deployment pattern for ANN): bucketed table per sf dir, built at
+    * warmup so `b_lsh_indexed` times the per-batch SEARCH only.
+    */
+  private val lshIndexCache = scala.collection.mutable.Map[String, String]()
+  private[graft] def precomputedLshIndex(s: SparkSession, dir: String): String =
+    lshIndexCache.getOrElseUpdate(dir, {
+      val t = "graft_bench_lsh_idx_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      SimilarityOps.writeLshIndex(Tables.embeddings(s, dir), t)
+      t
+    })
+
   /** The b_minhash_incremental shape over an arbitrary doc set. */
   private def incrementalOn(docs: DataFrame): DataFrame = {
     val part = pmod(xxhash64(col("doc_id")), lit(5))
@@ -606,6 +629,7 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
     precomputedRepsPath(spark, sfDir)
+    precomputedLshIndex(spark, sfDir)
     // per-row plan-family warmup dir: each timed row first runs once at
     // the 10× smaller fixture (see the loop below) so Janino compilation
     // of its generated classes and C2 JIT of its hot decode/agg loops

@@ -299,6 +299,76 @@ object SimilarityOps {
     }
   }
 
+  /** Persist the LSH index: the banded corpus stream — one row per
+    * (band, bucket) occurrence carrying the vector and the full bucket
+    * array — written as a BUCKETED table on the join keys
+    * ([[graft.io.Sources.writeBucketed]]), occupancy-capped AT WRITE
+    * (`maxBucket`, [[capBucketSide]]) so the stored index is bounded
+    * at docs × bands rows with every (band, bucket) ≤ maxBucket.
+    * Signatures are a pure function of (plane, dim), so any later
+    * query batch computes MATCHING signatures — the index survives
+    * engine restarts and corpus re-reads by construction.
+    *
+    * This is the standing 100 TB ANN deployment: build once per corpus
+    * version, then every query batch joins a SMALL banded query stream
+    * against the bucketed table — the corpus side of the search join
+    * needs NO exchange at all (the bucketed scan already satisfies the
+    * join's distribution; [[lshSearchIndexed]]'s spec asserts zero
+    * shuffles under the scan), so per-batch cost is one query-sized
+    * shuffle plus bucket-matched reads.
+    */
+  def writeLshIndex(
+      corpus: DataFrame, table: String,
+      bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, maxBucket: Int = defaultMaxBucket,
+      numFileBuckets: Int = 32): Unit = {
+    val sigs = graft.functions.HyperplaneBandSigs
+      .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
+    val banded = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
+      .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    graft.io.Sources.writeBucketed(
+      capBucketSide(banded, "id", maxBucket),
+      table, numFileBuckets, Seq("band", "bucket"))
+  }
+
+  /** Search a [[writeLshIndex]] table: bands/planes/dim must match the
+    * write (signatures are deterministic, so matching parameters mean
+    * matching buckets). Same candidate semantics as a capped
+    * [[lshCosineSearch]] over the same corpus — the spec pins the
+    * results equal — but the corpus side comes off the bucketed scan
+    * with zero exchanges.
+    */
+  def lshSearchIndexed(
+      queries: DataFrame, table: String, k: Int,
+      bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val sigs = graft.functions.HyperplaneBandSigs
+      .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
+    val l = queries
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
+      .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("band"), col("bucket"),
+        col("id").as("query_id"), col("vec").as("q_vec"))
+    val r = spark.table(table).select(col("band"), col("bucket"),
+      col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    dedupAdjacentPairs(
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")).as("cosine")),
+      w)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep stage): for every vector, the top-`k` most-similar
     * vectors with a DIFFERENT label — near the anchor in embedding

@@ -187,8 +187,11 @@ class PlanShapeSpec extends AnyFunSuite {
         // b_dup_components_reps runs its propagation at construction
         // (b_dup_components' reason); b_ranking_metrics carries q111's
         // bounded judgment-dim cross by contract; b_calibration q113's
-        // 1-row totals broadcast
-        "b_dup_components_reps", "b_ranking_metrics", "b_calibration")
+        // 1-row totals broadcast; b_lsh_indexed BUILDS its bucketed
+        // index table at construction (side-effecting write — its plan
+        // claims are asserted directly in LshBucketCapSpec)
+        "b_dup_components_reps", "b_ranking_metrics", "b_calibration",
+        "b_lsh_indexed")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

@@ -94,6 +94,50 @@ class LshBucketCapSpec extends AnyFunSuite {
     assert(a.sameElements(b), "an oversized cap must not change results")
   }
 
+  test("persisted LSH index: search == capped in-memory search, corpus side shuffle-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(Dim) { d =>
+        val z = (i * 31 + d * 7 + 13) % 17
+        (z - 8).toFloat / 8f
+      }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    SimilarityOps.writeLshIndex(corpus, "lsh_idx_spec", dim = Dim, maxBucket = 8)
+    val viaIndex = SimilarityOps.lshSearchIndexed(
+      queries, "lsh_idx_spec", k = 3, dim = Dim)
+    val direct = SimilarityOps.lshCosineSearch(
+      queries, corpus, k = 3, dim = Dim, maxBucket = 8)
+    val a = viaIndex.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val b = direct.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(a.nonEmpty && a.sameElements(b),
+      "indexed search must reproduce the capped in-memory search exactly")
+    // the standing-deployment claim: with broadcast off (the at-scale
+    // regime) the indexed plan saves exactly the corpus-side exchange —
+    // the bucketed scan already satisfies the join's distribution
+    def physical(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case x: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          x.initialPlan
+        case p => p
+      }
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      physical(df).collect { case e: ShuffleExchangeExec => e }.size
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = SimilarityOps.lshSearchIndexed(queries, "lsh_idx_spec", k = 3, dim = Dim)
+      val dir = SimilarityOps.lshCosineSearch(queries, corpus, k = 3, dim = Dim, maxBucket = 8)
+      assert(shuffles(idx) == shuffles(dir) - 1,
+        s"indexed ${shuffles(idx)} vs direct ${shuffles(dir)}: bucketed corpus side must drop its exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
+  }
+
   test("hardNegativesLsh under a capped hot bucket keeps only cross-label pairs") {
     val n = 120
     val df = hotCorpus(n).withColumn("label",
