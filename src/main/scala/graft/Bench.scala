@@ -421,6 +421,25 @@ object Bench {
           Tables.documents(s, dir), "text", "doc_id", dim = 256).persist(),
         k = 10, idCol = "doc_id", vecCol = "embedding", dim = 256,
         maxBucket = 64)),
+    // exact-recall prefix-filtered Jaccard join (All-Pairs/PPJoin):
+    // the deterministic sibling of b_minhash_pairs — pair OUTPUT is
+    // quadratic on the dup-dense fixture by contract, but candidate
+    // GENERATION touches only per-doc rarity prefixes. 0.7 keeps the
+    // verified output to true near-dups on the 31-word-vocab fixture.
+    "b_prefix_jaccard" -> ((s, dir) =>
+      DedupOps.prefixJaccardPairs(
+        Tables.documents(s, dir), "text", "doc_id", 0.7)),
+    // directed containment at 0.9: plen = n - ceil(0.9 n) + 1 probe
+    // tokens per doc against the full token index — the quote/excerpt
+    // detection pass
+    "b_containment" -> ((s, dir) =>
+      DedupOps.containmentPairs(
+        Tables.documents(s, dir), "text", "doc_id", 0.9)),
+    // windowed co-occurrence PMI: pair stream is docLen x window per
+    // doc (linear), then one (x, y) groupBy + vocab-sized broadcasts
+    "b_pmi" -> ((s, dir) =>
+      graft.ops.TextAnalysis.pmiPairs(
+        Tables.documents(s, dir), "text", window = 2, minCount = 5L)),
     // classifier-evaluation gauges: AUC rides the range-partitioned
     // sort + zipWithIndex rank pattern (no unpartitioned window); ECE
     // is one keyed agg to <= 10 bins

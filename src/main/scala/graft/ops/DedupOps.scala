@@ -93,6 +93,130 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact-recall set-similarity self-join via PREFIX FILTERING (the
+    * All-Pairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): every pair with token-set Jaccard >= `threshold`,
+    * deterministically — recall is exactly 1.0, the complement to the
+    * probabilistic MinHash-LSH path ([[dedupKeepers]]) when a
+    * contractual "no missed duplicates above t" guarantee is required.
+    *
+    * Why it scales: order the corpus vocabulary by ascending document
+    * frequency (rarest first; ties by hash). For J(A,B) >= t the
+    * intersection size I satisfies I >= ceil(t*|A|) and I >= ceil(t*|B|),
+    * so the canonically SMALLEST common token must sit inside BOTH
+    * prefixes of length p_x = |x| - ceil(t*|x|) + 1 (if it sat past the
+    * prefix, the whole intersection would fit in the ceil(t*|x|)-1
+    * suffix — too small). Candidate generation therefore joins only the
+    * exploded PREFIXES: the candidate stream is governed by
+    * rare-token document frequency, not the all-token inverted index
+    * whose hot (stop-word) postings make a plain token join quadratic.
+    * Shuffles carry (token hash, id, n) prefix rows, distinct (id, id)
+    * candidates, and per-doc sorted hash arrays for the verify joins —
+    * text never crosses an exchange; verification is the O(n+m)
+    * [[graft.functions.SortedIntersectCount]] primitive-long merge.
+    * A hot prefix token (df_tok close to corpus size) cannot exist:
+    * tokens are ranked by df, so corpus-frequent tokens land in
+    * suffixes and never generate candidates.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = df.select(col(idCol).as("id"),
+        hashedTokenSet(col(textCol)).as("hset"))
+      .withColumn("n", size(col("hset")))
+    val e = t.select(col("id"), col("n"), explode(col("hset")).as("h"))
+    // Global rarity order: (document frequency, hash) ascending. The
+    // vocabulary frame is token-keyed and tiny relative to the corpus.
+    val freq = e.groupBy("h").agg(count(lit(1)).as("df_tok"))
+    val ordered = e.join(freq, "h")
+      .groupBy("id").agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df_tok"), col("h")))).as("ord"))
+    val prefixes = ordered
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col("id"), col("n"),
+        explode(slice(transform(col("ord"), x => x.getField("h")),
+          lit(1), col("plen"))).as("h"))
+    val a = prefixes.select(col("id").as("id_a"), col("n").as("n_a"), col("h"))
+    val b = prefixes.select(col("id").as("id_b"), col("n").as("n_b"), col("h"))
+    // Length filter inside the candidate join: J(A,B) <= min/max sizes.
+    val cand = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * threshold)
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, t, threshold)
+  }
+
+  private def verifyJaccard(
+      cand: DataFrame, t: DataFrame, threshold: Double): DataFrame = {
+    val lt = t.select(col("id").as("id_a"), col("hset").as("set_a"),
+      col("n").as("n_a"))
+    val rt = t.select(col("id").as("id_b"), col("hset").as("set_b"),
+      col("n").as("n_b"))
+    cand.join(lt, "id_a").join(rt, "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Directed containment join: every ordered pair (a, b), a != b, with
+    * C(A -> B) = |A ∩ B| / |A| >= `threshold` — "a's tokens are mostly
+    * inside b": quote / excerpt / subset detection, the asymmetric
+    * sibling of [[prefixJaccardPairs]] (a 30-token quote inside a
+    * 3,000-token page has tiny Jaccard but containment ~1).
+    *
+    * Prefix filtering applies on the CONTAINED side only: I >=
+    * ceil(t*|A|) forces a common token inside A's
+    * |A| - ceil(t*|A|) + 1 prefix, but containment puts no lower bound
+    * on |B| relative to I, so the right side must index ALL its tokens
+    * — the same inverted-index shape as [[graft.ops.SearchOps]]; at
+    * scale the hot-posting skew of the full index side is bounded by
+    * the rare-prefix probe side (a candidate still needs a RARE token
+    * of A). Verification reuses the sorted-hash merge.
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = df.select(col(idCol).as("id"),
+        hashedTokenSet(col(textCol)).as("hset"))
+      .withColumn("n", size(col("hset")))
+    val e = t.select(col("id"), col("n"), explode(col("hset")).as("h"))
+    val freq = e.groupBy("h").agg(count(lit(1)).as("df_tok"))
+    val ordered = e.join(freq, "h")
+      .groupBy("id").agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df_tok"), col("h")))).as("ord"))
+    val prefixes = ordered
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col("id").as("id_a"),
+        explode(slice(transform(col("ord"), x => x.getField("h")),
+          lit(1), col("plen"))).as("h"))
+    val index = e.select(col("id").as("id_b"), col("h"))
+    val cand = prefixes.join(index, Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val lt = t.select(col("id").as("id_a"), col("hset").as("set_a"),
+      col("n").as("n_a"))
+    val rt = t.select(col("id").as("id_b"), col("hset").as("set_b"))
+    cand.join(lt, "id_a").join(rt, "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** The default per-(token, index) hash family: xxhash64 salted by the
     * hash index. Declared as a stable value (not an inline default
     * lambda) so the non-portable paths can VERIFY the caller did not

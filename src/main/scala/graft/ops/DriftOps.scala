@@ -56,6 +56,44 @@ object DriftOps {
     withTerms.crossJoin(broadcast(total))
   }
 
+  /** Jensen–Shannon divergence between two categorical distributions —
+    * the BOUNDED drift gauge (JSD ∈ [0, ln 2] in nats): unlike PSI or
+    * KL it never diverges on vanished/new categories, so no smoothing
+    * is applied — zero-count cells contribute their exact closed form
+    * (p = 0 makes the p-branch 0 and the q-branch 0.5·q·ln 2). Same
+    * plan shape as [[categoricalDrift]]: two count aggregates,
+    * full-outer join with coalesced zeros (the full union grid — the
+    * chi-square zero-cell lesson), 1-row broadcast totals, and an
+    * order-free round-to-DECIMAL total sum. Per-category rows carry
+    * p_old, p_new and the term; `jsd_total` rides every row.
+    */
+  def jsDivergence(
+      oldDf: DataFrame, newDf: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.groupBy(col(catCol)).agg(count(lit(1)).as(n))
+    val joined = counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(
+      sum(col("n_old")).as("__t_old"), sum(col("n_new")).as("__t_new"))
+    val d = (c: Column) => c.cast("double")
+    val p = d(col("n_old")) / d(col("__t_old"))
+    val q = d(col("n_new")) / d(col("__t_new"))
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("n_old") === 0L, lit(0.0)).otherwise(p * log(p / m) * 0.5) +
+      when(col("n_new") === 0L, lit(0.0)).otherwise(q * log(q / m) * 0.5)
+    val withTerms = joined.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_old"), col("n_new"),
+        p.as("p_old"), q.as("p_new"), term.as("jsd_term"))
+    val total = withTerms.agg(
+      sum(round(col("jsd_term"), 9).cast("decimal(38,9)"))
+        .cast("double").as("jsd_total"))
+    withTerms.crossJoin(broadcast(total))
+  }
+
   /** Numeric drift: PSI over the OLD version's `nBins` quantile bins —
     * the original (credit-scoring) PSI formulation. Bin edges are
     * exact interpolated percentiles of `round(value, 6)` computed on

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.PortableHash
@@ -219,5 +219,49 @@ object TextAnalysis {
       fAlpha.as("f_alpha_words"),
       fStop.as("f_stop_words"),
       (fWordCount * fMeanLen * fSymbol * fAlpha * fStop).as("keep"))
+  }
+
+  /** Windowed co-occurrence PMI — the word2vec/GloVe preprocessing
+    * statistic: for every unordered token pair co-occurring within
+    * `window` positions, `pmi = ln( (c_xy / T_pairs) /
+    * ((c_x / T_tok) * (c_y / T_tok)) )` over exact corpus counts.
+    *
+    * Pair generation is a pure per-row column expression (no
+    * positional self-join): each position pairs with the next
+    * `window` positions via nested `transform` + `flatten`, so the
+    * only shuffles are the (x, y) pair-count groupBy and the
+    * vocabulary-sized marginal joins — pairs are strings of two
+    * tokens, never documents. Totals ride 1-row broadcasts. At 100 TB
+    * compose with [[graft.ops.SearchOps.buildVocab]] to cap the pair
+    * space to a top-V vocabulary before the groupBy (filter both
+    * members), and raise `minCount` — PMI on singleton pairs is noise.
+    */
+  def pmiPairs(
+      df: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = TextOps.whitespaceTokenize(col(textCol))
+    val pairList = flatten(transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      i => transform(slice(toks, i + 1, lit(window)),
+        y => struct(
+          least(element_at(toks, i), y).as("x"),
+          greatest(element_at(toks, i), y).as("y")))))
+    val pairs = df.select(explode(pairList).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val marg = df.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = pairs.agg(count(lit(1)).as("__tp"))
+      .crossJoin(marg.agg(sum(col("c")).as("__tt")))
+    val d = (c: Column) => c.cast("double")
+    cxy.filter(col("c_xy") >= minCount)
+      .join(broadcast(marg.select(col("tok").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(marg.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        log((d(col("c_xy")) / d(col("__tp"))) /
+          ((d(col("c_x")) / d(col("__tt"))) *
+           (d(col("c_y")) / d(col("__tt"))))).as("pmi"))
   }
 }

@@ -2900,6 +2900,147 @@ object ExtensionQueries {
       | CAST(gsum AS DOUBLE) / CAST(nn AS DOUBLE) AS ece
       |FROM g CROSS JOIN t""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Exact-recall prefix-filtered Jaccard self-join
+    * ([[graft.ops.DedupOps.prefixJaccardPairs]], the All-Pairs/PPJoin
+    * family) at 0.6 — the DETERMINISTIC dedup contract ("no missed
+    * duplicate above t"), vs MinHash-LSH's probabilistic recall. The
+    * oracle is the INDEPENDENT formulation — a full token-level
+    * inverted self-join with no prefix logic at all — so the row-level
+    * match is also an exactness proof of the prefix filter on this
+    * corpus (recall 1.0 by construction, not by measurement).
+    */
+  def q114(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.prefixJaccardPairs(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.6)
+
+  val q114Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+      |        len(list_distinct(string_split(text, ' '))) AS n
+      | FROM documents),
+      |e AS (SELECT doc_id, n, unnest(toks) AS tok FROM t),
+      |p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+      |        count(*) AS inter
+      | FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b,
+      | CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
+
+  // --------------------------------------------------------------- q115
+  /** Directed containment join
+    * ([[graft.ops.DedupOps.containmentPairs]]) at 0.7: ordered pairs
+    * where >= 70% of a's distinct tokens appear in b — quote/excerpt
+    * detection, the asymmetric dedup signal Jaccard misses. Oracle is
+    * again the independent full inverted self-join.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.7)
+
+  val q115Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+      |        len(list_distinct(string_split(text, ' '))) AS n
+      | FROM documents),
+      |e AS (SELECT doc_id, n, unnest(toks) AS tok FROM t),
+      |p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na,
+      |        count(*) AS inter
+      | FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      | GROUP BY 1, 2, 3)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / na AS containment
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / na >= 0.7""".stripMargin
+
+  // --------------------------------------------------------------- q116
+  /** Jensen–Shannon divergence ([[graft.ops.DriftOps.jsDivergence]])
+    * between the language mixes of two deterministically-derived
+    * corpus versions (q100's snapshot pattern, fresh salts): the
+    * BOUNDED drift gauge — zero-count categories contribute their
+    * exact closed form instead of a smoothing constant, so the q100
+    * PSI row and this row disagree exactly where smoothing matters.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val oldDf = d.filter(PortableHash.uniform01(col("doc_id"), lit("116o")) < 0.9)
+    val newDf = d.filter(PortableHash.uniform01(col("doc_id"), lit("116n")) < 0.9)
+      .withColumn("lang",
+        when(PortableHash.uniform01(col("doc_id"), lit("116c")) < 0.15,
+          concat(col("lang"), lit("-x"))).otherwise(col("lang")))
+    DriftOps.jsDivergence(oldDf, newDf, "lang")
+  }
+
+  val q116Sql: String = {
+    def u(salt: String): String =
+      s"${dk(s"doc_id || '#' || '$salt'")} / 1152921504606846976.0"
+    s"""WITH o AS (SELECT lang FROM documents WHERE ${u("116o")} < 0.9),
+      |n AS (SELECT CASE WHEN ${u("116c")} < 0.15 THEN lang || '-x' ELSE lang END AS lang
+      |      FROM documents WHERE ${u("116n")} < 0.9),
+      |co AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_old FROM o GROUP BY 1),
+      |cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new FROM n GROUP BY 1),
+      |j AS (SELECT COALESCE(co.lang, cn.lang) AS lang,
+      |  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old,
+      |  COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
+      | FROM co FULL JOIN cn ON co.lang = cn.lang),
+      |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM j),
+      |w AS (SELECT lang, n_old, n_new,
+      |  CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE) AS p_old,
+      |  CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE) AS p_new
+      | FROM j CROSS JOIN t),
+      |w2 AS (SELECT lang, n_old, n_new, p_old, p_new,
+      |  (CASE WHEN n_old = 0 THEN 0.0
+      |    ELSE p_old * ln(p_old / ((p_old + p_new) / 2.0)) * 0.5 END)
+      |  + (CASE WHEN n_new = 0 THEN 0.0
+      |    ELSE p_new * ln(p_new / ((p_old + p_new) / 2.0)) * 0.5 END) AS jsd_term
+      | FROM w),
+      |tt AS (SELECT CAST(SUM(CAST(round(jsd_term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |       AS jsd_total FROM w2)
+      |SELECT * FROM w2 CROSS JOIN tt""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q117
+  /** Windowed co-occurrence PMI
+    * ([[graft.ops.TextAnalysis.pmiPairs]], window 2, minCount 5) over
+    * the corpus — the word2vec/GloVe preprocessing statistic. The
+    * oracle replays pair generation positionally (a.pos < b.pos <=
+    * a.pos + 2 inside each doc), the unordered canonicalization, both
+    * marginals, and the exact double algebra of the PMI ratio.
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(
+      Tables.documents(spark, dir), "text", window = 2, minCount = 5L)
+
+  val q117Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      | FROM documents),
+      |e AS (
+      | SELECT doc_id, unnest(toks) AS tok,
+      |  unnest(generate_series(1, len(toks))) AS pos
+      | FROM t),
+      |p AS (
+      | SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y
+      | FROM e a JOIN e b
+      |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2),
+      |c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM p GROUP BY 1, 2),
+      |m AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM p) AS tp,
+      |               (SELECT count(*) FROM e) AS tt)
+      |SELECT c.x, c.y, c.c_xy, mx.c AS c_x, my.c AS c_y,
+      | ln((CAST(c_xy AS DOUBLE) / CAST(tp AS DOUBLE))
+      |   / ((CAST(mx.c AS DOUBLE) / CAST(tt AS DOUBLE))
+      |     * (CAST(my.c AS DOUBLE) / CAST(tt AS DOUBLE)))) AS pmi
+      |FROM c
+      | JOIN m mx ON mx.tok = c.x
+      | JOIN m my ON my.tok = c.y
+      | CROSS JOIN tot
+      |WHERE c_xy >= 5""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -2982,5 +3123,9 @@ object ExtensionQueries {
     "q110_gopher_quality" -> ((q110 _, q110Sql)),
     "q111_ranking_metrics" -> ((q111 _, q111Sql)),
     "q112_auc" -> ((q112 _, q112Sql)),
-    "q113_calibration" -> ((q113 _, q113Sql)))
+    "q113_calibration" -> ((q113 _, q113Sql)),
+    "q114_prefix_jaccard" -> ((q114 _, q114Sql)),
+    "q115_containment" -> ((q115 _, q115Sql)),
+    "q116_jsd_drift" -> ((q116 _, q116Sql)),
+    "q117_pmi" -> ((q117 _, q117Sql)))
 }
