@@ -440,6 +440,29 @@ object Bench {
     "b_pmi" -> ((s, dir) =>
       graft.ops.TextAnalysis.pmiPairs(
         Tables.documents(s, dir), "text", window = 2, minCount = 5L)),
+    // graph family over the arithmetic corpus graph (3 edges/doc):
+    // pagerank = 5 join+agg passes with localCheckpoint lineage cuts;
+    // triangles = degree-oriented wedge join (hub-proof)
+    "b_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.count()
+      val e = d.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % n).as("dst"))
+        .union(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+        .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.pageRank(e, iters = 5)
+    }),
+    "b_triangles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.count()
+      val e = d.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % n).as("dst"))
+        .union(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+        .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.triangleCount(e)
+    }),
     // classifier-evaluation gauges: AUC rides the range-partitioned
     // sort + zipWithIndex rank pattern (no unpartitioned window); ECE
     // is one keyed agg to <= 10 bins

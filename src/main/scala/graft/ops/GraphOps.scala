@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the corpus-graph surface of a
+  * training-data pipeline (similarity graphs from the dedup pair ops,
+  * citation/link graphs, user-interaction graphs from events).
+  *
+  * Scale notes (100 TB): both operators shuffle only (id, id) /
+  * (id, double) pairs — never payloads. PageRank is the canonical
+  * iterative join+agg; each pass is one shuffle on dst plus a
+  * broadcast-able degree dim, with `localCheckpoint` truncating the
+  * lineage every pass (the [[DedupOps.connectedComponents]] lesson:
+  * persist-only iteration OOMs the driver on plan growth long before
+  * data is the problem). Triangle counting uses the degree-orientation
+  * trick (orient every edge from lower to higher degree), which bounds
+  * per-node out-degree by O(sqrt(m)) — the hub that makes the naive
+  * wedge join quadratic can never be a wedge CENTER.
+  */
+object GraphOps {
+
+  /** PageRank over a DIRECTED edge list, `iters` synchronous passes:
+    * `rank = (1-d)/N + d * sum(rank_in / outdeg_in)`.
+    *
+    * Nodes = union of both endpoint sets; a node with no in-edges keeps
+    * the teleport term. This is the simplified (no dangling-mass
+    * redistribution) formulation — callers with sink nodes should add
+    * a self-loop or drop them; the oracle replays the identical
+    * simplification. Per-pass contribution sums round each term to 9
+    * decimals and accumulate as DECIMAL(38,9) — order-free, so the
+    * shuffled double sum is deterministic and cross-engine replayable
+    * (the [[DriftOps.categoricalDrift]] parity pattern), at ~1e-9
+    * resolution per pass, far inside the oracle's 6-decimal compare.
+    */
+  def pageRank(
+      edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val teleport = lit((1.0 - damping) / n)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(round(col("rank") / col("outdeg"), 9)
+          .cast("decimal(38,9)")).cast("double").as("m"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (teleport + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Exact triangle count per node + the global total on every row.
+    *
+    * Input edges are treated as UNDIRECTED (canonicalized a < b,
+    * self-loops dropped, deduped). Orientation: each edge points from
+    * its lower-(degree, id) endpoint to the higher one — a DAG in
+    * which every triangle appears exactly once as a wedge
+    * (u→v, u→w, v<w by the same order) closed by edge (v, w). Max
+    * out-degree after orientation is O(sqrt(m)), so the wedge join is
+    * near-linear even on power-law graphs where a naive formulation
+    * explodes on hubs.
+    */
+  def triangleCount(
+      edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint()
+    // wedges centered at u, ordered to count each once
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("x") < col("y"))
+    val closed = wedges.join(
+      canon.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y")),
+      Seq("x", "y"))
+    // per-node count: each triangle (u, x, y) increments all 3 corners
+    val perNode = closed
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val allNodes = deg.select("id")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+    val total = closed.agg(count(lit(1)).as("total_triangles"))
+    allNodes.crossJoin(broadcast(total))
+  }
+}

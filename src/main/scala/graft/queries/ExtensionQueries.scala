@@ -3041,6 +3041,93 @@ object ExtensionQueries {
       | CROSS JOIN tot
       |WHERE c_xy >= 5""".stripMargin
 
+  // --------------------------------------------------------------- q118
+  /** PageRank ([[graft.ops.GraphOps.pageRank]], 5 passes, d = 0.85)
+    * over a deterministic arithmetic corpus graph (doc i links to
+    * i+1, i+2 and 7i+11 mod N): the oracle UNROLLS all five
+    * synchronous passes as SQL stages — per-pass contribution sums are
+    * order-free round-to-DECIMAL folds in both engines, so the ranks
+    * stay bit-aligned through the whole iteration, not just at the
+    * end.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count()
+    val e = d.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      .union(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+      .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+      .filter(col("src") =!= col("dst"))
+    GraphOps.pageRank(e, iters = 5)
+  }
+
+  val q118Sql: String = {
+    def pass(i: Int): String =
+      s"""r$i AS (
+        | SELECT n.id,
+        |  (1.0 - 0.85) / t.cnt + 0.85 * COALESCE(s.m, 0.0) AS rank
+        | FROM n CROSS JOIN t LEFT JOIN (
+        |   SELECT e.dst AS id,
+        |    CAST(SUM(CAST(round(r.rank / d.outdeg, 9) AS DECIMAL(38,9))) AS DOUBLE) AS m
+        |   FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.id = e.src
+        |   GROUP BY e.dst) s ON s.id = n.id)"""
+    s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+      |e0 AS (
+      | SELECT doc_id AS src, (doc_id + 1) % cnt AS dst FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id + 2) % cnt FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id * 7 + 11) % cnt FROM documents CROSS JOIN t),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |d AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT id, 1.0 / t.cnt AS rank FROM n CROSS JOIN t),
+      |${(1 to 5).map(pass).mkString(",\n")}
+      |SELECT id, rank FROM r5""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q119
+  /** Exact triangle count ([[graft.ops.GraphOps.triangleCount]]) on
+    * the undirected arithmetic graph (i+1/i+2 edges guarantee N
+    * planted triangles). The engine counts via degree-orientation
+    * (hub-proof wedge join); the oracle is the INDEPENDENT a<b<c
+    * three-way edge join — matching per-node rows prove the
+    * orientation enumerates every triangle exactly once.
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count()
+    val e = d.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      .union(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+      .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+      .filter(col("src") =!= col("dst"))
+    GraphOps.triangleCount(e)
+  }
+
+  val q119Sql: String =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+      |e0 AS (
+      | SELECT doc_id AS src, (doc_id + 1) % cnt AS dst FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id + 2) % cnt FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id * 7 + 11) % cnt FROM documents CROSS JOIN t),
+      |canon AS (
+      | SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      | FROM e0 WHERE src <> dst),
+      |nodes AS (SELECT a AS id FROM canon UNION SELECT b FROM canon),
+      |tri AS (
+      | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      | FROM canon e1
+      |  JOIN canon e2 ON e2.a = e1.b
+      |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (
+      | SELECT x AS id FROM tri UNION ALL
+      | SELECT y FROM tri UNION ALL
+      | SELECT z FROM tri),
+      |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
+      |SELECT nodes.id, COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+      |       tot.total_triangles
+      |FROM nodes LEFT JOIN pn ON pn.id = nodes.id CROSS JOIN tot""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3127,5 +3214,7 @@ object ExtensionQueries {
     "q114_prefix_jaccard" -> ((q114 _, q114Sql)),
     "q115_containment" -> ((q115 _, q115Sql)),
     "q116_jsd_drift" -> ((q116 _, q116Sql)),
-    "q117_pmi" -> ((q117 _, q117Sql)))
+    "q117_pmi" -> ((q117 _, q117Sql)),
+    "q118_pagerank" -> ((q118 _, q118Sql)),
+    "q119_triangles" -> ((q119 _, q119Sql)))
 }

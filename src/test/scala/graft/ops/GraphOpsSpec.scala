@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ pageRank
+
+  test("pageRank: directed cycle is the fixed point 1/N at every pass") {
+    val cycle = (0L until 5L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(cycle, iters = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.size == 5)
+    ranks.values.foreach(r => assert(math.abs(r - 0.2) < 1e-9))
+  }
+
+  test("pageRank: star center accumulates rank; leaves keep teleport share") {
+    // a,b,c -> d; d -> a (no dangling node)
+    val star = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(star, iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks(3L) > ranks(0L) && ranks(0L) > ranks(1L))
+    assert(math.abs(ranks(1L) - ranks(2L)) < 1e-12,
+      "symmetric leaves must tie exactly")
+    // closed graph (every node has out-edges): total mass is conserved
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: hand-computed two passes on a 3-node graph") {
+    // 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    def step(r: Map[Long, Double]): Map[Long, Double] = {
+      def rnd(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val t = 0.15 / 3
+      Map(
+        0L -> (t + 0.85 * rnd(r(2L) / 1)),
+        1L -> (t + 0.85 * rnd(r(0L) / 2)),
+        2L -> (t + 0.85 * (rnd(r(0L) / 2) + rnd(r(1L) / 1))))
+    }
+    val expected = step(step(Map(0L -> 1.0 / 3, 1L -> 1.0 / 3, 2L -> 1.0 / 3)))
+    val got = GraphOps.pageRank(g, iters = 2).as[(Long, Double)].collect().toMap
+    expected.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) < 1e-12, s"node $id: ${got(id)} vs $r")
+    }
+  }
+
+  // ------------------------------------------------------- triangleCount
+
+  test("triangleCount: K4 has 4 triangles, every node in 3") {
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val rows = GraphOps.triangleCount(k4)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(_._3 == 4L))
+    assert(rows.forall(_._2 == 3L))
+  }
+
+  test("triangleCount: path graph has none; per-node rows still emitted") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rows = GraphOps.triangleCount(path).as[(Long, Long, Long)].collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r._2 == 0L && r._3 == 0L))
+  }
+
+  test("triangleCount canonicalizes reversed duplicates and self-loops") {
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (0L, 2L), (2L, 2L))
+      .toDF("src", "dst")
+    val rows = GraphOps.triangleCount(messy).as[(Long, Long, Long)].collect()
+    assert(rows.forall(_._3 == 1L))
+    assert(rows.filter(_._1 <= 2L).forall(_._2 == 1L))
+  }
+
+  test("triangleCount matches the naive a<b<c enumeration on an " +
+      "arithmetic graph (orientation exactness differential)") {
+    val n = 60L
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n), (i, (i * 7 + 11) % n)))
+      .toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val e1 = canon.select(col("a").as("x"), col("b").as("y"))
+    val e2 = canon.select(col("a").as("y"), col("b").as("z"))
+    val e3 = canon.select(col("a").as("x"), col("b").as("z"))
+    val naive = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    val got = GraphOps.triangleCount(edges)
+      .as[(Long, Long, Long)].collect()
+    val gotMap = got.filter(_._2 > 0).map(r => r._1 -> r._2).toMap
+    assert(gotMap == naive)
+    assert(got.head._3 == naive.values.sum / 3)
+    assert(got.head._3 >= n, "i+1/i+2 edges plant at least N triangles")
+  }
+}
