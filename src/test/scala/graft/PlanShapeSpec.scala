@@ -93,7 +93,17 @@ class PlanShapeSpec extends AnyFunSuite {
     "q111_ranking_metrics",
     // q113: ≤bins-row reliability frame × broadcast(1-row N/ECE
     // totals) — the q08 scalar pattern
-    "q113_calibration")
+    "q113_calibration",
+    // q116: |categories|-row term frame × broadcast(1-row totals)
+    // twice (marginal totals + JSD total) — q100's pattern
+    "q116_jsd_drift",
+    // q117: vocab-sized PMI frame × broadcast(1-row pair/token
+    // totals) — the q08 scalar pattern (the pair groupBy itself is a
+    // plain equi-keyed aggregate)
+    "q117_pmi",
+    // q119: per-node triangle frame × broadcast(1-row global total) —
+    // the q08 scalar pattern
+    "q119_triangles")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -191,7 +201,12 @@ class PlanShapeSpec extends AnyFunSuite {
         // index table at construction (side-effecting write — its plan
         // claims are asserted directly in LshBucketCapSpec)
         "b_dup_components_reps", "b_ranking_metrics", "b_calibration",
-        "b_lsh_indexed")
+        "b_lsh_indexed",
+        // b_pmi carries q117's 1-row totals broadcast; b_triangles
+        // q119's 1-row global-total broadcast; b_pagerank runs its
+        // checkpointed passes at construction (b_dup_components'
+        // vacuous-plan reason) — per-pass shape spec'd in GraphOpsSpec
+        "b_pmi", "b_triangles", "b_pagerank")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
