@@ -463,6 +463,13 @@ object Bench {
         .filter(col("src") =!= col("dst"))
       graft.ops.GraphOps.triangleCount(e)
     }),
+    // BPE tokenizer induction: 20 merge rounds — every round is
+    // vocab-sized (distinct words), the corpus is scanned once
+    "b_bpe_train" -> ((s, dir) => {
+      val (_, vocab) = graft.ops.BpeOps.bpeTrain(
+        Tables.documents(s, dir), "text", 20)
+      vocab
+    }),
     // classifier-evaluation gauges: AUC rides the range-partitioned
     // sort + zipWithIndex rank pattern (no unpartitioned window); ECE
     // is one keyed agg to <= 10 bins

@@ -74,4 +74,21 @@ object StatsOps {
         ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
         col("__tot").as("n_total"))
   }
+
+  /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
+    * `valueCol` within each `keyCol` group — the scale-free feature
+    * transform (per-language quality scores become comparable across
+    * languages with wildly different raw distributions). Ordering ties
+    * break on `idCol`, making the rank deterministic; a 1-row group
+    * degenerates to 0. One keyed window — partition-parallel, no
+    * global sort.
+    */
+  def rankNormalize(
+      df: DataFrame, valueCol: String, keyCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(valueCol), col(idCol))
+    df.select(col(idCol), col(keyCol), col(valueCol))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
 }

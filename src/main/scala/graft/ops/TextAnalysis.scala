@@ -242,7 +242,10 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     val toks = TextOps.whitespaceTokenize(col(textCol))
     val pairList = flatten(transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      // sequence(1, 0) DESCENDS in Spark — a 1-token doc must map to
+      // an empty center list explicitly
+      when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>")),
       i => transform(slice(toks, i + 1, lit(window)),
         y => struct(
           least(element_at(toks, i), y).as("x"),

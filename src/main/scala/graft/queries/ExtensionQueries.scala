@@ -3128,6 +3128,47 @@ object ExtensionQueries {
       |       tot.total_triangles
       |FROM nodes LEFT JOIN pn ON pn.id = nodes.id CROSS JOIN tot""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  /** BPE training statistic ([[graft.ops.BpeOps.pairCounts]] over
+    * [[graft.ops.BpeOps.wordVocab]]): the round-1 weighted
+    * adjacent-character-pair counts — the argmax of this table IS the
+    * first learned merge. The full iterative merge loop is pinned by
+    * `BpeOpsSpec`'s differential against an independent plain-Scala
+    * BPE; this row pins the corpus statistic each round derives from.
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame =
+    BpeOps.pairCounts(
+      BpeOps.wordVocab(Tables.documents(spark, dir), "text"))
+
+  val q120Sql: String =
+    """WITH w AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      | FROM documents),
+      |v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+      |p AS (
+      | SELECT n, unnest(list_transform(generate_series(1, len(word) - 1),
+      |   i -> {'a': substr(word, i, 1), 'b': substr(word, i + 1, 1)})) AS pr
+      | FROM v WHERE len(word) >= 2)
+      |SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q121
+  /** Group-wise rank normalization
+    * ([[graft.ops.StatsOps.rankNormalize]]): per-language percentile
+    * rank of document length — the scale-free feature transform. Both
+    * engines use the identical (value, id) tie-broken window order and
+    * the (rank-1)/(n-1) percent_rank definition.
+    */
+  def q121(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.rankNormalize(
+      Tables.documents(spark, dir), "n_chars", "lang", "doc_id")
+
+  val q121Sql: String =
+    """SELECT doc_id, lang, n_chars,
+      | PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |   AS pct_rank
+      |FROM documents""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3216,5 +3257,7 @@ object ExtensionQueries {
     "q116_jsd_drift" -> ((q116 _, q116Sql)),
     "q117_pmi" -> ((q117 _, q117Sql)),
     "q118_pagerank" -> ((q118 _, q118Sql)),
-    "q119_triangles" -> ((q119 _, q119Sql)))
+    "q119_triangles" -> ((q119 _, q119Sql)),
+    "q120_bpe_pairs" -> ((q120 _, q120Sql)),
+    "q121_rank_normalize" -> ((q121 _, q121Sql)))
 }

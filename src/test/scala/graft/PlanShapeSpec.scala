@@ -206,7 +206,11 @@ class PlanShapeSpec extends AnyFunSuite {
         // q119's 1-row global-total broadcast; b_pagerank runs its
         // checkpointed passes at construction (b_dup_components'
         // vacuous-plan reason) — per-pass shape spec'd in GraphOpsSpec
-        "b_pmi", "b_triangles", "b_pagerank")
+        "b_pmi", "b_triangles", "b_pagerank",
+        // b_bpe_train runs its 20 checkpointed merge rounds at
+        // construction (vacuous final plan); per-round shape spec'd
+        // in BpeOpsSpec
+        "b_bpe_train")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

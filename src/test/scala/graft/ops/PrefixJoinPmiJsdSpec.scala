@@ -132,4 +132,12 @@ class PrefixJoinPmiJsdSpec extends AnyFunSuite {
     val filtered = TextAnalysis.pmiPairs(tiny, "text", window = 3, minCount = 2L)
     assert(filtered.count() == 0)
   }
+
+  test("pmiPairs: single-token and empty docs contribute no pairs " +
+      "(Spark sequence(1,0) descends — regression)") {
+    val tiny = Seq((1L, "solo"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiPairs(tiny, "text", window = 2, minCount = 1L)
+      .select("x", "y").as[(String, String)].collect()
+    assert(rows.toSeq == Seq(("x", "y")))
+  }
 }
