@@ -429,12 +429,16 @@ object Bench {
     "b_prefix_jaccard" -> ((s, dir) =>
       DedupOps.prefixJaccardPairs(
         Tables.documents(s, dir), "text", "doc_id", 0.7)),
-    // directed containment at 0.9: plen = n - ceil(0.9 n) + 1 probe
-    // tokens per doc against the full token index — the quote/excerpt
-    // detection pass
+    // directed containment at 0.9 with the posting cap engaged
+    // (maxPosting 256): this fixture's 31-word vocabulary makes EVERY
+    // token corpus-frequent — the degenerate case where the uncapped
+    // container index is per-token quadratic (measured 53.9 s vs
+    // ~4 s capped at sf0.1); the cap bounds candidates at probes × m,
+    // the same occupancy contract as the LSH maxBucket
     "b_containment" -> ((s, dir) =>
       DedupOps.containmentPairs(
-        Tables.documents(s, dir), "text", "doc_id", 0.9)),
+        Tables.documents(s, dir), "text", "doc_id", 0.9,
+        maxPosting = 256)),
     // windowed co-occurrence PMI: pair stream is docLen x window per
     // doc (linear), then one (x, y) groupBy + vocab-sized broadcasts
     "b_pmi" -> ((s, dir) =>
@@ -627,6 +631,23 @@ object Bench {
     lshIndexCache.getOrElseUpdate(dir, {
       val t = "graft_bench_lsh_idx_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // A previous PROCESS's managed-table directory can survive in
+      // spark-warehouse while this session's fresh catalog has no such
+      // table — saveAsTable(Overwrite) then refuses with
+      // LOCATION_ALREADY_EXISTS instead of overwriting. Clear the
+      // orphan before building.
+      if (!s.catalog.tableExists(t)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+        val loc = new java.io.File(whPath, t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(loc)
+        }
+      }
       SimilarityOps.writeLshIndex(Tables.embeddings(s, dir), t)
       t
     })

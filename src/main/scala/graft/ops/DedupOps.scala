@@ -183,7 +183,7 @@ object DedupOps {
     */
   def containmentPairs(
       df: DataFrame, textCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxPosting: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = df.select(col(idCol).as("id"),
@@ -197,12 +197,28 @@ object DedupOps {
     val prefixes = ordered
       .withColumn("plen",
         (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
-      .select(col("id").as("id_a"),
+      .select(col("id").as("id_a"), col("n").as("n_a"),
         explode(slice(transform(col("ord"), x => x.getField("h")),
           lit(1), col("plen"))).as("h"))
-    val index = e.select(col("id").as("id_b"), col("h"))
+    // maxPosting > 0 caps the container-side posting list per token at
+    // the m deterministically-smallest (xxhash64(id), id) members —
+    // the LSH occupancy-cap contract ([[graft.ops.SimilarityOps]]
+    // maxBucket): on a degenerate vocabulary (every token corpus-
+    // frequent) the uncapped index join is per-token quadratic; the
+    // cap bounds candidates at probes × m, trading recall ONLY for
+    // containers beyond the m-th of a hot posting (exact whenever all
+    // token dfs <= m). The default 0 keeps the exact oracle contract.
+    val index0 = e.select(col("id").as("id_b"), col("n").as("n_b"), col("h"))
+    val index = if (maxPosting <= 0) index0 else {
+      val w = Window.partitionBy("h")
+        .orderBy(xxhash64(col("id_b")), col("id_b"))
+      index0.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxPosting).drop("__r")
+    }
+    // containment >= t forces |B| >= |A∩B| >= ceil(t*|A|): free pruning
     val cand = prefixes.join(index, Seq("h"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(col("n_a") * threshold))
       .select("id_a", "id_b").distinct()
     val lt = t.select(col("id").as("id_a"), col("hset").as("set_a"),
       col("n").as("n_a"))

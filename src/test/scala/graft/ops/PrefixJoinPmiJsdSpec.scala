@@ -74,6 +74,25 @@ class PrefixJoinPmiJsdSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("containmentPairs posting cap: exact when dfs <= cap, bounded on " +
+      "a planted hot posting") {
+    // all dfs <= 5 here: capped == uncapped
+    val exact = DedupOps.containmentPairs(docs, "text", "doc_id", 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = DedupOps.containmentPairs(docs, "text", "doc_id", 0.7,
+      maxPosting = 8).as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact)
+
+    // hot posting: 40 containers share the probe's only token
+    val hot = ((1L to 40L).map(i => (i, s"shared extra$i filler$i")) :+
+      (99L, "shared")).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(hot, "text", "doc_id", 0.9,
+      maxPosting = 8)
+      .filter(col("id_a") === 99L).count()
+    assert(got <= 8L, s"cap must bound the hot-posting fanout, got $got")
+    assert(got > 0L, "capped index must still surface containers")
+  }
+
   // --------------------------------------------------------- jsDivergence
 
   test("jsDivergence: identical mixes give 0; disjoint mixes give ln 2") {
@@ -131,6 +150,26 @@ class PrefixJoinPmiJsdSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("a", "b")))
     val filtered = TextAnalysis.pmiPairs(tiny, "text", window = 3, minCount = 2L)
     assert(filtered.count() == 0)
+  }
+
+  test("pmiPairs fused pair stream matches the composable HOF " +
+      "formulation on the sf0.001 corpus") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val hofPairs = corpus.select(explode(flatten(transform(
+        when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => transform(slice(toks, i + 1, lit(2)),
+          y => concat_ws(" ",
+            least(element_at(toks, i), y),
+            greatest(element_at(toks, i), y)))))).as("pk"))
+      .groupBy("pk").count()
+      .as[(String, Long)].collect().toMap
+    val fused = TextAnalysis.pmiPairs(corpus, "text", window = 2)
+      .select(concat_ws(" ", col("x"), col("y")).as("pk"), col("c_xy"))
+      .as[(String, Long)].collect().toMap
+    assert(fused == hofPairs)
+    assert(fused.nonEmpty)
   }
 
   test("pmiPairs: single-token and empty docs contribute no pairs " +
