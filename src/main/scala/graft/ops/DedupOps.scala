@@ -137,15 +137,30 @@ object DedupOps {
       .withColumn("plen",
         (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col("id"), col("n"),
-        explode(slice(transform(col("ord"), x => x.getField("h")),
-          lit(1), col("plen"))).as("h"))
-    val a = prefixes.select(col("id").as("id_a"), col("n").as("n_a"), col("h"))
-    val b = prefixes.select(col("id").as("id_b"), col("n").as("n_b"), col("h"))
-    // Length filter inside the candidate join: J(A,B) <= min/max sizes.
+        posexplode(slice(transform(col("ord"), x => x.getField("h")),
+          lit(1), col("plen"))).as(Seq("p", "h")))
+    val a = prefixes.select(col("id").as("id_a"), col("n").as("n_a"),
+      col("p").as("p_a"), col("h"))
+    val b = prefixes.select(col("id").as("id_b"), col("n").as("n_b"),
+      col("p").as("p_b"), col("h"))
+    // Two EXACT prunes inside the candidate join, before the pair
+    // distinct: the length filter (J <= min/max sizes) and PPJoin's
+    // positional filter — a match at rarity positions (p_a, p_b) bounds
+    // the overlap by 1 + min(n_a - p_a - 1, n_b - p_b - 1) remaining
+    // tokens (p is 0-based), which must reach the equivalent-overlap
+    // threshold α = ceil(t/(1+t) · (n_a+n_b)); the minimal common
+    // token's occurrence always passes, so recall stays exactly 1.0
+    // (the 1e-6 slack only ever keeps extra candidates, guarding the
+    // double rounding of α against over-pruning).
+    val alpha = ceil(
+      (col("n_a") + col("n_b")) * lit(threshold / (1.0 + threshold)) -
+        lit(1e-6))
     val cand = a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")) * threshold)
+          greatest(col("n_a"), col("n_b")) * threshold &&
+        (lit(1) + least(col("n_a") - col("p_a") - 1,
+          col("n_b") - col("p_b") - 1)) >= alpha)
       .select("id_a", "id_b").distinct()
     verifyJaccard(cand, t, threshold)
   }
