@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,4 +124,53 @@ object MultimodalOps {
       (d.id, means)
     }.toDF("id", "frame_means")
   }
+
+  /** Reshape a flat embedding into `nFrames` consecutive frame vectors
+    * of `dim` each (row-major) — the interop shim between a pooled
+    * per-item embedding column and the frame-sequence operators below.
+    */
+  def reshapeFrames(vec: Column, nFrames: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(nFrames - 1)),
+      f => slice(vec, f * dim + 1, lit(dim)))
+
+  /** Cosine similarity between each consecutive frame pair:
+    * `array<array<float>>` → `array<double>` of length nFrames-1.
+    * Pure column algebra (exact left-to-right double folds, oracle-
+    * replayable); an all-zero frame yields cosine 0 (guarded
+    * denominator), matching the convention in
+    * [[graft.functions.CosineSimilarity]].
+    */
+  def consecutiveFrameCosines(frames: Column): Column = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def nrm(a: Column): Column = sqrt(dot(a, a))
+    transform(
+      when(size(frames) >= 2, sequence(lit(1), size(frames) - 1))
+        .otherwise(array().cast("array<int>")),
+      i => {
+        val a = element_at(frames, i)
+        val b = element_at(frames, i + 1)
+        val d = nrm(a) * nrm(b)
+        when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+      })
+  }
+
+  /** Shot boundaries from a consecutive-cosine column
+    * ([[consecutiveFrameCosines]]): structs (i, c) at the 1-based
+    * positions where the cosine drops below `tau` (boundary at i means
+    * frames i and i+1 belong to different shots). `zip_with` traverses
+    * the cosine array once per reference — pass an already-projected
+    * cosines column, not the frame expression, so the O(F·dim) cosine
+    * work is not re-evaluated inside the scan (HOFs get no
+    * common-subexpression elimination).
+    */
+  def shotBoundaries(cosines: Column, tau: Double): Column =
+    when(size(cosines) === 0,
+        array().cast("array<struct<i:int,c:double>>"))
+      .otherwise(filter(
+        zip_with(cosines, sequence(lit(1), size(cosines)),
+          (c, i) => struct(i.as("i"), c.as("c"))),
+        s => s.getField("c") < tau))
 }

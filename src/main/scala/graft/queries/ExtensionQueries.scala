@@ -3169,6 +3169,45 @@ object ExtensionQueries {
       |   AS pct_rank
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q122
+  /** Shot-boundary detection
+    * ([[graft.ops.MultimodalOps.shotBoundaries]]): each embedding
+    * reshaped to an 8×8 frame sequence
+    * ([[graft.ops.MultimodalOps.reshapeFrames]] — the flat-storage
+    * interop shim), consecutive-frame cosines as exact left-to-right
+    * double folds, boundaries where cosine < 0.2. The whole per-row
+    * algebra (slice indexing, fold order, zero-norm guard) replays
+    * row-level in DuckDB via the q111 list_sum parity precedent.
+    */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val frames = MultimodalOps.reshapeFrames(col("embedding"), 8, 8)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        MultimodalOps.consecutiveFrameCosines(frames).as("cos"))
+      .select(col("vec_id"),
+        explode(MultimodalOps.shotBoundaries(col("cos"), 0.2)).as("b"))
+      .select(col("vec_id"), col("b.i").as("i"), col("b.c").as("cosine"))
+  }
+
+  val q122Sql: String =
+    """WITH c AS (
+      | SELECT vec_id, i,
+      |  list_sum(list_transform(generate_series(1, 8), j ->
+      |    CAST(embedding[(i-1)*8 + j] AS DOUBLE)
+      |      * CAST(embedding[i*8 + j] AS DOUBLE))) AS dot,
+      |  sqrt(list_sum(list_transform(generate_series(1, 8), j ->
+      |    CAST(embedding[(i-1)*8 + j] AS DOUBLE)
+      |      * CAST(embedding[(i-1)*8 + j] AS DOUBLE)))) AS na,
+      |  sqrt(list_sum(list_transform(generate_series(1, 8), j ->
+      |    CAST(embedding[i*8 + j] AS DOUBLE)
+      |      * CAST(embedding[i*8 + j] AS DOUBLE)))) AS nb
+      | FROM embeddings, (SELECT unnest(generate_series(1, 7)) AS i) u),
+      |s AS (
+      | SELECT vec_id, CAST(i AS INT) AS i,
+      |  CASE WHEN na * nb = 0.0 THEN 0.0 ELSE dot / (na * nb) END AS cosine
+      | FROM c)
+      |SELECT vec_id, i, cosine FROM s WHERE cosine < 0.2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3259,5 +3298,6 @@ object ExtensionQueries {
     "q118_pagerank" -> ((q118 _, q118Sql)),
     "q119_triangles" -> ((q119 _, q119Sql)),
     "q120_bpe_pairs" -> ((q120 _, q120Sql)),
-    "q121_rank_normalize" -> ((q121 _, q121Sql)))
+    "q121_rank_normalize" -> ((q121 _, q121Sql)),
+    "q122_shot_boundaries" -> ((q122 _, q122Sql)))
 }

@@ -49,4 +49,45 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(fm(1L).length == 3)
     assert(fm(3L).isEmpty)
   }
+
+  test("reshapeFrames + consecutiveFrameCosines + shotBoundaries: " +
+      "hand-checked sequence with one cut") {
+    // 3 frames of dim 2: f1=(1,0), f2=(2,0) [cos 1], f3=(0,5) [cos 0]
+    val df = Seq((1L, Seq(1f, 0f, 2f, 0f, 0f, 5f))).toDF("id", "vec")
+    val frames = MultimodalOps.reshapeFrames(col("vec"), 3, 2)
+    val out = df.select(
+        MultimodalOps.consecutiveFrameCosines(frames).as("cos"))
+      .select(col("cos"),
+        MultimodalOps.shotBoundaries(col("cos"), 0.5).as("b"))
+    val row = out.collect().head
+    val cos = row.getSeq[Double](0)
+    assert(cos.length == 2)
+    assert(math.abs(cos(0) - 1.0) < 1e-12 && math.abs(cos(1)) < 1e-12)
+    val bounds = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(bounds.map(_.getInt(0)) == Seq(2), "cut between frames 2 and 3")
+  }
+
+  test("shotBoundaries: zero frame yields cosine 0; short sequences are empty") {
+    val df = Seq(
+      (1L, Seq(0f, 0f, 1f, 1f)),  // zero first frame -> cosine 0
+      (2L, Seq(3f, 4f)),          // single frame -> no cosines
+      (3L, Seq.empty[Float])      // empty
+    ).toDF("id", "vec")
+    val frames = MultimodalOps.reshapeFrames(col("vec"), 2, 2)
+    val twoFrames = df.filter(col("id") === 1L)
+      .select(MultimodalOps.consecutiveFrameCosines(frames).as("cos"))
+      .as[Seq[Double]].head()
+    assert(twoFrames == Seq(0.0))
+    val single = df.filter(col("id") === 2L)
+      .select(MultimodalOps.consecutiveFrameCosines(
+        MultimodalOps.reshapeFrames(col("vec"), 1, 2)).as("cos"))
+      .as[Seq[Double]].head()
+    assert(single.isEmpty)
+    val bounds = df.filter(col("id") === 2L)
+      .select(MultimodalOps.shotBoundaries(
+        MultimodalOps.consecutiveFrameCosines(
+          MultimodalOps.reshapeFrames(col("vec"), 1, 2)), 0.5).as("b"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(bounds.isEmpty)
+  }
 }
