@@ -180,4 +180,49 @@ object SplitOps {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Word2vec-style negative sampling: `k` deterministic draws per row
+    * of `df` from the corpus unigram distribution damped to the 3/4
+    * power — the contrastive-training staple (Mikolov et al., NIPS'13).
+    *
+    * Cross-engine exactness: the damped weight is
+    * `round(1000 * sqrt(cnt * sqrt(cnt)))` — `x^0.75` written as two
+    * IEEE-correctly-rounded sqrts and a multiply, so DuckDB reproduces
+    * the weights bit-for-bit where a libm `pow` could differ in the
+    * last ulp; draws are key-derived md5 (`id#j#salt`) mod the total
+    * weight, and category selection walks the cumulative ladder
+    * (`[cum_{i-1}, cum_i)` ranges partition `[0, W)`).
+    *
+    * Scale: the vocabulary folds to the driver ONCE (vocab-sized — the
+    * [[graft.ops.SimilarityOps.kmeansCentroids]] broadcast-dim
+    * contract) and ships in the plan as two sorted literal arrays
+    * (the TopCentroids pattern); each draw is then one O(log V)
+    * generated binary search
+    * ([[graft.functions.SortedLongUpperBound]]) — no per-draw joins,
+    * no O(V) interpreted fold, nothing corpus-sized ever shuffles.
+    */
+  def negativeSamples(
+      df: DataFrame, idCol: String, corpus: DataFrame, textCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vocab = corpus
+      .select(explode(TextOps.whitespaceTokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        round(sqrt(col("cnt").cast("double") *
+          sqrt(col("cnt").cast("double"))) * 1000).cast("long").as("w"))
+      .orderBy("tok")
+      .collect()
+    require(vocab.nonEmpty, "negativeSamples: empty vocabulary")
+    val toks = vocab.map(_.getString(0))
+    val cum = vocab.scanLeft(0L)((acc, r) => acc + r.getLong(1)).tail
+    val total = cum.last
+    val u = PortableHash.md5Long(concat_ws("#",
+      col(idCol).cast("string"), col("j").cast("string"), lit(salt))) % total
+    df.select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col(idCol), col("j"),
+        element_at(typedlit(toks.toSeq),
+          graft.functions.SortedLongUpperBound.sortedLongUpperBound(
+            typedlit(cum.toSeq), u) + 1).as("neg"))
+  }
 }

@@ -3208,6 +3208,42 @@ object ExtensionQueries {
       | FROM c)
       |SELECT vec_id, i, cosine FROM s WHERE cosine < 0.2""".stripMargin
 
+  // --------------------------------------------------------------- q123
+  /** Negative sampling ([[graft.ops.SplitOps.negativeSamples]]): 3
+    * draws per document from the unigram^0.75 distribution — weights,
+    * cumulative ladder, md5 draws and the range lookup all replay
+    * row-level in DuckDB (the ^0.75 as nested sqrts is what makes the
+    * weights bit-exact cross-engine; the oracle's interval join
+    * `u ∈ [cum-w, cum)` is the independent formulation of the
+    * engine's binary-search walk).
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    SplitOps.negativeSamples(d, "doc_id", d, "text", k = 3, salt = "neg")
+  }
+
+  val q123Sql: String =
+    s"""WITH w AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      | FROM documents),
+      |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+      |wt AS (SELECT tok,
+      |  CAST(round(sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) * 1000)
+      |    AS BIGINT) AS w
+      | FROM v),
+      |c AS (SELECT tok, w,
+      |  CAST(SUM(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      | FROM wt),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wt),
+      |d AS (
+      | SELECT doc_id, j,
+      |  ${dk("doc_id || '#' || j || '#' || 'neg'")} % tw AS u
+      | FROM documents
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj
+      |  CROSS JOIN t)
+      |SELECT d.doc_id, CAST(d.j AS INT) AS j, c.tok AS neg
+      |FROM d JOIN c ON d.u < c.cum AND d.u >= c.cum - c.w""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3299,5 +3335,6 @@ object ExtensionQueries {
     "q119_triangles" -> ((q119 _, q119Sql)),
     "q120_bpe_pairs" -> ((q120 _, q120Sql)),
     "q121_rank_normalize" -> ((q121 _, q121Sql)),
-    "q122_shot_boundaries" -> ((q122 _, q122Sql)))
+    "q122_shot_boundaries" -> ((q122 _, q122Sql)),
+    "q123_negative_samples" -> ((q123 _, q123Sql)))
 }

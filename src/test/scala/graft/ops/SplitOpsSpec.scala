@@ -125,4 +125,47 @@ class SplitOpsSpec extends AnyFunSuite {
     assert(SplitOps.weightedSample(big, "id", lit(0.0), 5L).count() == 0L)
     assert(SplitOps.weightedSample(big, "id", lit(2.5), 5L).count() == 4000L)
   }
+
+  test("negativeSamples: deterministic, frequency-weighted, repartition-proof") {
+    val corpus = Seq(
+      (1L, "common common common common common common common common rare"),
+      (2L, "common common common common common common common common other")
+    ).toDF("doc_id", "text")
+    val s1 = SplitOps.negativeSamples(corpus, "doc_id", corpus, "text", 4, "t")
+      .as[(Long, Int, String)].collect().toSet
+    val s2 = SplitOps.negativeSamples(
+        corpus.repartition(5), "doc_id", corpus.repartition(3), "text", 4, "t")
+      .as[(Long, Int, String)].collect().toSet
+    assert(s1 == s2, "draws must be key-derived, not partition-dependent")
+    assert(s1.size == 8, "k draws per row")
+    assert(s1.forall(r => Set("common", "rare", "other").contains(r._3)))
+
+    // distribution sanity on many draws: 'common' has weight
+    // round(1000*16^0.75)=8000 vs 1000 each for the two singletons —
+    // expect ~80% of a large sample
+    val many = (1L to 500L).map((_, "x")).toDF("doc_id", "ignored")
+    val draws = SplitOps.negativeSamples(many, "doc_id", corpus, "text", 4, "d")
+    val frac = draws.filter(col("neg") === "common").count().toDouble /
+      draws.count()
+    assert(frac > 0.72 && frac < 0.88, s"damped-frequency share off: $frac")
+
+    // exact replay of one draw: binary-search pick == interval lookup
+    val toks = Seq("common", "other", "rare")
+    val w = toks.map {
+      case "common" => math.round(1000 * math.sqrt(16.0 * math.sqrt(16.0)))
+      case _        => 1000L
+    }
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val one = SplitOps.negativeSamples(
+        Seq((7L, "x")).toDF("doc_id", "ignored"), "doc_id", corpus, "text", 1, "t")
+      .as[(Long, Int, String)].head()
+    val u = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest("7#0#t".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % cum.last
+    }
+    val expected = toks(cum.indexWhere(u < _))
+    assert(one._3 == expected)
+  }
 }
