@@ -202,4 +202,60 @@ object SketchOps {
     val e = alpha * m * m / sum
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
+
+  /** Log-binned bucket id of a positive value (HDR-histogram shape):
+    * scale to integer micros, exponent = floor(log2) via the EXACT
+    * `length(bin(x)) - 1` trick (both engines' `bin()` emits the
+    * minimal binary string — no libm log whose last ulp could flip a
+    * floor at power-of-2 boundaries), plus `subBins` linear sub-bins
+    * within each octave. Relative bucket width is 1/subBins.
+    */
+  def hdrBucket(value: Column, subBins: Int): Column = {
+    val x = round(value.cast("double") * 1e6).cast("long")
+    val e = (length(bin(x)) - 1).cast("long")
+    val p = pow(lit(2.0), e).cast("long") // exact for e <= 52
+    val sub = floor((x - p).cast("double") * subBins / p).cast("long")
+    e * subBins + sub
+  }
+
+  /** Mergeable per-group quantile sketch: log-binned counts (≤ 64 ×
+    * `subBins` buckets per group — constant state like CMS/HLL: the
+    * map-side partial aggregate IS the per-partition sketch and the
+    * shuffle merge IS the sketch merge, counts adding), then each
+    * requested probability resolves to the first bucket whose
+    * cumulative count reaches ceil(p·N), reported as the bucket's
+    * lower edge — an underestimate by at most one bucket, i.e.
+    * relative error ≤ 1/subBins (+ the 1e-6 micros quantization).
+    * NULL and non-positive values are excluded by contract (log
+    * binning needs a positive domain; shift or split by sign
+    * upstream). All binning and target arithmetic is exact integer
+    * math, so the whole sketch replays row-level in DuckDB (q124).
+    */
+  def hdrQuantiles(
+      df: DataFrame, valueCol: String, groupCol: String,
+      probs: Seq[Double], subBins: Int = 16): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    require(subBins >= 1)
+    val b = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol).as("g"),
+        hdrBucket(col(valueCol), subBins).as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bucket")
+    val cum = b.withColumn("cum", sum(col("n")).over(w))
+    val targets = b.groupBy("g").agg(sum(col("n")).as("n_total"))
+      .select(col("g"), col("n_total"), explode(typedlit(probs)).as("p"))
+      .withColumn("target", ceil(col("p") * col("n_total")).cast("long"))
+    val est = {
+      val e = (col("bucket") / subBins).cast("long")
+      val sub = col("bucket") % subBins
+      val pe = pow(lit(2.0), e)
+      (pe * (lit(subBins.toDouble) + sub) / subBins) / 1e6
+    }
+    targets.join(cum, Seq("g"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("g", "p", "n_total").agg(min(col("bucket")).as("bucket"))
+      .select(col("g"), col("p"), est.as("estimate"), col("n_total"))
+  }
 }

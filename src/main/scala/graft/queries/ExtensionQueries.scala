@@ -3244,6 +3244,50 @@ object ExtensionQueries {
       |SELECT d.doc_id, CAST(d.j AS INT) AS j, c.tok AS neg
       |FROM d JOIN c ON d.u < c.cum AND d.u >= c.cum - c.w""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** Mergeable log-binned quantile sketch
+    * ([[graft.ops.SketchOps.hdrQuantiles]]): p50/p95/p99 of event
+    * values per event type from ≤ 64×16 constant-state buckets per
+    * group. Binning is exact integer math (`length(bin(x)) - 1` for
+    * the octave — no libm log), so the whole sketch — buckets,
+    * cumulative walk, ceil targets, lower-edge estimates — replays
+    * row-level in DuckDB (probs forced `::DOUBLE`: DuckDB would
+    * otherwise parse 0.95 as DECIMAL and drift the target
+    * arithmetic).
+    */
+  def q124(spark: SparkSession, dir: String): DataFrame =
+    SketchOps.hdrQuantiles(
+      Tables.events(spark, dir), "value", "event_type",
+      probs = Seq(0.5, 0.95, 0.99), subBins = 16)
+
+  val q124Sql: String =
+    """WITH x AS (
+      | SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS x
+      | FROM events WHERE value IS NOT NULL AND value > 0),
+      |eb AS (SELECT g, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e FROM x),
+      |bk AS (
+      | SELECT g, e * 16 + CAST(floor(
+      |   CAST(x - CAST(pow(2.0, e) AS BIGINT) AS DOUBLE) * 16
+      |     / CAST(pow(2.0, e) AS BIGINT)) AS BIGINT) AS bucket
+      | FROM eb),
+      |c AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1, 2),
+      |cc AS (SELECT g, bucket, n,
+      |  CAST(SUM(n) OVER (PARTITION BY g ORDER BY bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      |t AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_total FROM c GROUP BY 1),
+      |tp AS (SELECT g, n_total, p, CAST(ceil(p * n_total) AS BIGINT) AS target
+      | FROM t CROSS JOIN
+      |  (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS p) pp),
+      |pick AS (
+      | SELECT tp.g, tp.p, tp.n_total, MIN(cc.bucket) AS bucket
+      | FROM tp JOIN cc ON cc.g = tp.g AND cc.cum >= tp.target
+      | GROUP BY 1, 2, 3)
+      |SELECT g, p,
+      | (pow(2.0, CAST(floor(bucket / 16.0) AS BIGINT))
+      |   * (16.0 + bucket % 16) / 16) / 1e6 AS estimate,
+      | n_total
+      |FROM pick""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3336,5 +3380,6 @@ object ExtensionQueries {
     "q120_bpe_pairs" -> ((q120 _, q120Sql)),
     "q121_rank_normalize" -> ((q121 _, q121Sql)),
     "q122_shot_boundaries" -> ((q122 _, q122Sql)),
-    "q123_negative_samples" -> ((q123 _, q123Sql)))
+    "q123_negative_samples" -> ((q123 _, q123Sql)),
+    "q124_hdr_quantiles" -> ((q124 _, q124Sql)))
 }

@@ -172,4 +172,40 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(math.abs(est - truth) / truth < 0.15,
       s"HLL estimate $est vs exact $truth drifted > 15%")
   }
+
+  test("hdrQuantiles: lower-edge estimates within one bucket of the " +
+      "exact quantile; partition-invariant; groups independent") {
+    val vals = (1 to 2000).map(i => ("a", i / 10.0)) ++
+      (1 to 500).map(i => ("b", 1000.0 + i))
+    val df = vals.toDF("grp", "value")
+    val probs = Seq(0.5, 0.95, 0.99)
+    val got = SketchOps.hdrQuantiles(df, "value", "grp", probs)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def exactQ(xs: Seq[Double], p: Double): Double =
+      xs.sorted.apply(math.ceil(p * xs.size).toInt - 1)
+    for (g <- Seq("a", "b"); p <- probs) {
+      val v = exactQ(vals.filter(_._1 == g).map(_._2), p)
+      val est = got((g, p))
+      assert(est <= v + 1e-9, s"$g/$p: lower edge $est must not exceed $v")
+      assert(v / est <= 1.0 + 1.0 / 16 + 1e-3,
+        s"$g/$p: estimate $est more than one bucket below $v")
+    }
+    val re = SketchOps.hdrQuantiles(df.repartition(7), "value", "grp", probs)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(re == got, "sketch must be partition-invariant (mergeable)")
+  }
+
+  test("hdrQuantiles excludes nulls and non-positives; bucket state is bounded") {
+    val df = Seq(("a", Some(-5.0)), ("a", None), ("a", Some(0.0)),
+      ("a", Some(2.0)), ("a", Some(4.0))).toDF("grp", "value")
+    val got = SketchOps.hdrQuantiles(df, "value", "grp", Seq(1.0))
+      .as[(String, Double, Double, Long)].collect()
+    assert(got.length == 1)
+    assert(got.head._4 == 2L, "only the two positive values count")
+    // 4.0 scaled = 4e6, octave 21 (2^21 <= 4e6 < 2^22): estimate is its
+    // bucket's lower edge, within 1/16 below 4.0
+    assert(got.head._3 <= 4.0 && 4.0 / got.head._3 <= 1.0 + 1.0 / 16 + 1e-3)
+  }
 }
