@@ -35,7 +35,12 @@ object Bench {
     "q46_ngram_keepers",
     // q69 embeds q21's md5-portable pair list; its production-hash
     // bench representative is b_dup_components
-    "q69_dup_components")
+    "q69_dup_components",
+    // q114/q115 are the UNCAPPED exact set-similarity validators —
+    // quadratic pair output by contract on the dup-dense fixture
+    // (76 s at sf0.1 for uncapped containment); their production
+    // representatives are b_prefix_jaccard and b_containment
+    "q114_prefix_jaccard", "q115_containment")
 
   /** Evaluation-forcing action: xxhash64 of EVERY output column, folded
     * with bit_xor. Under a bare `count()` Catalyst is free to prune

@@ -36,5 +36,8 @@ object SkewOps {
     * salt factors (run it on a sample at scale).
     */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
-    df.groupBy(key).count().orderBy(col("count").desc).limit(topN)
+    // ties break on the key ascending so top-n MEMBERSHIP is
+    // deterministic (oracle contract, q125)
+    df.groupBy(key).count()
+      .orderBy(col("count").desc, col(key)).limit(topN)
 }

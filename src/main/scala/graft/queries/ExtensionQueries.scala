@@ -3288,6 +3288,50 @@ object ExtensionQueries {
       | n_total
       |FROM pick""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  /** Key-skew histogram ([[graft.ops.SkewOps.keyHistogram]]): top-20
+    * hottest user keys of the event stream — the diagnostic that picks
+    * salt factors before a fact-side join. Count-desc with key-asc
+    * tiebreak makes the top-n membership deterministic.
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    SkewOps.keyHistogram(Tables.events(spark, dir), "user_id", topN = 20)
+
+  val q125Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS count
+      |FROM events GROUP BY 1
+      |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q126
+  /** Salted-join equivalence ([[graft.ops.SkewOps.saltedJoin]]): the
+    * hot-key mitigation joins events to a per-user segment dim with
+    * the key spread over 8 salts, then aggregates per segment; the
+    * oracle is the PLAIN join + aggregate — matching rows prove the
+    * salt/replicate/drop composition is semantically invisible (the
+    * result contract that lets it be swapped in under any skewed key).
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val dim = e.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id") * 31 + 7, lit(5)).cast("int"))
+    SkewOps.saltedJoin(
+        e.select("event_id", "user_id", "value"), dim, "user_id", salts = 8)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 2).cast("decimal(38,2)"))
+          .cast("double").as("sum_value"))
+  }
+
+  val q126Sql: String =
+    """WITH dim AS (
+      | SELECT DISTINCT user_id,
+      |  CAST((user_id * 31 + 7) % 5 AS INT) AS segment
+      | FROM events)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN dim USING (user_id)
+      |GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3381,5 +3425,7 @@ object ExtensionQueries {
     "q121_rank_normalize" -> ((q121 _, q121Sql)),
     "q122_shot_boundaries" -> ((q122 _, q122Sql)),
     "q123_negative_samples" -> ((q123 _, q123Sql)),
-    "q124_hdr_quantiles" -> ((q124 _, q124Sql)))
+    "q124_hdr_quantiles" -> ((q124 _, q124Sql)),
+    "q125_key_histogram" -> ((q125 _, q125Sql)),
+    "q126_salted_join" -> ((q126 _, q126Sql)))
 }
