@@ -115,8 +115,25 @@ object Sources {
     */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, keyCols: Seq[String],
-      sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+      sortCols: Seq[String] = Nil): Unit =
+    writeBucketedMode(df, table, buckets, keyCols, sortCols, SaveMode.Overwrite)
+
+  /** Append a batch to an existing bucketed table (bucket spec must
+    * match the original write — Spark enforces it). The incremental
+    * path of the standing-deployment contract: each append adds files
+    * per bucket, and every downstream bucket-keyed join/scan keeps its
+    * zero-exchange property because the table's distribution is
+    * unchanged.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String, buckets: Int, keyCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit =
+    writeBucketedMode(df, table, buckets, keyCols, sortCols, SaveMode.Append)
+
+  private def writeBucketedMode(
+      df: DataFrame, table: String, buckets: Int, keyCols: Seq[String],
+      sortCols: Seq[String], mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")

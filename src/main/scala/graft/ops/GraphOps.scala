@@ -21,21 +21,25 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** PageRank over a DIRECTED edge list, `iters` synchronous passes:
-    * `rank = (1-d)/N + d * sum(rank_in / outdeg_in)`.
+    * `rank = (1-d)/N + d * (sum(rank_in / outdeg_in) [+ dangle/N])`.
     *
     * Nodes = union of both endpoint sets; a node with no in-edges keeps
-    * the teleport term. This is the simplified (no dangling-mass
-    * redistribution) formulation — callers with sink nodes should add
-    * a self-loop or drop them; the oracle replays the identical
-    * simplification. Per-pass contribution sums round each term to 9
-    * decimals and accumulate as DECIMAL(38,9) — order-free, so the
-    * shuffled double sum is deterministic and cross-engine replayable
-    * (the [[DriftOps.categoricalDrift]] parity pattern), at ~1e-9
+    * the teleport term. With `redistributeDangling` the mass held by
+    * sink nodes (no out-edges) is spread uniformly each pass — total
+    * rank is then conserved at 1 (spec-asserted); the dangling sum is
+    * a 1-row broadcast per pass (anti-join of ranks against the degree
+    * dim, order-free DECIMAL fold). The default `false` is the
+    * simplified formulation the q118 oracle replays. Per-pass
+    * contribution sums round each term to 9 decimals and accumulate as
+    * DECIMAL(38,9) — order-free, so the shuffled double sum is
+    * deterministic and cross-engine replayable (the
+    * [[DriftOps.categoricalDrift]] parity pattern), at ~1e-9
     * resolution per pass, far inside the oracle's 6-decimal compare.
     */
   def pageRank(
       edges: DataFrame, iters: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 1)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
@@ -52,10 +56,23 @@ object GraphOps {
         .groupBy(col("dst").as("id"))
         .agg(sum(round(col("rank") / col("outdeg"), 9)
           .cast("decimal(38,9)")).cast("double").as("m"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (teleport + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      val joined = nodes.join(contribs, Seq("id"), "left")
+      val next =
+        if (!redistributeDangling)
+          joined.select(col("id"),
+            (teleport + lit(damping) * coalesce(col("m"), lit(0.0)))
+              .as("rank"))
+        else {
+          val dangle = ranks
+            .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+            .agg(coalesce(sum(round(col("rank"), 9).cast("decimal(38,9)"))
+              .cast("double"), lit(0.0)).as("__dangle"))
+          joined.crossJoin(broadcast(dangle))
+            .select(col("id"),
+              (teleport + lit(damping) * (coalesce(col("m"), lit(0.0)) +
+                col("__dangle") / n)).as("rank"))
+        }
+      ranks = next.localCheckpoint()
     }
     ranks
   }

@@ -322,16 +322,45 @@ object SimilarityOps {
       bands: Int = 8, planesPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, maxBucket: Int = defaultMaxBucket,
-      numFileBuckets: Int = 32): Unit = {
+      numFileBuckets: Int = 32): Unit =
+    graft.io.Sources.writeBucketed(
+      bandedIndexRows(corpus, bands, planesPerBand, idCol, vecCol, dim,
+        maxBucket),
+      table, numFileBuckets, Seq("band", "bucket"))
+
+  /** Append a NEW corpus batch to an existing [[writeLshIndex]] table —
+    * the incremental path of the standing ANN deployment (the
+    * [[graft.ops.DedupOps.mergedBucketReps]] pattern for vectors):
+    * signatures are deterministic, so a batch's banded rows land in
+    * the same (band, bucket) space as the original write; the bucketed
+    * table's distribution is unchanged, so [[lshSearchIndexed]] keeps
+    * its zero-exchange corpus side. Cost is O(batch) — the existing
+    * index is never read. The `maxBucket` occupancy cap applies
+    * PER WRITE (a hot bucket can hold up to m rows per append);
+    * re-compact with a full [[writeLshIndex]] rebuild when append
+    * count × m approaches the scan budget.
+    */
+  def appendLshIndex(
+      batch: DataFrame, table: String,
+      bands: Int = 8, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, maxBucket: Int = defaultMaxBucket,
+      numFileBuckets: Int = 32): Unit =
+    graft.io.Sources.appendBucketed(
+      bandedIndexRows(batch, bands, planesPerBand, idCol, vecCol, dim,
+        maxBucket),
+      table, numFileBuckets, Seq("band", "bucket"))
+
+  private def bandedIndexRows(
+      corpus: DataFrame, bands: Int, planesPerBand: Int,
+      idCol: String, vecCol: String, dim: Int, maxBucket: Int): DataFrame = {
     val sigs = graft.functions.HyperplaneBandSigs
       .hyperplaneBandSigs(col(vecCol), bands, planesPerBand, dim)
     val banded = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"), sigs.as("buckets"))
       .select(col("id"), col("vec"), col("buckets"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    graft.io.Sources.writeBucketed(
-      capBucketSide(banded, "id", maxBucket),
-      table, numFileBuckets, Seq("band", "bucket"))
+    capBucketSide(banded, "id", maxBucket)
   }
 
   /** Search a [[writeLshIndex]] table: bands/planes/dim must match the

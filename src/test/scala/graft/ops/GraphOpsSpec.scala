@@ -50,6 +50,20 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank redistributeDangling: mass conserved on a graph with sinks") {
+    // 0 -> 1 -> 2 (sink), 0 -> 2; plus isolated-ish 3 -> 0
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 0L)).toDF("src", "dst")
+    val plain = GraphOps.pageRank(g, iters = 15)
+      .as[(Long, Double)].collect().toMap
+    val dangling = GraphOps.pageRank(g, iters = 15,
+      redistributeDangling = true).as[(Long, Double)].collect().toMap
+    assert(plain.values.sum < 0.999,
+      "simplified form must leak sink mass on this graph")
+    assert(math.abs(dangling.values.sum - 1.0) < 1e-6,
+      s"dangling redistribution must conserve mass, got ${dangling.values.sum}")
+    assert(dangling(2L) > dangling(0L), "the sink still accumulates most rank")
+  }
+
   // ------------------------------------------------------- triangleCount
 
   test("triangleCount: K4 has 4 triangles, every node in 3") {

@@ -138,6 +138,38 @@ class LshBucketCapSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 
+  test("appendLshIndex: incremental batches reproduce the full rebuild") {
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_incr")
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_full")
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(Dim) { d =>
+        val z = (i * 29 + d * 11 + 5) % 19
+        (z - 9).toFloat / 9f
+      }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    // cap large enough that per-write capping cannot truncate — append
+    // is then exactly equivalent to the full rebuild
+    SimilarityOps.writeLshIndex(base, "lsh_idx_incr", dim = Dim, maxBucket = 1000)
+    SimilarityOps.appendLshIndex(batch, "lsh_idx_incr", dim = Dim, maxBucket = 1000)
+    SimilarityOps.writeLshIndex(corpus, "lsh_idx_full", dim = Dim, maxBucket = 1000)
+    val incr = SimilarityOps.lshSearchIndexed(
+        queries, "lsh_idx_incr", k = 3, dim = Dim)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val full = SimilarityOps.lshSearchIndexed(
+        queries, "lsh_idx_full", k = 3, dim = Dim)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(incr.nonEmpty && incr.sameElements(full),
+      "appended index must search identically to a full rebuild")
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_incr")
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_full")
+  }
+
   test("hardNegativesLsh under a capped hot bucket keeps only cross-label pairs") {
     val n = 120
     val df = hotCorpus(n).withColumn("label",
