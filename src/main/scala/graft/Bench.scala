@@ -208,6 +208,10 @@ object Bench {
     // shuffle 64-bit keys; scoring joins longs; text never shuffles)
     "b_perplexity" -> ((s, dir) =>
       CurationOps.perplexitySelf(Tables.documents(s, dir), "text", "doc_id")),
+    // order-3 stupid backoff at the production hash: three count
+    // trainings + five long-keyed joins per scored position
+    "b_stupid_backoff" -> ((s, dir) =>
+      CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
     // greedy token-budget packing (narrow shuffle + typed per-shard fold)
     "b_pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(Tables.documents(s, dir), "source", "doc_id",

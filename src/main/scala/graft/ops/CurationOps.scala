@@ -304,6 +304,124 @@ object CurationOps {
       lmUnigramCounts(df, textCol, tokenKey),
       lmBigramCounts(df, textCol, tokenKey), tokenKey)
 
+  /** Per-position trigram contexts: for every position `i >= 2` a
+    * struct carrying the five strings the stupid-backoff ladder needs —
+    * `tri` = `w1 w2 w3`, its context `ctx2` = `w1 w2`, the backoff
+    * bigram `b23` = `w2 w3` with its context `w2`, and the unigram
+    * floor's `w3` (space-joined keys are unambiguous: whitespace tokens
+    * cannot contain spaces). Pure column algebra over the token array —
+    * nothing shuffles here.
+    */
+  def trigramOccurrences(text: Column): Column = {
+    val toks = TextOps.whitespaceTokenize(text)
+    val n = size(toks)
+    val empty = "array<struct<ctx2:string,tri:string,w2:string,b23:string,w3:string>>"
+    when(n < 3, array().cast(empty))
+      .otherwise(zip_with(
+        zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        slice(toks, lit(3), n - 2),
+        (p, c) => struct(
+          concat(p.getField("a"), lit(" "), p.getField("b")).as("ctx2"),
+          concat(p.getField("a"), lit(" "), p.getField("b"), lit(" "), c).as("tri"),
+          p.getField("b").as("w2"),
+          concat(p.getField("b"), lit(" "), c).as("b23"),
+          c.as("w3"))))
+  }
+
+  /** Corpus trigram counts as (trigram_key, n) — the order-3 training
+    * pass of [[stupidBackoff]]. Same narrow-shuffle shape as
+    * [[lmUnigramCounts]]: strings hash to 64-bit keys map-side, one
+    * combined (key, partial count) exchange.
+    */
+  def lmTrigramCounts(
+      df: DataFrame, textCol: String,
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    df.select(explode(trigramOccurrences(col(textCol))).as("o"))
+      .select(tokenKey(col("o.tri")).as("trigram_key"))
+      .groupBy("trigram_key").agg(count(lit(1)).as("n"))
+
+  /** Trigram fluency scoring under STUPID BACKOFF (Brants et al.,
+    * EMNLP 2007 "Large Language Models in Machine Translation") — the
+    * smoothing designed precisely for distributed count-table LMs:
+    * no discount bookkeeping, just relative frequencies with a fixed
+    * backoff multiplier,
+    * `S(w3|w1 w2) = c(w1w2w3)/c(w1w2)` when the trigram was seen, else
+    * `λ·c(w2w3)/c(w2)`, else the add-one unigram floor
+    * `λ²·(c(w3)+1)/(N+V)` (the published form ends at `c(w3)/N`,
+    * which is zero — hence log-undefined — for OOV tokens; the
+    * add-one floor keeps every position finite and is the only
+    * deviation, documented here). Output per doc:
+    * `(n_trigrams, sb_nll, sb_ppl)` — mean negative log-score and its
+    * exp, a perplexity-LIKE gauge (backoff scores are not normalized
+    * probabilities; ranking docs by fluency is the contract, matching
+    * how CCNet consumes its LM scores). Docs with < 3 tokens have no
+    * positions and are absent.
+    *
+    * Plan shape at 100 TB: count frames train once per corpus version
+    * ([[lmUnigramCounts]] / [[lmBigramCounts]] / [[lmTrigramCounts]],
+    * persisted to parquet) and every scored position carries five
+    * 64-bit keys — strings hash map-side, the five count joins are
+    * long-keyed (broadcast when the tables fit, shuffle-of-longs
+    * otherwise), totals ride a 1-row broadcast. The chain `c(tri) > 0
+    * ⇒ c(ctx2) ≥ c(tri) > 0` (and likewise for the bigram rung) means
+    * the ladder never divides by a missing context count.
+    */
+  def stupidBackoff(
+      df: DataFrame, textCol: String, idCol: String,
+      uni: DataFrame, bi: DataFrame, tri: DataFrame,
+      tokenKey: Column => Column = xxhash64(_),
+      lambda: Double = 0.4): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0, 1], got $lambda")
+    val totals = broadcast(
+      uni.agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("v")))
+    val occ = df
+      .select(col(idCol), explode(trigramOccurrences(col(textCol))).as("o"))
+      .select(col(idCol),
+        tokenKey(col("o.tri")).as("tri_key"),
+        tokenKey(col("o.ctx2")).as("ctx2_key"),
+        tokenKey(col("o.b23")).as("b23_key"),
+        tokenKey(col("o.w2")).as("w2_key"),
+        tokenKey(col("o.w3")).as("w3_key"))
+    val score =
+      when(coalesce(col("c_tri"), lit(0L)) > 0,
+        col("c_tri").cast("double") / col("c_ctx2").cast("double"))
+        .when(coalesce(col("c_b23"), lit(0L)) > 0,
+          lit(lambda) * col("c_b23").cast("double") / col("c_w2").cast("double"))
+        .otherwise(lit(lambda * lambda) *
+          (coalesce(col("c_w3"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_tokens") + col("v")).cast("double"))
+    occ
+      .join(tri.select(col("trigram_key").as("tri_key"), col("n").as("c_tri")),
+        Seq("tri_key"), "left")
+      .join(bi.select(col("bigram_key").as("ctx2_key"), col("n").as("c_ctx2")),
+        Seq("ctx2_key"), "left")
+      .join(bi.select(col("bigram_key").as("b23_key"), col("n").as("c_b23")),
+        Seq("b23_key"), "left")
+      .join(uni.select(col("tok_key").as("w2_key"), col("n").as("c_w2")),
+        Seq("w2_key"), "left")
+      .join(uni.select(col("tok_key").as("w3_key"), col("n").as("c_w3")),
+        Seq("w3_key"), "left")
+      .crossJoin(totals)
+      .select(col(idCol), log(score).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-sum(col("lp")) / count(lit(1))).as("sb_nll"))
+      .withColumn("sb_ppl", exp(col("sb_nll")))
+  }
+
+  /** [[stupidBackoff]] with the model trained on the scored corpus
+    * itself — [[perplexitySelf]]'s bootstrap shape at order 3.
+    */
+  def stupidBackoffSelf(
+      df: DataFrame, textCol: String, idCol: String,
+      tokenKey: Column => Column = xxhash64(_),
+      lambda: Double = 0.4): DataFrame =
+    stupidBackoff(df, textCol, idCol,
+      lmUnigramCounts(df, textCol, tokenKey),
+      lmBigramCounts(df, textCol, tokenKey),
+      lmTrigramCounts(df, textCol, tokenKey), tokenKey, lambda)
+
   /** Quantile-band tagging — CCNet's head/middle/tail split
     * generalized: tag every row with the label of the quantile band its
     * `valueCol` falls into (`labels(i)` ⇔ value ≤ the `probs(i)`

@@ -123,7 +123,25 @@ object SearchOps {
     */
   def hashedTfidfWeights(
       df: DataFrame, textCol: String, idCol: String, dim: Int,
-      tokenKey: Column => Column = xxhash64(_)): DataFrame = {
+      tokenKey: Column => Column = xxhash64(_)): DataFrame =
+    idfWeights(df, textCol, idCol, dim, tokenKey)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("bucket"), col("w"))).as("raw"),
+        sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .select(col(idCol), col("nrm"), explode(col("raw")).as("e"))
+      .select(col(idCol), col("e.bucket").as("bucket"),
+        (col("e.w") / col("nrm")).as("weight"))
+
+  /** Unnormalized idf-weighted bucket rows `(idCol, bucket, w)` — the
+    * shared prefix of the sparse/dense tf-idf surfaces. The L2 norm is
+    * folded into the SAME id-keyed aggregation the consumers need
+    * anyway (`sum(w²)` rides the partial agg next to the entry list),
+    * so normalization costs no second corpus shuffle and no join-back
+    * diamond re-running this subtree.
+    */
+  private def idfWeights(
+      df: DataFrame, textCol: String, idCol: String, dim: Int,
+      tokenKey: Column => Column): DataFrame = {
     require(dim > 0, "hashedTfidfWeights: dim must be positive")
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = df
@@ -132,16 +150,12 @@ object SearchOps {
       .select(col(idCol), pmod(tokenKey(col("t")), lit(dim.toLong)).cast("int").as("bucket"))
       .groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df_docs"))
-    val w = tf
-      .join(broadcast(dfreq), "bucket")
+    tf.join(broadcast(dfreq), "bucket")
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("bucket"),
         (col("tf").cast("double") *
           (log((lit(1.0) + col("n_docs")) /
             (lit(1.0) + col("df_docs").cast("double"))) + lit(1.0))).as("w"))
-    val nrm = w.groupBy(idCol).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    w.join(nrm, Seq(idCol))
-      .select(col(idCol), col("bucket"), (col("w") / col("nrm")).as("weight"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
@@ -187,12 +201,17 @@ object SearchOps {
       df: DataFrame, textCol: String, idCol: String, dim: Int,
       tokenKey: Column => Column = xxhash64(_),
       vecCol: String = "embedding"): DataFrame =
-    hashedTfidfWeights(df, textCol, idCol, dim, tokenKey)
+    idfWeights(df, textCol, idCol, dim, tokenKey)
       .groupBy(idCol)
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight")))).as("m"))
+      // norm + bucket map in ONE aggregate: both come out as Aggregate
+      // attributes, so the scatter below reads them per element without
+      // any projection-collapse re-evaluation of the fold
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"),
+        sqrt(sum(col("w") * col("w"))).as("nrm"))
       .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)),
-          b => coalesce(element_at(col("m"), b), lit(0.0)).cast("float")).as(vecCol))
+          b => (coalesce(element_at(col("m"), b), lit(0.0)) / col("nrm"))
+            .cast("float")).as(vecCol))
 
   /** Ranking-quality metrics per query — the evaluation layer the
     * retrieval family (BM25 / ANN / RRF) is tuned against: reciprocal

@@ -3332,6 +3332,63 @@ object ExtensionQueries {
       |FROM events JOIN dim USING (user_id)
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** Trigram stupid-backoff fluency scores
+    * ([[graft.ops.CurationOps.stupidBackoffSelf]], Brants et al. 2007)
+    * with the model trained on the scored corpus — q64's CCNet shape
+    * one order up, with the distributed-LM smoothing instead of
+    * add-one. Counts are exact integers on both sides; each position's
+    * score is a single double division (+ one double multiply on the
+    * backoff rungs), so the ladder is bit-aligned cross-engine and the
+    * driver's 6-decimal rounding absorbs only the per-doc sum order.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.stupidBackoffSelf(Tables.documents(spark, dir), "text",
+        "doc_id", tokenKey = PortableHash.md5Long)
+      .select("doc_id", "n_trigrams", "sb_nll", "sb_ppl")
+
+  val q127Sql: String =
+    s"""WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |uni AS (
+      | SELECT ${dk("w")} AS k, count(*) AS c
+      | FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n_tokens, count(*) AS v FROM uni),
+      |bgs AS (
+      | SELECT tk[i] || ' ' || tk[i+1] AS bg
+      | FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |       FROM toks WHERE len(tk) >= 2)),
+      |bi AS (SELECT ${dk("bg")} AS k, count(*) AS c FROM bgs GROUP BY 1),
+      |tgs AS (
+      | SELECT doc_id,
+      |  tk[i] || ' ' || tk[i+1] AS ctx2,
+      |  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tri,
+      |  tk[i+1] AS w2,
+      |  tk[i+1] || ' ' || tk[i+2] AS b23,
+      |  tk[i+2] AS w3
+      | FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      |       FROM toks WHERE len(tk) >= 3)),
+      |tri AS (SELECT ${dk("tri")} AS k, count(*) AS c FROM tgs GROUP BY 1),
+      |lp AS (
+      | SELECT g.doc_id, ln(
+      |  CASE WHEN coalesce(t.c, 0) > 0
+      |       THEN CAST(t.c AS DOUBLE) / CAST(c2.c AS DOUBLE)
+      |       WHEN coalesce(b.c, 0) > 0
+      |       THEN 0.4 * CAST(b.c AS DOUBLE) / CAST(u2.c AS DOUBLE)
+      |       ELSE (0.4 * 0.4) * CAST(coalesce(u3.c, 0) + 1 AS DOUBLE)
+      |            / CAST(tot.n_tokens + tot.v AS DOUBLE) END) AS lp
+      | FROM tgs g
+      | LEFT JOIN tri t ON t.k = ${dk("g.tri")}
+      | LEFT JOIN bi c2 ON c2.k = ${dk("g.ctx2")}
+      | LEFT JOIN bi b ON b.k = ${dk("g.b23")}
+      | LEFT JOIN uni u2 ON u2.k = ${dk("g.w2")}
+      | LEFT JOIN uni u3 ON u3.k = ${dk("g.w3")}, tot)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      | -sum(lp) / count(*) AS sb_nll,
+      | exp(-sum(lp) / count(*)) AS sb_ppl
+      |FROM lp GROUP BY doc_id""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3427,5 +3484,6 @@ object ExtensionQueries {
     "q123_negative_samples" -> ((q123 _, q123Sql)),
     "q124_hdr_quantiles" -> ((q124 _, q124Sql)),
     "q125_key_histogram" -> ((q125 _, q125Sql)),
-    "q126_salted_join" -> ((q126 _, q126Sql)))
+    "q126_salted_join" -> ((q126 _, q126Sql)),
+    "q127_stupid_backoff" -> ((q127 _, q127Sql)))
 }

@@ -341,4 +341,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assertNoStringShuffle(
       CurationOps.perplexitySelf(train, "text", "doc_id"), expectShuffle = true)
   }
+
+  // -------------------------------------------------- stupid backoff
+
+  test("stupidBackoffSelf matches hand-computed trigram ladder scores") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // trigrams: "a b c"=2, "b c a"=1, "c a b"=1, "a b d"=1
+    // bigram contexts: "a b"=3, "b c"=2, "c a"=1
+    val out = CurationOps.stupidBackoffSelf(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val nll1 = -(math.log(2.0 / 3.0) * 2 + math.log(1.0 / 2.0) + math.log(1.0)) / 4
+    val nll2 = -math.log(1.0 / 3.0)
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 1L))
+    assert(math.abs(out(0).getDouble(2) - nll1) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - nll2) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - math.exp(nll1)) < 1e-12)
+  }
+
+  test("stupidBackoff: unseen trigrams walk the backoff rungs") {
+    val corpus = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val uni = CurationOps.lmUnigramCounts(corpus, "text")
+    val bi = CurationOps.lmBigramCounts(corpus, "text")
+    val tri = CurationOps.lmTrigramCounts(corpus, "text")
+    // N=9 tokens, V=4 distinct
+    val probe = Seq((9L, "a b x"), (10L, "x a b"), (11L, "a b"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.stupidBackoff(probe, "text", "doc_id", uni, bi, tri)
+      .orderBy("doc_id").collect()
+    // "a b x": tri and "b x" unseen -> unigram floor 0.16*(0+1)/(9+4);
+    // "x a b": tri unseen, backoff bigram "a b"=3 over c("a")=3 -> 0.4;
+    // "a b": < 3 tokens -> absent
+    assert(out.map(_.getLong(0)).toSeq == Seq(9L, 10L))
+    assert(math.abs(out(0).getDouble(2) - (-math.log(0.4 * 0.4 / 13.0))) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - (-math.log(0.4))) < 1e-12)
+  }
+
+  test("stupidBackoff: md5 key scores match the xxhash64 default") {
+    val a = CurationOps.stupidBackoffSelf(train, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = CurationOps.stupidBackoffSelf(train, "text", "doc_id",
+        tokenKey = graft.core.PortableHash.md5Long)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.map(x => (x._1, x._2)).sameElements(b.map(x => (x._1, x._2))))
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._3 - y._3) < 1e-12) }
+  }
+
+  test("stupidBackoff plan: document text never crosses an exchange") {
+    assertNoStringShuffle(
+      CurationOps.stupidBackoffSelf(train, "text", "doc_id"), expectShuffle = true)
+  }
 }
