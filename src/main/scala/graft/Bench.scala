@@ -212,6 +212,14 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // exact two-sample KS over the full event-value stream: value-dim
+    // collapse + range-partitioned prefix scan (no unpartitioned window)
+    "b_ks_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.DriftOps.ksStatistic(
+        e.filter(col("user_id") % 2 === 0).select(col("value")),
+        e.filter(col("user_id") % 2 === 1).select(col("value")), "value")
+    }),
     // greedy token-budget packing (narrow shuffle + typed per-shard fold)
     "b_pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(Tables.documents(s, dir), "source", "doc_id",

@@ -119,4 +119,50 @@ object DriftOps {
     }
     categoricalDrift(binned(oldDf), binned(newDf), "bin")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic on `valueCol`:
+    * `D = sup_x |F_a(x) − F_b(x)|` over the empirical CDFs — the
+    * bin-free numeric drift gauge next to [[numericDrift]]'s quantile
+    * PSI (PSI needs a bin choice; D is the distribution-free maximum
+    * CDF gap the KS test thresholds at `c(α)·√((n+m)/(n·m))`,
+    * thresholds belong to the caller). Returns one row
+    * `(ks_d, n_a, n_b)`; `ks_d` is null when a side is empty. NULLs
+    * are excluded.
+    *
+    * Cross-engine exactness: cumulative counts are exact longs from
+    * [[StatsOps.runningTotals]], each CDF value is ONE integer/integer
+    * double division, and the sup is an order-free max — bit-level
+    * replayable. Scale shape: each side collapses to a
+    * (value, count) dim on one map-side-combined shuffle, the dims
+    * full-outer-join on the value, and the running sums use the
+    * range-partitioned two-pass scan — NO unpartitioned window, no
+    * per-row data to the driver (one totals row per partition).
+    */
+  def ksStatistic(
+      a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as(n))
+    val m = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = broadcast(m.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
+    StatsOps.runningTotals(m, "v", Seq("ca", "cb"))
+      .crossJoin(tot)
+      .select(col("n_a"), col("n_b"),
+        // guarded per-row (ANSI x/0): an empty side nulls every gap,
+        // so the max — and the output ks_d — is null
+        when(col("n_a") > 0 && col("n_b") > 0,
+          abs(col("ca_cum").cast("double") / col("n_a").cast("double") -
+            col("cb_cum").cast("double") / col("n_b").cast("double"))).as("d"))
+      .groupBy("n_a", "n_b")
+      .agg(max(col("d")).as("ks_d"))
+      .select(
+        when(col("n_a") > 0 && col("n_b") > 0, col("ks_d")).as("ks_d"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Statistical hypothesis testing over contingency counts — the
   * A/B-testing / independence-check staple next to [[DriftOps]]'s
@@ -90,5 +91,45 @@ object StatsOps {
       .partitionBy(col(keyCol)).orderBy(col(valueCol), col(idCol))
     df.select(col(idCol), col(keyCol), col(valueCol))
       .withColumn("pct_rank", percent_rank().over(w))
+  }
+
+  /** Distributed RUNNING (prefix) sums of long columns over a global
+    * `orderCol` ordering, appended as `<col>_cum` — the CDF/Lorenz
+    * primitive behind [[DriftOps.ksStatistic]]. NO unpartitioned
+    * window: `sort` range-partitions the frame, a first pass reduces
+    * each partition to its column totals (one tiny row per partition
+    * to the driver — #partitions values, the
+    * [[graft.ops.JoinOps.withRowIndex]] zipWithIndex contract), the
+    * exclusive prefix of those totals seeds each partition's
+    * accumulator, and a second pass emits the running values. Both
+    * passes see identical partitioning: the range bounds live in the
+    * one reused partitioner object.
+    */
+  def runningTotals(
+      df: DataFrame, orderCol: String, sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "runningTotals: no columns to sum")
+    val sorted = df.sort(orderCol)
+    val idx = sumCols.map(sorted.schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = Array.fill(idx.length)(0L)
+      it.foreach { r => var i = 0; while (i < idx.length) { acc(i) += r.getLong(idx(i)); i += 1 } }
+      Iterator((pid, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets: Array[Array[Long]] =
+      partTotals.scanLeft(Array.fill(idx.length)(0L)) { (a, b) =>
+        Array.tabulate(idx.length)(i => a(i) + b(i))
+      }.init
+    val schema = StructType(sorted.schema.fields ++
+      sumCols.map(c => StructField(s"${c}_cum", LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = offsets(pid).clone()
+      it.map { r =>
+        var i = 0
+        while (i < idx.length) { acc(i) += r.getLong(idx(i)); i += 1 }
+        Row.fromSeq(r.toSeq ++ acc.toList)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
   }
 }

@@ -3389,6 +3389,50 @@ object ExtensionQueries {
       | exp(-sum(lp) / count(*)) AS sb_ppl
       |FROM lp GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Exact two-sample Kolmogorov–Smirnov drift
+    * ([[graft.ops.DriftOps.ksStatistic]]) between an event-value
+    * sample and a deterministically 1.1×-scaled sample — the bin-free
+    * companion to q101's quantile-PSI (no bin choice to argue about;
+    * D is the sup CDF gap). Cumulative counts are exact longs from the
+    * range-partitioned two-pass scan, each CDF value one
+    * integer/integer division, the sup an order-free max — the oracle
+    * replays it with a window running sum over the same value dim.
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.filter(
+      PortableHash.uniform01(col("event_id"), lit("128a")) < 0.5)
+      .select(col("value"))
+    val b = e.filter(
+      PortableHash.uniform01(col("event_id"), lit("128b")) < 0.5)
+      .select((col("value") * lit(1.1)).as("value"))
+    DriftOps.ksStatistic(a, b, "value")
+  }
+
+  val q128Sql: String =
+    """WITH a AS (
+      | SELECT value AS v FROM events
+      | WHERE CAST('0x' || substr(md5(event_id || '#' || '128a'), 1, 15) AS BIGINT)
+      |     / 1152921504606846976.0 < 0.5 AND value IS NOT NULL),
+      |b AS (
+      | SELECT value * 1.1::DOUBLE AS v FROM events
+      | WHERE CAST('0x' || substr(md5(event_id || '#' || '128b'), 1, 15) AS BIGINT)
+      |     / 1152921504606846976.0 < 0.5 AND value IS NOT NULL),
+      |ac AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+      |bc AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+      |m AS (
+      | SELECT coalesce(ac.v, bc.v) AS v,
+      |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      | FROM ac FULL OUTER JOIN bc ON ac.v = bc.v),
+      |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+      |c AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+      |             sum(cb) OVER (ORDER BY v) AS ccb FROM m)
+      |SELECT max(abs(CAST(cca AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |          - CAST(ccb AS DOUBLE) / CAST(t.nb AS DOUBLE))) AS ks_d,
+      | CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
+      |FROM c, t GROUP BY t.na, t.nb""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3485,5 +3529,6 @@ object ExtensionQueries {
     "q124_hdr_quantiles" -> ((q124 _, q124Sql)),
     "q125_key_histogram" -> ((q125 _, q125Sql)),
     "q126_salted_join" -> ((q126 _, q126Sql)),
-    "q127_stupid_backoff" -> ((q127 _, q127Sql)))
+    "q127_stupid_backoff" -> ((q127 _, q127Sql)),
+    "q128_ks_drift" -> ((q128 _, q128Sql)))
 }

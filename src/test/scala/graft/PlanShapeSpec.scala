@@ -103,7 +103,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "q117_pmi",
     // q119: per-node triangle frame × broadcast(1-row global total) —
     // the q08 scalar pattern
-    "q119_triangles")
+    "q119_triangles",
+    // q127: scored positions × broadcast(1-row N/V totals) — q64's
+    // scalar pattern one LM order up
+    "q127_stupid_backoff",
+    // q128: value-dim running-sum frame × broadcast(1-row n_a/n_b
+    // totals) — the q08 scalar pattern (the dim itself is a plain
+    // full-outer value join; the prefix scan shuffles nothing extra)
+    "q128_ks_drift")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -210,7 +217,11 @@ class PlanShapeSpec extends AnyFunSuite {
         // b_bpe_train runs its 20 checkpointed merge rounds at
         // construction (vacuous final plan); per-round shape spec'd
         // in BpeOpsSpec
-        "b_bpe_train")
+        "b_bpe_train",
+        // b_ks_drift carries q128's 1-row totals broadcast and runs
+        // its two-pass prefix scan at construction (LogicalRDD leaf);
+        // b_stupid_backoff q127's 1-row N/V totals broadcast
+        "b_ks_drift", "b_stupid_backoff")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

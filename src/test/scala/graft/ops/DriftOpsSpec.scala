@@ -68,4 +68,48 @@ class DriftOpsSpec extends AnyFunSuite {
       .select("cat", "psi_term").as[(String, Double)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  // --------------------------------------------- KS / running totals
+
+  test("runningTotals computes exact prefix sums over the global order") {
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong, (i % 3).toLong))
+      .toDF("v", "x", "y").repartition(7)
+    val got = StatsOps.runningTotals(df, "v", Seq("x", "y"))
+      .orderBy("v").select("v", "x_cum", "y_cum")
+      .as[(Double, Long, Long)].collect()
+    var sx = 0L; var sy = 0L
+    (1 to 100).zip(got).foreach { case (i, (v, xc, yc)) =>
+      sx += i; sy += i % 3
+      assert(v == i.toDouble && xc == sx && yc == sy,
+        s"at v=$i expected ($sx,$sy) got ($xc,$yc)")
+    }
+  }
+
+  test("ksStatistic matches the hand-computed sup CDF gap") {
+    val a = Seq(1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(2.0, 3.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    // CDF gaps at 1,2,3,4: 1/3, |2/3-1/4|=5/12, 1/4, 0 -> D = 5/12
+    val row = DriftOps.ksStatistic(a, b, "v").collect().head
+    assert(math.abs(row.getDouble(0) - 5.0 / 12.0) < 1e-15)
+    assert(row.getLong(1) == 3L && row.getLong(2) == 4L)
+  }
+
+  test("ksStatistic: self = 0, disjoint supports = 1, empty side = null") {
+    val a = (1 to 50).map(i => Tuple1(i.toDouble)).toDF("v")
+    assert(DriftOps.ksStatistic(a, a, "v").collect().head.getDouble(0) == 0.0)
+    val b = (100 to 120).map(i => Tuple1(i.toDouble)).toDF("v")
+    assert(DriftOps.ksStatistic(a, b, "v").collect().head.getDouble(0) == 1.0)
+    val empty = Seq.empty[Tuple1[Double]].toDF("v")
+    val row = DriftOps.ksStatistic(a, empty, "v").collect().head
+    assert(row.isNullAt(0) && row.getLong(1) == 50L && row.getLong(2) == 0L)
+  }
+
+  test("ksStatistic is repartition-invariant (exact, not approximate)") {
+    val a = (0 until 400).map(i => Tuple1((i % 37).toDouble)).toDF("v")
+    val b = (0 until 300).map(i => Tuple1((i % 23).toDouble + 5)).toDF("v")
+    val x = DriftOps.ksStatistic(a, b, "v").collect().head
+    val y = DriftOps.ksStatistic(a.repartition(13), b.repartition(5), "v")
+      .collect().head
+    assert(x.getDouble(0) == y.getDouble(0) && x.getDouble(0) > 0)
+  }
 }
