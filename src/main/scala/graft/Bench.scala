@@ -212,6 +212,11 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // JL ±1 random projection 64 -> 16: constant sign matrix folded
+    // into codegen, pure per-row chains, zero shuffles
+    "b_random_project" -> ((s, dir) =>
+      graft.ops.VectorOps.randomProject(
+        Tables.embeddings(s, dir), "embedding", inDim = 64, outDim = 16)),
     // exact two-sample KS over the full event-value stream: value-dim
     // collapse + range-partitioned prefix scan (no unpartitioned window)
     "b_ks_drift" -> ((s, dir) => {

@@ -273,4 +273,48 @@ object VectorOps {
     val idx = array_sort(transform(chosen, s => s.getField("i")))
     transform(idx, i => element_at(frames, i + 1))
   }
+
+  /** The ±1 Johnson–Lindenstrauss sign matrix behind [[randomProject]]
+    * as (outDim × inDim) rows: entry (j, i) is +1 when the top-60-bit
+    * md5 of `"i#j#seed"` is even — the [[graft.core.PortableHash]]
+    * md5Long convention computed driver-side (a few thousand constant
+    * cells), so a SQL oracle re-derives every sign independently from
+    * the same literal strings.
+    */
+  def jlSignMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#$j#$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Random projection (Johnson–Lindenstrauss; Achlioptas 2003's
+    * database-friendly ±1 form): `proj_j = (Σ_i v_i · s_ij) / √outDim`
+    * with `s_ij ∈ {±1}` key-derived from md5 — embedding
+    * dimensionality reduction ahead of the ANN / k-means / SemDeDup
+    * family (pairwise distances preserved within `ε` for
+    * `outDim = O(ln n / ε²)`, and E‖proj‖² = ‖v‖²). Output is an
+    * `outCol` double array; cast to float for the vector-column
+    * storage shape.
+    *
+    * Plan shape at 100 TB: the sign matrix is a CONSTANT folded into
+    * the generated code (outDim unrolled multiply-add chains over the
+    * input array, left-to-right — a pinned, replayable fold order);
+    * pure per-row column algebra, zero shuffles, runs inside the
+    * scan's whole-stage span. Rows whose vector is null are dropped.
+    */
+  def randomProject(
+      df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+      seed: Long = 42L, outCol: String = "proj"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "randomProject: dims must be positive")
+    val s = jlSignMatrix(inDim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val outs = (0 until outDim).map { j =>
+      (0 until inDim).map(i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(s(j)(i)))
+        .reduceLeft(_ + _) * lit(scale)
+    }
+    df.filter(col(vecCol).isNotNull).withColumn(outCol, array(outs: _*))
+  }
 }

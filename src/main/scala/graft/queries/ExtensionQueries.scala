@@ -3433,6 +3433,40 @@ object ExtensionQueries {
       | CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
       |FROM c, t GROUP BY t.na, t.nb""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** Johnson–Lindenstrauss random projection
+    * ([[graft.ops.VectorOps.randomProject]], Achlioptas ±1 signs) of
+    * the 64-dim embeddings to 16 dims, exploded to
+    * (vec_id, j, x) rows. The oracle RE-DERIVES every sign
+    * independently (DuckDB md5 of the same `"i#j#42"` strings — the
+    * md5Long-evenness convention) and sums per output dim; the
+    * engine's pinned left-to-right chain and the oracle's group sum
+    * agree inside the driver's 6-decimal rounding, and the
+    * 1/√16 = 0.25 scale is exact in both engines.
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.randomProject(Tables.embeddings(spark, dir), "embedding",
+        inDim = 64, outDim = 16, seed = 42L)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("x"))
+
+  val q129Sql: String =
+    """WITH s AS (
+      | SELECT i, j,
+      |  CASE WHEN CAST('0x' || substr(md5(i || '#' || j || '#' || '42'), 1, 15)
+      |            AS BIGINT) % 2 = 0
+      |       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+      | FROM (SELECT unnest(generate_series(0, 63)) AS i),
+      |      (SELECT unnest(generate_series(0, 15)) AS j)),
+      |e AS (
+      | SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+      | FROM (SELECT vec_id, embedding, unnest(generate_series(0, 63)) AS i
+      |       FROM embeddings WHERE embedding IS NOT NULL))
+      |SELECT e.vec_id, s.j, sum(e.x * s.sgn) * 0.25::DOUBLE AS x
+      |FROM e JOIN s ON s.i = e.i
+      |GROUP BY 1, 2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3530,5 +3564,6 @@ object ExtensionQueries {
     "q125_key_histogram" -> ((q125 _, q125Sql)),
     "q126_salted_join" -> ((q126 _, q126Sql)),
     "q127_stupid_backoff" -> ((q127 _, q127Sql)),
-    "q128_ks_drift" -> ((q128 _, q128Sql)))
+    "q128_ks_drift" -> ((q128 _, q128Sql)),
+    "q129_random_project" -> ((q129 _, q129Sql)))
 }

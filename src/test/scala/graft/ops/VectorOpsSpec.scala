@@ -103,4 +103,47 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got(1) == Some(Seq(4.0, 5.0)), "exactly k layers pools them all")
     assert(got(2) == None, "fewer than k layers is a caller error, not a partial pool")
   }
+
+  // ------------------------------------------------ random projection
+
+  test("randomProject of a basis vector reads off the sign matrix exactly") {
+    val inDim = 8; val outDim = 4
+    val s = VectorOps.jlSignMatrix(inDim, outDim, seed = 7L)
+    // e_2 -> proj_j = s(j)(2) / sqrt(outDim), bit-exact (one multiply)
+    val basis = Seq.tabulate(inDim)(i => if (i == 2) 1.0f else 0.0f)
+    val got = Seq(Tuple1(basis)).toDF("v")
+    val out = VectorOps.randomProject(got, "v", inDim, outDim, seed = 7L)
+      .select("proj").as[Seq[Double]].head()
+    (0 until outDim).foreach { j =>
+      assert(out(j) == s(j)(2) * (1.0 / math.sqrt(outDim.toDouble)),
+        s"output dim $j must be the (j, 2) sign scaled")
+    }
+    assert(s.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("randomProject preserves norms in expectation (JL contract)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    val ratios = VectorOps.randomProject(df, "v", 64, 16, seed = 42L)
+      .select(col("id"),
+        VectorOps.arraySumD(transform(col("proj"), x => x * x)).as("pn"),
+        VectorOps.arraySumD(transform(col("v"),
+          x => x.cast("double") * x.cast("double"))).as("vn"))
+      .select((col("pn") / col("vn")).as("r")).as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15,
+      s"E[|proj|^2 / |v|^2] must be ~1, got $mean")
+    // linearity: proj(2v) = 2 proj(v) bit-exact (pure column algebra)
+    val doubled = df.select(col("id"),
+      transform(col("v"), x => x * lit(2.0f)).as("v"))
+    val p1 = VectorOps.randomProject(df, "v", 64, 16)
+      .select("id", "proj").as[(Long, Seq[Double])].collect().toMap
+    val p2 = VectorOps.randomProject(doubled, "v", 64, 16)
+      .select("id", "proj").as[(Long, Seq[Double])].collect().toMap
+    p1.foreach { case (id, p) =>
+      p.zip(p2(id)).foreach { case (a, b) => assert(b == a * 2.0) }
+    }
+  }
 }
