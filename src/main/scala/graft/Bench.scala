@@ -479,6 +479,17 @@ object Bench {
         .filter(col("src") =!= col("dst"))
       graft.ops.GraphOps.pageRank(e, iters = 5)
     }),
+    // alternating large/small-star CC (Kiveris et al.) on the same
+    // arithmetic corpus graph: O(log^2 n) rounds, diameter-proof
+    "b_cc_alternating" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.count()
+      val e = d.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % n).as("dst"))
+        .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.connectedComponentsAlternating(e, "src", "dst")
+    }),
     "b_triangles" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val n = d.count()

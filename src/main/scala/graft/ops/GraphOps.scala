@@ -128,4 +128,72 @@ object GraphOps {
     val total = closed.agg(count(lit(1)).as("total_triangles"))
     allNodes.crossJoin(broadcast(total))
   }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, SoCC 2014
+    * "Connected Components in MapReduce and Beyond", two-phase
+    * algorithm) — the O(log² n)-round replacement for min-label
+    * propagation ([[DedupOps.connectedComponents]]) when component
+    * DIAMETERS are not tiny: propagation needs diameter passes (a
+    * 10⁶-node path graph = 10⁶ shuffles), star contraction halves
+    * tree heights every round regardless of shape.
+    *
+    * Per round, two edge rewrites, each one keyed agg + one equi-join
+    * of (long, long) rows:
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood `m = min(Γ(u) ∪ u)` —
+    *    emit `(x, m)` for `x ∈ Γ(u), x > u`;
+    *  - small-star: on the min-oriented edges (all neighbors < u),
+    *    link u and its smaller neighbors to the minimum — emit
+    *    `(x, m)` for `x ∈ Γ(u) ∪ u, x ≠ m`.
+    * Both preserve connectivity and monotonically pull every tree
+    * toward a star rooted at its component minimum; convergence =
+    * the edge set reaches a fixpoint (star centers ARE the min ids,
+    * matching [[DedupOps.connectedComponents]]' label convention,
+    * which the differential spec pins). Every round-trip frame is
+    * `localCheckpoint`ed — the same lineage-truncation contract as
+    * the propagation loop and [[pageRank]].
+    *
+    * Returns `(id, component)` for every node in `edges`,
+    * checkpointed and materialized.
+    */
+  def connectedComponentsAlternating(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    val nodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct().localCheckpoint()
+    var cur = e0
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min("v").as("mn"))
+      // large-star: (x, m) for x > u; m = min(mn, u) < x by x > u
+      val large = sym.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // large's output is min-oriented (u > v) by construction, which
+      // is exactly small-star's input orientation
+      val smins = large.groupBy("u").agg(min("v").as("mn"))
+      val joined = large.join(smins, Seq("u"))
+      val small = joined.select(col("v").as("u"), col("mn").as("v"))
+        .union(joined.select(col("u"), col("mn").as("v")).distinct())
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      converged = small.count() == cur.count() && small.except(cur).isEmpty
+      cur = small
+      round += 1
+    }
+    val ptr = cur.select(col("u").as("id"), col("v").as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+    nodes.join(ptr, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint()
+  }
 }

@@ -220,8 +220,10 @@ class PlanShapeSpec extends AnyFunSuite {
         "b_bpe_train",
         // b_ks_drift carries q128's 1-row totals broadcast and runs
         // its two-pass prefix scan at construction (LogicalRDD leaf);
-        // b_stupid_backoff q127's 1-row N/V totals broadcast
-        "b_ks_drift", "b_stupid_backoff")
+        // b_stupid_backoff q127's 1-row N/V totals broadcast;
+        // b_cc_alternating runs its checkpointed star-contraction
+        // rounds at construction (b_pagerank's vacuous-plan reason)
+        "b_ks_drift", "b_stupid_backoff", "b_cc_alternating")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

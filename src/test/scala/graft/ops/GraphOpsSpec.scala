@@ -114,4 +114,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.head._3 == naive.values.sum / 3)
     assert(got.head._3 >= n, "i+1/i+2 edges plant at least N triangles")
   }
+
+  // ----------------------------------- alternating-star components
+
+  test("alternating CC matches min-label propagation on a mixed graph") {
+    // three planted components (clique, star, pair) + self-loop noise
+    val edges = (
+      (for (a <- 0 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)) ++
+        Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L), (5L, 5L))
+      ).toDF("src", "dst")
+    val alt = GraphOps.connectedComponentsAlternating(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val prop = DedupOps.connectedComponents(
+      edges.filter(col("src") =!= col("dst")), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(alt == prop)
+    assert(alt.filter(_._1 <= 4).values.toSet == Set(0L))
+    assert(alt(13L) == 10L && alt(21L) == 20L)
+  }
+
+  test("alternating CC converges on a deep path where propagation can't") {
+    // a 300-node path has diameter 299: min-label propagation needs
+    // ~150 passes to drag 0 to the far end; star contraction halves
+    // heights every round and lands inside the default 25
+    val n = 300
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst").repartition(7)
+    val alt = GraphOps.connectedComponentsAlternating(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(alt.length == n)
+    assert(alt.forall(_._2 == 0L),
+      s"every path node must label 0, got ${alt.filter(_._2 != 0L).take(5).toSeq}")
+  }
 }
