@@ -212,6 +212,13 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // T5 span corruption in one fused pass over md5-tokenized docs
+    "b_span_corrupt" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.SpanCorruptMd5.spanCorruptMd5(
+          transform(graft.ops.TextOps.whitespaceTokenize(col("text")),
+            t => pmod(xxhash64(t), lit(32000L)).cast("int")),
+          col("doc_id").cast("string")).as("sc"))),
     // JL ±1 random projection 64 -> 16: constant sign matrix folded
     // into codegen, pure per-row chains, zero shuffles
     "b_random_project" -> ((s, dir) =>

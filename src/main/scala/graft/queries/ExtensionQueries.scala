@@ -3467,6 +3467,82 @@ object ExtensionQueries {
       |FROM e JOIN s ON s.i = e.i
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q130
+  /** T5 span corruption ([[graft.functions.SpanCorruptMd5]], Raffel
+    * et al. 2020): md5-keyed span starts/lengths, overlap-merged runs
+    * collapsed to unique sequential sentinels in the input, targets =
+    * sentinel-delimited original spans. Token ids are md5Long(token)
+    * mod 1000 (replayable), sentinels 1000+ord. The oracle re-derives
+    * the whole decision with window functions: rolling
+    * farthest-coverage max over the 4-preceding frame (span length ≤
+    * 5), lag-based run starts, running-sum ordinals — integer
+    * arithmetic end to end except the one start-draw compare, written
+    * as the same IEEE `0.15/3` division the engine computes.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    val ids = transform(TextOps.whitespaceTokenize(col("text")),
+      t => pmod(PortableHash.md5Long(t), lit(1000L)).cast("int"))
+    val sc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SpanCorruptMd5.spanCorruptMd5(
+          ids, col("doc_id").cast("string"), corruptRate = 0.15,
+          meanSpan = 3, sentinelBase = 1000, seed = 0L).as("sc"))
+    // row form (doc_id, part, pos, tok): the driver compare hashes
+    // scalar columns, not arrays
+    val inp = sc.select(col("doc_id"), lit("i").as("part"),
+      posexplode(col("sc.input_ids")))
+    val tgt = sc.select(col("doc_id"), lit("t").as("part"),
+      posexplode(col("sc.target_ids")))
+    inp.unionByName(tgt)
+      .select(col("doc_id"), col("part"), col("pos"), col("col").as("tok"))
+  }
+
+  val q130Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |pos AS (
+      | SELECT doc_id, i - 1 AS i,
+      |  CAST(CAST('0x' || substr(md5(tk[i]), 1, 15) AS BIGINT) % 1000 AS INTEGER) AS tok
+      | FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)),
+      |draws AS (
+      | SELECT doc_id, i, tok,
+      |  (CAST('0x' || substr(md5(doc_id || '#' || i || '#' || '0' || '#' || 'sstart'), 1, 15) AS BIGINT)
+      |    / 1152921504606846976.0) < (0.15::DOUBLE / 3.0::DOUBLE) AS st,
+      |  1 + CAST('0x' || substr(md5(doc_id || '#' || i || '#' || '0' || '#' || 'slen'), 1, 15) AS BIGINT) % 5 AS ln
+      | FROM pos),
+      |cov AS (
+      | SELECT *, max(CASE WHEN st THEN i + ln ELSE -1 END)
+      |   OVER (PARTITION BY doc_id ORDER BY i
+      |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) > i AS noise
+      | FROM draws),
+      |runs AS (
+      | SELECT *, noise AND NOT coalesce(
+      |   lag(noise) OVER (PARTITION BY doc_id ORDER BY i), FALSE) AS run_start
+      | FROM cov),
+      |ord AS (
+      | SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY doc_id ORDER BY i) - 1 AS run_ord
+      | FROM runs),
+      |inp AS (
+      | SELECT doc_id, 'i' AS part,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos,
+      |  CASE WHEN NOT noise THEN tok
+      |       ELSE CAST(1000 + run_ord AS INTEGER) END AS tok
+      | FROM ord WHERE NOT noise OR run_start),
+      |tg0 AS (
+      | SELECT doc_id, i, 0 AS k, CAST(1000 + run_ord AS INTEGER) AS tok
+      | FROM ord WHERE run_start
+      | UNION ALL
+      | SELECT doc_id, i, 1 AS k, tok FROM ord WHERE noise),
+      |tgt AS (
+      | SELECT doc_id, 't' AS part,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY i, k) - 1 AS pos, tok
+      | FROM tg0)
+      |SELECT doc_id, part, CAST(pos AS INTEGER) AS pos, tok FROM inp
+      |UNION ALL
+      |SELECT doc_id, part, CAST(pos AS INTEGER) AS pos, tok FROM tgt""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3565,5 +3641,6 @@ object ExtensionQueries {
     "q126_salted_join" -> ((q126 _, q126Sql)),
     "q127_stupid_backoff" -> ((q127 _, q127Sql)),
     "q128_ks_drift" -> ((q128 _, q128Sql)),
-    "q129_random_project" -> ((q129 _, q129Sql)))
+    "q129_random_project" -> ((q129 _, q129Sql)),
+    "q130_span_corrupt" -> ((q130 _, q130Sql)))
 }

@@ -73,4 +73,75 @@ class MaskingOpsSpec extends AnyFunSuite {
     // per bucket: 5 aligned + the reversal fixed point (pos%10==7) match
     assert(rows.count(_._3) == 4 * 6)
   }
+
+  // ------------------------------------------------- span corruption
+
+  /** Independent plain-Scala re-derivation of the
+    * [[graft.functions.SpanCorruptMd5]] contract (own md5, own
+    * coverage scan — shares no code with the expression).
+    */
+  private def spanModel(key: String, toks: Seq[Int], rate: Double,
+      m: Int, base: Int, seed: Long): (Seq[Int], Seq[Int], Int) = {
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val p = rate / m
+    val n = toks.length
+    val starts = (0 until n).map(i =>
+      md5_60(s"$key#$i#$seed#sstart").toDouble / math.pow(2, 60) < p)
+    val lens = (0 until n).map(i =>
+      1 + (md5_60(s"$key#$i#$seed#slen") % (2 * m - 1)).toInt)
+    val noise = (0 until n).map(j =>
+      (math.max(0, j - 2 * m + 2) to j).exists(i => starts(i) && i + lens(i) > j))
+    val input = Seq.newBuilder[Int]; val target = Seq.newBuilder[Int]
+    var runs = 0; var corrupted = 0
+    (0 until n).foreach { j =>
+      if (noise(j)) {
+        if (j == 0 || !noise(j - 1)) {
+          input += (base + runs); target += (base + runs); runs += 1
+        }
+        target += toks(j); corrupted += 1
+      } else input += toks(j)
+    }
+    (input.result(), target.result(), corrupted)
+  }
+
+  test("spanCorruptMd5 matches the independent model; spans reassemble") {
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(120))(rnd.nextInt(900))))
+    val got = docs.toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.SpanCorruptMd5.spanCorruptMd5(
+          col("toks"), col("id").cast("string"), 0.15, 3, 1000, 0L).as("sc"))
+      .select(col("id"), col("sc.input_ids"), col("sc.target_ids"),
+        col("sc.n_corrupted"))
+      .as[(Long, Seq[Int], Seq[Int], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    docs.foreach { case (id, toks) =>
+      val (mi, mt, mc) = spanModel(id.toString, toks, 0.15, 3, 1000, 0L)
+      val (gi, gt, gc) = got(id)
+      assert(gi == mi, s"doc $id input mismatch")
+      assert(gt == mt, s"doc $id target mismatch")
+      assert(gc == mc)
+      // reassembly: input non-sentinels interleaved with target spans
+      // (in sentinel order) reproduce the original sequence
+      val spans = {
+        var m = Map.empty[Int, Seq[Int]]; var cur = -1
+        gt.foreach(t => if (t >= 1000) { cur = t; m += cur -> Seq() }
+          else m += cur -> (m(cur) :+ t))
+        m
+      }
+      val rebuilt = gi.flatMap(t => if (t >= 1000) spans(t) else Seq(t))
+      assert(rebuilt == toks, s"doc $id must reassemble")
+    }
+    // aggregate corruption rate lands near the requested 15%
+    val total = docs.map(_._2.length).sum.toDouble
+    val corrupted = docs.map(d => got(d._1)._3).sum.toDouble
+    assert(math.abs(corrupted / total - 0.15) < 0.05,
+      s"corrupted fraction ${corrupted / total} should be ~0.15")
+  }
 }
