@@ -93,6 +93,41 @@ object StatsOps {
       .withColumn("pct_rank", percent_rank().over(w))
   }
 
+  /** Exact GINI COEFFICIENT of a non-negative `valueCol` — the
+    * inequality gauge for corpus composition ("what share of training
+    * tokens do the top sources hold?"): 0 = uniform, →1 = one row
+    * holds everything. Computed from the sorted-rank identity
+    * `G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)` (i 1-based ascending);
+    * within a tie block the rank weights sum identically under any
+    * permutation, so the result is deterministic. Values are
+    * `round(·, 6)` then DECIMAL — the term sum is exact and
+    * order-free; the output is one row `(gini, n, total)`
+    * (null gini when empty or Σx = 0; NULL values excluded; negative
+    * values are a caller error — Gini is undefined there).
+    *
+    * Scale shape: global ranks come from the range-partitioned
+    * sort + zipWithIndex pattern ([[graft.ops.JoinOps.withRowIndex]] —
+    * NO unpartitioned window); totals ride a 1-row broadcast; one
+    * exact aggregate ends it.
+    */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val v = df.select(round(col(valueCol).cast("double"), 6).as("x"))
+      .filter(col("x").isNotNull)
+    val ranked = graft.ops.JoinOps.withRowIndex(v.sort("x"), "__ri")
+    val tot = broadcast(v.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,6)")).as("tot")))
+    ranked.crossJoin(tot)
+      .select(((lit(2) * col("__ri") + 1 - col("n")) *
+        col("x").cast("decimal(38,6)")).as("term"), col("n"), col("tot"))
+      .groupBy("n", "tot").agg(sum(col("term")).as("num"))
+      .select(
+        when(col("n") > 0 && col("tot") =!= 0,
+          col("num").cast("double") /
+            (col("n").cast("double") * col("tot").cast("double"))).as("gini"),
+        col("n").cast("long").as("n"),
+        col("tot").cast("double").as("total"))
+  }
+
   /** Distributed RUNNING (prefix) sums of long columns over a global
     * `orderCol` ordering, appended as `<col>_cum` — the CDF/Lorenz
     * primitive behind [[DriftOps.ksStatistic]]. NO unpartitioned

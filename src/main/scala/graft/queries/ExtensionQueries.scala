@@ -3543,6 +3543,28 @@ object ExtensionQueries {
       |UNION ALL
       |SELECT doc_id, part, CAST(pos AS INTEGER) AS pos, tok FROM tgt""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** Exact Gini coefficient ([[graft.ops.StatsOps.gini]]) of document
+    * lengths — the corpus-inequality gauge next to q107's entropy.
+    * The rank identity's term sum is an exact DECIMAL fold (tie
+    * blocks are permutation-invariant), so both engines produce the
+    * identical numerator and ONE double division ends it.
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.gini(Tables.documents(spark, dir), "n_chars")
+
+  val q131Sql: String =
+    """WITH v AS (
+      | SELECT round(CAST(n_chars AS DOUBLE), 6) AS x FROM documents
+      | WHERE n_chars IS NOT NULL),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS ri FROM v),
+      |t AS (SELECT count(*) AS n, SUM(CAST(x AS DECIMAL(38,6))) AS tot FROM v)
+      |SELECT
+      | CAST(SUM((2 * ri + 1 - t.n) * CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+      |   / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)) AS gini,
+      | CAST(t.n AS BIGINT) AS n, CAST(t.tot AS DOUBLE) AS total
+      |FROM r, t GROUP BY t.n, t.tot""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3642,5 +3664,6 @@ object ExtensionQueries {
     "q127_stupid_backoff" -> ((q127 _, q127Sql)),
     "q128_ks_drift" -> ((q128 _, q128Sql)),
     "q129_random_project" -> ((q129 _, q129Sql)),
-    "q130_span_corrupt" -> ((q130 _, q130Sql)))
+    "q130_span_corrupt" -> ((q130 _, q130Sql)),
+    "q131_gini" -> ((q131 _, q131Sql)))
 }

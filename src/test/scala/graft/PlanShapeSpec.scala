@@ -110,7 +110,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // q128: value-dim running-sum frame × broadcast(1-row n_a/n_b
     // totals) — the q08 scalar pattern (the dim itself is a plain
     // full-outer value join; the prefix scan shuffles nothing extra)
-    "q128_ks_drift")
+    "q128_ks_drift",
+    // q131: ranked rows × broadcast(1-row n/total) — the q08 scalar
+    // pattern (ranks via the range-partitioned zipWithIndex, no
+    // unpartitioned window)
+    "q131_gini")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

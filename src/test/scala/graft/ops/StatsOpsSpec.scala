@@ -71,4 +71,26 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(Double, Long, Long)].collect().head
     assert(a == b)
   }
+
+  test("gini: uniform = 0, concentrated = (n-1)/n shape, hand value") {
+    def g(xs: Seq[Double]): Option[Double] =
+      StatsOps.gini(xs.map(Tuple1(_)).toDF("v"), "v").collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(g(Seq(5.0, 5.0, 5.0, 5.0)) == Some(0.0))
+    // all mass on one of four rows: G = (2*4 - 4 - 1)/(4) ... = 0.75
+    assert(g(Seq(0.0, 0.0, 0.0, 9.0)) == Some(0.75))
+    // hand: [1,2,3,4] -> ((-3)+(-2)+3+12)/40 = 0.25
+    assert(g(Seq(1.0, 2.0, 3.0, 4.0)) == Some(0.25))
+    assert(g(Seq.empty) == None)
+    assert(g(Seq(0.0, 0.0)) == None, "zero total mass has no Gini")
+  }
+
+  test("gini is repartition-invariant and tie-stable") {
+    val xs = (0 until 500).map(i => ((i % 13) + 1).toDouble)
+    val a = StatsOps.gini(xs.map(Tuple1(_)).toDF("v"), "v")
+      .as[(Option[Double], Long, Double)].collect().head
+    val b = StatsOps.gini(xs.map(Tuple1(_)).toDF("v").repartition(9), "v")
+      .as[(Option[Double], Long, Double)].collect().head
+    assert(a == b && a._1.exists(v => v > 0 && v < 1))
+  }
 }
