@@ -317,4 +317,151 @@ object VectorOps {
     }
     df.filter(col(vecCol).isNotNull).withColumn(outCol, array(outs: _*))
   }
+
+  /** Population covariance matrix of a fixed-`dim` vector column as
+    * `(i, j, cov)` rows for the UPPER TRIANGLE `i ≤ j` —
+    * `cov_ij = Σ(x_i·x_j)/n − (Σx_i/n)·(Σx_j/n)`. All sums are
+    * round(·, 9)-then-DECIMAL (exact, order-free — the PSI/chi²
+    * parity pattern) and the final combination is three double
+    * divisions + one multiply + one subtract, so the matrix replays
+    * bit-level cross-engine. Rows failing the fixed-dim/null contract
+    * are excluded.
+    *
+    * Scale shape (100 TB): the pair stream is dim²/2 products PER ROW
+    * produced by a double posexplode — column values, never payloads —
+    * feeding ONE map-side-combined (i, j)-keyed aggregate whose
+    * output is the constant dim²/2-row matrix; per-dim sums are a
+    * dim-row frame and n a 1-row broadcast (broadcast-dim contract).
+    */
+  def covarianceMatrix(
+      df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "covarianceMatrix: dim must be positive")
+    val v = df.select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+    val nRow = broadcast(v.agg(count(lit(1)).as("n")))
+    val ei = v.select(col("v"), posexplode(col("v")))
+      .select(col("v"), col("pos").as("i"), col("col").cast("double").as("xi"))
+    val sums = ei.groupBy("i")
+      .agg(sum(round(col("xi"), 9).cast("decimal(38,9)")).as("sx"))
+    val pairSums = ei.select(col("i"), col("xi"), posexplode(col("v")))
+      .filter(col("pos") >= col("i"))
+      .select(col("i"), col("pos").as("j"),
+        (col("xi") * col("col").cast("double")).as("p"))
+      .groupBy("i", "j")
+      .agg(sum(round(col("p"), 9).cast("decimal(38,9)")).as("sxy"))
+    pairSums
+      .join(broadcast(sums.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .crossJoin(nRow)
+      .select(col("i"), col("j"),
+        (col("sxy").cast("double") / col("n").cast("double") -
+          (col("sx_i").cast("double") / col("n").cast("double")) *
+            (col("sx_j").cast("double") / col("n").cast("double"))).as("cov"))
+  }
+
+  /** PCA model: per-dimension eigenvalues (variance explained,
+    * descending) and the matching unit eigenvectors (rows). */
+  final case class PcaModel(
+      eigenvalues: Array[Double], components: Array[Array[Double]])
+
+  /** Cyclic JACOBI eigendecomposition of the symmetric matrix `a`
+    * (driver-side, dim×dim — the broadcast-dim contract: the matrix
+    * is CONSTANT-size however large the corpus). Returns
+    * (eigenvalues, eigenvectors as rows) sorted by eigenvalue
+    * descending, vectors' first nonzero component made positive for a
+    * deterministic sign.
+    */
+  private[ops] def jacobiEigen(
+      a: Array[Array[Double]], sweeps: Int = 32): PcaModel = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val vec = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val mkp = m(k)(p); val mkq = m(k)(q)
+              m(k)(p) = c * mkp - s * mkq
+              m(k)(q) = s * mkp + c * mkq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val mpk = m(p)(k); val mqk = m(q)(k)
+              m(p)(k) = c * mpk - s * mqk
+              m(q)(k) = s * mpk + c * mqk
+              val vkp = vec(k)(p); val vkq = vec(k)(q)
+              vec(k)(p) = c * vkp - s * vkq
+              vec(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { off += m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -m(i)(i))
+    val evs = order.map(i => m(i)(i)).toArray
+    val comps = order.map { i =>
+      val v = Array.tabulate(n)(k => vec(k)(i))
+      val lead = v.find(x => math.abs(x) > 1e-12).getOrElse(1.0)
+      if (lead < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(evs, comps)
+  }
+
+  /** PCA over a fixed-`dim` vector column: covariance via
+    * [[covarianceMatrix]] (one distributed pass), eigendecomposition
+    * via [[jacobiEigen]] on the collected dim×dim matrix (constant
+    * driver work — mirroring the k-means recenter / HLL register
+    * folds). Top-`k` components by explained variance.
+    */
+  def pcaTrain(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"pcaTrain: need 1 <= k <= dim, got $k")
+    val cells = covarianceMatrix(df, vecCol, dim)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      cells(if (i <= j) (i, j) else (j, i)))
+    val full = jacobiEigen(cov)
+    PcaModel(full.eigenvalues.take(k), full.components.take(k))
+  }
+
+  /** Project vectors onto PCA components (no mean-centering of the
+    * output — scores are `c·x`, matching the covariance-based train):
+    * the [[randomProject]] plan shape — the component matrix folds
+    * into codegen as unrolled multiply-add chains, zero shuffles.
+    */
+  def pcaProject(
+      df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String = "pca"): DataFrame = {
+    val outs = model.components.toIndexedSeq.map { comp =>
+      comp.indices.map(i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(comp(i)))
+        .reduceLeft(_ + _)
+    }
+    df.filter(col(vecCol).isNotNull).withColumn(outCol, array(outs: _*))
+  }
 }

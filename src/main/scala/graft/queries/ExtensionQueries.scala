@@ -3565,6 +3565,41 @@ object ExtensionQueries {
       | CAST(t.n AS BIGINT) AS n, CAST(t.tot AS DOUBLE) AS total
       |FROM r, t GROUP BY t.n, t.tot""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** Upper-triangle covariance matrix of the embedding column
+    * ([[graft.ops.VectorOps.covarianceMatrix]]) — the one-pass
+    * sufficient statistic PCA ([[graft.ops.VectorOps.pcaTrain]])
+    * eigendecomposes on the driver. Every sum is round-then-DECIMAL
+    * (exact, order-free) and the combination is pinned double
+    * arithmetic, so all 2,080 cells replay bit-level.
+    */
+  def q132(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.covarianceMatrix(Tables.embeddings(spark, dir), "embedding", 64)
+
+  val q132Sql: String =
+    """WITH ei AS (
+      | SELECT vec_id, CAST(i AS INTEGER) AS i,
+      |  CAST(embedding[i + 1] AS DOUBLE) AS x
+      | FROM (SELECT vec_id, embedding, unnest(generate_series(0, 63)) AS i
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+      |n AS (SELECT count(*) AS n
+      |      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |p AS (
+      | SELECT a.i AS i, b.i AS j,
+      |  SUM(CAST(round(a.x * b.x, 9) AS DECIMAL(38,9))) AS sxy
+      | FROM ei a JOIN ei b ON a.vec_id = b.vec_id AND b.i >= a.i
+      | GROUP BY 1, 2),
+      |s AS (SELECT i, SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS sx
+      |      FROM ei GROUP BY 1)
+      |SELECT p.i, p.j,
+      | CAST(p.sxy AS DOUBLE) / CAST(n.n AS DOUBLE)
+      |  - (CAST(si.sx AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |    * (CAST(sj.sx AS DOUBLE) / CAST(n.n AS DOUBLE)) AS cov
+      |FROM p
+      |JOIN s si ON si.i = p.i
+      |JOIN s sj ON sj.i = p.j, n""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3665,5 +3700,6 @@ object ExtensionQueries {
     "q128_ks_drift" -> ((q128 _, q128Sql)),
     "q129_random_project" -> ((q129 _, q129Sql)),
     "q130_span_corrupt" -> ((q130 _, q130Sql)),
-    "q131_gini" -> ((q131 _, q131Sql)))
+    "q131_gini" -> ((q131 _, q131Sql)),
+    "q132_covariance" -> ((q132 _, q132Sql)))
 }

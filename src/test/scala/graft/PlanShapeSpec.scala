@@ -114,7 +114,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // q131: ranked rows × broadcast(1-row n/total) — the q08 scalar
     // pattern (ranks via the range-partitioned zipWithIndex, no
     // unpartitioned window)
-    "q131_gini")
+    "q131_gini",
+    // q132: dim²-row covariance cells × broadcast(1-row n) — the q08
+    // scalar pattern over a constant-size matrix frame
+    "q132_covariance")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

@@ -146,4 +146,53 @@ class VectorOpsSpec extends AnyFunSuite {
       p.zip(p2(id)).foreach { case (a, b) => assert(b == a * 2.0) }
     }
   }
+
+  // ---------------------------------------------------- covariance/PCA
+
+  test("covarianceMatrix matches a hand-computed 2x2 case") {
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f)), Tuple1(Seq(3.0f, 4.0f))).toDF("v")
+    val got = VectorOps.covarianceMatrix(df, "v", 2)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((0, 0)) - 1.0) < 1e-9)
+    assert(math.abs(got((1, 1)) - 1.0) < 1e-9)
+    assert(math.abs(got((0, 1)) - 1.0) < 1e-9)
+    assert(got.size == 3, "upper triangle only")
+  }
+
+  test("jacobiEigen solves the classic symmetric 2x2") {
+    val m = VectorOps.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(m.eigenvalues(0) - 3.0) < 1e-12)
+    assert(math.abs(m.eigenvalues(1) - 1.0) < 1e-12)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(m.components(0).zip(Array(r2, r2)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(m.components(1).zip(Array(r2, -r2)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("pcaTrain recovers a planted principal axis; projection decorrelates") {
+    val dim = 8
+    val rnd = new scala.util.Random(17)
+    val u = Array.tabulate(dim)(i => if (i % 2 == 0) 0.5 else -0.5) // unit
+    val rows = (0 until 400).map { _ =>
+      val a = rnd.nextGaussian() * 3.0 // dominant axis, var 9
+      Tuple1(Seq.tabulate(dim)(i =>
+        (a * u(i) + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("v")
+    val model = VectorOps.pcaTrain(df, "v", dim, k = 2)
+    val dot = model.components(0).zip(u).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.99,
+      s"first component must align with the planted axis, |dot| = ${math.abs(dot)}")
+    assert(model.eigenvalues(0) > 5.0 && model.eigenvalues(1) < 0.5,
+      s"explained variance must concentrate: ${model.eigenvalues.toSeq}")
+    // projected scores are uncorrelated across components
+    val proj = VectorOps.pcaProject(df, "v", model)
+    val c01 = VectorOps.covarianceMatrix(
+      proj.select(transform(col("pca"), x => x.cast("float")).as("p")), "p", 2)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(c01((0, 1))) < 0.05,
+      s"PCA scores must decorrelate, got cov ${c01((0, 1))}")
+    assert(c01((0, 0)) > c01((1, 1)))
+  }
 }
