@@ -706,6 +706,88 @@ object CurationOps {
       nbDocCounts(df, labelCol), tokenKey)
 
   // ------------------------------------------------------------------
+  // Linear quality classifier (logistic regression) — the
+  // gradient-trained complement to the NB filter: the fastText-style
+  // linear scorer most published curation pipelines gate on.
+  // ------------------------------------------------------------------
+
+  /** One full-batch logistic-regression gradient over a fixed-`dim`
+    * feature column for weights `w`:
+    * `g = (1/n) Σ (σ(w·x) − y)·x` (no bias term; append a constant
+    * feature for one). The weight vector is a CONSTANT folded into
+    * codegen — the dot product is an unrolled multiply-add chain
+    * ([[graft.ops.VectorOps.randomProject]]'s shape) — and the
+    * per-dim sums come off ONE posexplode + map-side-combined keyed
+    * agg to a dim-row frame. Sums are round(·, 9)-then-DECIMAL:
+    * order-free, so the gradient is deterministic and (at `w = 0`,
+    * where `σ` degenerates to exactly 0.5 — no transcendentals)
+    * bit-level oracle-replayable. Returns `(i, g)` dim rows.
+    */
+  def logisticGradient(
+      df: DataFrame, featCol: String, labelCol: String, dim: Int,
+      w: Array[Double]): DataFrame = {
+    require(w.length == dim, s"weights must have length $dim")
+    val v = df.select(col(featCol).as("x"),
+        col(labelCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && size(col("x")) === dim)
+    val n1 = broadcast(v.agg(count(lit(1)).as("n")))
+    val dot =
+      if (w.forall(_ == 0.0)) lit(0.0)
+      else (0 until dim).map(i =>
+        element_at(col("x"), i + 1).cast("double") * lit(w(i)))
+        .reduceLeft(_ + _)
+    val sigma =
+      if (w.forall(_ == 0.0)) lit(0.5)
+      else lit(1.0) / (lit(1.0) + exp(-dot))
+    v.select((sigma - col("y")).as("r"), posexplode(col("x")))
+      .select(col("pos").as("i"),
+        (col("r") * col("col").cast("double")).as("g"))
+      .groupBy("i")
+      .agg(sum(round(col("g"), 9).cast("decimal(38,9)")).as("gsum"))
+      .crossJoin(n1)
+      .select(col("i"),
+        (col("gsum").cast("double") / col("n").cast("double")).as("g"))
+  }
+
+  /** Full-batch gradient-descent logistic regression:
+    * `w ← w − lr·g` for `iters` passes from `w = 0`. Each pass is one
+    * [[logisticGradient]] job (a dim-row collect — the broadcast-dim
+    * contract, like the k-means recenter); the returned weights drive
+    * [[logisticScore]]. For corpus-scale training sets the per-pass
+    * cost is one narrow corpus scan — the published curation setting
+    * (a linear scorer over hashed features) converges in tens of
+    * passes.
+    */
+  def logisticTrain(
+      df: DataFrame, featCol: String, labelCol: String, dim: Int,
+      iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 1 && lr > 0.0, "logisticTrain: iters >= 1, lr > 0")
+    var w = Array.fill(dim)(0.0)
+    var it = 0
+    while (it < iters) {
+      val g = logisticGradient(df, featCol, labelCol, dim, w)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = Array.tabulate(dim)(i => w(i) - lr * g.getOrElse(i, 0.0))
+      it += 1
+    }
+    w
+  }
+
+  /** Score rows with trained logistic weights: `σ(w·x)` via the same
+    * unrolled constant-chain dot — per-row column algebra, zero
+    * shuffles. Output adds `score` (and keeps every input column).
+    */
+  def logisticScore(
+      df: DataFrame, featCol: String, w: Array[Double],
+      outCol: String = "score"): DataFrame = {
+    val dot = w.indices.map(i =>
+      element_at(col(featCol), i + 1).cast("double") * lit(w(i)))
+      .reduceLeft(_ + _)
+    df.filter(col(featCol).isNotNull && size(col(featCol)) === w.length)
+      .withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-dot)))
+  }
+
+  // ------------------------------------------------------------------
   // DSIR importance weighting (Xie et al. 2023, "Data Selection for
   // Language Models via Importance Resampling").
   // ------------------------------------------------------------------

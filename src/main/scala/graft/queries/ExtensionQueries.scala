@@ -3600,6 +3600,37 @@ object ExtensionQueries {
       |JOIN s si ON si.i = p.i
       |JOIN s sj ON sj.i = p.j, n""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  /** Logistic-regression pass-1 gradient
+    * ([[graft.ops.CurationOps.logisticGradient]] at `w = 0`) over the
+    * embeddings with `y = label mod 2` — the statistic every
+    * gradient-descent pass of the linear quality classifier derives
+    * from (the q120 BPE-round-1 pattern: oracle the per-pass
+    * aggregate, spec the loop). At `w = 0`, `σ` is exactly 0.5 — no
+    * transcendentals — and the per-dim sums are round-then-DECIMAL,
+    * so all 64 gradient cells replay bit-level.
+    */
+  def q133(spark: SparkSession, dir: String): DataFrame =
+    CurationOps.logisticGradient(
+      Tables.embeddings(spark, dir).filter(col("label").isNotNull)
+        .withColumn("y01", pmod(col("label"), lit(2))),
+      "embedding", "y01", dim = 64,
+      w = Array.fill(64)(0.0))
+
+  val q133Sql: String =
+    """WITH v AS (
+      | SELECT embedding, CAST(label % 2 AS DOUBLE) AS y FROM embeddings
+      | WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64),
+      |n AS (SELECT count(*) AS n FROM v),
+      |e AS (
+      | SELECT CAST(i AS INTEGER) AS i,
+      |  (0.5 - y) * CAST(embedding[i + 1] AS DOUBLE) AS g
+      | FROM (SELECT embedding, y, unnest(generate_series(0, 63)) AS i FROM v))
+      |SELECT e.i,
+      | CAST(SUM(CAST(round(e.g, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |   / CAST(n.n AS DOUBLE) AS g
+      |FROM e, n GROUP BY e.i, n.n""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3701,5 +3732,6 @@ object ExtensionQueries {
     "q129_random_project" -> ((q129 _, q129Sql)),
     "q130_span_corrupt" -> ((q130 _, q130Sql)),
     "q131_gini" -> ((q131 _, q131Sql)),
-    "q132_covariance" -> ((q132 _, q132Sql)))
+    "q132_covariance" -> ((q132 _, q132Sql)),
+    "q133_logistic_gradient" -> ((q133 _, q133Sql)))
 }

@@ -117,7 +117,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q131_gini",
     // q132: dim²-row covariance cells × broadcast(1-row n) — the q08
     // scalar pattern over a constant-size matrix frame
-    "q132_covariance")
+    "q132_covariance",
+    // q133: dim-row gradient frame × broadcast(1-row n) — ditto
+    "q133_logistic_gradient")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

@@ -142,4 +142,49 @@ class TfidfNbDsirSpec extends AnyFunSuite {
     assert(SplitOps.sampleExactK(df, "doc_id", 500).count() == 200,
       "k > n keeps everything")
   }
+
+  // ------------------------------------------------ logistic regression
+
+  test("logisticGradient at w=0 matches the hand form; GD matches a manual fold") {
+    val df = Seq((Seq(1.0f, 0.0f), 1), (Seq(0.0f, 2.0f), 0)).toDF("x", "y")
+    val g0 = CurationOps.logisticGradient(df, "x", "y", 2, Array(0.0, 0.0))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // (0.5-1)*[1,0] + (0.5-0)*[0,2] over n=2 -> [-0.25, 0.5]
+    assert(math.abs(g0(0) - (-0.25)) < 1e-12)
+    assert(math.abs(g0(1) - 0.5) < 1e-12)
+    // two GD steps == an independent driver-side fold of the same math
+    val data = Seq((Seq(1.0f, 0.2f), 1), (Seq(0.9f, 0.1f), 1),
+      (Seq(0.1f, 1.0f), 0), (Seq(0.2f, 0.9f), 0))
+    val ddf = data.toDF("x", "y")
+    val got = CurationOps.logisticTrain(ddf, "x", "y", 2, iters = 2, lr = 0.5)
+    var w = Array(0.0, 0.0)
+    (0 until 2).foreach { _ =>
+      val grads = data.map { case (x, y) =>
+        val dot = x.zipWithIndex.map { case (v, i) => v * w(i) }.sum
+        val s = if (w.forall(_ == 0.0)) 0.5 else 1.0 / (1.0 + math.exp(-dot))
+        x.map(v => (s - y) * v.toDouble)
+      }
+      val g = Array.tabulate(2)(i =>
+        grads.map(v => BigDecimal(v(i)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / data.size)
+      w = Array.tabulate(2)(i => w(i) - 0.5 * g(i))
+    }
+    got.zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("logisticTrain separates a separable set; logisticScore thresholds it") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      val y = i % 2
+      val base = if (y == 1) 1.5 else -1.5
+      (Seq((base + rnd.nextGaussian() * 0.3).toFloat,
+        (-base + rnd.nextGaussian() * 0.3).toFloat, 1.0f), y)
+    }
+    val df = rows.toDF("x", "y")
+    val w = CurationOps.logisticTrain(df, "x", "y", 3, iters = 30, lr = 1.0)
+    val scored = CurationOps.logisticScore(df, "x", w)
+      .select((col("score") > 0.5).cast("int").as("pred"), col("y"))
+    val acc = scored.filter(col("pred") === col("y")).count().toDouble / 300
+    assert(acc > 0.95, s"separable data must train to high accuracy, got $acc")
+  }
 }
