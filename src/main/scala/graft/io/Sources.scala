@@ -159,6 +159,51 @@ object Sources {
       .parquet(path)
   }
 
+  /** SMALL-FILE COMPACTION — the table-maintenance pass every
+    * long-running ingest needs: streaming/incremental appends leave
+    * thousands of KB-sized files whose per-file open/footer/task cost
+    * eventually dominates scans (the classic small-file problem). Reads
+    * the directory, sizes the REWRITE from the measured on-disk bytes
+    * (`targetBytes` per output file, ≥ 1 file), writes to `tmpPath`,
+    * verifies the rewrite carries the exact same rows via the
+    * order-free [[contentManifest]] hash, and only then swaps it into
+    * place — a failed verify leaves the original untouched (compaction
+    * must never be able to lose data). Returns (filesBefore,
+    * filesAfter).
+    *
+    * Scale shape: one read + one `repartition(n)` round-robin shuffle
+    * of the data (unavoidable — coalesce would skip the shuffle but
+    * chains the small files' partitioning into every later scan and
+    * cannot split an unlucky large partition); the manifest check is
+    * one aggregate per side. Partition-column layouts should compact
+    * per partition directory (compose with
+    * [[writeHivePartitioned]]'s directory structure).
+    */
+  def compactParquet(
+      spark: SparkSession, path: String, tmpPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "compactParquet: targetBytes must be positive")
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hadoopPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val before = contentManifest(df)
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val after = contentManifest(spark.read.parquet(tmpPath))
+    require(after == before,
+      s"compaction manifest mismatch (rows/hash/schema): $before vs $after — " +
+        "original left untouched")
+    fs.delete(hadoopPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hadoopPath),
+      s"rename $tmpPath -> $path failed")
+    val outFiles = fs.listStatus(hadoopPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, outFiles)
+  }
+
   /** Morton (Z-order) key over `zCols`, appended as `outCol` — the
     * multi-column DATA-SKIPPING layout key: each column is
     * quantile-binned to `bits` bits (approx-percentile cutoffs on a

@@ -171,21 +171,7 @@ object GraphOps {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val lmins = sym.groupBy("u").agg(min("v").as("mn"))
-      // large-star: (x, m) for x > u; m = min(mn, u) < x by x > u
-      val large = sym.join(lmins, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        .distinct()
-      // large's output is min-oriented (u > v) by construction, which
-      // is exactly small-star's input orientation
-      val smins = large.groupBy("u").agg(min("v").as("mn"))
-      val joined = large.join(smins, Seq("u"))
-      val small = joined.select(col("v").as("u"), col("mn").as("v"))
-        .union(joined.select(col("u"), col("mn").as("v")).distinct())
-        .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+      val small = starContractionRound(cur).localCheckpoint()
       converged = small.count() == cur.count() && small.except(cur).isEmpty
       cur = small
       round += 1
@@ -195,5 +181,33 @@ object GraphOps {
     nodes.join(ptr, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .localCheckpoint()
+  }
+
+  /** ONE large-star + small-star contraction round over a canonical
+    * `(u, v)` edge set with `u > v`, distinct — the per-round surface
+    * of [[connectedComponentsAlternating]], public so the q134 oracle
+    * can replay a round stage-for-stage (pure min/set algebra, fully
+    * deterministic):
+    *  - large-star: `(x, min(Γ(u) ∪ u))` for every `x ∈ Γ(u), x > u`;
+    *  - small-star on the min-oriented result: `(x, m)` for
+    *    `x ∈ Γ(u) ∪ u, x ≠ m = min Γ(u)`.
+    * Output is again canonical (every emitted edge points high → low).
+    */
+  def starContractionRound(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val lmins = sym.groupBy("u").agg(min("v").as("mn"))
+    // large-star: (x, m) for x > u; m = min(mn, u) < x by x > u
+    val large = sym.join(lmins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .distinct()
+    // large's output is min-oriented (u > v) by construction, which
+    // is exactly small-star's input orientation
+    val smins = large.groupBy("u").agg(min("v").as("mn"))
+    val joined = large.join(smins, Seq("u"))
+    joined.select(col("v").as("u"), col("mn").as("v"))
+      .union(joined.select(col("u"), col("mn").as("v")).distinct())
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 }

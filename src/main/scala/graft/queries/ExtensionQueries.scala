@@ -3631,6 +3631,48 @@ object ExtensionQueries {
       |   / CAST(n.n AS DOUBLE) AS g
       |FROM e, n GROUP BY e.i, n.n""".stripMargin
 
+  // --------------------------------------------------------------- q134
+  /** One alternating-star contraction round
+    * ([[graft.ops.GraphOps.starContractionRound]]) over the sparse
+    * arithmetic corpus graph — the q118 unroll pattern applied to the
+    * connected-components family: the oracle replays the large-star
+    * min aggregate + join and the small-star pair stage-for-stage
+    * (pure integer min/set algebra, no randomness), pinning the edge
+    * rewrite every [[graft.ops.GraphOps.connectedComponentsAlternating]]
+    * round is built from.
+    */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count()
+    val e0 = d.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 11) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+    GraphOps.starContractionRound(e0)
+  }
+
+  val q134Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (
+      | SELECT DISTINCT greatest(doc_id, dst) AS u, least(doc_id, dst) AS v
+      | FROM (SELECT doc_id, (doc_id * 7 + 11) % nn.n AS dst
+      |       FROM documents, nn)
+      | WHERE doc_id <> dst),
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |lmins AS (SELECT u, min(v) AS mn FROM sym GROUP BY u),
+      |large AS (
+      | SELECT DISTINCT s.v AS u, least(l.mn, s.u) AS v
+      | FROM sym s JOIN lmins l ON l.u = s.u WHERE s.v > s.u),
+      |smins AS (SELECT u, min(v) AS mn FROM large GROUP BY u),
+      |j AS (SELECT l.u, l.v, s.mn FROM large l JOIN smins s ON s.u = l.u)
+      |SELECT DISTINCT u, v FROM (
+      | SELECT v AS u, mn AS v FROM j
+      | UNION ALL
+      | SELECT u, mn AS v FROM j)
+      |WHERE u <> v""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3733,5 +3775,6 @@ object ExtensionQueries {
     "q130_span_corrupt" -> ((q130 _, q130Sql)),
     "q131_gini" -> ((q131 _, q131Sql)),
     "q132_covariance" -> ((q132 _, q132Sql)),
-    "q133_logistic_gradient" -> ((q133 _, q133Sql)))
+    "q133_logistic_gradient" -> ((q133 _, q133Sql)),
+    "q134_star_contraction" -> ((q134 _, q134Sql)))
 }

@@ -49,4 +49,18 @@ class ManifestSpec extends AnyFunSuite {
     assert(Sources.verifyManifest(spark,
       Files.createTempDirectory("no-manifest").toString).isDefined)
   }
+
+  test("compactParquet merges small files, verifies content, swaps in place") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val tmp = Files.createTempDirectory("compact_tmp").toString + "/t"
+    val df = (0 until 5000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    val (nBefore, nAfter) =
+      Sources.compactParquet(spark, dir, tmp, targetBytes = 64L * 1024 * 1024)
+    assert(nBefore == 40, s"expected 40 input files, got $nBefore")
+    assert(nAfter < 5, s"compaction must merge to a few files, got $nAfter")
+    val afterRows = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(afterRows.sameElements(beforeRows), "rows must survive exactly")
+  }
 }

@@ -133,6 +133,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(alt(13L) == 10L && alt(21L) == 20L)
   }
 
+  test("starContractionRound preserves connectivity (one round)") {
+    val e0 = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L), (21L, 20L))
+      .toDF("u", "v")
+    val round = GraphOps.starContractionRound(e0)
+    val before = GraphOps.connectedComponentsAlternating(e0, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    val after = GraphOps.connectedComponentsAlternating(round, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    // every node still reaches the same component minimum
+    after.foreach { case (id, c) => assert(before(id) == c) }
+    assert(after.keySet == before.keySet)
+  }
+
   test("alternating CC converges on a deep path where propagation can't") {
     // a 300-node path has diameter 299: min-label propagation needs
     // ~150 passes to drag 0 to the far end; star contraction halves
