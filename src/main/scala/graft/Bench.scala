@@ -212,6 +212,13 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // PCA: one treeAggregate covariance pass (no row amplification) +
+    // driver Jacobi + unrolled-chain projection
+    "b_pca" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = graft.ops.VectorOps.pcaTrain(e, "embedding", 64, k = 8)
+      graft.ops.VectorOps.pcaProject(e, "embedding", model)
+    }),
     // T5 span corruption in one fused pass over md5-tokenized docs
     "b_span_corrupt" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),

@@ -359,6 +359,62 @@ object VectorOps {
             (col("sx_j").cast("double") / col("n").cast("double"))).as("cov"))
   }
 
+  /** PRODUCTION covariance accumulation — the 100 TB path: ONE pass
+    * with `treeAggregate`, each task folding its rows into a local
+    * (dim² upper-triangle products, dim sums, count) buffer — NO row
+    * amplification (the [[covarianceMatrix]] pair stream explodes
+    * dim²/2 rows per vector, the right shape for the exact DECIMAL
+    * oracle twin but 2,080× the data at scale; here only
+    * partition-count × dim² doubles ever move). Double accumulation
+    * folds in partition order — deterministic to ~1e-15 relative, the
+    * differential spec pins it against the exact form. Returns the
+    * full symmetric matrix.
+    */
+  def covarianceMatrixFast(
+      df: DataFrame, vecCol: String, dim: Int): Array[Array[Double]] = {
+    require(dim > 0, "covarianceMatrixFast: dim must be positive")
+    val tri = dim * (dim + 1) / 2
+    val zero = (new Array[Double](tri), new Array[Double](dim), 0L)
+    val (sxy, sx, n) = df
+      .select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .rdd.treeAggregate(zero)(
+        seqOp = { case ((pp, ss, c), row) =>
+          val v = row.getSeq[Float](0)
+          var k = 0
+          var i = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            ss(i) += xi
+            var j = i
+            while (j < dim) { pp(k) += xi * v(j).toDouble; k += 1; j += 1 }
+            i += 1
+          }
+          (pp, ss, c + 1)
+        },
+        combOp = { case ((p1, s1, c1), (p2, s2, c2)) =>
+          var k = 0
+          while (k < tri) { p1(k) += p2(k); k += 1 }
+          var i = 0
+          while (i < dim) { s1(i) += s2(i); i += 1 }
+          (p1, s1, c1 + c2)
+        })
+    require(n > 0, "covarianceMatrixFast: no valid vectors")
+    val cov = Array.ofDim[Double](dim, dim)
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = sxy(k) / n - (sx(i) / n) * (sx(j) / n)
+        cov(i)(j) = c; cov(j)(i) = c
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    cov
+  }
+
   /** PCA model: per-dimension eigenvalues (variance explained,
     * descending) and the matching unit eigenvectors (rows). */
   final case class PcaModel(
@@ -434,18 +490,15 @@ object VectorOps {
   }
 
   /** PCA over a fixed-`dim` vector column: covariance via
-    * [[covarianceMatrix]] (one distributed pass), eigendecomposition
-    * via [[jacobiEigen]] on the collected dim×dim matrix (constant
-    * driver work — mirroring the k-means recenter / HLL register
-    * folds). Top-`k` components by explained variance.
+    * [[covarianceMatrixFast]] (one treeAggregate pass, no row
+    * amplification), eigendecomposition via [[jacobiEigen]] on the
+    * dim×dim matrix (constant driver work — mirroring the k-means
+    * recenter / HLL register folds). Top-`k` components by explained
+    * variance.
     */
   def pcaTrain(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"pcaTrain: need 1 <= k <= dim, got $k")
-    val cells = covarianceMatrix(df, vecCol, dim)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    val cov = Array.tabulate(dim, dim)((i, j) =>
-      cells(if (i <= j) (i, j) else (j, i)))
-    val full = jacobiEigen(cov)
+    val full = jacobiEigen(covarianceMatrixFast(df, vecCol, dim))
     PcaModel(full.eigenvalues.take(k), full.components.take(k))
   }
 

@@ -231,8 +231,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // its two-pass prefix scan at construction (LogicalRDD leaf);
         // b_stupid_backoff q127's 1-row N/V totals broadcast;
         // b_cc_alternating runs its checkpointed star-contraction
-        // rounds at construction (b_pagerank's vacuous-plan reason)
-        "b_ks_drift", "b_stupid_backoff", "b_cc_alternating")
+        // rounds at construction (b_pagerank's vacuous-plan reason);
+        // b_pca trains at construction (treeAggregate job) — its
+        // projection plan is pure chains
+        "b_ks_drift", "b_stupid_backoff", "b_cc_alternating", "b_pca")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

@@ -170,6 +170,19 @@ class VectorOpsSpec extends AnyFunSuite {
       case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("covarianceMatrixFast matches the exact pair-stream form") {
+    val rnd = new scala.util.Random(41)
+    val df = (0 until 150).map(_ =>
+      Tuple1(Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("v")
+    val exact = VectorOps.covarianceMatrix(df, "v", 8)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val fast = VectorOps.covarianceMatrixFast(df.repartition(7), "v", 8)
+    exact.foreach { case ((i, j), c) =>
+      assert(math.abs(fast(i)(j) - c) < 1e-8, s"cell ($i,$j): $c vs ${fast(i)(j)}")
+      assert(fast(i)(j) == fast(j)(i))
+    }
+  }
+
   test("pcaTrain recovers a planted principal axis; projection decorrelates") {
     val dim = 8
     val rnd = new scala.util.Random(17)
