@@ -212,6 +212,16 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // unigram-LM induction (SentencePiece shape): seed + 3 hard-EM
+    // rounds on the distinct-word dictionary, then encode the corpus
+    // via the segmented dictionary broadcast
+    "b_unigram_lm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = graft.ops.UnigramLmOps.unigramTrain(
+        d, "text", vocabSize = 512, maxPieceLen = 6,
+        seedSize = 2000, rounds = 3)
+      graft.ops.UnigramLmOps.unigramEncode(d, "text", "doc_id", model, 6)
+    }),
     // PCA: one treeAggregate covariance pass (no row amplification) +
     // driver Jacobi + unrolled-chain projection
     "b_pca" -> ((s, dir) => {

@@ -3673,6 +3673,38 @@ object ExtensionQueries {
       | SELECT u, mn AS v FROM j)
       |WHERE u <> v""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** Unigram-LM seed vocabulary ([[graft.ops.UnigramLmOps.seedVocab]],
+    * Kudo 2018): top-200 corpus substrings (≤ 4 chars) by weighted
+    * frequency UNION all single characters — the statistic every
+    * hard-EM round of the SentencePiece-style induction starts from
+    * (the q120 BPE-round-1 pattern: oracle the seeding statistic,
+    * spec the loop). Counts are exact integers; the top-N cutoff
+    * breaks ties (weight desc, piece asc) identically in both
+    * engines.
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame =
+    UnigramLmOps.seedVocab(
+      UnigramLmOps.wordCounts(Tables.documents(spark, dir), "text"),
+      maxPieceLen = 4, seedSize = 200)
+
+  val q135Sql: String =
+    """WITH words AS (
+      | SELECT w, count(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      |  FROM documents) GROUP BY 1),
+      |subs AS (
+      | SELECT substr(w, s, l) AS piece, SUM(n) AS weight FROM (
+      |   SELECT w, n, s, unnest(generate_series(1, 4)) AS l FROM (
+      |     SELECT w, n, unnest(generate_series(1, len(w))) AS s FROM words))
+      | WHERE s + l - 1 <= len(w) GROUP BY 1),
+      |top AS (SELECT piece, weight FROM subs
+      |        ORDER BY weight DESC, piece LIMIT 200),
+      |chars AS (SELECT piece, weight FROM subs WHERE len(piece) = 1)
+      |SELECT piece, CAST(max(weight) AS BIGINT) AS weight
+      |FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)
+      |GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3776,5 +3808,6 @@ object ExtensionQueries {
     "q131_gini" -> ((q131 _, q131Sql)),
     "q132_covariance" -> ((q132 _, q132Sql)),
     "q133_logistic_gradient" -> ((q133 _, q133Sql)),
-    "q134_star_contraction" -> ((q134 _, q134Sql)))
+    "q134_star_contraction" -> ((q134 _, q134Sql)),
+    "q135_unigram_seed" -> ((q135 _, q135Sql)))
 }

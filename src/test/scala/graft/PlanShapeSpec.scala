@@ -234,7 +234,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // rounds at construction (b_pagerank's vacuous-plan reason);
         // b_pca trains at construction (treeAggregate job) — its
         // projection plan is pure chains
-        "b_ks_drift", "b_stupid_backoff", "b_cc_alternating", "b_pca")
+        "b_ks_drift", "b_stupid_backoff", "b_cc_alternating", "b_pca",
+        // b_unigram_lm trains at construction (seed + EM collects —
+        // b_bpe_train's reason); the encode plan is a broadcast join
+        "b_unigram_lm")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
