@@ -948,6 +948,16 @@ object Bench {
       // hits emitted the moment a level completes
       run("s_funnel",
         StreamingOps.streamingFunnel(src, "user_id", "ts", "event_type",
-          Seq("signup", "view", "click", "purchase")), "append"))
+          Seq("signup", "view", "click", "purchase")), "append"),
+      // per-window drift monitor: TWO chained event-time aggs (append
+      // mode, the Spark >= 3.4 multiple-stateful-operator feature);
+      // state = open windows x categories, watermark-evicted on the
+      // time-ordered replay
+      run("s_drift",
+        StreamingOps.streamingDrift(srcFrom(streamDirOrdered), "event_type",
+          graft.core.Tables.events(spark, sfDir)
+            .groupBy(col("event_type").as("cat"))
+            .agg(count(lit(1)).as("n")),
+          windowDur = "1 hour", watermark = "2 hours"), "append"))
   }
 }

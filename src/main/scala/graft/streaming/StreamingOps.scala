@@ -141,6 +141,58 @@ object StreamingOps {
         lit(sampleProb))
   }
 
+  /** STREAMING DRIFT GATE: per-window categorical PSI of `catCol`
+    * against a STATIC reference distribution — the production monitor
+    * that pages before a bad ingest batch lands ("did the language mix
+    * shift in the last hour?"). Same add-one-smoothed formula as
+    * [[graft.ops.DriftOps.categoricalDrift]] with the union domain of
+    * (reference ∪ window), so the batch operator pins the arithmetic
+    * (spec: batch-mode run of this code vs per-window categoricalDrift).
+    *
+    * Plan: TWO chained event-time aggregations in append mode (the
+    * Spark ≥ 3.4 multiple-stateful-operator feature — the second
+    * groups on `window_time` of the first's window): (window, cat)
+    * counts, then per-window count maps + totals; the PSI itself is
+    * STATELESS column algebra over the ≤ |domain|-element map against
+    * the reference shipped as a literal map (collected from the
+    * `reference` dim — the broadcast-dim contract; a reference is a
+    * few categories by construction). State is bounded by open
+    * windows × categories, evicted by the watermark. Output one row
+    * per closed window: (bucket, k, n_new, psi_total).
+    */
+  def streamingDrift(
+      events: DataFrame, catCol: String, reference: DataFrame,
+      windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val ref = reference.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(ref.nonEmpty, "streamingDrift: empty reference")
+    val refTot = ref.map(_._2).sum
+    val refMap = map(ref.flatMap { case (c, n) =>
+      Seq(lit(c), lit(n)) }: _*)
+    val refCats = array(ref.map(c => lit(c._1)): _*)
+    val c1 = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n_new"))
+    val c2 = c1
+      .groupBy(window(window_time(col("window")), windowDur).as("w2"))
+      .agg(map_from_entries(collect_list(struct(col("cat"), col("n_new")))).as("m"),
+        sum(col("n_new")).as("n_tot"))
+    val domain = array_union(map_keys(col("m")), refCats)
+    val k = size(domain)
+    val terms = transform(domain, c => {
+      val pn = (coalesce(element_at(col("m"), c), lit(0L)) + lit(1L))
+        .cast("double") / (col("n_tot") + k).cast("double")
+      val po = (coalesce(element_at(refMap, c), lit(0L)) + lit(1L))
+        .cast("double") / (lit(refTot) + k).cast("double")
+      (pn - po) * log(pn / po)
+    })
+    c2.select(
+      date_format(col("w2.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+      k.as("k"), col("n_tot").as("n_new"),
+      aggregate(terms, lit(0.0), (acc, t) => acc + t).as("psi_total"))
+  }
+
   def streamingSimHashDedup(
       docs: DataFrame, textCol: String, tsCol: String, watermark: String): DataFrame = {
     val keyed = docs.withColumn("__sig",

@@ -572,4 +572,58 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(String, Double, Long)].head()
     assert(batch._2 == 10.0 && batch._3 == 2L)
   }
+
+  test("streaming drift gate: per-window PSI == batch categoricalDrift; chained aggs bounded") {
+    import graft.ops.DriftOps
+    val events = Tables.events(spark, sfDir)
+    val reference = events.groupBy(col("event_type").as("cat"))
+      .agg(count(lit(1)).as("n"))
+    // batch-mode run of the SAME code (chained window aggs work in
+    // batch too) vs per-window categoricalDrift
+    val got = StreamingOps.streamingDrift(events, "event_type", reference)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.nonEmpty)
+    val windows = events
+      .select(date_format(window(col("ts"), "1 hour").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"), col("event_type"))
+    // spot-check ONE window end-to-end against the batch operator: the
+    // reference frame re-exploded to raw rows so categoricalDrift's
+    // count() reproduces the same (cat, n_old) dim
+    val someBucket = got.keys.min
+    val winDf = windows.filter(col("bucket") === someBucket)
+      .select(col("event_type").as("cat"))
+    val refRows = reference.as[(String, Long)].collect()
+      .flatMap { case (c, n) => Seq.fill(n.toInt)(c) }.toSeq
+      .toDF("cat")
+    val exp = DriftOps.categoricalDrift(refRows, winDf, "cat")
+      .select("psi_total").as[Double].head()
+    val (_, _, gotPsi) = got(someBucket)
+    assert(math.abs(gotPsi - exp) < 1e-9,
+      s"window $someBucket PSI: got $gotPsi expected $exp")
+
+    // streaming run: two chained event-time aggs, append mode, state
+    // bounded by open windows x categories
+    val streamDir = Files.createTempDirectory("events-stream-drift").toFile
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(src.getAbsolutePath),
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(streamDir.getAbsolutePath, "part-0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val (out, maxState) = StreamingOps.runToMemoryMaxState(
+      StreamingOps.streamingDrift(
+        StreamingOps.eventsStream(spark, streamDir.getAbsolutePath),
+        "event_type", reference),
+      "drift_gate_test", "append")
+    val emitted = out.as[(String, Int, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // closed windows match the batch run exactly (same code path)
+    emitted.foreach { case (bucket, psi) =>
+      assert(math.abs(psi - got(bucket)._3) < 1e-9, s"window $bucket")
+    }
+    assert(maxState > 0 && maxState < 10000,
+      s"state must stay bounded by windows x categories, got $maxState")
+  }
 }
