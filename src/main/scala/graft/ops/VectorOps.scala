@@ -310,12 +310,13 @@ object VectorOps {
     require(inDim > 0 && outDim > 0, "randomProject: dims must be positive")
     val s = jlSignMatrix(inDim, outDim, seed)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val outs = (0 until outDim).map { j =>
-      (0 until inDim).map(i =>
-        element_at(col(vecCol), i + 1).cast("double") * lit(s(j)(i)))
-        .reduceLeft(_ + _) * lit(scale)
-    }
-    df.filter(col(vecCol).isNotNull).withColumn(outCol, array(outs: _*))
+    // one generated matrix-product pass ([[graft.functions.MatVec]]);
+    // the scale applies AFTER each row sum (exactly the unrolled-chain
+    // and oracle arithmetic — bit-identical, differential-spec'd)
+    df.filter(col(vecCol).isNotNull)
+      .withColumn(outCol, transform(
+        graft.functions.MatVec.matVec(col(vecCol), s),
+        e => e * lit(scale)))
   }
 
   /** Population covariance matrix of a fixed-`dim` vector column as
@@ -504,17 +505,12 @@ object VectorOps {
 
   /** Project vectors onto PCA components (no mean-centering of the
     * output — scores are `c·x`, matching the covariance-based train):
-    * the [[randomProject]] plan shape — the component matrix folds
-    * into codegen as unrolled multiply-add chains, zero shuffles.
+    * one [[graft.functions.MatVec]] generated pass, zero shuffles.
     */
   def pcaProject(
       df: DataFrame, vecCol: String, model: PcaModel,
-      outCol: String = "pca"): DataFrame = {
-    val outs = model.components.toIndexedSeq.map { comp =>
-      comp.indices.map(i =>
-        element_at(col(vecCol), i + 1).cast("double") * lit(comp(i)))
-        .reduceLeft(_ + _)
-    }
-    df.filter(col(vecCol).isNotNull).withColumn(outCol, array(outs: _*))
-  }
+      outCol: String = "pca"): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .withColumn(outCol,
+        graft.functions.MatVec.matVec(col(vecCol), model.components))
 }

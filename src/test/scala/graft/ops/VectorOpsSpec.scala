@@ -147,6 +147,29 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MatVec is bit-identical to the unrolled element_at chain") {
+    val rnd = new scala.util.Random(53)
+    val rows = Array.tabulate(5, 12)((_, _) => rnd.nextGaussian())
+    val df = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(12)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val chain = df.select(col("id"), array(rows.toIndexedSeq.map { r =>
+      r.indices.map(i =>
+        element_at(col("v"), i + 1).cast("double") * lit(r(i)))
+        .reduceLeft(_ + _)
+    }: _*).as("p")).as[(Long, Seq[Double])].collect().toMap
+    val fused = df.select(col("id"),
+      graft.functions.MatVec.matVec(col("v"), rows).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    chain.foreach { case (id, p) =>
+      p.zip(fused(id)).foreach { case (a, b) => assert(a == b) }
+    }
+    // null-on-mismatch contract
+    val bad = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
+      .select(graft.functions.MatVec.matVec(col("v"), rows).as("p"))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
+
   // ---------------------------------------------------- covariance/PCA
 
   test("covarianceMatrix matches a hand-computed 2x2 case") {
