@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinShingleMd5, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, TopNgramFrac}
+import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinHashBandHashes, MinShingleMd5, MlmMaskMd5, MlmMaskXxh, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, SpanCorruptMd5, TopNgramFrac}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -60,6 +60,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(exprs(1), "hyperplane_band_sigs", "bands"),
         litInt(exprs(2), "hyperplane_band_sigs", "planesPerBand"),
         litInt(exprs(3), "hyperplane_band_sigs", "dim"))))
+    ext.injectFunction(fn("min_hash_band_hashes",
+      "min_hash_band_hashes(array<bigint> token hashes, bands, rowsPerBand) - fused MinHash LSH band hashes",
+      exprs => MinHashBandHashes(exprs(0),
+        litInt(exprs(1), "min_hash_band_hashes", "bands"),
+        litInt(exprs(2), "min_hash_band_hashes", "rowsPerBand"))))
+    ext.injectFunction(fn("mlm_mask_md5",
+      "mlm_mask_md5(array<bigint>, key string, maskProb, maskToken, vocabSize, seed) - fused portable MLM masking",
+      exprs => MlmMaskMd5(exprs(0), exprs(1),
+        litDouble(exprs(2), "mlm_mask_md5", "maskProb"),
+        litInt(exprs(3), "mlm_mask_md5", "maskToken"),
+        litInt(exprs(4), "mlm_mask_md5", "vocabSize"),
+        litLong(exprs(5), "mlm_mask_md5", "seed"))))
+    ext.injectFunction(fn("mlm_mask_xxh",
+      "mlm_mask_xxh(array<int>, key bigint, maskProb, maskToken, vocabSize, seed) - fused production MLM masking",
+      exprs => MlmMaskXxh(exprs(0), exprs(1),
+        litDouble(exprs(2), "mlm_mask_xxh", "maskProb"),
+        litInt(exprs(3), "mlm_mask_xxh", "maskToken"),
+        litInt(exprs(4), "mlm_mask_xxh", "vocabSize"),
+        litLong(exprs(5), "mlm_mask_xxh", "seed"))))
+    ext.injectFunction(fn("span_corrupt_md5",
+      "span_corrupt_md5(array<int>, key string, corruptRate, meanSpan, sentinelBase, seed) - fused T5 span corruption",
+      exprs => SpanCorruptMd5(exprs(0), exprs(1),
+        litDouble(exprs(2), "span_corrupt_md5", "corruptRate"),
+        litInt(exprs(3), "span_corrupt_md5", "meanSpan"),
+        litInt(exprs(4), "span_corrupt_md5", "sentinelBase"),
+        litLong(exprs(5), "span_corrupt_md5", "seed"))))
+  }
+
+  /** Extract a literal double argument (SQL decimal literals arrive as
+    * DECIMAL — accept exact conversions of int/decimal/double).
+    */
+  private def litDouble(e: Expression, fn: String, arg: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a numeric literal, got $other")
+  }
+
+  /** Extract a literal long argument. */
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
   }
 
   /** Extract a literal int argument (the SQL surface for expressions

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -63,5 +64,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ok = spark.sql("SELECT min_shingle_md5(array('a','b','c'), 2L) AS fp")
       .as[Long].head()
     assert(ok != 0L)
+  }
+
+  test("masking / span-corruption / banding expressions resolve from SQL") {
+    val bands = spark.sql(
+      "SELECT size(min_hash_band_hashes(array(1L, 2L, 3L), 4, 4)) AS nb")
+      .as[Int].head()
+    assert(bands == 4)
+    val mlm = spark.sql(
+      """SELECT mlm_mask_md5(array(1L, 2L, 3L, 4L), 'k1', 0.25, 103, 1000, 0) AS m""")
+      .select(col("m.ids")).as[Seq[Long]].head()
+    assert(mlm.length == 4)
+    val sc = spark.sql(
+      """SELECT span_corrupt_md5(array(1, 2, 3, 4, 5), 'doc1', 0.3, 2, 1000, 0) AS s""")
+      .select(col("s.input_ids"), col("s.target_ids"), col("s.n_corrupted"))
+      .as[(Seq[Int], Seq[Int], Int)].head()
+    // reassembly invariant holds through the SQL surface too
+    val spans = {
+      var m = Map.empty[Int, Seq[Int]]; var cur = -1
+      sc._2.foreach(t => if (t >= 1000) { cur = t; m += cur -> Seq() }
+        else m += cur -> (m(cur) :+ t))
+      m
+    }
+    val rebuilt = sc._1.flatMap(t => if (t >= 1000) spans(t) else Seq(t))
+    assert(rebuilt == Seq(1, 2, 3, 4, 5))
+    // a non-literal probability is an analysis error
+    val err = intercept[Exception] {
+      spark.sql("SELECT mlm_mask_md5(array(1L), 'k', rand(), 1, 10, 0)").collect()
+    }
+    assert(err.getMessage.contains("numeric literal"))
   }
 }
