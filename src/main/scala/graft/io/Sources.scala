@@ -42,6 +42,42 @@ object Sources {
   def readResultCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(resultCsvSchema).option("header", "false").csv(path)
 
+  /** JSONL scan with CORRUPT-RECORD QUARANTINE — the ingest-hygiene
+    * contract for crawled line-JSON at scale: a malformed line must
+    * neither kill the job (FAILFAST) nor silently become an all-null
+    * row (plain PERMISSIVE). PERMISSIVE mode routes each bad line's
+    * raw text into `_corrupt_record`; the return splits on it —
+    * `(good rows, quarantine rows (raw line))` — so the pipeline
+    * processes the good frame and persists the quarantine for triage
+    * (count it, alert on rate, replay after a parser fix). Spark
+    * requires the corrupt-record column referenced alone to be
+    * materialized from a cache or raw plan — handled here, not by
+    * every caller.
+    */
+  def readJsonlWithQuarantine(
+      spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType, nullable = true))
+    // PERMISSIVE + a raw-text pushdown barrier: Spark refuses queries
+    // that filter/select ONLY the corrupt column over a direct JSON
+    // scan (the internal-column pushdown restriction), so split from a
+    // parsed frame of the raw lines instead of the file scan.
+    val raw = spark.read.text(path)
+    val parsed = raw.select(
+      from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"),
+      col("value"))
+    val good = parsed
+      .filter(col("j._corrupt_record").isNull && col("j").isNotNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f")): _*)
+    val quarantine = parsed
+      .filter(col("j._corrupt_record").isNotNull || col("j").isNull)
+      .select(col("value").as("raw"))
+    (good, quarantine)
+  }
+
   /** OP-07: CSV result sink — `(vid, category_id)`, no header, one part
     * per task (coalesce for a single file only at driver-output sizes).
     */
