@@ -212,6 +212,21 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // bounded-buffer top-k per group vs the full window sort — same
+    // result (q136 proves it), k x tasks rows shuffled per group
+    "b_topk_group" -> ((s, dir) =>
+      graft.ops.SearchOps.topKPerGroup(
+        Tables.events(s, dir), "event_type", "value", "event_id", k = 10)),
+    // the window twin, timed for the comparison (shuffles + sorts
+    // every row of every group)
+    "b_topk_group_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("event_type", "rank", "event_id", "value")
+    }),
     // unigram-LM induction (SentencePiece shape): seed + 3 hard-EM
     // rounds on the distinct-word dictionary, then encode the corpus
     // via the segmented dictionary broadcast

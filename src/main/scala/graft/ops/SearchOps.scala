@@ -287,4 +287,25 @@ object SearchOps {
           coalesce(col("dcg"), lit(0).cast("decimal(28,9)")).cast("double") /
             col("idcg").cast("double")).as("ndcg_k"))
   }
+
+  /** TOP-K ROWS PER GROUP with a BOUNDED aggregation buffer
+    * ([[graft.functions.TopKAggregator]]) instead of the
+    * `row_number` window idiom: the window shuffles AND sorts every
+    * row of every group; here each map task keeps ≤ k (value, id)
+    * pairs per group, so the exchange carries k × tasks rows per
+    * group and the reduce is a k-bounded merge — the per-group twin
+    * of the global `orderBy(...).limit(k)` TakeOrdered shape. Output
+    * `(groupCol, rank 1..k, idCol, valueCol)` ranked value-desc with
+    * id-asc tiebreak — exactly the window twin's rule (q136's oracle
+    * IS the window formulation; matching rows prove equivalence).
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col(valueCol).cast("double"), col(idCol).cast("long")).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(idCol), col("col._1").as(valueCol))
 }

@@ -3705,6 +3705,26 @@ object ExtensionQueries {
       |FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  /** Bounded-buffer top-k per group
+    * ([[graft.ops.SearchOps.topKPerGroup]]): top-5 events by value per
+    * event type — the oracle is the `row_number` WINDOW formulation,
+    * so matching rows prove the k-bounded aggregation buffer
+    * reproduces the full sort exactly (value desc, id asc).
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    SearchOps.topKPerGroup(
+      Tables.events(spark, dir), "event_type", "value", "event_id", k = 5)
+
+  val q136Sql: String =
+    """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
+      |FROM (
+      | SELECT event_type, event_id, value,
+      |  row_number() OVER (PARTITION BY event_type
+      |                     ORDER BY value DESC, event_id) AS rank
+      | FROM events)
+      |WHERE rank <= 5""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3809,5 +3829,6 @@ object ExtensionQueries {
     "q132_covariance" -> ((q132 _, q132Sql)),
     "q133_logistic_gradient" -> ((q133 _, q133Sql)),
     "q134_star_contraction" -> ((q134 _, q134Sql)),
-    "q135_unigram_seed" -> ((q135 _, q135Sql)))
+    "q135_unigram_seed" -> ((q135 _, q135Sql)),
+    "q136_topk_per_group" -> ((q136 _, q136Sql)))
 }

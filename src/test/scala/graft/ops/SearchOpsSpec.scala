@@ -114,4 +114,26 @@ class SearchOpsSpec extends AnyFunSuite {
     // rank 4 (beyond k) must not have contributed anywhere
     assert(got.size == 3)
   }
+
+  test("topKPerGroup matches the row_number window twin, ties and all") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(61)
+    // quantized values force cross-id ties; 3 groups, 400 rows
+    val df = (0 until 400).map(i =>
+      (s"g${i % 3}", (rnd.nextInt(20) / 2.0), i.toLong))
+      .toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select("g", "rank", "id", "v")
+      .as[(String, Int, Long, Double)].collect().toSet
+    val got = SearchOps.topKPerGroup(df.repartition(11), "g", "v", "id", 7)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == expected)
+    // k larger than the group keeps everything, still ranked
+    val small = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("g", "v", "id")
+    val all = SearchOps.topKPerGroup(small, "g", "v", "id", 10)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    assert(all.toSeq == Seq(("a", 1, 2L, 2.0), ("a", 2, 1L, 1.0)))
+  }
 }
