@@ -40,7 +40,12 @@ object Bench {
     // quadratic pair output by contract on the dup-dense fixture
     // (76 s at sf0.1 for uncapped containment); their production
     // representatives are b_prefix_jaccard and b_containment
-    "q114_prefix_jaccard", "q115_containment")
+    "q114_prefix_jaccard", "q115_containment",
+    // q132 is the DECIMAL-exact covariance oracle twin — its pair
+    // stream amplifies each vector into dim²/2 rows BY CONTRACT (the
+    // replayable shape, 8.4 s at sf0.1); the production representative
+    // is b_pca's treeAggregate pass (0.2 s)
+    "q132_covariance")
 
   /** Evaluation-forcing action: xxhash64 of EVERY output column, folded
     * with bit_xor. Under a bare `count()` Catalyst is free to prune
