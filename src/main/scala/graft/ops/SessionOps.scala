@@ -70,6 +70,43 @@ object SessionOps {
         max(col(orderCol)).as("end_" + orderCol))
   }
 
+  /** PER-KEY INTERVAL UNION: merge every key's overlapping/touching
+    * `[startCol, endCol]` spans into maximal disjoint intervals —
+    * union of sessions / GPU-busy spans / ad-exposure windows, the
+    * "total covered time" question a plain duration sum double-counts.
+    * Classic sweep: order spans by (start, end), a span OPENS a new
+    * merged interval iff its start exceeds the running max of all
+    * previous ends (strictly — touching spans merge); the running-max
+    * prefix and the interval ids are keyed windows, the merge one
+    * keyed agg. Output per merged interval:
+    * `(keyCol, interval_id 1-based, start, end, n_spans)` — total
+    * coverage = `sum(end - start)` over it. Inverted spans
+    * (`end < start`) are a caller error and excluded; NULL bounds
+    * excluded.
+    *
+    * Scale shape: two keyed windows + one keyed agg, all partitioned
+    * by `keyCol` — narrow (key, long, long) rows, partition-parallel,
+    * no global sort.
+    */
+  def intervalUnion(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(
+      prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .withColumn("__open", opens)
+      .withColumn("__iv",
+        sum(col("__open")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__iv").as("interval_id"))
+      .agg(min(col(startCol)).as("start"),
+        max(col(endCol)).as("end"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** Per-key ordered event-symbol sequence: every key's events
     * collapsed, in (order, tiebreak) order, into ONE string of
     * caller-supplied symbols — the MATCH_RECOGNIZE-lite substrate:

@@ -3725,6 +3725,47 @@ object ExtensionQueries {
       | FROM events)
       |WHERE rank <= 5""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** Per-key interval union ([[graft.ops.SessionOps.intervalUnion]]):
+    * each event opens a span of `round(value, 2)` minutes (duration
+    * derived through DECIMAL so the micros arithmetic is
+    * integer-exact in both engines); overlapping/touching spans merge
+    * into maximal disjoint intervals per user — the "total covered
+    * time" statistic a plain duration sum double-counts. The oracle
+    * replays the sweep (running-max prefix, open flags, running
+    * interval ids) with the same keyed windows.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          (round(col("value"), 2).cast("decimal(38,2)") * 100).cast("long")
+            * lit(60000000L)).as("e"))
+    SessionOps.intervalUnion(spans, "user_id", "s", "e")
+  }
+
+  val q137Sql: String =
+    """WITH sp AS (
+      | SELECT user_id, epoch_us(ts) AS s,
+      |  epoch_us(ts) + CAST(CAST(round(value, 2) AS DECIMAL(38,2)) * 100 AS BIGINT)
+      |    * 60000000 AS e
+      | FROM events),
+      |m AS (
+      | SELECT user_id, s, e,
+      |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      | FROM sp WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s),
+      |o AS (
+      | SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS op
+      | FROM m),
+      |iv AS (
+      | SELECT *, SUM(op) OVER (PARTITION BY user_id ORDER BY s, e
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_id
+      | FROM o)
+      |SELECT user_id, CAST(interval_id AS BIGINT) AS interval_id,
+      | min(s) AS start, max(e) AS "end", CAST(count(*) AS BIGINT) AS n_spans
+      |FROM iv GROUP BY 1, 2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3830,5 +3871,6 @@ object ExtensionQueries {
     "q133_logistic_gradient" -> ((q133 _, q133Sql)),
     "q134_star_contraction" -> ((q134 _, q134Sql)),
     "q135_unigram_seed" -> ((q135 _, q135Sql)),
-    "q136_topk_per_group" -> ((q136 _, q136Sql)))
+    "q136_topk_per_group" -> ((q136 _, q136Sql)),
+    "q137_interval_union" -> ((q137 _, q137Sql)))
 }

@@ -170,4 +170,27 @@ class TrendIslandsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("duplicated axis point"))
   }
+
+  test("intervalUnion merges overlapping/touching spans; guards bad rows") {
+    val spans = Seq(
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 7L, 9L), ("a", 20L, 25L),
+      ("b", 0L, 100L), ("b", 10L, 20L),
+      ("c", 5L, 3L) // inverted -> excluded, key absent
+    ).toDF("k", "s", "e")
+    val got = SessionOps.intervalUnion(spans.repartition(5), "k", "s", "e")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 1L, 9L, 3L), // touching at 7 merges
+      ("a", 2L, 20L, 25L, 1L),
+      ("b", 1L, 0L, 100L, 2L))) // nested span absorbed
+    // covered-time property: merged intervals never overlap
+    val perKey = got.groupBy(_._1).values
+    perKey.foreach { ivs =>
+      val sorted = ivs.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(x, y) => assert(y._3 > x._4, "merged intervals are disjoint")
+        case _ => ()
+      }
+    }
+  }
 }
