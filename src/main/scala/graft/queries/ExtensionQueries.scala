@@ -3766,6 +3766,42 @@ object ExtensionQueries {
       | min(s) AS start, max(e) AS "end", CAST(count(*) AS BIGINT) AS n_spans
       |FROM iv GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  /** Bilinear resize ([[graft.functions.ResizeBilinear]]) of the
+    * 64-dim embeddings viewed as 8×8 single-channel images down to
+    * 4×4, exploded to (vec_id, pos, x) rows. At an exact 2× downscale
+    * the align_corners=false sample sits at fractional 0.5 in both
+    * axes, so the oracle replays the two-lerp fold
+    * (`top + (bot − top)·0.5`) verbatim over the positional grid —
+    * identical double arithmetic, identical float cast.
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.ResizeBilinear.resizeBilinear(
+          col("embedding"), 8, 8, 1, 4, 4)))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        col("col").as("x"))
+
+  val q138Sql: String =
+    """WITH g AS (
+      | SELECT vec_id, i,
+      |  CAST(embedding[(2*(i // 4))*8 + 2*(i % 4) + 1] AS DOUBLE) AS p00,
+      |  CAST(embedding[(2*(i // 4))*8 + 2*(i % 4) + 2] AS DOUBLE) AS p01,
+      |  CAST(embedding[(2*(i // 4) + 1)*8 + 2*(i % 4) + 1] AS DOUBLE) AS p10,
+      |  CAST(embedding[(2*(i // 4) + 1)*8 + 2*(i % 4) + 2] AS DOUBLE) AS p11
+      | FROM (SELECT vec_id, embedding, unnest(generate_series(0, 15)) AS i
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+      |l AS (
+      | SELECT vec_id, i,
+      |  p00 + (p01 - p00) * 0.5 AS t,
+      |  p10 + (p11 - p10) * 0.5 AS b
+      | FROM g)
+      |SELECT vec_id, CAST(i AS INTEGER) AS pos,
+      | CAST(t + (b - t) * 0.5 AS REAL) AS x
+      |FROM l""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3872,5 +3908,6 @@ object ExtensionQueries {
     "q134_star_contraction" -> ((q134 _, q134Sql)),
     "q135_unigram_seed" -> ((q135 _, q135Sql)),
     "q136_topk_per_group" -> ((q136 _, q136Sql)),
-    "q137_interval_union" -> ((q137 _, q137Sql)))
+    "q137_interval_union" -> ((q137 _, q137Sql)),
+    "q138_resize_bilinear" -> ((q138 _, q138Sql)))
 }

@@ -90,4 +90,40 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(bounds.isEmpty)
   }
+
+  // -------------------------------------------------- bilinear resize
+
+  test("resizeBilinear: identity, averaging, constancy, linearity, null contract") {
+    import graft.functions.ResizeBilinear.resizeBilinear
+    def run(img: Seq[Float], h: Int, w: Int, c: Int,
+        oh: Int, ow: Int): Option[Seq[Float]] = {
+      val r = Seq(Tuple1(img)).toDF("v")
+        .select(resizeBilinear(col("v"), h, w, c, oh, ow).as("r"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getSeq[Float](0))
+    }
+    // identity dims return the exact input
+    val img = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    assert(run(img, 2, 2, 1, 2, 2) == Some(img))
+    // 2x1 -> 1x1 samples the midpoint = average
+    assert(run(Seq(2.0f, 6.0f), 1, 2, 1, 1, 1) == Some(Seq(4.0f)))
+    // 4x4 checkerboard -> 2x2: every sample blends a 2x2 cell to 0.5
+    val checker = (0 until 16).map(i => ((i / 4 + i % 4) % 2).toFloat)
+    assert(run(checker, 4, 4, 1, 2, 2) == Some(Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+    // constant image stays constant at any size (incl. upscale)
+    assert(run(Seq.fill(4)(7.0f), 2, 2, 1, 3, 5) == Some(Seq.fill(15)(7.0f)))
+    // channels resize independently
+    val rgb = Seq(1.0f, 10.0f, 3.0f, 30.0f) // 1x2x2: pixels (1,10),(3,30)
+    assert(run(rgb, 1, 2, 2, 1, 1) == Some(Seq(2.0f, 20.0f)))
+    // linearity: resize(2*img) == 2*resize(img)
+    val rnd = new scala.util.Random(3)
+    val big = Seq.fill(6 * 5)(rnd.nextFloat())
+    val once = run(big, 6, 5, 1, 3, 4).get
+    val doubled = run(big.map(_ * 2.0f), 6, 5, 1, 3, 4).get
+    once.zip(doubled).foreach { case (a, b) =>
+      assert(math.abs(b - 2.0f * a) < 1e-5f)
+    }
+    // length-mismatch is NULL, not garbage
+    assert(run(Seq(1.0f, 2.0f), 2, 2, 1, 1, 1) == None)
+  }
 }
