@@ -173,4 +173,45 @@ object MultimodalOps {
         zip_with(cosines, sequence(lit(1), size(cosines)),
           (c, i) => struct(i.as("i"), c.as("c"))),
         s => s.getField("c") < tau))
+
+  /** Per-frame AUDIO-style features over a flat signal viewed as
+    * `nFrames` frames of `frameLen` samples: short-time ENERGY
+    * (`Σ x²`, the exact left-to-right double fold — replayable as an
+    * unrolled chain, q139) and ZERO-CROSSING RATE (count of adjacent
+    * sign flips, `x_i·x_{i+1} < 0` — exact integer) — the classic VAD
+    * / speech-music front-end statistics, as pure column algebra with
+    * no audio libraries (the decode stage stays the documented stub
+    * boundary; these run on ANY decoded float signal). Output
+    * `array<struct<energy double, zcr int>>`, one element per frame.
+    */
+  def frameFeatures(vec: Column, nFrames: Int, frameLen: Int): Column =
+    transform(reshapeFrames(vec, nFrames, frameLen), f => struct(
+      aggregate(f, lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("energy"),
+      size(filter(
+        zip_with(slice(f, 1, frameLen - 1), slice(f, 2, frameLen - 1),
+          (a, b) => a.cast("double") * b.cast("double") < 0),
+        b => b)).as("zcr")))
+
+  /** SILENCE TRIM: drop leading and trailing frames whose energy is
+    * below `minEnergy`, returning the contiguous sample span from the
+    * first to the last active frame (interior quiet frames are kept —
+    * trimming, not gating). An all-quiet signal returns an empty
+    * array. The energy rule is [[frameFeatures]]' exact fold, so the
+    * decision is deterministic; the per-frame energies are evaluated
+    * per REFERENCE (no HOF subexpression elimination) — ~3 traversals
+    * of an O(n) expression, the documented small-constant trade.
+    */
+  def trimSilence(
+      vec: Column, nFrames: Int, frameLen: Int,
+      minEnergy: Double): Column = {
+    val keep = transform(frameFeatures(vec, nFrames, frameLen),
+      f => f.getField("energy") >= minEnergy)
+    val first = array_position(keep, lit(true))
+    val last = lit(nFrames.toLong) + 1L - array_position(reverse(keep), lit(true))
+    when(first === 0, array().cast("array<float>"))
+      .otherwise(slice(vec,
+        ((first - 1) * frameLen + 1).cast("int"),
+        ((last - first + 1) * frameLen).cast("int")))
+  }
 }

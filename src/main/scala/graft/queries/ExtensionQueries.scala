@@ -3802,6 +3802,39 @@ object ExtensionQueries {
       | CAST(t + (b - t) * 0.5 AS REAL) AS x
       |FROM l""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  /** Per-frame energy + zero-crossing rate
+    * ([[graft.ops.MultimodalOps.frameFeatures]]) over the embeddings
+    * viewed as 8 frames × 8 samples — the audio front-end statistics
+    * as exact column algebra: the energy fold unrolls to the same
+    * left-to-right chain in SQL (bit-level), the ZCR is an integer
+    * CASE sum.
+    */
+  def q139(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("vec_id"),
+        posexplode(MultimodalOps.frameFeatures(col("embedding"), 8, 8)))
+      .select(col("vec_id"), col("pos").cast("int").as("frame"),
+        col("col.energy").as("energy"), col("col.zcr").as("zcr"))
+
+  val q139Sql: String = {
+    def t(f: Int, j: Int) = s"CAST(embedding[${f * 8 + j + 1}] AS DOUBLE)"
+    val frames = (0 until 8).map { f =>
+      val energy = (0 until 8).map(j => s"${t(f, j)} * ${t(f, j)}")
+        .mkString(" + ")
+      val zcr = (0 until 7).map(j =>
+        s"CASE WHEN ${t(f, j)} * ${t(f, j + 1)} < 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, $f AS frame, $energy AS energy, " +
+        s"CAST($zcr AS INTEGER) AS zcr FROM e"
+    }
+    s"""WITH e AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) = 64)
+      |${frames.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3909,5 +3942,6 @@ object ExtensionQueries {
     "q135_unigram_seed" -> ((q135 _, q135Sql)),
     "q136_topk_per_group" -> ((q136 _, q136Sql)),
     "q137_interval_union" -> ((q137 _, q137Sql)),
-    "q138_resize_bilinear" -> ((q138 _, q138Sql)))
+    "q138_resize_bilinear" -> ((q138 _, q138Sql)),
+    "q139_frame_features" -> ((q139 _, q139Sql)))
 }
