@@ -3835,6 +3835,75 @@ object ExtensionQueries {
       |${frames.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // --------------------------------------------------------------- q140
+  /** OP-12 label projection through the REAL 200-code category
+    * dimension ([[graft.ops.CategoryOps.attachIds]]): every doc picks
+    * a code by md5 index into the reference list, and the broadcast
+    * dim attaches (lv2id, lv1id). The oracle REBUILDS the dimension
+    * from its published arithmetic (23 lv1 group sizes → `pp` prefix +
+    * in-group position, lv2id = global list position) and joins on
+    * the same md5 pick — so the dim derivation itself is replayed,
+    * not just the join.
+    */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    val dim = CategoryOps.referenceCategoryDim(spark)
+    val codesArr = array(CategoryOps.referenceCategoryCodes.map(lit): _*)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      element_at(codesArr,
+        (pmod(PortableHash.md5Long(col("doc_id")), lit(200L)) + 1)
+          .cast("int")).as("code"))
+    CategoryOps.attachIds(docs, dim, "code")
+      .select(col("doc_id"), col("code"), col("lv2id"), col("lv1id"))
+  }
+
+  val q140Sql: String =
+    """WITH sizes(lv1, n) AS (VALUES
+      | (0,9),(1,5),(2,9),(3,6),(4,6),(5,3),(6,3),(7,6),(8,6),(9,8),
+      | (10,4),(11,6),(12,6),(13,12),(14,4),(15,10),(16,11),(17,9),
+      | (18,7),(19,6),(20,16),(21,24),(22,24)),
+      |offs AS (
+      | SELECT lv1, n, CAST(coalesce(SUM(n) OVER (ORDER BY lv1
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS off
+      | FROM sizes),
+      |dim AS (
+      | SELECT printf('%02d%02d', lv1, i) AS category_id,
+      |  off + CAST(i AS INTEGER) AS lv2id, CAST(lv1 AS INTEGER) AS lv1id
+      | FROM (SELECT lv1, off, unnest(generate_series(0, n - 1)) AS i FROM offs)),
+      |docs AS (
+      | SELECT doc_id,
+      |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |       % 200 AS INTEGER) AS pick
+      | FROM documents)
+      |SELECT d.doc_id, m.category_id AS code, m.lv2id, m.lv1id
+      |FROM docs d JOIN dim m ON m.lv2id = d.pick""".stripMargin
+
+  // --------------------------------------------------------------- q141
+  /** OP-24 validation join ([[graft.ops.EvalMetrics.validatePredictions]]):
+    * predictions derived from the corpus (10% deterministically
+    * perturbed to 'xx') joined to the ground truth after the anti-join
+    * and count guards pass — the reference's evaluate() entry
+    * contract, now row-level oracle-checked rather than unit-only.
+    */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val truth = d.select(col("doc_id").as("vid"), col("lang").as("label"))
+    val preds = d.select(col("doc_id").as("vid"),
+      when(PortableHash.uniform01(col("doc_id"), lit("141")) < 0.9,
+        col("lang")).otherwise(lit("xx")).as("pred"))
+    EvalMetrics.validatePredictions(preds, truth)
+  }
+
+  val q141Sql: String =
+    """WITH truth AS (SELECT doc_id AS vid, lang AS label FROM documents),
+      |preds AS (
+      | SELECT doc_id AS vid,
+      |  CASE WHEN CAST('0x' || substr(md5(doc_id || '#' || '141'), 1, 15) AS BIGINT)
+      |        / 1152921504606846976.0 < 0.9
+      |       THEN lang ELSE 'xx' END AS pred
+      | FROM documents)
+      |SELECT p.vid, p.pred, t.label
+      |FROM preds p JOIN truth t ON t.vid = p.vid""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -3943,5 +4012,7 @@ object ExtensionQueries {
     "q136_topk_per_group" -> ((q136 _, q136Sql)),
     "q137_interval_union" -> ((q137 _, q137Sql)),
     "q138_resize_bilinear" -> ((q138 _, q138Sql)),
-    "q139_frame_features" -> ((q139 _, q139Sql)))
+    "q139_frame_features" -> ((q139 _, q139Sql)),
+    "q140_label_projection" -> ((q140 _, q140Sql)),
+    "q141_validation_join" -> ((q141 _, q141Sql)))
 }
