@@ -45,7 +45,12 @@ object Bench {
     // stream amplifies each vector into dim²/2 rows BY CONTRACT (the
     // replayable shape, 8.4 s at sf0.1); the production representative
     // is b_pca's treeAggregate pass (0.2 s)
-    "q132_covariance")
+    "q132_covariance",
+    // q142 is the STRING-EXACT BLEU oracle twin (rougeN's interpreted
+    // HOF overlap, O(distinct×L) per row per order — 36.7 s at sf0.1);
+    // the production representative is b_bleu's fused sorted-hash
+    // form (0.9 s), spec-pinned equal
+    "q142_bleu")
 
   /** Evaluation-forcing action: xxhash64 of EVERY output column, folded
     * with bit_xor. Under a bare `count()` Catalyst is free to prune
@@ -217,6 +222,18 @@ object Bench {
     // trainings + five long-keyed joins per scored position
     "b_stupid_backoff" -> ((s, dir) =>
       CurationOps.stupidBackoffSelf(Tables.documents(s, dir), "text", "doc_id")),
+    // corpus BLEU at the production (fused sorted-hash) overlap over
+    // ref/perturbed pairs — four clipped orders + one aggregate
+    "b_bleu" -> ((s, dir) => {
+      val toks = graft.ops.TextOps.whitespaceTokenize(col("text"))
+      val cand = concat_ws(" ", transform(toks, (t, i) =>
+        when(pmod(xxhash64(col("doc_id"), i), lit(10L)) < 9, t)
+          .otherwise(lit("xx"))))
+      graft.ops.EvalMetrics.bleuCorpus(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").as("ref"), cand.as("cand")),
+        "ref", "cand", maxN = 4, fused = true)
+    }),
     // bounded-buffer top-k per group vs the full window sort — same
     // result (q136 proves it), k x tasks rows shuffled per group
     "b_topk_group" -> ((s, dir) =>

@@ -246,6 +246,52 @@ object EvalMetrics {
     * text). [[rougeN]] stays as the string-exact oracle twin (q82
     * replays it verbatim in DuckDB).
     */
+  /** Corpus-level BLEU (Papineni et al. 2002): per order `n ≤ maxN`
+    * the CLIPPED n-gram matches and candidate gram totals sum over
+    * the whole corpus (micro-average — the published definition, not
+    * a mean of sentence BLEUs), `p_n = M_n / T_n`, brevity penalty
+    * `exp(1 − r/c)` when the candidate side is shorter, and
+    * `BLEU = BP · exp(Σ ln p_n / maxN)` — strictly 0 when any order
+    * has zero matches (the unsmoothed reference form; smoothing
+    * belongs to the caller). One row out:
+    * `(m_1..m_maxN, t_1..t_maxN, c_len, r_len, bleu)`.
+    *
+    * The per-pair clipped overlaps ARE the ROUGE machinery:
+    * `fused = true` (production) uses [[rougeNFused]]'s sorted-hash
+    * multiset merge, `fused = false` the string-exact [[rougeN]] the
+    * q142 oracle replays — the same twin contract as q82, with the
+    * differential spec pinning the two equal.
+    */
+  def bleuCorpus(
+      pairs: DataFrame, refCol: String, candCol: String,
+      maxN: Int = 4, fused: Boolean = true): DataFrame = {
+    require(maxN >= 1, "bleuCorpus: maxN must be >= 1")
+    val per = (1 to maxN).foldLeft(pairs) { (df, n) =>
+      val withR =
+        if (fused) rougeNFused(df, refCol, candCol, n)
+        else rougeN(df, refCol, candCol, n)
+      withR
+        .withColumnRenamed("overlap", s"__m_$n")
+        .withColumnRenamed("cand_n", s"__t_$n")
+        .withColumnRenamed("ref_n", s"__r_$n")
+        .drop("rouge_p", "rouge_r", "rouge_f1")
+    }
+    val aggs = (1 to maxN).flatMap(n => Seq(
+      sum(col(s"__m_$n")).as(s"m_$n"), sum(col(s"__t_$n")).as(s"t_$n"))) ++
+      Seq(sum(col("__t_1")).as("c_len"), sum(col("__r_1")).as("r_len"))
+    val tot = per.agg(aggs.head, aggs.tail: _*)
+    val allPos = ((1 to maxN).map(n => col(s"m_$n") > 0) :+
+      (col("c_len") > 0)).reduce(_ && _)
+    val logSum = (1 to maxN).map(n =>
+      log(col(s"m_$n").cast("double") / col(s"t_$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("c_len") > col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    tot.withColumn("bleu",
+      when(allPos, bp * exp(logSum / lit(maxN.toDouble))).otherwise(lit(0.0)))
+  }
+
   def rougeNFused(pairs: DataFrame, refCol: String, candCol: String, n: Int): DataFrame = {
     require(n >= 1, "rougeNFused: n must be >= 1")
     def gramHashes(c: Column): Column =

@@ -3904,6 +3904,87 @@ object ExtensionQueries {
       |SELECT p.vid, p.pred, t.label
       |FROM preds p JOIN truth t ON t.vid = p.vid""".stripMargin
 
+  // --------------------------------------------------------------- q142
+  /** Corpus BLEU ([[graft.ops.EvalMetrics.bleuCorpus]], string-exact
+    * twin) of an md5-perturbed candidate corpus (each token flips to
+    * 'xx' with p=0.1, both engines deriving the identical candidates)
+    * against the original documents. All match/total sums are exact
+    * integers; the final BLEU is one pinned double expression
+    * (left-assoc log sum, exact-int ratios), so the row replays
+    * bit-level up to the driver's 6-decimal rounding.
+    */
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.whitespaceTokenize(col("text"))
+    val cand = concat_ws(" ", transform(toks, (t, i) =>
+      when(PortableHash.uniform01(
+        concat_ws("#", col("doc_id"), (i + 1).cast("string")),
+        lit("142")) < 0.9, t).otherwise(lit("xx"))))
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").as("ref"), cand.as("cand"))
+    EvalMetrics.bleuCorpus(pairs, "ref", "cand", maxN = 4, fused = false)
+  }
+
+  val q142Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id, i, len(tk) AS L, tk[i] AS rt,
+      |  CASE WHEN CAST('0x' || substr(md5(doc_id || '#' || i || '#' || '142'), 1, 15) AS BIGINT)
+      |        / 1152921504606846976.0 < 0.9
+      |       THEN tk[i] ELSE 'xx' END AS ct
+      | FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)),
+      |w AS (
+      | SELECT doc_id, i, L, rt, ct,
+      |  lead(rt, 1) OVER win AS r1, lead(rt, 2) OVER win AS r2,
+      |  lead(rt, 3) OVER win AS r3,
+      |  lead(ct, 1) OVER win AS c1, lead(ct, 2) OVER win AS c2,
+      |  lead(ct, 3) OVER win AS c3
+      | FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |rg AS (
+      | SELECT doc_id, 1 AS n, rt AS g FROM w
+      | UNION ALL SELECT doc_id, 2, rt || ' ' || r1 FROM w WHERE i + 1 <= L
+      | UNION ALL SELECT doc_id, 3, rt || ' ' || r1 || ' ' || r2 FROM w WHERE i + 2 <= L
+      | UNION ALL SELECT doc_id, 4, rt || ' ' || r1 || ' ' || r2 || ' ' || r3 FROM w WHERE i + 3 <= L),
+      |cg AS (
+      | SELECT doc_id, 1 AS n, ct AS g FROM w
+      | UNION ALL SELECT doc_id, 2, ct || ' ' || c1 FROM w WHERE i + 1 <= L
+      | UNION ALL SELECT doc_id, 3, ct || ' ' || c1 || ' ' || c2 FROM w WHERE i + 2 <= L
+      | UNION ALL SELECT doc_id, 4, ct || ' ' || c1 || ' ' || c2 || ' ' || c3 FROM w WHERE i + 3 <= L),
+      |rc AS (SELECT doc_id, n, g, count(*) AS cr FROM rg GROUP BY 1, 2, 3),
+      |cc AS (SELECT doc_id, n, g, count(*) AS cn FROM cg GROUP BY 1, 2, 3),
+      |mm AS (
+      | SELECT rc.n, SUM(LEAST(rc.cr, cc.cn)) AS m
+      | FROM rc JOIN cc ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+      | GROUP BY 1),
+      |tt AS (SELECT n, count(*) AS t FROM cg GROUP BY 1),
+      |flat AS (
+      | SELECT
+      |  CAST(coalesce(MAX(CASE WHEN mm.n = 1 THEN m END), 0) AS BIGINT) AS m_1,
+      |  CAST(coalesce(MAX(CASE WHEN mm.n = 2 THEN m END), 0) AS BIGINT) AS m_2,
+      |  CAST(coalesce(MAX(CASE WHEN mm.n = 3 THEN m END), 0) AS BIGINT) AS m_3,
+      |  CAST(coalesce(MAX(CASE WHEN mm.n = 4 THEN m END), 0) AS BIGINT) AS m_4
+      | FROM mm),
+      |flatt AS (
+      | SELECT
+      |  CAST(coalesce(MAX(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t_1,
+      |  CAST(coalesce(MAX(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t_2,
+      |  CAST(coalesce(MAX(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t_3,
+      |  CAST(coalesce(MAX(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t_4
+      | FROM tt),
+      |lens AS (SELECT CAST(count(*) AS BIGINT) AS c_len,
+      |                CAST(count(*) AS BIGINT) AS r_len FROM p)
+      |SELECT m_1, t_1, m_2, t_2, m_3, t_3, m_4, t_4, c_len, r_len,
+      | CASE WHEN m_1 > 0 AND m_2 > 0 AND m_3 > 0 AND m_4 > 0 AND c_len > 0
+      |      THEN (CASE WHEN c_len > r_len THEN 1.0
+      |            ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)
+      |        * exp((ln(CAST(m_1 AS DOUBLE) / CAST(t_1 AS DOUBLE))
+      |             + ln(CAST(m_2 AS DOUBLE) / CAST(t_2 AS DOUBLE))
+      |             + ln(CAST(m_3 AS DOUBLE) / CAST(t_3 AS DOUBLE))
+      |             + ln(CAST(m_4 AS DOUBLE) / CAST(t_4 AS DOUBLE))) / 4.0)
+      |      ELSE 0.0 END AS bleu
+      |FROM flat, flatt, lens""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4014,5 +4095,6 @@ object ExtensionQueries {
     "q138_resize_bilinear" -> ((q138 _, q138Sql)),
     "q139_frame_features" -> ((q139 _, q139Sql)),
     "q140_label_projection" -> ((q140 _, q140Sql)),
-    "q141_validation_join" -> ((q141 _, q141Sql)))
+    "q141_validation_join" -> ((q141 _, q141Sql)),
+    "q142_bleu" -> ((q142 _, q142Sql)))
 }

@@ -135,4 +135,43 @@ class MixDiffRougeSpec extends AnyFunSuite {
       assert(hof.sameElements(fused), s"n=$n: fused ROUGE diverged from the HOF oracle form")
     }
   }
+
+  // ------------------------------------------------------------- BLEU
+
+  test("bleuCorpus: perfect match = 1, length penalty, zero-match floor") {
+    val perfect = Seq(("a b c d e", "a b c d e")).toDF("ref", "cand")
+    val r1 = EvalMetrics.bleuCorpus(perfect, "ref", "cand", maxN = 4,
+      fused = false).select("bleu").as[Double].head()
+    assert(math.abs(r1 - 1.0) < 1e-12)
+    // short candidate, perfect precision at maxN=2: BLEU = BP = exp(1 - 3/2)
+    val short = Seq(("the cat sat", "the cat")).toDF("ref", "cand")
+    val r2 = EvalMetrics.bleuCorpus(short, "ref", "cand", maxN = 2,
+      fused = false).select("bleu").as[Double].head()
+    assert(math.abs(r2 - math.exp(1.0 - 3.0 / 2.0)) < 1e-12)
+    // no 4-gram match anywhere -> strict 0
+    val r3 = EvalMetrics.bleuCorpus(short, "ref", "cand", maxN = 4,
+      fused = false).select("bleu").as[Double].head()
+    assert(r3 == 0.0)
+  }
+
+  test("bleuCorpus: clipping caps repeated-token credit; fused == exact") {
+    // the classic clipping example: cand is all 'the'; ref has two
+    val df = Seq(("the cat the hat", "the the the the")).toDF("ref", "cand")
+    val r = EvalMetrics.bleuCorpus(df, "ref", "cand", maxN = 1, fused = false)
+      .select("m_1", "t_1", "bleu").as[(Long, Long, Double)].head()
+    assert(r._1 == 2L && r._2 == 4L, "clip at the ref count of 'the'")
+    assert(math.abs(r._3 - 0.5) < 1e-12) // BP = 1 (equal lengths), p1 = 1/2
+    // fused production twin equals the string-exact form corpus-wide
+    val rnd = new scala.util.Random(71)
+    val corpus = (0 until 50).map { i =>
+      val toks = Seq.fill(5 + rnd.nextInt(30))(s"w${rnd.nextInt(12)}")
+      val cand = toks.map(t => if (rnd.nextDouble() < 0.15) "xx" else t)
+      (toks.mkString(" "), cand.mkString(" "))
+    }.toDF("ref", "cand")
+    val exact = EvalMetrics.bleuCorpus(corpus, "ref", "cand", 4, fused = false)
+      .collect().head
+    val fused = EvalMetrics.bleuCorpus(corpus, "ref", "cand", 4, fused = true)
+      .collect().head
+    assert(exact == fused, "fused BLEU must equal the string-exact twin")
+  }
 }
