@@ -406,6 +406,25 @@ object Bench {
     "b_hll_registers" -> ((s, dir) =>
       graft.ops.SketchOps.hllRegisters(
         Tables.documents(s, dir), "text", b = 8, seed = 9L)),
+    // KMV cross-source overlap: two k-bounded Aggregator passes (the
+    // exchange carries k longs per map task, never the distinct key
+    // stream), then constant-size set algebra over <= 2k rows
+    "b_kmv_overlap" -> ((s, dir) => {
+      val sa = graft.ops.SketchOps.kmvSketch(
+        Tables.orders(s, dir), "o_orderkey", k = 256, seed = 43L)
+      val sb = graft.ops.SketchOps.kmvSketch(
+        Tables.lineitem(s, dir), "l_orderkey", k = 256, seed = 43L)
+      graft.ops.SketchOps.kmvOverlap(sa, sb, k = 256)
+    }),
+    // sketch-based join-size estimation: two one-pass CMS key grids
+    // (<= depth*width rows each), inner product + min fold — the
+    // "how big is this join?" answer without running the join
+    "b_join_size_est" -> ((s, dir) =>
+      graft.ops.SketchOps.joinSizeEstimate(
+        graft.ops.SketchOps.cmsKeySketch(
+          Tables.orders(s, dir), "o_orderkey", 4, 1024, 11L),
+        graft.ops.SketchOps.cmsKeySketch(
+          Tables.lineitem(s, dir), "l_orderkey", 4, 1024, 11L))),
     // ordered conversion funnel: k tiny user-keyed passes over events
     // pruned to each step's type; intermediates are (user, ts) pairs
     "b_funnel" -> ((s, dir) =>

@@ -258,4 +258,123 @@ object SketchOps {
       .groupBy("g", "p", "n_total").agg(min(col("bucket")).as("bucket"))
       .select(col("g"), col("p"), est.as("estimate"), col("n_total"))
   }
+
+  /** [[cmsSketch]] over a KEY COLUMN (any type, hashed via its string
+    * form) instead of whitespace tokens — the frequency-vector sketch
+    * of a join key's value distribution, the input to
+    * [[joinSizeEstimate]]. Same contract: ≤ depth×width rows, one
+    * corpus pass, map-side partial sketches merged by the shuffle add.
+    */
+  def cmsKeySketch(
+      df: DataFrame, keyCol: String,
+      depth: Int, width: Int, seed: Long): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive")
+    df.select(col(keyCol).as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(PortableHash.md5Long(col("k"),
+          concat_ws("#", lit(seed), col("r"))), lit(width)).as("bucket"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** JOIN-SIZE ESTIMATION from two [[cmsKeySketch]] frames built with
+    * the same (depth, width, seed): the inner-product estimator of
+    * Cormode & Muthukrishnan 2005 §4.2 — `|A ⋈ B| = Σ_v fA(v)·fB(v)`
+    * is estimated per sketch row as `Σ_b A[r,b]·B[r,b]` and folded
+    * with MIN over the depth rows (bucket collisions only ever ADD
+    * cross terms, so every row individually over-estimates:
+    * `exact ≤ est ≤ exact + eps·‖fA‖₁·‖fB‖₁` w.p. 1-δ at
+    * width = e/eps). This is the shuffle-planning primitive: decide
+    * salting / broadcast / AQE hints for a join WITHOUT running it —
+    * both sketches are ≤ depth×width rows, so the estimate costs two
+    * linear scans and constant-size math at any corpus scale.
+    *
+    * Products accumulate in DECIMAL(38,0): two petabyte-scale
+    * frequency vectors can put `Σ cnt_a·cnt_b` past 2^63.
+    */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val a = sketchA.select(col("r"), col("bucket"), col("cnt").as("cnt_a"))
+    val b = sketchB.select(col("r"), col("bucket"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("r", "bucket"))
+      .groupBy("r")
+      .agg(sum(col("cnt_a").cast("decimal(38,0)") * col("cnt_b"))
+        .as("row_est"))
+      .agg(min(col("row_est")).cast("long").as("est_join_rows"))
+  }
+
+  /** 2^60 as a double — the normalizer for [[graft.core.PortableHash]]
+    * 60-bit hashes (exact in IEEE-754: a power of two).
+    */
+  private val Hash60Range: Double = 1152921504606846976.0
+
+  /** K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002; Beyer
+    * et al. 2007) of `valueCol`: the `k` smallest DISTINCT portable
+    * hashes of the column's values, as a ≤ k-row ascending `(h)`
+    * frame. Unlike HLL this sketch supports SET ALGEBRA downstream
+    * ([[kmvOverlap]]): union/intersection/Jaccard estimates between
+    * two sources come from buffer membership, which HLL registers
+    * cannot answer (register max loses the identities).
+    *
+    * Scale shape: the [[graft.functions.KMinDistinct]] `Aggregator`
+    * keeps one ≤ k-long sorted buffer per map task, so the exchange
+    * carries `k × tasks` longs — NOT the distinct key stream a
+    * `distinct().orderBy().limit(k)` plan would shuffle. Output is
+    * ≤ k rows: driver-safe, parquet-persistable, mergeable (union two
+    * sketch frames and re-take the k smallest).
+    */
+  def kmvSketch(
+      df: DataFrame, valueCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val agg = graft.functions.KMinDistinct.kMinUdaf(k)
+    df.select(PortableHash.md5Long(col(valueCol), lit(seed)).as("h"))
+      .agg(agg(col("h")).as("ks"))
+      .select(explode(col("ks")).as("h"))
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]] frame: exact `n`
+    * while the sketch is unsaturated (`n < k` — every distinct value
+    * is IN the buffer), else the order-statistic estimator
+    * `(k-1) / (h_k / 2^60)` — the k-th smallest of uniform hashes
+    * sits at ≈ k/(D+1) of the range. One row `(n_seen, est)`; the
+    * sketch is ≤ k rows so this is constant work.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_seen"), max(col("h")).as("hk"))
+      .select(col("n_seen"),
+        when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Hash60Range) /
+            col("hk").cast("double")).as("est"))
+
+  /** Set-overlap estimates between two [[kmvSketch]] frames built with
+    * the SAME `k` and seed (Beyer et al. 2007 §4): the k smallest of
+    * the combined buffers form K(A∪B) (the k-min of a union is the
+    * k-min of the per-side k-mins), membership of those k values in
+    * both sides estimates Jaccard `ρ = m/k`, and
+    * `intersection ≈ ρ × |A∪B|`. One row:
+    * `(k_used, jaccard_est, union_est, intersect_est)` — `k_used < k`
+    * means the union was small enough to be EXACT. Both inputs are
+    * ≤ k rows, so every join here is a broadcast and the whole
+    * estimate is constant work regardless of source size.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val u = a.select("h").unionByName(b.select("h")).distinct()
+      .orderBy("h").limit(k)
+    val flagged = u
+      .join(broadcast(a.select(col("h"), lit(1L).as("in_a"))), Seq("h"), "left")
+      .join(broadcast(b.select(col("h"), lit(1L).as("in_b"))), Seq("h"), "left")
+    val agg = flagged.agg(
+      count(lit(1)).as("k_used"), max(col("h")).as("hk"),
+      sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+        .otherwise(0L)).as("m_both"))
+    val unionEst = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Hash60Range) /
+        col("hk").cast("double"))
+    val jacc = col("m_both").cast("double") / col("k_used").cast("double")
+    agg.select(col("k_used"), jacc.as("jaccard_est"),
+        unionEst.as("union_est"))
+      .select(col("k_used"), col("jaccard_est"), col("union_est"),
+        (col("jaccard_est") * col("union_est")).as("intersect_est"))
+  }
 }

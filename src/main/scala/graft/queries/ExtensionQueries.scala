@@ -3985,6 +3985,91 @@ object ExtensionQueries {
       |      ELSE 0.0 END AS bleu
       |FROM flat, flatt, lens""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** KMV cross-source overlap ([[graft.ops.SketchOps.kmvSketch]] /
+    * [[graft.ops.SketchOps.kmvOverlap]], k = 256): estimate the
+    * Jaccard / union / intersection cardinalities between the
+    * `orders.o_orderkey` and `lineitem.l_orderkey` key sets from two
+    * constant-size sketches — the set-algebra question ("how much do
+    * these two sources overlap?") that HLL registers cannot answer
+    * because register max discards value identities. Each side is one
+    * corpus pass with a k-bounded `Aggregator` buffer; the overlap
+    * math touches ≤ 2k rows. True Jaccard at this fixture ≈ 0.983
+    * (lineitem covers all but 257 of the 15,000 order keys).
+    */
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val sa = SketchOps.kmvSketch(
+      Tables.orders(spark, dir), "o_orderkey", k = 256, seed = 43L)
+    val sb = SketchOps.kmvSketch(
+      Tables.lineitem(spark, dir), "l_orderkey", k = 256, seed = 43L)
+    SketchOps.kmvOverlap(sa, sb, k = 256)
+  }
+
+  val q143Sql: String =
+    s"""WITH sa AS (
+      | SELECT DISTINCT ${dk("o_orderkey || '#' || '43'")} AS h
+      | FROM orders ORDER BY h LIMIT 256),
+      |sb AS (
+      | SELECT DISTINCT ${dk("l_orderkey || '#' || '43'")} AS h
+      | FROM lineitem ORDER BY h LIMIT 256),
+      |u AS (
+      | SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      | ORDER BY h LIMIT 256),
+      |fl AS (
+      | SELECT u.h, a.h IS NOT NULL AND b.h IS NOT NULL AS in_both
+      | FROM u LEFT JOIN sa a ON u.h = a.h LEFT JOIN sb b ON u.h = b.h),
+      |ag AS (
+      | SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk,
+      |  CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+      | FROM fl)
+      |SELECT k_used,
+      | CAST(m_both AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+      | CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |  ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+      |  AS union_est,
+      | (CAST(m_both AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+      | (CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |  ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END)
+      |  AS intersect_est
+      |FROM ag""".stripMargin
+
+  // --------------------------------------------------------------- q144
+  /** Sketch-based join-size estimation
+    * ([[graft.ops.SketchOps.cmsKeySketch]] /
+    * [[graft.ops.SketchOps.joinSizeEstimate]], depth 4 × width 1024):
+    * predict `|orders ⋈ lineitem|` on the order key from two
+    * constant-size frequency sketches WITHOUT running the join — the
+    * planning primitive behind salt-or-broadcast decisions
+    * ([[graft.ops.SkewOps.autoSaltedJoin]] probes the key histogram;
+    * this answers the cheaper "how big is the output?" question at
+    * any corpus scale). All cells and products are integer, so the
+    * DuckDB replay is exact; the estimate is an upper bound on the
+    * true 60,000.
+    */
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    val sa = SketchOps.cmsKeySketch(
+      Tables.orders(spark, dir), "o_orderkey", depth = 4, width = 1024,
+      seed = 11L)
+    val sb = SketchOps.cmsKeySketch(
+      Tables.lineitem(spark, dir), "l_orderkey", depth = 4, width = 1024,
+      seed = 11L)
+    SketchOps.joinSizeEstimate(sa, sb)
+  }
+
+  val q144Sql: String =
+    s"""WITH sa AS (
+      | SELECT r, ${dk("o_orderkey || '#' || '11' || '#' || r")} % 1024
+      |   AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      | FROM orders CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+      |sb AS (
+      | SELECT r, ${dk("l_orderkey || '#' || '11' || '#' || r")} % 1024
+      |   AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      | FROM lineitem CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+      |re AS (
+      | SELECT sa.r, sum(sa.cnt * sb.cnt) AS row_est
+      | FROM sa JOIN sb USING (r, bucket) GROUP BY 1)
+      |SELECT CAST(min(row_est) AS BIGINT) AS est_join_rows FROM re""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4096,5 +4181,7 @@ object ExtensionQueries {
     "q139_frame_features" -> ((q139 _, q139Sql)),
     "q140_label_projection" -> ((q140 _, q140Sql)),
     "q141_validation_join" -> ((q141 _, q141Sql)),
-    "q142_bleu" -> ((q142 _, q142Sql)))
+    "q142_bleu" -> ((q142 _, q142Sql)),
+    "q143_kmv_overlap" -> ((q143 _, q143Sql)),
+    "q144_join_size_est" -> ((q144 _, q144Sql)))
 }

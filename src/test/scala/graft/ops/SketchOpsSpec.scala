@@ -208,4 +208,98 @@ class SketchOpsSpec extends AnyFunSuite {
     // bucket's lower edge, within 1/16 below 4.0
     assert(got.head._3 <= 4.0 && 4.0 / got.head._3 <= 1.0 + 1.0 / 16 + 1e-3)
   }
+
+  test("kmvSketch unsaturated is the exact distinct hash set; estimate exact") {
+    val df = Seq(1L, 2L, 3L, 2L, 1L, 4L).toDF("id")
+    val sk = SketchOps.kmvSketch(df, "id", k = 64, seed = 5L)
+    val hs = sk.as[Long].collect()
+    assert(hs.length == 4, "4 distinct values -> 4 sketch rows")
+    assert(hs.sorted.sameElements(hs), "sketch frame is ascending")
+    val (n, est) = SketchOps.kmvEstimate(sk, k = 64)
+      .as[(Long, Double)].collect().head
+    assert(n == 4L && est == 4.0, "n < k path is exact")
+  }
+
+  test("kmvEstimate lands within the order-statistic error bound") {
+    val df = (1L to 20000L).toDF("id")
+    val k = 256
+    val sk = SketchOps.kmvSketch(df, "id", k, seed = 5L)
+    assert(sk.count() == k)
+    val est = SketchOps.kmvEstimate(sk, k).as[(Long, Double)].collect().head._2
+    // std err ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25,
+      s"estimate $est too far from 20000")
+  }
+
+  test("kmvSketch is partition-invariant and mergeable") {
+    val df = (1L to 5000L).toDF("id")
+    val k = 128
+    val a = SketchOps.kmvSketch(df, "id", k, seed = 5L).as[Long].collect()
+    val b = SketchOps.kmvSketch(df.repartition(7), "id", k, seed = 5L)
+      .as[Long].collect()
+    assert(a.sameElements(b), "same k-min set under any partitioning")
+    // merge rule: k-min of a union is the k-min of the per-side k-mins
+    val left = SketchOps.kmvSketch((1L to 3000L).toDF("id"), "id", k, 5L)
+    val right = SketchOps.kmvSketch((2000L to 5000L).toDF("id"), "id", k, 5L)
+    val merged = left.unionByName(right).distinct().orderBy("h").limit(k)
+      .as[Long].collect()
+    assert(merged.sameElements(a), "sketch frames merge exactly")
+  }
+
+  test("kmvOverlap estimates Jaccard within bound; small unions are exact") {
+    val k = 256
+    val a = SketchOps.kmvSketch((1L to 10000L).toDF("id"), "id", k, 5L)
+    val b = SketchOps.kmvSketch((5001L to 15000L).toDF("id"), "id", k, 5L)
+    val row = SketchOps.kmvOverlap(a, b, k)
+      .as[(Long, Double, Double, Double)].collect().head
+    val (kUsed, jacc, uni, inter) = row
+    assert(kUsed == k)
+    // true J = 5000/15000 = 1/3; sigma ~ sqrt(J(1-J)/k) ~ 0.03: 5 sigma
+    assert(math.abs(jacc - 1.0 / 3) < 0.15, s"jaccard_est $jacc")
+    assert(math.abs(uni - 15000.0) / 15000.0 < 0.25, s"union_est $uni")
+    assert(math.abs(inter - 5000.0) / 5000.0 < 0.5, s"intersect_est $inter")
+    val sa = SketchOps.kmvSketch((1L to 40L).toDF("id"), "id", k, 5L)
+    val sb = SketchOps.kmvSketch((21L to 60L).toDF("id"), "id", k, 5L)
+    val ex = SketchOps.kmvOverlap(sa, sb, k)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(ex._1 == 60L && ex._3 == 60.0, "union below k stays exact")
+    assert(math.abs(ex._2 - 20.0 / 60) < 1e-12 &&
+      math.abs(ex._4 - 20.0) < 1e-9, "exact membership counts below k")
+  }
+
+  test("joinSizeEstimate never under-estimates and is exact sans collisions") {
+    // fan-out join: key i on the left matches i copies on the right
+    val left = (1L to 50L).toDF("k")
+    val right = (for (i <- 1L to 50L; _ <- 1L to i) yield i).toDF("k")
+    val exactSize = (1L to 50L).sum // 1275
+    val mk = (df: org.apache.spark.sql.DataFrame, w: Int) =>
+      SketchOps.cmsKeySketch(df, "k", depth = 4, width = w, seed = 3L)
+    val wide = SketchOps.joinSizeEstimate(mk(left, 4096), mk(right, 4096))
+      .as[Long].collect().head
+    assert(wide == exactSize,
+      s"50 keys in 4096 buckets: collisions possible but min-fold over 4 " +
+        s"rows should be exact here (got $wide, exact $exactSize)")
+    val narrow = SketchOps.joinSizeEstimate(mk(left, 16), mk(right, 16))
+      .as[Long].collect().head
+    assert(narrow >= exactSize, "CMS inner product never under-estimates")
+  }
+
+  test("joinSizeEstimate is partition-invariant and disjoint keys give zero") {
+    val a = (1L to 500L).toDF("k")
+    val b = (1L to 2000L).toDF("k")
+    val est = SketchOps.joinSizeEstimate(
+      SketchOps.cmsKeySketch(a, "k", 4, 512, 3L),
+      SketchOps.cmsKeySketch(b, "k", 4, 512, 3L)).as[Long].collect().head
+    val estRe = SketchOps.joinSizeEstimate(
+      SketchOps.cmsKeySketch(a.repartition(7), "k", 4, 512, 3L),
+      SketchOps.cmsKeySketch(b.repartition(5), "k", 4, 512, 3L))
+      .as[Long].collect().head
+    assert(est == estRe, "sketches (and thus the estimate) are mergeable")
+    assert(est >= 500L, "every left key matches once")
+    val disjoint = SketchOps.joinSizeEstimate(
+      SketchOps.cmsKeySketch((1L to 100L).toDF("k"), "k", 4, 4096, 3L),
+      SketchOps.cmsKeySketch((10001L to 10100L).toDF("k"), "k", 4, 4096, 3L))
+      .as[Long].collect().head
+    assert(disjoint <= 10L, s"disjoint key sets should estimate ~0, got $disjoint")
+  }
 }
