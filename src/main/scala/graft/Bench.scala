@@ -465,6 +465,11 @@ object Bench {
     "b_islands" -> ((s, dir) =>
       graft.ops.SessionOps.islands(Tables.events(s, dir),
         "user_id", "ts", "event_type")),
+    // SCD2 dimension build: change-collapse lag + interval lead share
+    // one keyed sort (single exchange for both windows)
+    "b_scd2" -> ((s, dir) =>
+      graft.ops.DiffOps.scd2FromChangeLog(
+        Tables.events(s, dir), "user_id", "ts", Seq("event_type"))),
     // market-basket pair rules: distinct (basket, item) first, pairs
     // via the basket-keyed self-join, supports broadcast back
     "b_market_basket" -> ((s, dir) =>

@@ -47,4 +47,45 @@ object DiffOps {
       .filter(col("change").isNotNull)
       .select(keyCols.map(col) :+ col("change"): _*)
   }
+
+  /** Slowly-changing-dimension TYPE 2 build from an append-only change
+    * log: collapse each key's attribute timeline into closed validity
+    * intervals — `(key, attrs..., valid_from, valid_to, is_current)`
+    * with half-open `[valid_from, valid_to)` semantics and a NULL
+    * `valid_to` on the live row. Consecutive log rows with identical
+    * attributes (no-op upserts — the bulk of real CDC streams) are
+    * collapsed into their first occurrence, so the dimension's size
+    * tracks the CHANGE count, not the log volume.
+    *
+    * Determinism contract: rows order by `(tsCol, attrs...)` within a
+    * key, so same-timestamp writes resolve identically under any
+    * partitioning (same-timestamp same-attrs duplicates collapse; a
+    * real changelog has at most one write per key per timestamp).
+    * Attribute comparison is null-safe (`<=>`): NULL → value and
+    * value → NULL both open a new version.
+    *
+    * Scale shape: one shuffle on the key; the change-collapse lag and
+    * the interval lead are BOTH windows over the same
+    * (partition, order) spec, so Catalyst reuses the exchange and the
+    * sort — the log streams through a single keyed sort at any scale.
+    */
+  def scd2FromChangeLog(
+      df: DataFrame, keyCol: String, tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2FromChangeLog: at least one attribute")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: attrCols.map(col): _*)
+    val cur = struct(attrCols.map(col): _*)
+    val changed = df
+      .select(col(keyCol) +: col(tsCol) +: attrCols.map(col): _*)
+      .withColumn("__prev", lag(cur, 1).over(w))
+      .filter(col("__prev").isNull || !(cur <=> col("__prev")))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
 }

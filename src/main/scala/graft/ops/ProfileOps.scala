@@ -39,4 +39,48 @@ object ProfileOps {
     }: _*)
     one.select(explode(stats).as("s")).select("s.*")
   }
+
+  /** K-ANONYMITY audit (Sweeney 2002) over a quasi-identifier column
+    * set: every combination whose group is smaller than `k` — the rows
+    * a release would expose to re-identification by joining the
+    * quasi-identifiers against an external source. The privacy-side
+    * complement of [[graft.ops.CurationOps]]'s PII scrub: scrubbing
+    * removes DIRECT identifiers; this measures how identifying the
+    * remaining demographic columns still are.
+    *
+    * Output: `(quasiCols..., group_n)` for violating groups only —
+    * at release scale the violations are the tail, so the output is
+    * small even when the table is not. One keyed count with map-side
+    * combine; NULLs form their own equivalence class (grouping
+    * semantics), which is the conservative audit choice.
+    */
+  def kAnonymityViolations(
+      df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
+  }
+
+  /** One-row summary of a table's k-anonymity posture: total
+    * equivalence classes, violating classes, rows at risk, and the
+    * minimum class size (the table's EFFECTIVE k — the largest k the
+    * release actually satisfies). Derived from the same single keyed
+    * count as [[kAnonymityViolations]]; the summary agg sees one row
+    * per class.
+    */
+  def kAnonymitySummary(
+      df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("group_n") < k, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("group_n") < k, col("group_n")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("group_n")).as("effective_k"))
+  }
 }

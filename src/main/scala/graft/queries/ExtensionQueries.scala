@@ -4070,6 +4070,75 @@ object ExtensionQueries {
       | FROM sa JOIN sb USING (r, bucket) GROUP BY 1)
       |SELECT CAST(min(row_est) AS BIGINT) AS est_join_rows FROM re""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** SCD TYPE-2 dimension build
+    * ([[graft.ops.DiffOps.scd2FromChangeLog]]): collapse the events
+    * stream into per-user `event_type` validity intervals — the
+    * warehouse-standard "state as of any past time" table built from
+    * an append-only change log in ONE keyed sort (both windows share
+    * the exchange). Consecutive same-state rows collapse, so the
+    * dimension scales with the churn, not the log.
+    */
+  def q145(spark: SparkSession, dir: String): DataFrame =
+    DiffOps.scd2FromChangeLog(
+      Tables.events(spark, dir), "user_id", "ts", Seq("event_type"))
+
+  val q145Sql: String =
+    """WITH o AS (
+      | SELECT user_id, ts, event_type,
+      |  lag(event_type) OVER
+      |   (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+      | FROM events),
+      |ch AS (
+      | SELECT user_id, ts, event_type FROM o
+      | WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+      |  AS valid_to,
+      | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+      |  IS NULL AS is_current
+      |FROM ch""".stripMargin
+
+  // --------------------------------------------------------------- q146
+  /** K-anonymity violation audit
+    * ([[graft.ops.ProfileOps.kAnonymityViolations]], k = 8) on the
+    * customer quasi-identifiers (nation, market segment): the
+    * equivalence classes small enough to re-identify members by an
+    * external join — the release-side privacy gate that complements
+    * the q55 PII scrub. One keyed count; output is the violating tail
+    * only.
+    */
+  def q146(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.kAnonymityViolations(
+      Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 8)
+
+  val q146Sql: String =
+    """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+      |FROM customer GROUP BY 1, 2 HAVING count(*) < 8""".stripMargin
+
+  // --------------------------------------------------------------- q147
+  /** K-anonymity posture summary
+    * ([[graft.ops.ProfileOps.kAnonymitySummary]], k = 8): classes,
+    * violating classes, rows at risk, and the table's EFFECTIVE k
+    * (the minimum class size — the strongest guarantee the release
+    * actually makes). Constant-size output from one keyed count.
+    */
+  def q147(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.kAnonymitySummary(
+      Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 8)
+
+  val q147Sql: String =
+    """WITH g AS (
+      | SELECT count(*) AS group_n FROM customer
+      | GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+      | CAST(sum(CASE WHEN group_n < 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_violating_classes,
+      | CAST(sum(CASE WHEN group_n < 8 THEN group_n ELSE 0 END) AS BIGINT)
+      |  AS n_rows_at_risk,
+      | CAST(min(group_n) AS BIGINT) AS effective_k
+      |FROM g""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4183,5 +4252,8 @@ object ExtensionQueries {
     "q141_validation_join" -> ((q141 _, q141Sql)),
     "q142_bleu" -> ((q142 _, q142Sql)),
     "q143_kmv_overlap" -> ((q143 _, q143Sql)),
-    "q144_join_size_est" -> ((q144 _, q144Sql)))
+    "q144_join_size_est" -> ((q144 _, q144Sql)),
+    "q145_scd2" -> ((q145 _, q145Sql)),
+    "q146_k_anonymity" -> ((q146 _, q146Sql)),
+    "q147_k_anon_summary" -> ((q147 _, q147Sql)))
 }

@@ -174,4 +174,41 @@ class MixDiffRougeSpec extends AnyFunSuite {
       .collect().head
     assert(exact == fused, "fused BLEU must equal the string-exact twin")
   }
+
+  test("scd2FromChangeLog collapses no-op upserts into validity intervals") {
+    val log = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "bronze"), // no-op upsert collapses
+      (1L, 30L, "silver"), (1L, 40L, "gold"),
+      (2L, 15L, "gold")
+    ).toDF("uid", "ts", "tier")
+    val dim = DiffOps.scd2FromChangeLog(log, "uid", "ts", Seq("tier"))
+      .select("uid", "tier", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(dim.toSeq == Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "gold", 15L, None, true)))
+  }
+
+  test("scd2FromChangeLog: null-safe attr compare and repartition-proof") {
+    val log = Seq(
+      (1L, 10L, Option("a")), (1L, 20L, Option.empty[String]),
+      (1L, 30L, Option.empty[String]), // null==null collapses
+      (1L, 40L, Option("a"))
+    ).toDF("uid", "ts", "tier")
+    val dim = DiffOps.scd2FromChangeLog(log, "uid", "ts", Seq("tier"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().sortBy(_._3)
+    assert(dim.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((Some("a"), 10L, Some(20L)), (None, 20L, Some(40L)),
+        (Some("a"), 40L, None)),
+      "null opens and closes versions like any other value")
+    val re = DiffOps.scd2FromChangeLog(
+        log.repartition(5), "uid", "ts", Seq("tier"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().sortBy(_._3)
+    assert(re.toSeq == dim.toSeq, "result is partitioning-independent")
+  }
 }

@@ -30,4 +30,26 @@ class ProfileOpsSpec extends AnyFunSuite {
       .collect().head
     assert(got == (("s", 2L, 2L, 0L, None, None)))
   }
+
+  test("kAnonymityViolations surfaces only sub-k classes; nulls are a class") {
+    val df = Seq(
+      ("us", Some(30)), ("us", Some(30)), ("us", Some(30)),
+      ("us", Some(40)), // lone row: violating
+      ("de", None), ("de", None) // null class of 2: violating at k=3
+    ).toDF("country", "age")
+    val got = ProfileOps.kAnonymityViolations(df, Seq("country", "age"), 3)
+      .as[(String, Option[Int], Long)].collect().sortBy(_._3)
+    assert(got.toSeq == Seq(("us", Some(40), 1L), ("de", None, 2L)))
+  }
+
+  test("kAnonymitySummary: classes, risk rows, and effective k") {
+    val df = Seq(
+      ("us", 30), ("us", 30), ("us", 30),
+      ("us", 40), ("de", 50), ("de", 50)
+    ).toDF("country", "age")
+    val got = ProfileOps.kAnonymitySummary(df, Seq("country", "age"), 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    // classes: (us,30)=3, (us,40)=1, (de,50)=2 -> 2 violating, 3 rows, min 1
+    assert(got == ((3L, 2L, 3L, 1L)))
+  }
 }
