@@ -286,6 +286,14 @@ object Bench {
         e.filter(col("user_id") % 2 === 0).select(col("value")),
         e.filter(col("user_id") % 2 === 1).select(col("value")), "value")
     }),
+    // embedding-level MMD drift: one fused MatVec projection pass per
+    // side, F-row mean frames, constant-size combine
+    "b_mmd_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ops.DriftOps.mmdDrift(
+        e.filter(col("label") < 5), e.filter(col("label") >= 5),
+        "embedding", dim = 64, features = 16, sigma = 4.0, seed = 8L)
+    }),
     // greedy token-budget packing (narrow shuffle + typed per-shard fold)
     "b_pack_sequences" -> ((s, dir) =>
       CurationOps.packSequences(Tables.documents(s, dir), "source", "doc_id",

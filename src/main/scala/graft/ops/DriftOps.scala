@@ -165,4 +165,92 @@ object DriftOps {
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
   }
+
+  /** Random-Fourier-feature matrix for the RBF kernel (Rahimi & Recht
+    * 2007): `features × dim` Gaussian draws `N(0, 1/σ²)` via
+    * Box–Muller over [[graft.core.PortableHash]]-convention md5
+    * uniforms — every cell derives from the literal string
+    * `"w#f#i#seed"` / `"u#f#i#seed"`, so a SQL oracle re-creates the
+    * matrix independently. Driver-side constant (a few thousand
+    * cells), folded into generated code by
+    * [[graft.functions.MatVec]] — the broadcast-dim contract, not a
+    * collect anti-pattern.
+    */
+  def rffMatrix(
+      dim: Int, features: Int, sigma: Double,
+      seed: Long): Array[Array[Double]] = {
+    def u(tag: String, f: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag#$f#$i#$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) + 0.5) /
+        1152921504606846976.0 // 2^60: uniform strictly inside (0, 1)
+    }
+    Array.tabulate(features, dim) { (f, i) =>
+      math.sqrt(-2.0 * math.log(u("w", f, i))) *
+        math.cos(2.0 * math.Pi * u("u", f, i)) / sigma
+    }
+  }
+
+  /** The per-feature phase offsets `b_f ~ U[0, 2π)` for [[rffMatrix]],
+    * md5-derived from `"b#f#seed"`.
+    */
+  def rffPhases(features: Int, seed: Long): Array[Double] =
+    Array.tabulate(features) { f =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"b#$f#$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      2.0 * math.Pi *
+        ((java.lang.Long.parseLong(hex.take(15), 16) + 0.5) /
+          1152921504606846976.0)
+    }
+
+  /** EMBEDDING-level drift: squared Maximum Mean Discrepancy (Gretton
+    * et al. 2012) between two vector populations under the RBF
+    * kernel, approximated with `features` random Fourier features —
+    * `MMD² ≈ Σ_f (mean_A φ_f − mean_B φ_f)²` with
+    * `φ_f(x) = √(2/F)·cos(w_f·x + b_f)`. This is the drift gate the
+    * scalar monitors (PSI/KS/JSD — which need a binned scalar) cannot
+    * provide: it detects a SEMANTIC shift in an embedding column
+    * (new topic cluster, encoder version change) directly.
+    *
+    * Scale shape: the W matrix is a generated-code constant
+    * ([[graft.functions.MatVec]] — one fused projection pass per
+    * row); each side then collapses to a `features`-row mean frame
+    * (one map-side-combined shuffle of F partial cells), and the
+    * final combine touches 2F rows. Output is ONE row
+    * `(mmd2, n_a, n_b)` at any corpus size. Rows violating the
+    * fixed-`dim`/null contract are excluded. Cross-engine parity:
+    * φ terms are round(·, 9)-then-DECIMAL summed (order-free), the
+    * squared differences round(·, 12) — the PSI/chi² pattern.
+    */
+  def mmdDrift(
+      a: DataFrame, b: DataFrame, vecCol: String, dim: Int,
+      features: Int = 16, sigma: Double = 4.0,
+      seed: Long = 8L): DataFrame = {
+    require(dim > 0 && features > 0 && sigma > 0, "bad mmdDrift params")
+    val w = rffMatrix(dim, features, sigma, seed)
+    val phases = rffPhases(features, seed)
+    val bLit = typedlit(phases.toSeq)
+    val scale = math.sqrt(2.0 / features)
+    def featureMeans(df: DataFrame, muCol: String): DataFrame =
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(graft.functions.MatVec.matVec(col(vecCol), w).as("proj"))
+        .select(posexplode(col("proj")).as(Seq("f", "p")))
+        .select(col("f"),
+          round(lit(scale) * cos(col("p") + element_at(bLit, col("f") + 1)),
+            9).cast("decimal(38,9)").as("ph"))
+        .groupBy("f")
+        .agg((sum(col("ph")).cast("double") /
+          count(lit(1)).cast("double")).as(muCol),
+          count(lit(1)).as(s"__n_$muCol"))
+    val ma = featureMeans(a, "mu_a")
+    val mb = featureMeans(b, "mu_b")
+    ma.join(mb, "f")
+      .agg(
+        sum(round((col("mu_a") - col("mu_b")) * (col("mu_a") - col("mu_b")),
+          12).cast("decimal(38,12)")).cast("double").as("mmd2"),
+        first(col("__n_mu_a")).as("n_a"),
+        first(col("__n_mu_b")).as("n_b"))
+  }
 }

@@ -4139,6 +4139,62 @@ object ExtensionQueries {
       | CAST(min(group_n) AS BIGINT) AS effective_k
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  /** Embedding-distribution drift ([[graft.ops.DriftOps.mmdDrift]]):
+    * RBF-kernel squared MMD between the label<5 and label≥5 embedding
+    * populations via 16 random Fourier features — the SEMANTIC drift
+    * gate the scalar monitors (PSI q100 / KS q128 / JSD q116) cannot
+    * express. The W matrix and phases re-derive in SQL from the same
+    * md5 literals (Box–Muller over portable uniforms); φ terms are
+    * round-then-DECIMAL summed so the one-row replay is exact.
+    */
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    DriftOps.mmdDrift(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      "embedding", dim = 64, features = 16, sigma = 4.0, seed = 8L)
+  }
+
+  val q148Sql: String =
+    s"""WITH wg AS (
+      | SELECT f, i,
+      |  sqrt(-2.0 * ln((CAST(${dk("'w#' || f || '#' || i || '#' || '8'")}
+      |     AS DOUBLE) + 0.5) / 1152921504606846976.0))
+      |  * cos(2.0 * pi() * ((CAST(${dk("'u#' || f || '#' || i || '#' || '8'")}
+      |     AS DOUBLE) + 0.5) / 1152921504606846976.0)) / 4.0 AS w
+      | FROM (SELECT unnest(generate_series(0, 15)) AS f),
+      |      (SELECT unnest(generate_series(0, 63)) AS i)),
+      |bg AS (
+      | SELECT f, 2.0 * pi() * ((CAST(${dk("'b#' || f || '#' || '8'")}
+      |    AS DOUBLE) + 0.5) / 1152921504606846976.0) AS bp
+      | FROM (SELECT unnest(generate_series(0, 15)) AS f)),
+      |e AS (
+      | SELECT CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS side, vec_id, i,
+      |  CAST(embedding[i + 1] AS DOUBLE) AS x
+      | FROM (SELECT vec_id, label, embedding,
+      |        unnest(generate_series(0, 63)) AS i
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND len(embedding) = 64)),
+      |proj AS (
+      | SELECT side, vec_id, f, sum(x * w) AS p
+      | FROM e JOIN wg USING (i) GROUP BY 1, 2, 3),
+      |phi AS (
+      | SELECT side, f,
+      |  CAST(round(sqrt(2.0 / 16.0) * cos(p + bp), 9) AS DECIMAL(38, 9))
+      |   AS ph
+      | FROM proj JOIN bg USING (f)),
+      |m AS (
+      | SELECT side, f,
+      |  CAST(sum(ph) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM phi GROUP BY 1, 2)
+      |SELECT
+      | CAST(sum(CAST(round((ma.mu - mb.mu) * (ma.mu - mb.mu), 12)
+      |   AS DECIMAL(38, 12))) AS DOUBLE) AS mmd2,
+      | CAST(max(ma.n) AS BIGINT) AS n_a, CAST(max(mb.n) AS BIGINT) AS n_b
+      |FROM (SELECT * FROM m WHERE side = 'a') ma
+      |JOIN (SELECT * FROM m WHERE side = 'b') mb USING (f)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4255,5 +4311,6 @@ object ExtensionQueries {
     "q144_join_size_est" -> ((q144 _, q144Sql)),
     "q145_scd2" -> ((q145 _, q145Sql)),
     "q146_k_anonymity" -> ((q146 _, q146Sql)),
-    "q147_k_anon_summary" -> ((q147 _, q147Sql)))
+    "q147_k_anon_summary" -> ((q147 _, q147Sql)),
+    "q148_mmd_drift" -> ((q148 _, q148Sql)))
 }
