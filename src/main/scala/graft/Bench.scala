@@ -1027,6 +1027,13 @@ object Bench {
           graft.core.Tables.events(spark, sfDir)
             .groupBy(col("event_type").as("cat"))
             .agg(count(lit(1)).as("n")),
-          windowDur = "1 hour", watermark = "2 hours"), "append"))
+          windowDur = "1 hour", watermark = "2 hours"), "append"),
+      // stream-stream interval self-join over the time-ordered replay:
+      // watermark + horizon bound both sides' join state (state rows
+      // track the retention window, never stream age)
+      run("s_attribution",
+        StreamingOps.streamingAttribution(srcFrom(streamDirOrdered),
+          "view", "purchase", horizonSec = 1800L, watermark = "1 hour"),
+        "append"))
   }
 }

@@ -445,6 +445,46 @@ object StreamingOps {
       .toDF(keyCol, "ts_us", "twap", "n_obs")
   }
 
+  /** STREAM-STREAM interval self-join: attribute each `convType`
+    * event to every preceding `touchType` event by the same user
+    * within `horizonSec` — the click→purchase attribution join, run
+    * continuously. Both sides carry their own watermark, which is
+    * what makes this deployable forever: Spark derives a state
+    * retention bound from the watermark + the time-range predicate,
+    * so each side's join state holds only rows inside
+    * `watermark + horizon`, independent of stream age (the
+    * stream-stream analog of the typed ops' TTL story). Inner join →
+    * append mode; a conversion is emitted once per matching touch
+    * (multi-touch attribution — downstream credit models divide it).
+    *
+    * The SAME code path works on batch frames (watermarks become
+    * no-ops), and the spec pins streaming == batch on an identical
+    * event set. At 100 TB-scale streams the join keys on `user_id`,
+    * so state and shuffle partition by user exactly like the batch
+    * range join.
+    */
+  def streamingAttribution(
+      events: DataFrame, touchType: String, convType: String,
+      horizonSec: Long, watermark: String): DataFrame = {
+    val touches = events
+      .filter(col("event_type") === touchType)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_id").as("touch_id"))
+      .withWatermark("touch_ts", watermark)
+    val convs = events
+      .filter(col("event_type") === convType)
+      .select(col("user_id").as("__cu"), col("ts").as("conv_ts"),
+        col("event_id").as("conv_id"), col("value").as("conv_value"))
+      .withWatermark("conv_ts", watermark)
+    touches.join(convs,
+        col("user_id") === col("__cu") &&
+          col("conv_ts") >= col("touch_ts") &&
+          col("conv_ts") <= col("touch_ts") +
+            expr(s"INTERVAL $horizonSec seconds"))
+      .select(col("user_id"), col("touch_id"), col("touch_ts"),
+        col("conv_id"), col("conv_ts"), col("conv_value"))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table synchronously
     * (test/local harness): returns the materialized result.
     */

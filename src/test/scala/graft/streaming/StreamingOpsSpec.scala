@@ -626,4 +626,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(maxState > 0 && maxState < 10000,
       s"state must stay bounded by windows x categories, got $maxState")
   }
+
+  test("stream-stream attribution join: streaming == batch; state evicted") {
+    // 3 users, a touch every 20min, conversions offset so each has
+    // exactly the touches inside the 30min horizon behind it; 4
+    // time-ordered files force cross-micro-batch matches
+    val streamDir = Files.createTempDirectory("attr-stream").toFile.getAbsolutePath
+    // base offset keeps event times off epoch zero: a ts equal to the
+    // initial watermark value (0) is dropped as late by the join
+    def nanos(min: Long): Long = (86400L + min * 60L) * 1000000L * 1000L
+    val all = (for (u <- 1L to 3L; m <- 0L until 480L by 20L) yield {
+      val isConv = (m / 20L + u) % 4 == 0
+      (u * 10000 + m, nanos(m), u,
+        if (isConv) "purchase" else "view", m.toDouble, "{}")
+    }).sortBy(_._2)
+    for ((grp, i) <- all.grouped(25).zipWithIndex) {
+      val tmp = Files.createTempDirectory("attr-batch").toFile.getAbsolutePath
+      grp.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    def attr(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.streamingAttribution(
+        df, "view", "purchase", horizonSec = 1800L, watermark = "1 hour")
+    val (got, maxState) = StreamingOps.runToMemoryMaxState(
+      attr(StreamingOps.eventsStream(spark, streamDir)),
+      "attr_join_test", "append")
+    val batch = attr(Tables.normalizeTs(spark.read.parquet(streamDir)))
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] = df
+      .select("user_id", "touch_id", "conv_id", "conv_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val (g, b) = (key(got), key(batch))
+    assert(b.nonEmpty, "fixture must produce conversions with prior touches")
+    assert(g == b, s"stream emitted ${g.size} pairs, batch ${b.size}")
+    // watermark+horizon retention: state never holds the whole stream
+    assert(maxState > 0 && maxState < all.length * 2L,
+      s"join state $maxState not bounded")
+  }
 }
