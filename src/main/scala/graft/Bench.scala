@@ -433,6 +433,12 @@ object Bench {
           Tables.orders(s, dir), "o_orderkey", 4, 1024, 11L),
         graft.ops.SketchOps.cmsKeySketch(
           Tables.lineitem(s, dir), "l_orderkey", 4, 1024, 11L))),
+    // multi-touch attribution: per-user range join + one conv-keyed
+    // window, channel rollup dim
+    "b_attribution" -> ((s, dir) =>
+      graft.ops.AttributionOps.channelAttribution(
+        graft.ops.AttributionOps.touchCredits(
+          Tables.events(s, dir), Seq("view", "click"), "purchase", 1800L))),
     // ordered conversion funnel: k tiny user-keyed passes over events
     // pruned to each step's type; intermediates are (user, ts) pairs
     "b_funnel" -> ((s, dir) =>

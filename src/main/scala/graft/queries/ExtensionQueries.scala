@@ -4195,6 +4195,89 @@ object ExtensionQueries {
       |FROM (SELECT * FROM m WHERE side = 'a') ma
       |JOIN (SELECT * FROM m WHERE side = 'b') mb USING (f)""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** Arbitrary GROUPING SETS (the general form whose specializations
+    * q09 ROLLUP and q39 CUBE already pin): one aggregation pass
+    * producing the (flag, status), (status), and grand-total grains
+    * via Spark's EXPAND — each input row fans out once per set, one
+    * shuffle total, NO re-scan per grain (the hand-written alternative
+    * unions three scans). Sentinel-coalesced like q09 so the replay is
+    * engine-neutral.
+    */
+  def q149(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+
+  val q149Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      | (l_linestatus), ())""".stripMargin
+
+  // --------------------------------------------------------------- q150
+  /** Multi-touch channel attribution
+    * ([[graft.ops.AttributionOps.touchCredits]] /
+    * [[graft.ops.AttributionOps.channelAttribution]]): view/click
+    * touches within 30 min of each purchase earn credit under the
+    * four standard models (linear, first, last, U-shaped 40/20/40);
+    * the rollup is a |channels|-row dim. The per-user range join and
+    * one conv-keyed window replay exactly — all credits are small
+    * rationals summed through the round-then-DECIMAL pattern.
+    */
+  def q150(spark: SparkSession, dir: String): DataFrame =
+    AttributionOps.channelAttribution(
+      AttributionOps.touchCredits(
+        Tables.events(spark, dir), Seq("view", "click"), "purchase",
+        horizonSec = 1800L))
+
+  val q150Sql: String =
+    """WITH t AS (
+      | SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+      |  event_type AS channel
+      | FROM events WHERE event_type IN ('view', 'click')),
+      |c AS (
+      | SELECT user_id, event_id AS conv_id, ts AS conv_ts
+      | FROM events WHERE event_type = 'purchase'),
+      |p AS (
+      | SELECT t.channel, c.conv_id,
+      |  row_number() OVER
+      |   (PARTITION BY c.conv_id ORDER BY t.touch_ts, t.touch_id) AS pos,
+      |  count(*) OVER (PARTITION BY c.conv_id) AS n
+      | FROM t JOIN c ON t.user_id = c.user_id
+      |  AND t.touch_ts <= c.conv_ts
+      |  AND t.touch_ts > c.conv_ts - INTERVAL 1800 SECOND),
+      |cr AS (
+      | SELECT channel,
+      |  1.0 / CAST(n AS DOUBLE) AS credit_linear,
+      |  CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS credit_first,
+      |  CASE WHEN pos = n THEN 1.0 ELSE 0.0 END AS credit_last,
+      |  CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+      |   WHEN pos = 1 OR pos = n THEN 0.4
+      |   ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END AS credit_position
+      | FROM p)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      | CAST(sum(CAST(round(credit_linear, 9) AS DECIMAL(38, 9)))
+      |  AS DOUBLE) AS credit_linear,
+      | CAST(sum(CAST(round(credit_first, 9) AS DECIMAL(38, 9)))
+      |  AS DOUBLE) AS credit_first,
+      | CAST(sum(CAST(round(credit_last, 9) AS DECIMAL(38, 9)))
+      |  AS DOUBLE) AS credit_last,
+      | CAST(sum(CAST(round(credit_position, 9) AS DECIMAL(38, 9)))
+      |  AS DOUBLE) AS credit_position
+      |FROM cr GROUP BY channel""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4312,5 +4395,7 @@ object ExtensionQueries {
     "q145_scd2" -> ((q145 _, q145Sql)),
     "q146_k_anonymity" -> ((q146 _, q146Sql)),
     "q147_k_anon_summary" -> ((q147 _, q147Sql)),
-    "q148_mmd_drift" -> ((q148 _, q148Sql)))
+    "q148_mmd_drift" -> ((q148 _, q148Sql)),
+    "q149_grouping_sets" -> ((q149 _, q149Sql)),
+    "q150_attribution" -> ((q150 _, q150Sql)))
 }
