@@ -439,6 +439,16 @@ object Bench {
       graft.ops.AttributionOps.channelAttribution(
         graft.ops.AttributionOps.touchCredits(
           Tables.events(s, dir), Seq("view", "click"), "purchase", 1800L))),
+    // Markov removal-effect: two keyed windows -> |states|^2 dim ->
+    // constant driver fold (8 truncated matrix-vector steps)
+    "b_markov_attr" -> ((s, dir) =>
+      graft.ops.AttributionOps.markovRemovalEffects(
+        Tables.events(s, dir), Seq("view", "click"), "purchase", steps = 8)),
+    // gap-fill resample: grid explode + ONE keyed sorted window pass
+    // (as-of union trick, no per-point probe join)
+    "b_resample" -> ((s, dir) =>
+      graft.ops.TrendOps.resampleInterpolate(
+        Tables.events(s, dir), "user_id", "ts", "value", stepSec = 21600L)),
     // ordered conversion funnel: k tiny user-keyed passes over events
     // pruned to each step's type; intermediates are (user, ts) pairs
     "b_funnel" -> ((s, dir) =>

@@ -131,4 +131,76 @@ object TrendOps {
           sum(col("__w")).cast("double")).as("twap"),
         count(lit(1)).as("n_obs"))
   }
+
+  /** RESAMPLE to a regular grid with LINEAR INTERPOLATION per key —
+    * the gap-fill primitive (irregular sensor/price observations →
+    * one value every `stepSec`) that time-series stores ship as
+    * `time_bucket_gapfill`/`interpolate`. Grid points span each key's
+    * own [min, max] observation range (epoch seconds floored to the
+    * step), so no key extrapolates beyond its data; a grid point
+    * landing exactly on an observation reproduces it bit-for-bit.
+    *
+    * Duplicate (key, second) observations collapse to their MAX value
+    * first (a pinned, order-free choice — same contract spirit as
+    * [[rollingAgg]]'s axis guard, but resampling tolerates dupes by
+    * construction so it collapses instead of aborting).
+    *
+    * Scale shape: the grid explode is `range/step` rows per key
+    * (output-sized, not corpus-sized); observations and grid points
+    * merge into ONE (key, t)-sorted window pass — the
+    * [[graft.ops.JoinOps.asOfJoin]] union trick, so there is no
+    * per-grid-point probe join: a running last-observation carries
+    * forward, a symmetric first-observation looks back, both from the
+    * same sort. Output: `(key, grid_ts, value)` with interior gaps
+    * linearly interpolated; `value` is a plain double expression of
+    * the two surrounding observations, identical cross-engine.
+    */
+  def resampleInterpolate(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    import org.apache.spark.sql.expressions.Window
+    val obs = df
+      .select(col(keyCol).as("k"),
+        floor(unix_micros(col(tsCol)) / lit(1000000.0)).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("k", "t").agg(max(col("v")).as("v"))
+    val grid = obs.groupBy("k")
+      .agg(min(col("t")).as("__mn"), max(col("t")).as("__mx"))
+      // integer floor-to-step via t - t%step (epoch seconds are
+      // non-negative); a leading grid point before the first
+      // observation drops later via the prev-null filter
+      .select(col("k"), explode(sequence(
+        col("__mn") - pmod(col("__mn"), lit(stepSec)),
+        col("__mx") - pmod(col("__mx"), lit(stepSec)),
+        lit(stepSec))).as("t"))
+    val u = obs.select(col("k"), col("t"), col("v"), lit(1).as("__obs"))
+      .unionByName(grid.select(col("k"), col("t"),
+        lit(null).cast("double").as("v"), lit(0).as("__obs")))
+    // obs sorts BEFORE the grid row at the same second, so a
+    // coincident observation is its own "previous" (factor 0)
+    val wPrev = Window.partitionBy("k")
+      .orderBy(col("t"), col("__obs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("k")
+      .orderBy(col("t"), col("__obs").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = u
+      .withColumn("__pt", last(when(col("__obs") === 1, col("t")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__pv", last(when(col("__obs") === 1, col("v")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nt", first(when(col("__obs") === 1, col("t")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("__nv", first(when(col("__obs") === 1, col("v")),
+        ignoreNulls = true).over(wNext))
+    marked.filter(col("__obs") === 0 && col("__pt").isNotNull)
+      .select(col("k").as(keyCol),
+        timestamp_seconds(col("t")).as("grid_ts"),
+        when(col("__pt") === col("t"), col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (col("t") - col("__pt")).cast("double") /
+            (col("__nt") - col("__pt")).cast("double"))
+          .as("value"))
+  }
 }

@@ -4278,6 +4278,149 @@ object ExtensionQueries {
       |  AS DOUBLE) AS credit_position
       |FROM cr GROUP BY channel""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** Regular-grid resample with linear interpolation
+    * ([[graft.ops.TrendOps.resampleInterpolate]], 6-hour grid): each
+    * user's irregular event values become one value per grid point
+    * between their first and last observation — the
+    * `time_bucket_gapfill`/`interpolate` primitive. Observations and
+    * grid points merge into ONE keyed sorted window pass (the as-of
+    * union trick — no per-point probe join); the oracle re-derives
+    * prev/next via the same IGNORE NULLS running windows.
+    */
+  def q151(spark: SparkSession, dir: String): DataFrame =
+    TrendOps.resampleInterpolate(
+        Tables.events(spark, dir), "user_id", "ts", "value",
+        stepSec = 21600L)
+      .select(col("user_id"), unix_seconds(col("grid_ts")).as("t"),
+        col("value"))
+
+  val q151Sql: String =
+    """WITH obs AS (
+      | SELECT user_id AS k,
+      |  CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) AS BIGINT)
+      |   AS t,
+      |  max(CAST(value AS DOUBLE)) AS v
+      | FROM events GROUP BY 1, 2),
+      |grid AS (
+      | SELECT k, unnest(generate_series(mn - mn % 21600,
+      |   mx - mx % 21600, 21600)) AS t
+      | FROM (SELECT k, min(t) AS mn, max(t) AS mx FROM obs GROUP BY 1)),
+      |u AS (
+      | SELECT k, t, v, 1 AS is_obs FROM obs
+      | UNION ALL
+      | SELECT k, t, NULL, 0 FROM grid),
+      |w AS (
+      | SELECT k, t, is_obs,
+      |  last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS) OVER
+      |   (PARTITION BY k ORDER BY t, is_obs DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |  last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS) OVER
+      |   (PARTITION BY k ORDER BY t, is_obs DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |  first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS) OVER
+      |   (PARTITION BY k ORDER BY t, is_obs DESC
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+      |  first_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS) OVER
+      |   (PARTITION BY k ORDER BY t, is_obs DESC
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      | FROM u)
+      |SELECT k AS user_id, t,
+      | CASE WHEN pt = t THEN pv
+      |  ELSE pv + (nv - pv) * CAST(t - pt AS DOUBLE)
+      |   / CAST(nt - pt AS DOUBLE) END AS value
+      |FROM w WHERE is_obs = 0 AND pt IS NOT NULL""".stripMargin
+
+  // --------------------------------------------------------------- q152
+  /** Markov removal-effect attribution
+    * ([[graft.ops.AttributionOps.markovRemovalEffects]], 8-step
+    * truncation): journey chains START → touches → CONV/NULL, per
+    * channel the chain is rebuilt without it and the 8-hop
+    * conversion probability compared — the data-driven alternative to
+    * q150's position heuristics. The k-step truncation is the pinned
+    * replayable form of the absorbing solve: the oracle re-runs the
+    * SAME 8 matrix-vector stages as chained join+aggregate CTEs over
+    * the |states|²-bounded transition dim.
+    */
+  def q152(spark: SparkSession, dir: String): DataFrame =
+    AttributionOps.markovRemovalEffects(
+      Tables.events(spark, dir), Seq("view", "click"), "purchase",
+      steps = 8)
+
+  val q152Sql: String = {
+    val base =
+      """WITH ev AS (
+        | SELECT user_id, ts, event_id, event_type
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |j AS (
+        | SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        | FROM ev),
+        |touches AS (
+        | SELECT user_id, jid, ts, event_id, event_type AS ch
+        | FROM j WHERE event_type <> 'purchase'),
+        |steps AS (
+        | SELECT coalesce(lag(ch) OVER (PARTITION BY user_id, jid
+        |    ORDER BY ts, event_id), 'START') AS src, ch AS dst
+        | FROM touches),
+        |convflag AS (
+        | SELECT user_id, jid, max(CASE WHEN event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS has_conv
+        | FROM j GROUP BY 1, 2),
+        |lastt AS (
+        | SELECT user_id, jid, ch FROM (
+        |  SELECT user_id, jid, ch, row_number() OVER
+        |   (PARTITION BY user_id, jid ORDER BY ts DESC, event_id DESC)
+        |   AS rn FROM touches) WHERE rn = 1),
+        |endtr AS (
+        | SELECT coalesce(lt.ch, 'START') AS src,
+        |  CASE WHEN cf.has_conv = 1 THEN 'CONV' ELSE 'NULL' END AS dst
+        | FROM convflag cf LEFT JOIN lastt lt USING (user_id, jid)),
+        |trans AS (
+        | SELECT src, dst, count(*) AS n FROM (
+        |  SELECT src, dst FROM steps
+        |  UNION ALL SELECT src, dst FROM endtr) GROUP BY 1, 2),
+        |probs AS (
+        | SELECT src, dst, CAST(n AS DOUBLE) /
+        |  CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+        | FROM trans),
+        |variants AS (
+        | SELECT 'FULL' AS variant UNION ALL SELECT 'view'
+        | UNION ALL SELECT 'click'),
+        |vp AS MATERIALIZED (
+        | SELECT v.variant, pr.src,
+        |  CASE WHEN pr.dst = v.variant THEN 'NULL' ELSE pr.dst END AS dst,
+        |  sum(pr.p) AS p
+        | FROM variants v JOIN probs pr ON pr.src <> v.variant
+        | GROUP BY 1, 2, 3),
+        |it0 AS MATERIALIZED (
+        | SELECT v.variant, st.s AS state,
+        |  CASE WHEN st.s = 'CONV' THEN 1.0 ELSE 0.0 END AS p
+        | FROM variants v, (SELECT DISTINCT src AS s FROM probs
+        |   UNION SELECT 'CONV' UNION SELECT 'NULL') st
+        | WHERE st.s <> v.variant)""".stripMargin
+    val its = (1 to 8).map { k =>
+      s"""it$k AS MATERIALIZED (
+         | SELECT vp.variant, vp.src AS state, sum(vp.p * q.p) AS p
+         | FROM vp JOIN it${k - 1} q
+         |  ON q.variant = vp.variant AND q.state = vp.dst
+         | GROUP BY 1, 2
+         | UNION ALL
+         | SELECT variant, state, p FROM it${k - 1}
+         | WHERE state IN ('CONV', 'NULL'))""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      """fin AS (SELECT variant, p FROM it8 WHERE state = 'START')
+        |SELECT f.variant AS channel, fu.p AS p_full, f.p AS p_removed,
+        | CASE WHEN fu.p > 0 THEN 1.0 - f.p / fu.p ELSE 0.0 END
+        |  AS removal_effect
+        |FROM fin f, (SELECT p FROM fin WHERE variant = 'FULL') fu(p)
+        |WHERE f.variant <> 'FULL'""".stripMargin
+    s"$base,\n$its,\n$fin"
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4397,5 +4540,7 @@ object ExtensionQueries {
     "q147_k_anon_summary" -> ((q147 _, q147Sql)),
     "q148_mmd_drift" -> ((q148 _, q148Sql)),
     "q149_grouping_sets" -> ((q149 _, q149Sql)),
-    "q150_attribution" -> ((q150 _, q150Sql)))
+    "q150_attribution" -> ((q150 _, q150Sql)),
+    "q151_resample" -> ((q151 _, q151Sql)),
+    "q152_markov_attribution" -> ((q152 _, q152Sql)))
 }

@@ -66,6 +66,56 @@ class AttributionOpsSpec extends AnyFunSuite {
     assert(byChan == Map("view" -> 3L, "click" -> 1L))
   }
 
+  test("transitionProbs: journeys split at conversions; probs normalize") {
+    // user 1: view -> click -> purchase | view -> (data ends)
+    // user 2: purchase (no touches) | view -> (data ends)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(1), 1L, "click", 0.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(3), 1L, "view", 0.0, "{}"),
+      (10L, ts(0), 2L, "purchase", 1.0, "{}"),
+      (11L, ts(1), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = AttributionOps.transitionProbs(ev, Seq("view", "click"), "purchase")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("START", "view"))._1 == 3L) // j1a, j1b, j2b
+    assert(got(("START", "CONV"))._1 == 1L) // user2 j0: conv, no touches
+    assert(got(("view", "click"))._1 == 1L)
+    assert(got(("click", "CONV"))._1 == 1L)
+    assert(got(("view", "NULL"))._1 == 2L) // both trailing views
+    // normalization per src
+    val bySrc = got.toSeq.groupBy(_._1._1)
+    bySrc.foreach { case (src, rows) =>
+      val tot = rows.map(_._2._2).sum
+      assert(math.abs(tot - 1.0) < 1e-12, s"$src probs sum to $tot")
+    }
+  }
+
+  test("markovRemovalEffects: hand-solvable chain gives exact removal effects") {
+    // Every journey: START -> view -> click -> CONV or START -> view -> NULL.
+    // 2 conv journeys, 2 null journeys (per user pattern), so
+    // p(view|START)=1, p(click|view)=.5, p(NULL|view)=.5, p(CONV|click)=1.
+    // Full chain: p(CONV from START) = 0.5 (within >= 3 steps).
+    // Remove view: START has no outgoing left except... all journeys
+    // redirect to NULL -> p=0 -> RE(view)=1. Remove click: view's click
+    // mass redirects to NULL -> p=0 -> RE(click)=1.
+    val ev = (for (u <- 1L to 2L) yield Seq(
+      (u * 100 + 1, ts(0), u, "view", 0.0, "{}"),
+      (u * 100 + 2, ts(1), u, "click", 0.0, "{}"),
+      (u * 100 + 3, ts(2), u, "purchase", 1.0, "{}"),
+      (u * 100 + 4, ts(3), u, "view", 0.0, "{}")
+    )).flatten.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = AttributionOps.markovRemovalEffects(
+        ev, Seq("view", "click"), "purchase", steps = 8)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(math.abs(got("view")._1 - 0.5) < 1e-12, "p_full = 0.5")
+    assert(got("view")._2 == 0.0 && got("view")._3 == 1.0)
+    assert(got("click")._2 == 0.0 && got("click")._3 == 1.0)
+  }
+
   test("touchCredits pair set equals the streaming attribution join on batch") {
     val viaStreamOp = graft.streaming.StreamingOps.streamingAttribution(
         events, "view", "purchase", horizonSec = 1800L, watermark = "1 hour")

@@ -193,4 +193,32 @@ class TrendIslandsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("resampleInterpolate: exact hits, interior lerp, no extrapolation") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // key a: obs at 100->1.0, 130->4.0, 220->1.0; 10s grid from 100
+    val df = Seq(
+      ("a", ts(100), 1.0), ("a", ts(130), 4.0), ("a", ts(220), 1.0),
+      ("b", ts(95), 7.0), ("b", ts(95), 9.0), // same-second dup -> max
+      ("b", ts(105), 5.0)
+    ).toDF("k", "t", "v")
+    val got = TrendOps.resampleInterpolate(df, "k", "t", "v", stepSec = 10L)
+      .select(col("k"), unix_seconds(col("grid_ts")), col("value"))
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val a = got.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    assert(a(100) == 1.0 && a(220) == 1.0, "grid on an observation is exact")
+    assert(a(110) == 2.0 && a(120) == 3.0, "linear between 100 and 130")
+    assert(math.abs(a(140) - (4.0 - 3.0 / 90 * 10)) < 1e-12,
+      "linear between 130 and 220")
+    assert(a.size == 13, "grid spans [100, 220] every 10s, nothing beyond")
+    val b = got.filter(_._1 == "b").map(r => r._2 -> r._3).toMap
+    // b's span is [95, 105]: grid floor(95)=90 drops (before first obs);
+    // dup at 95 collapses to max 9.0, so lerp(100) = 9 + (5-9)*0.5 = 7
+    assert(b == Map(100L -> 7.0), "dup collapses to max; 90 extrapolates out")
+    val re = TrendOps.resampleInterpolate(
+        df.repartition(5), "k", "t", "v", 10L)
+      .select(col("k"), unix_seconds(col("grid_ts")), col("value"))
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(re.toSeq == got.toSeq, "partitioning-independent")
+  }
 }
