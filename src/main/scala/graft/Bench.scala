@@ -439,6 +439,12 @@ object Bench {
       graft.ops.AttributionOps.channelAttribution(
         graft.ops.AttributionOps.touchCredits(
           Tables.events(s, dir), Seq("view", "click"), "purchase", 1800L))),
+    // blocked record linkage: block-keyed self-join, fused JW compare
+    // inside the generated stage; per-block quadratic by contract
+    "b_jaro_linkage" -> ((s, dir) =>
+      graft.ops.LinkageOps.jaroLinkagePairs(
+        Tables.customer(s, dir).filter(col("c_custkey") % 10 === 0),
+        "c_name", "c_custkey", "c_nationkey", threshold = 0.95)),
     // Markov removal-effect: two keyed windows -> |states|^2 dim ->
     // constant driver fold (8 truncated matrix-vector steps)
     "b_markov_attr" -> ((s, dir) =>

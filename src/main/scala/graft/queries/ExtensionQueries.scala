@@ -4421,6 +4421,101 @@ object ExtensionQueries {
     s"$base,\n$its,\n$fin"
   }
 
+  // --------------------------------------------------------------- q153
+  /** UNPIVOT/melt (the inverse of q89's pivot): wide per-order price
+    * and priority-numeric columns become long (key, metric, value)
+    * rows via Spark's native `unpivot` — a zero-shuffle row-local
+    * expansion (each input row emits |metrics| rows inside the scan's
+    * codegen span), NOT a union of per-column scans.
+    */
+  def q153(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("total_price"),
+        length(col("o_orderpriority")).cast("double").as("priority_len"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("total_price"), col("priority_len")),
+        "metric", "value")
+
+  val q153Sql: String =
+    """SELECT o_orderkey, 'total_price' AS metric,
+      | o_totalprice AS value FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'priority_len',
+      | CAST(length(o_orderpriority) AS DOUBLE) FROM orders""".stripMargin
+
+  // --------------------------------------------------------------- q154
+  /** MUTUAL INFORMATION between two categoricals (nats):
+    * `I(A;B) = Σ p(a,b) ln(p(a,b)/(p(a)p(b)))` — the dependence
+    * strength behind q106's chi² test and the aggregate form of
+    * q117's pairwise PMI (MI is the p(a,b)-weighted mean of PMI).
+    * One (a,b) keyed count, two marginal dims + a 1-row total on
+    * broadcasts, round-then-DECIMAL term sum — output is ONE row
+    * `(mi_nats, n)` at any scale. Only observed cells contribute
+    * (lim p→0 of p·ln p = 0, so empty cells are exact zeros — unlike
+    * chi² there is no zero-cell correction to make).
+    */
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.events(spark, dir)
+      .select(col("event_type").as("a"),
+        (col("user_id") % 10).as("b"))
+    val o = df.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val ra = o.groupBy("a").agg(sum(col("n")).as("na"))
+    val rb = o.groupBy("b").agg(sum(col("n")).as("nb"))
+    val t = o.agg(sum(col("n")).as("nt"))
+    val term = (col("n").cast("double") / col("nt").cast("double")) *
+      log((col("n").cast("double") * col("nt").cast("double")) /
+        (col("na").cast("double") * col("nb").cast("double")))
+    o.join(broadcast(ra), "a").join(broadcast(rb), "b")
+      .crossJoin(broadcast(t))
+      .select(round(term, 9).cast("decimal(38,9)").as("__term"), col("nt"))
+      .groupBy("nt")
+      .agg(sum(col("__term")).cast("double").as("mi_nats"))
+      .select(col("mi_nats"), col("nt").as("n"))
+  }
+
+  val q154Sql: String =
+    """WITH d AS (
+      | SELECT event_type AS a, user_id % 10 AS b FROM events),
+      |o AS (SELECT a, b, count(*) AS n FROM d GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(n) AS na FROM o GROUP BY 1),
+      |rb AS (SELECT b, sum(n) AS nb FROM o GROUP BY 1),
+      |t AS (SELECT sum(n) AS nt FROM o)
+      |SELECT CAST(sum(CAST(round(
+      |  (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) *
+      |  ln((CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)) /
+      |     (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 9)
+      |  AS DECIMAL(38, 9))) AS DOUBLE) AS mi_nats,
+      | CAST(max(nt) AS BIGINT) AS n
+      |FROM o JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t""".stripMargin
+
+  // --------------------------------------------------------------- q155
+  /** Record linkage ([[graft.ops.LinkageOps.jaroLinkagePairs]] on the
+    * fused [[graft.functions.JaroWinkler]] expression): near-identical
+    * customer names within a nation block at JW ≥ 0.95 — the
+    * Fellegi–Sunter blocking+compare shape with the order-tolerant
+    * scorer Levenshtein dedup (q76) lacks. Semantics are pinned to
+    * DuckDB's `jaro_winkler_similarity` bit-for-bit (integer
+    * transposition halving, 0.7 boost gate — probed and spec'd), so
+    * the threshold decision AND the score replay exactly; the 0.95
+    * cut sits in a fixture score gap (0.9431 / 0.9556), so no
+    * boundary ulp can flip a pair. 1-in-10 customer subsample keeps
+    * the within-block quadratic at oracle scale.
+    */
+  def q155(spark: SparkSession, dir: String): DataFrame =
+    LinkageOps.jaroLinkagePairs(
+      Tables.customer(spark, dir).filter(col("c_custkey") % 10 === 0),
+      "c_name", "c_custkey", "c_nationkey", threshold = 0.95)
+
+  val q155Sql: String =
+    """WITH c AS (
+      | SELECT * FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      | jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+      |FROM c a JOIN c b
+      | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.95""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4542,5 +4637,8 @@ object ExtensionQueries {
     "q149_grouping_sets" -> ((q149 _, q149Sql)),
     "q150_attribution" -> ((q150 _, q150Sql)),
     "q151_resample" -> ((q151 _, q151Sql)),
-    "q152_markov_attribution" -> ((q152 _, q152Sql)))
+    "q152_markov_attribution" -> ((q152 _, q152Sql)),
+    "q153_unpivot" -> ((q153 _, q153Sql)),
+    "q154_mutual_info" -> ((q154 _, q154Sql)),
+    "q155_jaro_linkage" -> ((q155 _, q155Sql)))
 }
