@@ -414,6 +414,14 @@ object Bench {
     "b_hll_registers" -> ((s, dir) =>
       graft.ops.SketchOps.hllRegisters(
         Tables.documents(s, dir), "text", b = 8, seed = 9L)),
+    // two-pass heavy hitters: MG k-bounded buffers (k x tasks rows
+    // cross the exchange), exact recount of <= k candidates
+    "b_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+          .as("tok"))
+      graft.ops.SketchOps.heavyHitters(toks, "tok", k = 64, minFrac = 0.034)
+    }),
     // KMV cross-source overlap: two k-bounded Aggregator passes (the
     // exchange carries k longs per map task, never the distinct key
     // stream), then constant-size set algebra over <= 2k rows

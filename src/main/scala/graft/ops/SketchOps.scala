@@ -303,6 +303,40 @@ object SketchOps {
       .agg(min(col("row_est")).cast("long").as("est_join_rows"))
   }
 
+  /** TWO-PASS HEAVY HITTERS: every value of `valueCol` with frequency
+    * ≥ `minFrac` of the rows, with its EXACT count — at any corpus
+    * size. Pass 1 is a [[graft.functions.MisraGries]] global
+    * aggregation (k-bounded buffers, `k × tasks` rows cross the
+    * exchange — never a value-keyed shuffle of the full column);
+    * pass 2 exactly counts only the ≤ k surviving candidates behind a
+    * broadcast semi-join and applies the threshold.
+    *
+    * Correctness contract: requires `minFrac > 1/(k+1)` — the MG
+    * guarantee then ensures every qualifying value SURVIVES pass 1
+    * (no false negatives), and exact pass-2 counts remove the false
+    * positives, so the output is DETERMINISTIC (the order-dependent
+    * MG counts never reach it). Output: `(value, cnt)`,
+    * `cnt ≥ ceil(minFrac · N)`.
+    */
+  def heavyHitters(
+      df: DataFrame, valueCol: String, k: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac > 1.0 / (k + 1),
+      s"minFrac=$minFrac must exceed 1/(k+1)=${1.0 / (k + 1)} for the " +
+        "no-false-negative guarantee")
+    val vals = df.select(col(valueCol).cast("string").as("value"))
+    val cand = vals
+      .agg(graft.functions.MisraGries.mgUdaf(k)(col("value")).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c._1").as("value"))
+    val tot = vals.agg(count(lit(1)).as("__n"))
+    vals.join(broadcast(cand), Seq("value"), "left_semi")
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") >= ceil(col("__n") * minFrac))
+      .select(col("value"), col("cnt"))
+  }
+
   /** 2^60 as a double — the normalizer for [[graft.core.PortableHash]]
     * 60-bit hashes (exact in IEEE-754: a power of two).
     */

@@ -4516,6 +4516,33 @@ object ExtensionQueries {
       | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
       |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.95""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** Two-pass heavy hitters ([[graft.ops.SketchOps.heavyHitters]],
+    * Misra–Gries candidates + exact recount): corpus tokens at ≥ 3.4%
+    * frequency with exact counts. Pass 1's k-bounded buffers make the
+    * only full-corpus scan shuffle `k × tasks` rows; the MG
+    * no-false-negative guarantee (`minFrac > 1/(k+1)`) plus exact
+    * pass-2 counts make the output deterministic, so the oracle is a
+    * plain HAVING over exact counts — the sketch never leaks into the
+    * result.
+    */
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("tok"))
+    SketchOps.heavyHitters(toks, "tok", k = 64, minFrac = 0.034)
+  }
+
+  val q156Sql: String =
+    """WITH toks AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), tk -> tk <> ''))
+      |  AS tok
+      | FROM documents),
+      |t AS (SELECT count(*) AS n FROM toks)
+      |SELECT tok AS value, CAST(count(*) AS BIGINT) AS cnt
+      |FROM toks CROSS JOIN t
+      |GROUP BY tok, n HAVING count(*) >= ceil(n * 0.034)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4640,5 +4667,6 @@ object ExtensionQueries {
     "q152_markov_attribution" -> ((q152 _, q152Sql)),
     "q153_unpivot" -> ((q153 _, q153Sql)),
     "q154_mutual_info" -> ((q154 _, q154Sql)),
-    "q155_jaro_linkage" -> ((q155 _, q155Sql)))
+    "q155_jaro_linkage" -> ((q155 _, q155Sql)),
+    "q156_heavy_hitters" -> ((q156 _, q156Sql)))
 }

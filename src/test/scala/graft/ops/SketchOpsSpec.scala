@@ -302,4 +302,41 @@ class SketchOpsSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(disjoint <= 10L, s"disjoint key sets should estimate ~0, got $disjoint")
   }
+
+  test("heavyHitters: deterministic exact output under MG eviction") {
+    // planted skew: 'hot' 400/1000, 'warm' 200/1000, 100-item tail of
+    // 4 each; k=8 << 102 distinct forces constant eviction in pass 1
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 100).flatMap(i => Seq.fill(4)(s"tail$i"))
+    val df = rows.toDF("v")
+    val got = SketchOps.heavyHitters(df, "v", k = 8, minFrac = 0.15)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 400L, "warm" -> 200L),
+      s"exact counts for exactly the >=15% items, got $got")
+    val re = SketchOps.heavyHitters(df.repartition(13), "v", 8, 0.15)
+      .as[(String, Long)].collect().toMap
+    assert(re == got, "two-pass output is partitioning-independent")
+    intercept[IllegalArgumentException] {
+      SketchOps.heavyHitters(df, "v", k = 8, minFrac = 0.05)
+    } // 0.05 < 1/9: the no-false-negative guarantee would not hold
+  }
+
+  test("MisraGries buffer bound: every > N/(k+1) item survives pass 1") {
+    val rows = Seq.fill(300)("a") ++ Seq.fill(150)("b") ++
+      (0 until 200).map(i => s"t$i")
+    val k = 12
+    val cand = rows.toDF("v")
+      .agg(graft.functions.MisraGries.mgUdaf(k)(col("v")))
+      .as[Seq[(String, Long)]].collect().head
+    assert(cand.length <= k, "buffer never exceeds k entries")
+    val n = rows.length
+    val names = cand.map(_._1).toSet
+    assert(names.contains("a") && names.contains("b"),
+      s"items above N/(k+1)=${n / (k + 1)} must survive")
+    cand.foreach { case (item, c) =>
+      val truth = rows.count(_ == item)
+      assert(c <= truth && c >= truth - n / (k + 1),
+        s"$item MG count $c outside [truth-N/(k+1), truth]=[${truth - n / (k + 1)}, $truth]")
+    }
+  }
 }
