@@ -185,15 +185,17 @@ object TrendOps {
     val wNext = Window.partitionBy("k")
       .orderBy(col("t"), col("__obs").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val marked = u
-      .withColumn("__pt", last(when(col("__obs") === 1, col("t")),
-        ignoreNulls = true).over(wPrev))
-      .withColumn("__pv", last(when(col("__obs") === 1, col("v")),
-        ignoreNulls = true).over(wPrev))
-      .withColumn("__nt", first(when(col("__obs") === 1, col("t")),
-        ignoreNulls = true).over(wNext))
-      .withColumn("__nv", first(when(col("__obs") === 1, col("v")),
-        ignoreNulls = true).over(wNext))
+    // one select so CollapseWindow fuses the same-frame pairs: two
+    // Window nodes total over the single keyed sort
+    val marked = u.select(col("k"), col("t"), col("__obs"),
+      last(when(col("__obs") === 1, col("t")), ignoreNulls = true)
+        .over(wPrev).as("__pt"),
+      last(when(col("__obs") === 1, col("v")), ignoreNulls = true)
+        .over(wPrev).as("__pv"),
+      first(when(col("__obs") === 1, col("t")), ignoreNulls = true)
+        .over(wNext).as("__nt"),
+      first(when(col("__obs") === 1, col("v")), ignoreNulls = true)
+        .over(wNext).as("__nv"))
     marked.filter(col("__obs") === 0 && col("__pt").isNotNull)
       .select(col("k").as(keyCol),
         timestamp_seconds(col("t")).as("grid_ts"),
