@@ -63,6 +63,59 @@ object ProfileOps {
       .filter(col("group_n") < k)
   }
 
+  /** RFM SCORING (recency / frequency / monetary — the classic
+    * customer-value segmentation): per key, days since the last
+    * transaction (relative to the corpus max date), transaction
+    * count, and exact DECIMAL-summed spend, each bucketed into
+    * `buckets` quantile scores 1..buckets (higher = better: more
+    * recent, more frequent, bigger spend). Ties break on the key, so
+    * every score is deterministic under any partitioning.
+    *
+    * Scale shape: one keyed aggregation to the per-key metric frame,
+    * then each score is a RANGE-PARTITIONED sort + dense row index
+    * ([[graft.ops.JoinOps.withRowIndex]] — the gini pattern, NO
+    * single-partition ntile window), `score = ⌊idx·buckets/n⌋ + 1`;
+    * three key-equi-joins reassemble. The corpus max date rides a
+    * 1-row broadcast.
+    *
+    * Output: `(key, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, segment)` with `segment = r·100 + f·10 + m`.
+    */
+  def rfmScores(
+      df: DataFrame, keyCol: String, tsCol: String, amountCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val perKey = df.groupBy(col(keyCol).as("k"))
+      .agg(max(col(tsCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(38,6)")).cast("double")
+          .as("monetary"))
+    val maxTs = df.agg(max(col(tsCol)).as("__maxTs"))
+    val base = perKey.crossJoin(broadcast(maxTs))
+      .select(col("k"),
+        datediff(col("__maxTs"), col("__last")).as("recency_days"),
+        col("frequency"), col("monetary"))
+      .persist()
+    val n = base.count()
+    def scored(metric: String, asc: Boolean, scoreCol: String): DataFrame = {
+      val sorted = base.select(col("k"), col(metric))
+        .sort((if (asc) col(metric).asc else col(metric).desc), col("k"))
+      JoinOps.withRowIndex(sorted, "__idx")
+        .select(col("k"),
+          (floor(col("__idx").cast("double") * buckets / n.toDouble) + 1)
+            .cast("int").as(scoreCol))
+    }
+    // recency: stale first (desc), so recent keys take the top bucket
+    val r = scored("recency_days", asc = false, "r_score")
+    val f = scored("frequency", asc = true, "f_score")
+    val m = scored("monetary", asc = true, "m_score")
+    base.join(r, "k").join(f, "k").join(m, "k")
+      .select(col("k").as(keyCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+  }
+
   /** One-row summary of a table's k-anonymity posture: total
     * equivalence classes, violating classes, rows at risk, and the
     * minimum class size (the table's EFFECTIVE k — the largest k the

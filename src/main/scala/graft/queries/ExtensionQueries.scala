@@ -4543,6 +4543,55 @@ object ExtensionQueries {
       |FROM toks CROSS JOIN t
       |GROUP BY tok, n HAVING count(*) >= ceil(n * 0.034)""".stripMargin
 
+  // --------------------------------------------------------------- q157
+  /** RFM customer segmentation ([[graft.ops.ProfileOps.rfmScores]],
+    * quintiles): recency/frequency/monetary metrics and 1–5 quantile
+    * scores per customer from orders — the classic value-segmentation
+    * table. Scores come from range-partitioned sorted row indexes
+    * (the gini pattern — NO single-partition ntile window), with
+    * key tiebreaks so every bucket edge is deterministic; the oracle
+    * replays them with `row_number()` global windows.
+    */
+  def q157(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.rfmScores(
+      Tables.orders(spark, dir), "o_custkey", "o_orderdate",
+      "o_totalprice", buckets = 5)
+
+  val q157Sql: String =
+    """WITH perkey AS (
+      | SELECT o_custkey AS k, max(o_orderdate) AS last_ts,
+      |  CAST(count(*) AS BIGINT) AS frequency,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE)
+      |   AS monetary
+      | FROM orders GROUP BY 1),
+      |mx AS (SELECT max(o_orderdate) AS mts FROM orders),
+      |base AS (
+      | SELECT k, CAST(datediff('day', CAST(last_ts AS DATE),
+      |   CAST(mts AS DATE)) AS INT) AS recency_days,
+      |  frequency, monetary
+      | FROM perkey CROSS JOIN mx),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+      |r AS (
+      | SELECT k, CAST(floor(CAST(row_number() OVER
+      |   (ORDER BY recency_days DESC, k) - 1 AS DOUBLE) * 5 / n)
+      |   AS INT) + 1 AS r_score
+      | FROM base CROSS JOIN nn),
+      |f AS (
+      | SELECT k, CAST(floor(CAST(row_number() OVER
+      |   (ORDER BY frequency ASC, k) - 1 AS DOUBLE) * 5 / n)
+      |   AS INT) + 1 AS f_score
+      | FROM base CROSS JOIN nn),
+      |m AS (
+      | SELECT k, CAST(floor(CAST(row_number() OVER
+      |   (ORDER BY monetary ASC, k) - 1 AS DOUBLE) * 5 / n)
+      |   AS INT) + 1 AS m_score
+      | FROM base CROSS JOIN nn)
+      |SELECT base.k AS o_custkey, recency_days, frequency, monetary,
+      | r_score, f_score, m_score,
+      | r_score * 100 + f_score * 10 + m_score AS segment
+      |FROM base JOIN r USING (k) JOIN f USING (k) JOIN m USING (k)"""
+      .stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4668,5 +4717,6 @@ object ExtensionQueries {
     "q153_unpivot" -> ((q153 _, q153Sql)),
     "q154_mutual_info" -> ((q154 _, q154Sql)),
     "q155_jaro_linkage" -> ((q155 _, q155Sql)),
-    "q156_heavy_hitters" -> ((q156 _, q156Sql)))
+    "q156_heavy_hitters" -> ((q156 _, q156Sql)),
+    "q157_rfm" -> ((q157 _, q157Sql)))
 }

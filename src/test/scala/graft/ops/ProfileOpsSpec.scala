@@ -42,6 +42,34 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("us", Some(40), 1L), ("de", None, 2L)))
   }
 
+  test("rfmScores: metrics exact, quantile edges deterministic, higher=better") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(86400000L * day)
+    // 5 customers: cust i orders i+1 times, last order on day 10*i,
+    // each order worth 100*(i+1) -> frequency and monetary both rank
+    // ascending with i, recency descending with i (cust 4 most recent)
+    val orders = (0 until 5).flatMap { i =>
+      (0 to i).map(j => (i.toLong, ts(10 * i - j), 100.0 * (i + 1)))
+    }.toDF("cust", "ts", "amount")
+    val got = ProfileOps.rfmScores(orders, "cust", "ts", "amount", buckets = 5)
+      .as[(Long, Int, Long, Double, Int, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(40, 30, 20, 10, 0), "recency days")
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L, 5L), "frequency")
+    assert(got.map(_._4).toSeq ==
+      Seq(100.0, 400.0, 900.0, 1600.0, 2500.0), "monetary")
+    // all three metrics rank cust 0 lowest .. cust 4 highest
+    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { s =>
+      assert(s.toSeq == Seq(1, 2, 3, 4, 5), s"scores $s")
+    }
+    assert(got.map(_._8).toSeq == Seq(111, 222, 333, 444, 555), "segment")
+    val re = ProfileOps.rfmScores(
+        orders.repartition(7), "cust", "ts", "amount", 5)
+      .as[(Long, Int, Long, Double, Int, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq, "deterministic under partitioning")
+  }
+
   test("kAnonymitySummary: classes, risk rows, and effective k") {
     val df = Seq(
       ("us", 30), ("us", 30), ("us", 30),
