@@ -465,7 +465,10 @@ object StreamingOps {
     */
   def streamingAttribution(
       events: DataFrame, touchType: String, convType: String,
-      horizonSec: Long, watermark: String): DataFrame = {
+      horizonSec: Long, watermark: String,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val touches = events
       .filter(col("event_type") === touchType)
       .select(col("user_id"), col("ts").as("touch_ts"),
@@ -476,11 +479,17 @@ object StreamingOps {
       .select(col("user_id").as("__cu"), col("ts").as("conv_ts"),
         col("event_id").as("conv_id"), col("value").as("conv_value"))
       .withWatermark("conv_ts", watermark)
+    // left_outer: a touch whose retention window closes with no
+    // matching conversion is emitted ONCE with null conversion
+    // columns — the "unattributed reach" stream that an inner join
+    // silently drops; emission waits for the watermark to prove no
+    // match can still arrive, so late output = watermark + horizon
     touches.join(convs,
         col("user_id") === col("__cu") &&
           col("conv_ts") >= col("touch_ts") &&
           col("conv_ts") <= col("touch_ts") +
-            expr(s"INTERVAL $horizonSec seconds"))
+            expr(s"INTERVAL $horizonSec seconds"),
+        joinType)
       .select(col("user_id"), col("touch_id"), col("touch_ts"),
         col("conv_id"), col("conv_ts"), col("conv_value"))
   }

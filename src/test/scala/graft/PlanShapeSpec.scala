@@ -119,7 +119,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // scalar pattern over a constant-size matrix frame
     "q132_covariance",
     // q133: dim-row gradient frame × broadcast(1-row n) — ditto
-    "q133_logistic_gradient")
+    "q133_logistic_gradient",
+    // q154: |a|×|b|-cell MI frame × broadcast(1-row grand total) —
+    // the q08 scalar pattern (marginals ride broadcast equi-joins)
+    "q154_mutual_info",
+    // q156: ≤ k candidate exact counts × broadcast(1-row corpus N)
+    // for the minFrac threshold — the q08 scalar pattern
+    "q156_heavy_hitters",
+    // q157: per-key RFM metric frame × broadcast(1-row corpus max
+    // date) for recency — the q08 scalar pattern (scores come from
+    // range-partitioned row indexes, swept non-degenerate below)
+    "q157_rfm")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -237,7 +247,10 @@ class PlanShapeSpec extends AnyFunSuite {
         "b_ks_drift", "b_stupid_backoff", "b_cc_alternating", "b_pca",
         // b_unigram_lm trains at construction (seed + EM collects —
         // b_bpe_train's reason); the encode plan is a broadcast join
-        "b_unigram_lm")
+        "b_unigram_lm",
+        // b_heavy_hitters carries q156's 1-row corpus-N broadcast for
+        // the minFrac threshold (the q08 scalar pattern)
+        "b_heavy_hitters")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

@@ -667,4 +667,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(maxState > 0 && maxState < all.length * 2L,
       s"join state $maxState not bounded")
   }
+
+  test("left-outer stream-stream join emits watermark-proven unmatched touches") {
+    val streamDir = Files.createTempDirectory("attr-lo").toFile.getAbsolutePath
+    def nanos(min: Long): Long = (86400L + min * 60L) * 1000000L * 1000L
+    // user 1: touch at 0 converts at 10; touch at 100 never converts.
+    // The far-future tick advances the watermark so the unmatched
+    // touch's no-match proof completes; outer-join nulls emit in the
+    // FOLLOWING trigger (watermark applies one batch late), hence the
+    // second tick file.
+    val batches = Seq(
+      Seq((1L, nanos(0), 1L, "view", 0.0, "{}"),
+        (2L, nanos(10), 1L, "purchase", 5.0, "{}"),
+        (3L, nanos(100), 1L, "view", 0.0, "{}")),
+      // ticks carry BOTH types: the global watermark is the MIN over
+      // the two sides' watermarks, so each side needs late events
+      Seq((9L, nanos(10000), 2L, "view", 0.0, "{}"),
+        (8L, nanos(10000), 2L, "purchase", 1.0, "{}")),
+      Seq((10L, nanos(10001), 2L, "view", 0.0, "{}"),
+        (11L, nanos(10001), 2L, "purchase", 1.0, "{}")))
+    for ((grp, i) <- batches.zipWithIndex) {
+      val tmp = Files.createTempDirectory("attr-lob").toFile.getAbsolutePath
+      grp.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, s"b$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingAttribution(
+        StreamingOps.eventsStream(spark, streamDir),
+        "view", "purchase", horizonSec = 1800L, watermark = "30 minutes",
+        joinType = "left_outer"),
+      "attr_lo_test", "append")
+      .select("touch_id", "conv_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L).contains(2L), "matched touch carries its conversion")
+    assert(got.get(3L).exists(_.isEmpty),
+      s"unmatched touch must be emitted with null conversion, got $got")
+  }
 }
