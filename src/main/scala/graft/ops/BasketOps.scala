@@ -60,4 +60,33 @@ object BasketOps {
         (d(col("n_ab")) * d(col("__nb")) / (d(col("n_a")) * d(col("n_b"))))
           .as("lift"))
   }
+
+  /** ITEM-TO-ITEM NEIGHBORS ("people who did A also did B") — the
+    * co-occurrence recommender table: for each item, the top `k`
+    * other items by COSINE score `n(A,B) / √(n(A)·n(B))` (the
+    * basket-set cosine — lift's scale-free sibling, standard for
+    * item-item collaborative filtering). Ties break on the neighbor
+    * id, so the cut is deterministic.
+    *
+    * Scale shape: rides [[associationRules]]'s pair machinery
+    * (distinct obs → basket-keyed self-join → pair counts, item dims
+    * on broadcasts); the top-k cut is ONE item-keyed rank window over
+    * the pair frame — already far smaller than the obs it came from.
+    */
+  def itemNeighbors(
+      df: DataFrame, basketCols: Seq[String], itemCol: String, k: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rules = associationRules(df, basketCols, itemCol, minPairCount)
+    val score = col("n_ab").cast("double") /
+      sqrt(col("n_a").cast("double") * col("n_b").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_a"))
+      .orderBy(col("score").desc, col("item_b"))
+    rules.withColumn("score", score)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("n_ab"), col("score"), col("__rk").as("rank"))
+  }
 }

@@ -76,6 +76,86 @@ object StatsOps {
         col("__tot").as("n_total"))
   }
 
+  /** WEIGHTED QUANTILE per group: the smallest value whose cumulative
+    * weight reaches `q · W` — the exact weighted-median/percentile
+    * (median latency weighted by request count, median price weighted
+    * by quantity). The cumulative sum runs over a RANGE frame ordered
+    * by the value, so ties contribute together and the result is
+    * deterministic under any partitioning or tie order. Weights pass
+    * through DECIMAL(38,6), so the running sums are exact and the
+    * single `cum ≥ q·W` comparison replays bit-level.
+    *
+    * One keyed window + one keyed aggregate; NULL values/weights and
+    * non-positive weights are excluded (a caller error for weights,
+    * but excluding beats poisoning the cumulative sum).
+    */
+  def weightedQuantile(
+      df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val clean = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol), col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("decimal(38,6)").as("__w"))
+    clean
+      .withColumn("__cum", sum(col("__w")).over(w).cast("double"))
+      .withColumn("__tot",
+        sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))).cast("double"))
+      .filter(col("__cum") >= col("__tot") * q)
+      .groupBy(keyCol)
+      .agg(min(col("__v")).as("weighted_quantile"),
+        max(col("__tot")).as("total_weight"))
+  }
+
+  /** TWO-PROPORTION Z-TEST (pooled) — the A/B-test readout: given
+    * per-variant trial and success counts, the difference in
+    * conversion rates and the pooled z statistic
+    * `z = (p1 − p2) / √(p̂(1−p̂)(1/n1 + 1/n2))`. Everything derives
+    * from four integer counts, so the one-row output replays exactly;
+    * p-value thresholds belong to the caller's normal table (the chi²
+    * convention). `variantCol` must take exactly two values; the
+    * lexicographically FIRST is variant 1 (pinned, engine-neutral).
+    */
+  def twoProportionZ(
+      df: DataFrame, variantCol: String, successCol: String): DataFrame = {
+    val agg = df.groupBy(col(variantCol).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("s"))
+    val d = (x: Column) => x.cast("double")
+    // two-row pivot without a window: re-aggregate by comparing to the
+    // min variant label (exactly two labels by contract)
+    val lohi = agg
+      .crossJoin(broadcast(agg.agg(min(col("v")).as("__v1"))))
+      .groupBy("__v1")
+      .agg(
+        max(when(col("v") === col("__v1"), col("n"))).as("n1"),
+        max(when(col("v") === col("__v1"), col("s"))).as("s1"),
+        max(when(col("v") =!= col("__v1"), col("v"))).as("__v2"),
+        max(when(col("v") =!= col("__v1"), col("n"))).as("n2"),
+        max(when(col("v") =!= col("__v1"), col("s"))).as("s2"),
+        count(lit(1)).as("__k"))
+    val p1 = d(col("s1")) / d(col("n1"))
+    val p2 = d(col("s2")) / d(col("n2"))
+    val pp = (d(col("s1")) + d(col("s2"))) / (d(col("n1")) + d(col("n2")))
+    lohi
+      // assert_true is NULL when the contract holds and throws when it
+      // doesn't — the rollingAgg axis-guard idiom
+      .withColumn("__guard", assert_true(col("__k") === 2,
+        lit("twoProportionZ: variantCol must take exactly 2 values")))
+      .filter(col("__guard").isNull)
+      .select(col("__v1").as("variant1"), col("__v2").as("variant2"),
+        col("n1"), col("s1"), col("n2"), col("s2"),
+        p1.as("p1"), p2.as("p2"),
+        ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))).as("z"))
+  }
+
   /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
     * `valueCol` within each `keyCol` group — the scale-free feature
     * transform (per-language quality scores become comparable across

@@ -4592,6 +4592,127 @@ object ExtensionQueries {
       |FROM base JOIN r USING (k) JOIN f USING (k) JOIN m USING (k)"""
       .stripMargin
 
+  // --------------------------------------------------------------- q158
+  /** Exact weighted median ([[graft.ops.StatsOps.weightedQuantile]],
+    * q = 0.5): per return flag, the extended price whose cumulative
+    * QUANTITY weight reaches half the total — the value a plain
+    * median misstates when rows carry different volumes. RANGE-frame
+    * cumulative sums make ties order-free; weights run exact through
+    * DECIMAL.
+    */
+  def q158(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.weightedQuantile(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+      "l_quantity", q = 0.5)
+
+  val q158Sql: String =
+    """WITH clean AS (
+      | SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+      |  CAST(l_quantity AS DECIMAL(38, 6)) AS w
+      | FROM lineitem
+      | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |  AND l_quantity > 0),
+      |c AS (
+      | SELECT k, v,
+      |  CAST(sum(w) OVER (PARTITION BY k ORDER BY v
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS cum,
+      |  CAST(sum(w) OVER (PARTITION BY k) AS DOUBLE) AS tot
+      | FROM clean)
+      |SELECT k AS l_returnflag, min(v) AS weighted_quantile,
+      | max(tot) AS total_weight
+      |FROM c WHERE cum >= tot * 0.5 GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q159
+  /** Two-proportion z-test ([[graft.ops.StatsOps.twoProportionZ]]):
+    * user-level conversion (≥ 14 purchases) between the even/odd
+    * user-id variants — the A/B readout derived entirely from four
+    * integer counts, one row, pooled z in a single pinned double
+    * expression.
+    */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"), (col("np") >= 14).as("converted"))
+    StatsOps.twoProportionZ(users, "variant", "converted")
+  }
+
+  val q159Sql: String =
+    """WITH u AS (
+      | SELECT user_id, sum(CASE WHEN event_type = 'purchase'
+      |    THEN 1 ELSE 0 END) AS np
+      | FROM events GROUP BY 1),
+      |v AS (
+      | SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |  np >= 14 AS converted
+      | FROM u),
+      |a AS (
+      | SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS s
+      | FROM v GROUP BY 1),
+      |p AS (SELECT min(variant) AS v1 FROM a),
+      |w AS (
+      | SELECT p.v1,
+      |  max(CASE WHEN variant = v1 THEN n END) AS n1,
+      |  max(CASE WHEN variant = v1 THEN s END) AS s1,
+      |  max(CASE WHEN variant <> v1 THEN variant END) AS v2,
+      |  max(CASE WHEN variant <> v1 THEN n END) AS n2,
+      |  max(CASE WHEN variant <> v1 THEN s END) AS s2
+      | FROM a CROSS JOIN p GROUP BY p.v1)
+      |SELECT v1 AS variant1, v2 AS variant2, n1, s1, n2, s2,
+      | CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      | CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      | (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+      |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+      | sqrt(((CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) /
+      |       (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |  (1.0 - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) /
+      |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |  (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+      |FROM w""".stripMargin
+
+  // --------------------------------------------------------------- q160
+  /** Item-to-item neighbors ([[graft.ops.BasketOps.itemNeighbors]],
+    * top-3 by basket-set cosine): the "people who did A also did B"
+    * recommender table on q98's pair machinery plus one item-keyed
+    * rank window; neighbor-id tiebreaks pin the cut.
+    */
+  def q160(spark: SparkSession, dir: String): DataFrame =
+    BasketOps.itemNeighbors(
+      Tables.events(spark, dir)
+        .withColumn("day",
+          floor(unix_micros(col("ts")) / lit(86400000000L))),
+      Seq("user_id", "day"), "event_type", k = 3)
+
+  val q160Sql: String =
+    """WITH obs AS (
+      | SELECT DISTINCT user_id,
+      |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |  event_type AS item
+      | FROM events),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM obs GROUP BY 1),
+      |p AS (
+      | SELECT a.item AS item_a, b.item AS item_b,
+      |  CAST(count(*) AS BIGINT) AS n_ab
+      | FROM obs a JOIN obs b ON a.user_id = b.user_id AND a.day = b.day
+      |  AND a.item <> b.item
+      | GROUP BY 1, 2),
+      |sc AS (
+      | SELECT item_a, item_b, n_ab,
+      |  CAST(n_ab AS DOUBLE) /
+      |   sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS score
+      | FROM p JOIN ic ia ON p.item_a = ia.item
+      |        JOIN ic ib ON p.item_b = ib.item),
+      |rk AS (
+      | SELECT item_a, item_b, n_ab, score, CAST(row_number() OVER
+      |   (PARTITION BY item_a ORDER BY score DESC, item_b) AS INT) AS rk
+      | FROM sc)
+      |SELECT item_a AS item, item_b AS neighbor, n_ab, score, rk AS rank
+      |FROM rk WHERE rk <= 3""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4718,5 +4839,8 @@ object ExtensionQueries {
     "q154_mutual_info" -> ((q154 _, q154Sql)),
     "q155_jaro_linkage" -> ((q155 _, q155Sql)),
     "q156_heavy_hitters" -> ((q156 _, q156Sql)),
-    "q157_rfm" -> ((q157 _, q157Sql)))
+    "q157_rfm" -> ((q157 _, q157Sql)),
+    "q158_weighted_median" -> ((q158 _, q158Sql)),
+    "q159_ab_ztest" -> ((q159 _, q159Sql)),
+    "q160_item_neighbors" -> ((q160 _, q160Sql)))
 }

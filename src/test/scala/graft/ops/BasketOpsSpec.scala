@@ -48,4 +48,27 @@ class BasketOpsSpec extends AnyFunSuite {
       .collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("itemNeighbors: cosine scores, deterministic tiebreak, k cut") {
+    // baskets: {a,b,c}, {a,b}, {a,c}: n(a)=3 n(b)=2 n(c)=2,
+    // n(ab)=2 n(ac)=2 n(bc)=1
+    val rows = Seq(
+      ("b1", "a"), ("b1", "b"), ("b1", "c"),
+      ("b2", "a"), ("b2", "b"),
+      ("b3", "a"), ("b3", "c"))
+    val got = BasketOps.itemNeighbors(
+        rows.toDF("basket", "item"), Seq("basket"), "item", k = 1)
+      .as[(String, String, Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // a: b and c tie at 2/sqrt(3*2); tiebreak picks b
+    assert(got("a")._1 == "b")
+    assert(math.abs(got("a")._2 - 2.0 / math.sqrt(6.0)) < 1e-12)
+    // b: a scores 2/sqrt(2*3) > c 1/sqrt(2*2)
+    assert(got("b")._1 == "a")
+    assert(got("c")._1 == "a")
+    val k2 = BasketOps.itemNeighbors(
+        rows.toDF("basket", "item"), Seq("basket"), "item", k = 2)
+      .as[(String, String, Long, Double, Int)].collect()
+    assert(k2.count(_._1 == "a") == 2 && k2.map(_._5).forall(r => r == 1 || r == 2))
+  }
 }

@@ -93,4 +93,41 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(Option[Double], Long, Double)].collect().head
     assert(a == b && a._1.exists(v => v > 0 && v < 1))
   }
+
+  test("weightedQuantile: hand case, tie mass, exclusions, repartition-proof") {
+    // group g: values 1(w2), 2(w1), 3(w3): W=6, half=3 -> cum(1)=2,
+    // cum(2)=3 >= 3 -> weighted median 2. group h: tied values share
+    // the RANGE frame: 5(w1),5(w1),9(w2): cum(5)=2 >= 2 -> median 5
+    val df = Seq(
+      ("g", 1.0, 2.0), ("g", 2.0, 1.0), ("g", 3.0, 3.0),
+      ("h", 5.0, 1.0), ("h", 5.0, 1.0), ("h", 9.0, 2.0),
+      ("h", 4.0, -1.0), ("h", 4.0, 0.0) // non-positive weights excluded
+    ).toDF("k", "v", "w")
+    val got = StatsOps.weightedQuantile(df, "k", "v", "w", q = 0.5)
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("g", 2.0, 6.0), ("h", 5.0, 4.0)))
+    val re = StatsOps.weightedQuantile(df.repartition(7), "k", "v", "w", 0.5)
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+    val p90 = StatsOps.weightedQuantile(df, "k", "v", "w", q = 0.9)
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(p90.map(r => (r._1, r._2)).toSeq == Seq(("g", 3.0), ("h", 9.0)))
+  }
+
+  test("twoProportionZ: hand-computed pooled z; non-binary variants abort") {
+    // A: 100 trials 60 conv; B: 100 trials 40 conv
+    // pp=0.5 -> z = 0.2 / sqrt(0.25 * 0.02) = 2.8284271...
+    val df = ((1 to 100).map(i => ("A", i <= 60)) ++
+      (1 to 100).map(i => ("B", i <= 40))).toDF("variant", "conv")
+    val got = StatsOps.twoProportionZ(df, "variant", "conv")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == "A" && got._2 == "B")
+    assert((got._3, got._4, got._5, got._6) == ((100L, 60L, 100L, 40L)))
+    assert(math.abs(got._9 - 0.2 / math.sqrt(0.25 * 0.02)) < 1e-12)
+    val bad = df.union(Seq(("C", true)).toDF("variant", "conv"))
+    intercept[Exception] {
+      StatsOps.twoProportionZ(bad, "variant", "conv").collect()
+    }
+  }
 }
