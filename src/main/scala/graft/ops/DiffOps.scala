@@ -48,6 +48,49 @@ object DiffOps {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** CDC MERGE-APPLY: fold an insert/update/delete change log into a
+    * base snapshot — the Delta-`MERGE`/Hudi-upsert verb as a plain
+    * two-step plan: (1) collapse the log to each key's LATEST change
+    * (one keyed max-timestamp window; ties break on the op string
+    * then every value column, so same-timestamp writes resolve
+    * deterministically under any partitioning), (2) full-outer join with
+    * the base and resolve: latest `D` drops the key, latest `I`/`U`
+    * wins over the base row, untouched base rows pass through. A
+    * delete for an absent key is a no-op (idempotent replay
+    * semantics).
+    *
+    * Scale shape: ONE keyed window over the (small) change log + ONE
+    * co-partitioned full-outer join on the key — the base never
+    * shuffles more than the join demands, and the output is exactly
+    * the next snapshot (pipe it back in tomorrow).
+    *
+    * `changes` must carry `opCol` ∈ {I, U, D}, `tsCol`, the key, and
+    * the base's value columns (ignored for D).
+    */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame, keyCol: String, tsCol: String,
+      opCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "applyChanges: at least one value column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc +: col(opCol).desc +:
+        valueCols.map(col(_).desc): _*)
+    val latest = changes
+      .select(col(keyCol) +: col(tsCol) +: col(opCol) +:
+        valueCols.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", tsCol)
+    val ch = valueCols.foldLeft(latest)((d, c) =>
+      d.withColumnRenamed(c, s"__c_$c"))
+      .withColumnRenamed(opCol, "__op")
+    base.join(ch, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(keyCol) +: valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
   /** Slowly-changing-dimension TYPE 2 build from an append-only change
     * log: collapse each key's attribute timeline into closed validity
     * intervals — `(key, attrs..., valid_from, valid_to, is_current)`

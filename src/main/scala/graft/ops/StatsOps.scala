@@ -156,6 +156,44 @@ object StatsOps {
           (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))).as("z"))
   }
 
+  /** GROUP-WISE ORDINARY LEAST SQUARES `y = intercept + slope·x` —
+    * per-key trend fitting (price-vs-quantity sensitivity per
+    * segment, metric drift per cohort) in ONE keyed aggregation of
+    * the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) plus Σy²
+    * for r². Every term is round(·,9)-then-DECIMAL (the covariance
+    * q132 parity pattern: exact, order-free sums), and the closed
+    * forms are pinned double expressions, so the output replays
+    * bit-level. Groups with zero x-variance emit NULL slope/intercept
+    * /r² (vertical fit undefined); rows with NULL x or y are
+    * excluded.
+    */
+  def groupwiseRegression(
+      df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    def t(c: Column) = round(c, 9).cast("decimal(38,9)")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(t(x)).as("sx"), sum(t(y)).as("sy"),
+        sum(t(x * y)).as("sxy"), sum(t(x * x)).as("sxx"),
+        sum(t(y * y)).as("syy"))
+    val n = d(col("n"))
+    val (sx, sy, sxy, sxx, syy) =
+      (d(col("sx")), d(col("sy")), d(col("sxy")), d(col("sxx")),
+        d(col("syy")))
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    val slope = when(denX > 0, cov / denX)
+    agg.select(col(keyCol), col("n"),
+      slope.as("slope"),
+      when(denX > 0, (sy - (cov / denX) * sx) / n).as("intercept"),
+      when(denX > 0 && denY > 0, (cov * cov) / (denX * denY)).as("r2"))
+  }
+
   /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
     * `valueCol` within each `keyCol` group — the scale-free feature
     * transform (per-language quality scores become comparable across

@@ -4713,6 +4713,96 @@ object ExtensionQueries {
       |SELECT item_a AS item, item_b AS neighbor, n_ab, score, rk AS rank
       |FROM rk WHERE rk <= 3""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  /** CDC MERGE-APPLY ([[graft.ops.DiffOps.applyChanges]]): a
+    * deterministic upsert/delete log derived from orders folds into
+    * the customer snapshot — latest change per key wins (full
+    * tiebreak chain), `D` drops, upserts of absent keys insert,
+    * untouched rows pass through. One keyed window over the log + one
+    * co-partitioned full-outer join; the output IS the next snapshot.
+    */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 5 === 0)
+      .select(
+        (col("o_custkey") + when(col("o_orderkey") % 7 === 0, 20000L)
+          .otherwise(0L)).as("c_custkey"),
+        col("o_orderdate").as("ts"),
+        when(col("o_orderkey") % 10 < 2, "D").otherwise("U").as("op"),
+        concat(lit("upd#"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+    DiffOps.applyChanges(
+      Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal"),
+      changes, "c_custkey", "ts", "op", Seq("c_name", "c_acctbal"))
+  }
+
+  val q161Sql: String =
+    """WITH ch0 AS (
+      | SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 20000
+      |   ELSE o_custkey END AS k,
+      |  o_orderdate AS ts,
+      |  CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+      |  'upd#' || o_orderkey AS name, o_totalprice AS bal
+      | FROM orders WHERE o_custkey % 5 = 0),
+      |latest AS (
+      | SELECT k, op, name, bal FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY k
+      |    ORDER BY ts DESC, op DESC, name DESC, bal DESC) AS rn
+      |  FROM ch0) WHERE rn = 1)
+      |SELECT coalesce(b.c_custkey, l.k) AS c_custkey,
+      | CASE WHEN l.op IS NOT NULL THEN l.name ELSE b.c_name END AS c_name,
+      | CASE WHEN l.op IS NOT NULL THEN l.bal ELSE b.c_acctbal END
+      |  AS c_acctbal
+      |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
+  // --------------------------------------------------------------- q162
+  /** Group-wise OLS ([[graft.ops.StatsOps.groupwiseRegression]]):
+    * price-vs-quantity slope, intercept, and r² per return flag from
+    * one keyed aggregation of round-then-DECIMAL sufficient
+    * statistics (the q132 covariance parity pattern) and pinned
+    * closed-form double expressions.
+    */
+  def q162(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.groupwiseRegression(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_quantity",
+      "l_extendedprice")
+
+  val q162Sql: String =
+    """WITH a AS (
+      | SELECT l_returnflag AS k, CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(round(CAST(l_quantity AS DOUBLE), 9)
+      |    AS DECIMAL(38, 9))) AS sx,
+      |  sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 9)
+      |    AS DECIMAL(38, 9))) AS sy,
+      |  sum(CAST(round(CAST(l_quantity AS DOUBLE) *
+      |    CAST(l_extendedprice AS DOUBLE), 9) AS DECIMAL(38, 9))) AS sxy,
+      |  sum(CAST(round(CAST(l_quantity AS DOUBLE) *
+      |    CAST(l_quantity AS DOUBLE), 9) AS DECIMAL(38, 9))) AS sxx,
+      |  sum(CAST(round(CAST(l_extendedprice AS DOUBLE) *
+      |    CAST(l_extendedprice AS DOUBLE), 9) AS DECIMAL(38, 9))) AS syy
+      | FROM lineitem
+      | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      | GROUP BY 1),
+      |d AS (
+      | SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |  CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+      |  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      | FROM a),
+      |e AS (
+      | SELECT k, n, nd, sxd, syd,
+      |  nd * sxyd - sxd * syd AS cov,
+      |  nd * sxxd - sxd * sxd AS denx,
+      |  nd * syyd - syd * syd AS deny
+      | FROM d)
+      |SELECT k AS l_returnflag, n,
+      | CASE WHEN denx > 0 THEN cov / denx END AS slope,
+      | CASE WHEN denx > 0 THEN (syd - (cov / denx) * sxd) / nd END
+      |  AS intercept,
+      | CASE WHEN denx > 0 AND deny > 0 THEN (cov * cov) / (denx * deny)
+      |  END AS r2
+      |FROM e""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4842,5 +4932,7 @@ object ExtensionQueries {
     "q157_rfm" -> ((q157 _, q157Sql)),
     "q158_weighted_median" -> ((q158 _, q158Sql)),
     "q159_ab_ztest" -> ((q159 _, q159Sql)),
-    "q160_item_neighbors" -> ((q160 _, q160Sql)))
+    "q160_item_neighbors" -> ((q160 _, q160Sql)),
+    "q161_cdc_apply" -> ((q161 _, q161Sql)),
+    "q162_groupwise_ols" -> ((q162 _, q162Sql)))
 }

@@ -130,4 +130,21 @@ class StatsOpsSpec extends AnyFunSuite {
       StatsOps.twoProportionZ(bad, "variant", "conv").collect()
     }
   }
+
+  test("groupwiseRegression: exact line recovered; degenerate x -> nulls") {
+    // group g: y = 3 + 2x exactly -> slope 2, intercept 3, r2 = 1
+    val pts = (1 to 20).map(i => ("g", i.toDouble, 3.0 + 2.0 * i)) ++
+      Seq(("z", 5.0, 1.0), ("z", 5.0, 9.0)) // zero x-variance
+    val got = StatsOps.groupwiseRegression(
+        pts.toDF("k", "x", "y"), "k", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val g = got.head
+    assert(g._2 == 20L)
+    assert(math.abs(g._3.get - 2.0) < 1e-9 &&
+      math.abs(g._4.get - 3.0) < 1e-8 && math.abs(g._5.get - 1.0) < 1e-12)
+    val z = got.last
+    assert(z._3.isEmpty && z._4.isEmpty && z._5.isEmpty,
+      "vertical fit is undefined, not a crash or a garbage number")
+  }
 }
