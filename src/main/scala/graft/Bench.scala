@@ -463,6 +463,30 @@ object Bench {
     "b_resample" -> ((s, dir) =>
       graft.ops.TrendOps.resampleInterpolate(
         Tables.events(s, dir), "user_id", "ts", "value", stepSec = 21600L)),
+    // exact weighted median: RANGE-frame cumulative DECIMAL sums
+    "b_weighted_median" -> ((s, dir) =>
+      graft.ops.StatsOps.weightedQuantile(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        "l_quantity", q = 0.5)),
+    // CDC merge-apply: one keyed log window + one full-outer key join
+    "b_cdc_apply" -> ((s, dir) => {
+      val changes = Tables.orders(s, dir)
+        .filter(col("o_custkey") % 5 === 0)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate").as("ts"),
+          when(col("o_orderkey") % 10 < 2, "D").otherwise("U").as("op"),
+          concat(lit("upd#"), col("o_orderkey")).as("c_name"),
+          col("o_totalprice").as("c_acctbal"))
+      graft.ops.DiffOps.applyChanges(
+        Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal"),
+        changes, "c_custkey", "ts", "op", Seq("c_name", "c_acctbal"))
+    }),
+    // item-to-item top-k: q98 pair machinery + one item-keyed window
+    "b_item_neighbors" -> ((s, dir) =>
+      graft.ops.BasketOps.itemNeighbors(
+        Tables.events(s, dir).withColumn("day",
+          floor(unix_micros(col("ts")) / lit(86400000000L))),
+        Seq("user_id", "day"), "event_type", k = 3)),
     // ordered conversion funnel: k tiny user-keyed passes over events
     // pruned to each step's type; intermediates are (user, ts) pairs
     "b_funnel" -> ((s, dir) =>

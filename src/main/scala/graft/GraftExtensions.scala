@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, MinHashBandHashes, MinShingleMd5, MlmMaskMd5, MlmMaskXxh, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, SpanCorruptMd5, TopNgramFrac}
+import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, JaroWinkler, MinHashBandHashes, MinShingleMd5, MlmMaskMd5, MlmMaskXxh, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, SpanCorruptMd5, TopNgramFrac}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(exprs(3), "span_corrupt_md5", "meanSpan"),
         litInt(exprs(4), "span_corrupt_md5", "sentinelBase"),
         litLong(exprs(5), "span_corrupt_md5", "seed"))))
+    ext.injectFunction(fn("jaro_winkler",
+      "jaro_winkler(string, string) - Jaro-Winkler similarity (DuckDB-parity semantics)",
+      exprs => JaroWinkler(exprs(0), exprs(1))))
   }
 
   /** Extract a literal double argument (SQL decimal literals arrive as

@@ -94,4 +94,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("numeric literal"))
   }
+
+  test("jaro_winkler resolves from SQL with the golden Winkler value") {
+    val r = spark.sql(
+      "SELECT jaro_winkler('DWAYNE', 'DUANE') AS jw").as[Double].head()
+    assert(r == 0.8400000000000001)
+  }
 }
