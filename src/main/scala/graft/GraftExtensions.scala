@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, JaroWinkler, MinHashBandHashes, MinShingleMd5, MlmMaskMd5, MlmMaskXxh, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, SpanCorruptMd5, TopNgramFrac}
+import graft.functions.{CosineSimilarity, FirstEqualIndex, HyperplaneBandSigs, JaroWinkler, NfcNormalize, StripAccents, MinHashBandHashes, MinShingleMd5, MlmMaskMd5, MlmMaskXxh, ShingleHashes64, SimHash64, SortedIntersectCount, SortedLongContains, SpanCorruptMd5, TopNgramFrac}
 
 /** SparkSessionExtensions injector: makes the engine's native
   * expressions first-class SQL functions in any session created with
@@ -89,6 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("jaro_winkler",
       "jaro_winkler(string, string) - Jaro-Winkler similarity (DuckDB-parity semantics)",
       exprs => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction(fn("nfc_normalize",
+      "nfc_normalize(string) - UAX #15 NFC composition (DuckDB-parity)",
+      exprs => NfcNormalize(exprs(0))))
+    ext.injectFunction(fn("strip_accents",
+      "strip_accents(string) - NFD, drop combining marks, NFC recompose (DuckDB-parity)",
+      exprs => StripAccents(exprs(0))))
   }
 
   /** Extract a literal double argument (SQL decimal literals arrive as

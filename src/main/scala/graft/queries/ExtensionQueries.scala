@@ -4803,6 +4803,43 @@ object ExtensionQueries {
       |  END AS r2
       |FROM e""".stripMargin
 
+  // --------------------------------------------------------------- q163
+  /** Unicode canonicalization ([[graft.functions.NfcNormalize]] /
+    * [[graft.functions.StripAccents]]): NFC composition and
+    * accent-strip (NFD → drop Mn → NFC recompose) over a pinned
+    * unicode literal set — composed/decomposed é forms, fullwidth
+    * katakana (NOT folded: no NFKC), Hangul (recomposition visible),
+    * stacked marks. Semantics probed equal to DuckDB's
+    * `nfc_normalize`/`strip_accents`, so the oracle calls those
+    * directly on the same literals. The fixture corpus is ASCII, so
+    * literals are the honest way to exercise the unicode paths
+    * cross-engine.
+    */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("caf\u00e9", "cafe\u0301", "\u00c5ngstr\u00f6m",
+        "na\u00efve \u00e9t\u00e9",
+        "\uff76\uff80\uff76\uff85 \uff21\uff22\uff23",
+        "\ud55c\uad6d\uc5b4",
+        "\u1e09\u1ec7 \u03a3\u03af\u03c3",
+        "plain ascii")
+      .toDF("s")
+      .select(col("s"),
+        graft.functions.UnicodeNorm.nfcNormalize(col("s")).as("nfc"),
+        graft.functions.UnicodeNorm.stripAccentsCol(col("s")).as("stripped"))
+  }
+
+  val q163Sql: String =
+    """SELECT s, nfc_normalize(s) AS nfc, strip_accents(s) AS stripped
+      |FROM (VALUES ('caf' || chr(233)), ('cafe' || chr(769)),
+      | (chr(197) || 'ngstr' || chr(246) || 'm'),
+      | ('na' || chr(239) || 've ' || chr(233) || 't' || chr(233)),
+      | (chr(65398) || chr(65408) || chr(65398) || chr(65413) || ' ' ||
+      |  chr(65313) || chr(65314) || chr(65315)),
+      | (chr(54620) || chr(44397) || chr(50612)),
+      | (chr(7689) || chr(7879) || ' ' || chr(931) || chr(943) || chr(963)),
+      | ('plain ascii')) t(s)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4934,5 +4971,6 @@ object ExtensionQueries {
     "q159_ab_ztest" -> ((q159 _, q159Sql)),
     "q160_item_neighbors" -> ((q160 _, q160Sql)),
     "q161_cdc_apply" -> ((q161 _, q161Sql)),
-    "q162_groupwise_ols" -> ((q162 _, q162Sql)))
+    "q162_groupwise_ols" -> ((q162 _, q162Sql)),
+    "q163_unicode_norm" -> ((q163 _, q163Sql)))
 }

@@ -100,4 +100,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT jaro_winkler('DWAYNE', 'DUANE') AS jw").as[Double].head()
     assert(r == 0.8400000000000001)
   }
+
+  test("nfc_normalize and strip_accents resolve from SQL") {
+    val r = spark.sql(
+      "SELECT strip_accents('caf\u00e9') AS a, nfc_normalize('cafe\u0301') AS b")
+      .as[(String, String)].head()
+    assert(r == (("cafe", "caf\u00e9")))
+  }
 }
