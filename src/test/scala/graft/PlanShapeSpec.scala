@@ -129,7 +129,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // q157: per-key RFM metric frame × broadcast(1-row corpus max
     // date) for recency — the q08 scalar pattern (scores come from
     // range-partitioned row indexes, swept non-degenerate below)
-    "q157_rfm")
+    "q157_rfm",
+    // q159: 2-row variant frame × broadcast(1-row min-variant label)
+    // — the q08 scalar pattern
+    "q159_ab_ztest",
+    // q160: rides q98's pair frame × broadcast(1-row basket total)
+    "q160_item_neighbors")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -249,8 +254,9 @@ class PlanShapeSpec extends AnyFunSuite {
         // b_bpe_train's reason); the encode plan is a broadcast join
         "b_unigram_lm",
         // b_heavy_hitters carries q156's 1-row corpus-N broadcast for
-        // the minFrac threshold (the q08 scalar pattern)
-        "b_heavy_hitters")
+        // the minFrac threshold (the q08 scalar pattern);
+        // b_item_neighbors rides q98's 1-row basket-total broadcast
+        "b_heavy_hitters", "b_item_neighbors")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
