@@ -194,6 +194,91 @@ object StatsOps {
       when(denX > 0 && denY > 0, (cov * cov) / (denX * denY)).as("r2"))
   }
 
+  /** BENFORD first-digit audit — the fraud/data-quality screen for
+    * naturally-scaled positive amounts: observed first-significant-
+    * digit shares vs Benford's `log10(1 + 1/d)`, with each digit's
+    * deviation and the Mean Absolute Deviation total on every row
+    * (Nigrini's conformity gauge; MAD > 0.015 conventionally flags).
+    * The first digit comes from STRING formatting of the absolute
+    * value (leading zeros and the decimal point skipped) — exact, no
+    * log-of-value rounding hazards; `log10` only touches the nine
+    * CONSTANT expectations. One digit-keyed count + a 1-row total
+    * broadcast; output is ≤ 9 rows. Non-positive/NULL values are
+    * excluded (Benford is defined on positive magnitudes).
+    */
+  def benfordDeviation(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(regexp_replace(
+      abs(col(valueCol)).cast("string"), "[0.]*", ""), 1, 1)
+    val o = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(digit.cast("int").as("d"))
+      .filter(col("d") >= 1 && col("d") <= 9)
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val t = o.agg(sum(col("n")).as("__tot"))
+    val share = col("n").cast("double") / col("__tot").cast("double")
+    val expected = log(10.0, lit(1.0) + lit(1.0) / col("d").cast("double"))
+    val dev = o.crossJoin(broadcast(t))
+      .select(col("d"), col("n"), share.as("observed"),
+        expected.as("expected"),
+        (share - expected).as("deviation"))
+    val mad = dev
+      .select(round(abs(col("deviation")), 9).cast("decimal(38,9)").as("__a"))
+      .agg((sum(col("__a")).cast("double") / lit(9.0)).as("mad"))
+    dev.crossJoin(broadcast(mad))
+  }
+
+  /** WELCH'S TWO-SAMPLE T-TEST (unequal variances) — the A/B readout
+    * for CONTINUOUS metrics (revenue per user, latency), the mean-
+    * difference companion to [[twoProportionZ]]: per variant the
+    * sufficient statistics (n, Σx, Σx²) accumulate round-then-DECIMAL
+    * (exact, order-free), sample variance `s² = (Σx² − (Σx)²/n)/(n−1)`
+    * and `t = (m1 − m2) / √(s1²/n1 + s2²/n2)` are pinned double
+    * expressions, plus the Welch–Satterthwaite df. `variantCol` must
+    * take exactly two values (lexicographically first = variant 1,
+    * assert_true-guarded like [[twoProportionZ]]).
+    */
+  def welchTTest(
+      df: DataFrame, variantCol: String, valueCol: String): DataFrame = {
+    val d = (x: Column) => x.cast("double")
+    def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
+    val x = col(valueCol).cast("double")
+    val agg = df.filter(x.isNotNull)
+      .groupBy(col(variantCol).as("v"))
+      .agg(count(lit(1)).as("n"), sum(t9(x)).as("sx"),
+        sum(t9(x * x)).as("sxx"))
+    val lohi = agg
+      .crossJoin(broadcast(agg.agg(min(col("v")).as("__v1"))))
+      .groupBy("__v1")
+      .agg(
+        max(when(col("v") === col("__v1"), col("n"))).as("n1"),
+        max(when(col("v") === col("__v1"), col("sx"))).as("sx1"),
+        max(when(col("v") === col("__v1"), col("sxx"))).as("sxx1"),
+        max(when(col("v") =!= col("__v1"), col("v"))).as("__v2"),
+        max(when(col("v") =!= col("__v1"), col("n"))).as("n2"),
+        max(when(col("v") =!= col("__v1"), col("sx"))).as("sx2"),
+        max(when(col("v") =!= col("__v1"), col("sxx"))).as("sxx2"),
+        count(lit(1)).as("__k"))
+    def mean(sx: Column, n: Column) = d(sx) / d(n)
+    def svar(sxx: Column, sx: Column, n: Column) =
+      (d(sxx) - d(sx) * d(sx) / d(n)) / (d(n) - lit(1.0))
+    val m1 = mean(col("sx1"), col("n1"))
+    val m2 = mean(col("sx2"), col("n2"))
+    val v1 = svar(col("sxx1"), col("sx1"), col("n1"))
+    val v2 = svar(col("sxx2"), col("sx2"), col("n2"))
+    val se1 = v1 / d(col("n1"))
+    val se2 = v2 / d(col("n2"))
+    lohi
+      .withColumn("__guard", assert_true(col("__k") === 2,
+        lit("welchTTest: variantCol must take exactly 2 values")))
+      .filter(col("__guard").isNull)
+      .select(col("__v1").as("variant1"), col("__v2").as("variant2"),
+        col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+        v1.as("var1"), v2.as("var2"),
+        ((m1 - m2) / sqrt(se1 + se2)).as("t"),
+        ((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (d(col("n1")) - lit(1.0)) +
+            se2 * se2 / (d(col("n2")) - lit(1.0)))).as("df"))
+  }
+
   /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
     * `valueCol` within each `keyCol` group — the scale-free feature
     * transform (per-language quality scores become comparable across

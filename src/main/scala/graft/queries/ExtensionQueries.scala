@@ -4840,6 +4840,102 @@ object ExtensionQueries {
       | (chr(7689) || chr(7879) || ' ' || chr(931) || chr(943) || chr(963)),
       | ('plain ascii')) t(s)""".stripMargin
 
+  // --------------------------------------------------------------- q164
+  /** Benford first-digit audit
+    * ([[graft.ops.StatsOps.benfordDeviation]]) over order totals:
+    * per-digit observed vs `log10(1+1/d)` shares, deviations, and the
+    * Nigrini MAD on every row. Digit extraction is string-exact
+    * (shortest-roundtrip formatting agrees cross-engine on leading
+    * digits); the oracle composes the expectation as ln/ln exactly
+    * like Spark's two-argument log.
+    */
+  def q164(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.benfordDeviation(Tables.orders(spark, dir), "o_totalprice")
+
+  val q164Sql: String =
+    """WITH o AS (
+      | SELECT CAST(substr(regexp_replace(
+      |    CAST(abs(o_totalprice) AS VARCHAR), '[0.]*', '', 'g'), 1, 1)
+      |   AS INT) AS d
+      | FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      |c AS (
+      | SELECT d, CAST(count(*) AS BIGINT) AS n FROM o
+      | WHERE d BETWEEN 1 AND 9 GROUP BY 1),
+      |t AS (SELECT sum(n) AS tot FROM c),
+      |dev AS (
+      | SELECT d, n,
+      |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS observed,
+      |  ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) AS expected,
+      |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) -
+      |   ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) AS deviation
+      | FROM c CROSS JOIN t),
+      |m AS (
+      | SELECT CAST(sum(CAST(round(abs(deviation), 9) AS DECIMAL(38, 9)))
+      |   AS DOUBLE) / 9.0 AS mad
+      | FROM dev)
+      |SELECT d, n, observed, expected, deviation, mad
+      |FROM dev CROSS JOIN m""".stripMargin
+
+  // --------------------------------------------------------------- q165
+  /** Welch's t-test ([[graft.ops.StatsOps.welchTTest]]): mean order
+    * value between even/odd customer-key variants — the
+    * continuous-metric A/B readout beside q159's proportions, from
+    * round-then-DECIMAL sufficient statistics and pinned double
+    * closed forms (incl. the Welch–Satterthwaite df).
+    */
+  def q165(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.welchTTest(
+      Tables.orders(spark, dir)
+        .select(when(col("o_custkey") % 2 === 0, "A").otherwise("B")
+          .as("variant"),
+          // metric in 100k-price units: keeps the DECIMAL sufficient
+          // statistics near unit scale so the decimal->double cast is
+          // ulp-safe cross-engine (t and df are scale-invariant)
+          (col("o_totalprice") / lit(100000.0)).as("x")),
+      "variant", "x")
+
+  val q165Sql: String =
+    """WITH agg AS (
+      | SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(round(CAST(o_totalprice AS DOUBLE) / 100000.0, 9)
+      |    AS DECIMAL(38, 9))) AS sx,
+      |  sum(CAST(round((CAST(o_totalprice AS DOUBLE) / 100000.0) *
+      |    (CAST(o_totalprice AS DOUBLE) / 100000.0), 9)
+      |    AS DECIMAL(38, 9))) AS sxx
+      | FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |p AS (SELECT min(v) AS v1 FROM agg),
+      |w AS (
+      | SELECT p.v1,
+      |  max(CASE WHEN v = v1 THEN n END) AS n1,
+      |  max(CASE WHEN v = v1 THEN sx END) AS sx1,
+      |  max(CASE WHEN v = v1 THEN sxx END) AS sxx1,
+      |  max(CASE WHEN v <> v1 THEN v END) AS v2,
+      |  max(CASE WHEN v <> v1 THEN n END) AS n2,
+      |  max(CASE WHEN v <> v1 THEN sx END) AS sx2,
+      |  max(CASE WHEN v <> v1 THEN sxx END) AS sxx2
+      | FROM agg CROSS JOIN p GROUP BY p.v1),
+      |e AS (
+      | SELECT v1, v2, n1, n2,
+      |  CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |  CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |  (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |    / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS va1,
+      |  (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS va2
+      | FROM w),
+      |f AS (
+      | SELECT v1, v2, n1, n2, m1, m2, va1, va2,
+      |  va1 / CAST(n1 AS DOUBLE) AS se1, va2 / CAST(n2 AS DOUBLE) AS se2
+      | FROM e)
+      |SELECT v1 AS variant1, v2 AS variant2, n1, n2,
+      | m1 AS mean1, m2 AS mean2, va1 AS var1, va2 AS var2,
+      | (m1 - m2) / sqrt(se1 + se2) AS t,
+      | (se1 + se2) * (se1 + se2) /
+      |  (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
+      |   se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
+      |FROM f""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -4972,5 +5068,7 @@ object ExtensionQueries {
     "q160_item_neighbors" -> ((q160 _, q160Sql)),
     "q161_cdc_apply" -> ((q161 _, q161Sql)),
     "q162_groupwise_ols" -> ((q162 _, q162Sql)),
-    "q163_unicode_norm" -> ((q163 _, q163Sql)))
+    "q163_unicode_norm" -> ((q163 _, q163Sql)),
+    "q164_benford" -> ((q164 _, q164Sql)),
+    "q165_welch_ttest" -> ((q165 _, q165Sql)))
 }

@@ -147,4 +147,41 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(z._3.isEmpty && z._4.isEmpty && z._5.isEmpty,
       "vertical fit is undefined, not a crash or a garbage number")
   }
+
+  test("benfordDeviation: Benford-conforming sample, digit extraction edges") {
+    // synthetic Benford-ish magnitudes: 10^(u) for uniform-ish u gives
+    // a first-digit law close to log10(1+1/d)
+    val xs = (0 until 3000).map(i => math.pow(10.0, (i % 1000) / 1000.0 * 3))
+    val got = StatsOps.benfordDeviation(xs.map(Tuple1(_)).toDF("v"), "v")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    assert(got.length == 9 && got.map(_._1).sorted.sameElements(1 to 9))
+    val mad = got.head._6
+    assert(mad < 0.01, s"near-Benford sample should conform, MAD $mad")
+    assert(got.forall(r => math.abs(r._3 + (r._4 - r._3) - r._4) < 1e-15))
+    // extraction edges: leading zeros, sub-1 magnitudes, negatives out
+    val edge = Seq(0.00042, 1000.0, 7.0, -5.0, 0.0)
+      .map(Tuple1(_)).toDF("v")
+    val digits = StatsOps.benfordDeviation(edge, "v")
+      .select("d", "n").as[(Int, Long)].collect().toMap
+    assert(digits == Map(4 -> 1L, 1 -> 1L, 7 -> 1L),
+      s"0.00042->4, 1000->1, 7->7; negatives/zero excluded: $digits")
+  }
+
+  test("welchTTest: hand case with unequal variances; guard on 3 variants") {
+    // A: 1,2,3 (mean 2, var 1); B: 10,14 (mean 12, var 8)
+    // se = 1/3 + 4; t = -10/sqrt(13/3)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 10.0), ("B", 14.0))
+      .toDF("v", "x")
+    val r = StatsOps.welchTTest(df, "v", "x")
+      .as[(String, String, Long, Long, Double, Double, Double, Double,
+        Double, Double)].collect().head
+    assert(r._1 == "A" && r._2 == "B" && r._3 == 3L && r._4 == 2L)
+    assert(math.abs(r._5 - 2.0) < 1e-12 && math.abs(r._6 - 12.0) < 1e-12)
+    assert(math.abs(r._7 - 1.0) < 1e-9 && math.abs(r._8 - 8.0) < 1e-9)
+    assert(math.abs(r._9 - (-10.0 / math.sqrt(1.0 / 3 + 4.0))) < 1e-9)
+    val badDf = df.union(Seq(("C", 1.0)).toDF("v", "x"))
+    intercept[Exception] {
+      StatsOps.welchTTest(badDf, "v", "x").collect()
+    }
+  }
 }
