@@ -134,7 +134,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // — the q08 scalar pattern
     "q159_ab_ztest",
     // q160: rides q98's pair frame × broadcast(1-row basket total)
-    "q160_item_neighbors")
+    "q160_item_neighbors",
+    // q164: ≤9-digit dev frame × broadcast(1-row total, then 1-row
+    // MAD) — the q08 scalar pattern twice
+    "q164_benford",
+    // q165: 2-row variant frame × broadcast(1-row min-variant label)
+    // — q159's pattern
+    "q165_welch_ttest")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

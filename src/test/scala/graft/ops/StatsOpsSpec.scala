@@ -157,7 +157,9 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got.length == 9 && got.map(_._1).sorted.sameElements(1 to 9))
     val mad = got.head._6
     assert(mad < 0.01, s"near-Benford sample should conform, MAD $mad")
-    assert(got.forall(r => math.abs(r._3 + (r._4 - r._3) - r._4) < 1e-15))
+    got.foreach { r =>
+      assert(math.abs(r._5 - (r._3 - r._4)) < 1e-15,
+        "deviation must equal observed - expected") }
     // extraction edges: leading zeros, sub-1 magnitudes, negatives out
     val edge = Seq(0.00042, 1000.0, 7.0, -5.0, 0.0)
       .map(Tuple1(_)).toDF("v")
