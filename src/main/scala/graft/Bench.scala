@@ -527,6 +527,22 @@ object Bench {
     "b_islands" -> ((s, dir) =>
       graft.ops.SessionOps.islands(Tables.events(s, dir),
         "user_id", "ts", "event_type")),
+    // Kaplan-Meier: per-user lifetime agg + two cohort-keyed windows
+    "b_kaplan_meier" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val mx = e.agg(max(col("ts")).as("__mx"))
+      val subj = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+        .crossJoin(broadcast(mx))
+        .select(
+          floor(unix_micros(col("f")) / lit(604800000000.0)).as("cohort"),
+          floor((unix_micros(col("l")) - unix_micros(col("f"))) /
+            lit(86400000000.0)).as("dur"),
+          when(unix_micros(col("l")) <
+            unix_micros(col("__mx")) - lit(86400000000L), 1).otherwise(0)
+            .as("ev"))
+      graft.ops.SessionOps.kaplanMeier(subj, "cohort", "dur", "ev")
+    }),
     // SCD2 dimension build: change-collapse lag + interval lead share
     // one keyed sort (single exchange for both windows)
     "b_scd2" -> ((s, dir) =>

@@ -175,6 +175,59 @@ object SessionOps {
     * (key, window) — identical to the tumbling plan times the hop
     * factor.
     */
+  /** KAPLAN–MEIER survival estimator per cohort — the churn/retention
+    * curve with CENSORING handled correctly (users still active at
+    * the observation edge aren't counted as churned, which a naive
+    * retention ratio gets wrong): at each observed duration `t`,
+    * `S(t) = Π_{t_i ≤ t, d_i > 0} (1 − d_i / n_i)` with `n_i` the
+    * at-risk count (subjects whose observed duration ≥ t_i).
+    *
+    * Input is one row per subject: `(cohort, duration, event)` with
+    * `event` 1 = the terminal event was OBSERVED, 0 = censored.
+    * Output: one row per (cohort, observed duration) with the risk
+    * set, event/censor counts, and the survival estimate.
+    *
+    * Scale shape: one (cohort, duration) keyed count, then two
+    * cohort-keyed windows over the (tiny) duration axis — the
+    * cumulative product runs as `exp(Σ round(ln factor, 9))` with the
+    * DECIMAL cumsum exact and order-free (ties impossible: the axis
+    * is grouped), and a zero factor (everyone at risk dies) pins
+    * S = 0 from that point via a running flag instead of feeding
+    * `ln(0)` into the sum.
+    */
+  def kaplanMeier(
+      df: DataFrame, cohortCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(cohortCol).as("cohort"),
+        col(durationCol).as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("n_obs"))
+    val wPrev = Window.partitionBy("cohort").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("cohort").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("cohort")
+    val withRisk = g
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(tot) -
+          coalesce(sum(col("n_obs")).over(wPrev), lit(0L)))
+    val factor = lit(1.0) -
+      col("d").cast("double") / col("n_risk").cast("double")
+    withRisk
+      .withColumn("__f", factor)
+      .withColumn("__zero",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("__lnsum",
+        sum(when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(col("__f")), 9).cast("decimal(38,9)"))).over(wCum))
+      .select(col("cohort"), col("t"), col("n_risk"), col("d").as("d_events"),
+        (col("n_obs") - col("d")).as("n_censored"),
+        when(col("__zero") === 1, 0.0)
+          .otherwise(exp(coalesce(col("__lnsum").cast("double"), lit(0.0))))
+          .as("survival"))
+  }
+
   def slidingCounts(
       df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
       windowSeconds: Long, slideSeconds: Long): DataFrame = {

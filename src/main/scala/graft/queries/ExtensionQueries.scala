@@ -4936,6 +4936,73 @@ object ExtensionQueries {
       |   se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q166
+  /** Kaplan–Meier survival ([[graft.ops.SessionOps.kaplanMeier]]):
+    * per first-seen-week cohort, the churn-corrected survival curve
+    * over user lifetimes (duration = first→last activity days; a user
+    * whose last event is within 1 day of the corpus edge is CENSORED,
+    * not churned — the distinction a naive retention ratio misses).
+    * The cumulative product replays as an exact DECIMAL ln-cumsum
+    * with a zero-factor flag; one keyed count + two cohort-keyed
+    * windows.
+    */
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val mx = e.agg(max(col("ts")).as("__mx"))
+    val subj = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+      .crossJoin(broadcast(mx))
+      .select(
+        floor(unix_micros(col("f")) / lit(604800000000.0)).as("cohort"),
+        floor((unix_micros(col("l")) - unix_micros(col("f"))) /
+          lit(86400000000.0)).as("dur"),
+        when(unix_micros(col("l")) <
+          unix_micros(col("__mx")) - lit(86400000000L), 1).otherwise(0)
+          .as("ev"))
+    SessionOps.kaplanMeier(subj, "cohort", "dur", "ev")
+  }
+
+  val q166Sql: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |subj AS (
+      | SELECT
+      |  CAST(floor(epoch_us(min(ts)) / 604800000000.0) AS BIGINT)
+      |   AS cohort,
+      |  CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts)))
+      |   / 86400000000.0) AS BIGINT) AS t,
+      |  CASE WHEN epoch_us(max(ts)) < epoch_us(max(m)) - 86400000000
+      |   THEN 1 ELSE 0 END AS ev
+      | FROM events CROSS JOIN mx GROUP BY user_id, m),
+      |g AS (
+      | SELECT cohort, t,
+      |  CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |  CAST(count(*) AS BIGINT) AS n_obs
+      | FROM subj GROUP BY 1, 2),
+      |r AS (
+      | SELECT *, CAST(sum(n_obs) OVER (PARTITION BY cohort) -
+      |  coalesce(sum(n_obs) OVER (PARTITION BY cohort ORDER BY t
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |  AS BIGINT) AS n_risk
+      | FROM g),
+      |f AS (
+      | SELECT *, 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |  AS fac FROM r),
+      |z AS (
+      | SELECT *,
+      |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+      |   (PARTITION BY cohort ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zs,
+      |  sum(CASE WHEN d > 0 AND d < n_risk
+      |    THEN CAST(round(ln(fac), 9) AS DECIMAL(38, 9)) END) OVER
+      |   (PARTITION BY cohort ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+      | FROM f)
+      |SELECT cohort, t, n_risk, d AS d_events,
+      | n_obs - d AS n_censored,
+      | CASE WHEN zs = 1 THEN 0.0
+      |  ELSE exp(coalesce(CAST(lnsum AS DOUBLE), 0.0)) END AS survival
+      |FROM z""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5070,5 +5137,6 @@ object ExtensionQueries {
     "q162_groupwise_ols" -> ((q162 _, q162Sql)),
     "q163_unicode_norm" -> ((q163 _, q163Sql)),
     "q164_benford" -> ((q164 _, q164Sql)),
-    "q165_welch_ttest" -> ((q165 _, q165Sql)))
+    "q165_welch_ttest" -> ((q165 _, q165Sql)),
+    "q166_kaplan_meier" -> ((q166 _, q166Sql)))
 }

@@ -140,7 +140,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q164_benford",
     // q165: 2-row variant frame × broadcast(1-row min-variant label)
     // — q159's pattern
-    "q165_welch_ttest")
+    "q165_welch_ttest",
+    // q166: per-user lifetime frame × broadcast(1-row corpus max ts)
+    // for the censoring edge — the q08 scalar pattern
+    "q166_kaplan_meier")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -262,7 +265,8 @@ class PlanShapeSpec extends AnyFunSuite {
         // b_heavy_hitters carries q156's 1-row corpus-N broadcast for
         // the minFrac threshold (the q08 scalar pattern);
         // b_item_neighbors rides q98's 1-row basket-total broadcast
-        "b_heavy_hitters", "b_item_neighbors")
+        // b_kaplan_meier carries q166's 1-row max-ts broadcast
+        "b_heavy_hitters", "b_item_neighbors", "b_kaplan_meier")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))

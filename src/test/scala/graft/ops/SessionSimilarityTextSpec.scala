@@ -43,6 +43,29 @@ class SessionOpsSpec extends AnyFunSuite {
     val got = s.select("click_id", "session_id").as[(String, Long)].collect().toMap
     assert(got("c1") == 1 && got("c2") == 1 && got("c3") == 2)
   }
+
+  test("kaplanMeier: textbook curve with censoring; zero-risk tail pins 0") {
+    // classic: durations (event=1): 1, 3, 3, 6; censored: 2, 5
+    // t=1: n=6, d=1 -> S=5/6
+    // t=2: censor only -> S unchanged, risk drops to 4
+    // t=3: n=4, d=2 -> S=5/6 * 1/2 = 5/12
+    // t=5: censor only; t=6: n=1, d=1 -> factor 0 -> S=0
+    val subj = Seq(
+      (0L, 1L, 1), (0L, 2L, 0), (0L, 3L, 1), (0L, 3L, 1),
+      (0L, 5L, 0), (0L, 6L, 1)
+    ).toDF("cohort", "dur", "ev")
+    val got = SessionOps.kaplanMeier(subj, "cohort", "dur", "ev")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    val byT = got.map(r => r._2 -> r).toMap
+    assert(byT(1L)._3 == 6L && math.abs(byT(1L)._6 - 5.0 / 6) < 1e-8)
+    assert(byT(2L)._4 == 0L && byT(2L)._5 == 1L &&
+      math.abs(byT(2L)._6 - 5.0 / 6) < 1e-8, "censor-only time keeps S")
+    assert(byT(3L)._3 == 4L && math.abs(byT(3L)._6 - 5.0 / 12) < 1e-8)
+    assert(byT(6L)._3 == 1L && byT(6L)._6 == 0.0, "exhausted risk set -> 0")
+    val re = SessionOps.kaplanMeier(subj.repartition(5), "cohort", "dur", "ev")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(re.toSeq == got.toSeq, "partitioning-independent")
+  }
 }
 
 class SimilarityOpsSpec extends AnyFunSuite {
