@@ -22,14 +22,26 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object KMinDistinct {
 
+  /** Buffer is kept DESCENDING (head = current k-th smallest = the
+    * rejection threshold) so a saturated buffer rejects the common
+    * case — a hash above the threshold — in O(1) at the head instead
+    * of walking all k entries; only genuinely small hashes pay the
+    * O(k) ordered insert. `finish` flips to ascending.
+    */
   private def insert(buf: List[Long], h: Long, k: Int): List[Long] = {
-    // ascending, distinct, capped at k
-    val (before, after) = buf.span(_ < h)
-    if (after.headOption.contains(h)) buf
-    else if (before.length >= k) buf
-    else {
-      val merged = before ::: (h :: after)
-      if (merged.length > k) merged.take(k) else merged
+    if (buf.nonEmpty && h >= buf.head) {
+      // at/above the max: drop instantly when full, else dedupe-insert
+      if (buf.length >= k) buf
+      else if (h == buf.head) buf
+      else h :: buf
+    } else {
+      // h < max (or empty buffer): ordered insert, descending
+      val (before, after) = buf.span(_ > h)
+      if (after.headOption.contains(h)) buf
+      else {
+        val merged = before ::: (h :: after)
+        if (merged.length > k) merged.tail else merged
+      }
     }
   }
 
@@ -41,7 +53,7 @@ object KMinDistinct {
         insert(b, a, k)
       override def merge(x: List[Long], y: List[Long]): List[Long] =
         y.foldLeft(x)((acc, h) => insert(acc, h, k))
-      override def finish(r: List[Long]): Seq[Long] = r
+      override def finish(r: List[Long]): Seq[Long] = r.reverse
       override def bufferEncoder: Encoder[List[Long]] =
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[List[Long]]()
