@@ -137,4 +137,52 @@ object FunnelOps {
       .select(col("cohort"), (col("bucket") - col("cohort")).as("period"),
         col("n_active"))
   }
+
+  /** Cohort LTV curve — [[cohortRetention]]'s revenue sibling: users
+    * cohorted by first-seen bucket, revenue (`valueCol` summed over
+    * `revenueType` events) attributed to the (cohort, age-in-buckets)
+    * cell, and the CUMULATIVE per-user lifetime value by age:
+    * `cum_ltv = running Σ revenue / cohort size` — the payback-curve
+    * table growth teams read ("week-3 LTV of the January cohort").
+    *
+    * Revenue sums are round(·, 6)-then-DECIMAL (exact, order-free);
+    * the running sum is one cohort-keyed window over the tiny
+    * (cohort × age) grid; cohort sizes ride a broadcast equi-join.
+    * Ages with zero revenue but activity still appear (revenue 0);
+    * buckets with NO events at all are absent (gap-fill via
+    * [[graft.ops.TrendOps.resampleInterpolate]] if a dense axis is
+    * needed).
+    */
+  def cohortLtv(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+      revenueType: String, typeCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / (bucketSeconds * 1000000L))
+    val firstSeen = events
+      .groupBy(userCol).agg(min(col(tsCol)).as("__first_ts"))
+      .select(col(userCol), bucketOf(col("__first_ts")).as("cohort"))
+    val sizes = firstSeen.groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"))
+    val grid = events
+      .select(col(userCol), bucketOf(col(tsCol)).as("bucket"),
+        when(col(typeCol) === revenueType,
+          round(col(valueCol).cast("double"), 6).cast("decimal(38,6)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(38,6)")).as("__v"))
+      .join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("age"))
+      .agg(sum(col("__v")).as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_users"),
+        col("__rev").cast("double").as("revenue"),
+        (col("__cum").cast("double") / col("n_users").cast("double"))
+          .as("cum_ltv_per_user"))
+  }
 }

@@ -5003,6 +5003,45 @@ object ExtensionQueries {
       |  ELSE exp(coalesce(CAST(lnsum AS DOUBLE), 0.0)) END AS survival
       |FROM z""".stripMargin
 
+  // --------------------------------------------------------------- q167
+  /** Cohort LTV curve ([[graft.ops.FunnelOps.cohortLtv]], weekly
+    * buckets): cumulative purchase value per user by cohort age — the
+    * payback table beside q87's retention grid. Revenue runs exact
+    * through DECIMAL; the running sum is one cohort-keyed window over
+    * the |cohorts|×|ages| grid.
+    */
+  def q167(spark: SparkSession, dir: String): DataFrame =
+    FunnelOps.cohortLtv(Tables.events(spark, dir), "user_id", "ts",
+      "value", revenueType = "purchase", typeCol = "event_type",
+      bucketSeconds = 604800L)
+
+  val q167Sql: String =
+    """WITH fs AS (
+      | SELECT user_id,
+      |  CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort
+      | FROM events GROUP BY 1),
+      |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      |       FROM fs GROUP BY 1),
+      |g AS (
+      | SELECT fs.cohort,
+      |  CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT) - fs.cohort
+      |   AS age,
+      |  sum(CASE WHEN e.event_type = 'purchase'
+      |   THEN CAST(round(CAST(e.value AS DOUBLE), 6) AS DECIMAL(38, 6))
+      |   ELSE CAST(0 AS DECIMAL(38, 6)) END) AS rev
+      | FROM events e JOIN fs USING (user_id)
+      | GROUP BY 1, 2),
+      |c AS (
+      | SELECT cohort, age, rev,
+      |  sum(rev) OVER (PARTITION BY cohort ORDER BY age
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM g)
+      |SELECT c.cohort, c.age, sz.n_users,
+      | CAST(rev AS DOUBLE) AS revenue,
+      | CAST(cum AS DOUBLE) / CAST(sz.n_users AS DOUBLE)
+      |  AS cum_ltv_per_user
+      |FROM c JOIN sz USING (cohort)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5138,5 +5177,6 @@ object ExtensionQueries {
     "q163_unicode_norm" -> ((q163 _, q163Sql)),
     "q164_benford" -> ((q164 _, q164Sql)),
     "q165_welch_ttest" -> ((q165 _, q165Sql)),
-    "q166_kaplan_meier" -> ((q166 _, q166Sql)))
+    "q166_kaplan_meier" -> ((q166 _, q166Sql)),
+    "q167_cohort_ltv" -> ((q167 _, q167Sql)))
 }

@@ -193,4 +193,35 @@ class FunnelOpsSpec extends AnyFunSuite {
     // retention never exceeds the cohort size at any period
     rows.foreach { case (c, _, n) => assert(n <= cohortSizes(c)) }
   }
+
+  test("cohortLtv: revenue per age cell, cumulative per-user LTV, zero ages") {
+    import java.sql.Timestamp
+    def ts(week: Int, off: Int = 0) =
+      new Timestamp((week * 604800L + off) * 1000L)
+    // cohort 0: users 1,2. week0: u1 buys 10; week1: u2 buys 20, u1
+    // views (activity, no revenue); week2: u1 buys 5.
+    // cohort 1: user 3, buys 8 in its week 0.
+    val ev = Seq(
+      (1L, ts(0), 1L, "purchase", 10.0, "{}"),
+      (2L, ts(0, 60), 2L, "view", 0.0, "{}"),
+      (3L, ts(1), 2L, "purchase", 20.0, "{}"),
+      (4L, ts(1, 60), 1L, "view", 0.0, "{}"),
+      (5L, ts(2), 1L, "purchase", 5.0, "{}"),
+      (6L, ts(1, 120), 3L, "purchase", 8.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = FunnelOps.cohortLtv(ev, "user_id", "ts", "value",
+        "purchase", "event_type", bucketSeconds = 604800L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((0L, 0L)) == ((2L, 10.0, 5.0)), "week-0 LTV = 10/2")
+    assert(got((0L, 1L)) == ((2L, 20.0, 15.0)), "cumulative 30/2")
+    assert(got((0L, 2L)) == ((2L, 5.0, 17.5)), "cumulative 35/2")
+    assert(got((1L, 0L)) == ((1L, 8.0, 8.0)))
+    assert(got.size == 4, "only active (cohort, age) cells appear")
+    val re = FunnelOps.cohortLtv(ev.repartition(5), "user_id", "ts",
+        "value", "purchase", "event_type", 604800L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(re == got)
+  }
 }
