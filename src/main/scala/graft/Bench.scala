@@ -527,6 +527,11 @@ object Bench {
     "b_islands" -> ((s, dir) =>
       graft.ops.SessionOps.islands(Tables.events(s, dir),
         "user_id", "ts", "event_type")),
+    // cohort LTV: (cohort, age) revenue grid + one cohort-keyed
+    // running-sum window, sizes on a broadcast
+    "b_cohort_ltv" -> ((s, dir) =>
+      graft.ops.FunnelOps.cohortLtv(Tables.events(s, dir), "user_id",
+        "ts", "value", "purchase", "event_type", 604800L)),
     // Kaplan-Meier: per-user lifetime agg + two cohort-keyed windows
     "b_kaplan_meier" -> ((s, dir) => {
       val e = Tables.events(s, dir)
