@@ -116,6 +116,45 @@ object ProfileOps {
           .as("segment"))
   }
 
+  /** TOP-N + OTHER contribution table — the BI staple ("which sources
+    * carry the corpus?"): categories ranked by their exact DECIMAL
+    * metric sum, the top `n` kept by name, everything else collapsed
+    * into a single `__other__` row, each with its share of the grand
+    * total and the running cumulative share in rank order. Rank ties
+    * break on the category (deterministic cut). One category-keyed
+    * sum (map-side combined) then constant-size math on the
+    * |categories| dim — the output is ≤ n+1 rows at any corpus size.
+    */
+  def topNWithOther(
+      df: DataFrame, catCol: String, valueCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sums = df.groupBy(col(catCol).cast("string").as("category"))
+      .agg(sum(round(col(valueCol).cast("double"), 6)
+        .cast("decimal(38,6)")).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").desc, col("category"))
+    // the rank window runs on the |categories| DIM, not the corpus —
+    // single-partition is the contract for a ≤ n+1-row report
+    val ranked = sums.withColumn("__rk", row_number().over(w))
+      .withColumn("category",
+        when(col("__rk") <= n, col("category")).otherwise("__other__"))
+      .groupBy("category")
+      .agg(sum(col("__v")).as("__v"), min(col("__rk")).as("__rk"))
+    val tot = ranked.agg(sum(col("__v")).as("__tot"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__v")).over(w2))
+      .select(col("category"), col("__rk").as("rank"),
+        col("__v").cast("double").as("total"),
+        (col("__v").cast("double") / col("__tot").cast("double"))
+          .as("share"),
+        (col("__cum").cast("double") / col("__tot").cast("double"))
+          .as("cum_share"))
+  }
+
   /** One-row summary of a table's k-anonymity posture: total
     * equivalence classes, violating classes, rows at risk, and the
     * minimum class size (the table's EFFECTIVE k — the largest k the

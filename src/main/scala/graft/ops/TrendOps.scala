@@ -132,6 +132,32 @@ object TrendOps {
         count(lit(1)).as("n_obs"))
   }
 
+  /** LAST-OBSERVATION-CARRIED-FORWARD null repair per key — the
+    * sensor/gauge gap-fill sibling of [[resampleInterpolate]] (which
+    * builds a new axis; this repairs nulls IN PLACE on the existing
+    * rows): each null in `valueCols` takes the latest non-null value
+    * at or before it in `(orderCol, tieBreakCol)` order. Leading
+    * nulls (nothing to carry) stay null — no back-fill by default,
+    * because inventing a past from the future is usually a leak.
+    *
+    * One keyed sort; ALL columns fill from the same window pass
+    * (CollapseWindow fuses the IGNORE NULLS `last` expressions), so
+    * the cost is one exchange regardless of how many columns repair.
+    */
+  def fillForward(
+      df: DataFrame, keyCol: String, orderCol: String,
+      valueCols: Seq[String], tieBreakCol: String = "event_id"): DataFrame = {
+    require(valueCols.nonEmpty, "fillForward: at least one value column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieBreakCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val filled = valueCols.map(c =>
+      last(col(c), ignoreNulls = true).over(w).as(c))
+    val keep = df.columns.filterNot(valueCols.contains).map(col)
+    df.select(keep ++ filled: _*)
+  }
+
   /** RESAMPLE to a regular grid with LINEAR INTERPOLATION per key —
     * the gap-fill primitive (irregular sensor/price observations →
     * one value every `stepSec`) that time-series stores ship as

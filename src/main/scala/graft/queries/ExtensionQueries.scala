@@ -5042,6 +5042,67 @@ object ExtensionQueries {
       |  AS cum_ltv_per_user
       |FROM c JOIN sz USING (cohort)""".stripMargin
 
+  // --------------------------------------------------------------- q168
+  /** Forward-fill null repair ([[graft.ops.TrendOps.fillForward]]):
+    * nulls planted deterministically in the event values (2-in-5 by
+    * id) are repaired with the latest prior non-null per user —
+    * leading nulls stay null (no back-fill: inventing a past from the
+    * future is a leak). One keyed sort; the oracle is the same
+    * IGNORE NULLS running window.
+    */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    val holey = Tables.events(spark, dir)
+      .withColumn("v", when(pmod(col("event_id"), lit(5)) < 2,
+        lit(null).cast("double")).otherwise(col("value")))
+    TrendOps.fillForward(holey, "user_id", "ts", Seq("v"))
+      .select("event_id", "user_id", "v")
+  }
+
+  val q168Sql: String =
+    """SELECT event_id, user_id,
+      | last_value(CASE WHEN event_id % 5 < 2 THEN NULL ELSE value END
+      |  IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------- q169
+  /** Top-N + OTHER contribution
+    * ([[graft.ops.ProfileOps.topNWithOther]], n = 5): document
+    * character volume by source, top five named, the tail collapsed
+    * to `__other__`, with shares and cumulative shares — the ≤ n+1
+    * row corpus-composition report. Sums are exact DECIMAL; the rank
+    * and cumulative windows run on the |categories| dim (documented
+    * report-dim window contract).
+    */
+  def q169(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.topNWithOther(
+      Tables.documents(spark, dir), "source", "n_chars", n = 5)
+
+  val q169Sql: String =
+    """WITH sums AS (
+      | SELECT CAST(source AS VARCHAR) AS category,
+      |  sum(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(38, 6)))
+      |   AS v
+      | FROM documents GROUP BY 1),
+      |rk AS (
+      | SELECT *, CAST(row_number() OVER (ORDER BY v DESC, category)
+      |   AS INT) AS rk
+      | FROM sums),
+      |coll AS (
+      | SELECT CASE WHEN rk <= 5 THEN category ELSE '__other__' END
+      |   AS category,
+      |  sum(v) AS v, min(rk) AS rk
+      | FROM rk GROUP BY 1),
+      |t AS (SELECT sum(v) AS tot FROM coll),
+      |c AS (
+      | SELECT *, sum(v) OVER (ORDER BY rk
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM coll)
+      |SELECT category, rk AS rank, CAST(v AS DOUBLE) AS total,
+      | CAST(v AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      | CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+      |FROM c CROSS JOIN t""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5178,5 +5239,7 @@ object ExtensionQueries {
     "q164_benford" -> ((q164 _, q164Sql)),
     "q165_welch_ttest" -> ((q165 _, q165Sql)),
     "q166_kaplan_meier" -> ((q166 _, q166Sql)),
-    "q167_cohort_ltv" -> ((q167 _, q167Sql)))
+    "q167_cohort_ltv" -> ((q167 _, q167Sql)),
+    "q168_fill_forward" -> ((q168 _, q168Sql)),
+    "q169_contribution" -> ((q169 _, q169Sql)))
 }

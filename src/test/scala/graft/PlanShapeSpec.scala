@@ -143,7 +143,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q165_welch_ttest",
     // q166: per-user lifetime frame × broadcast(1-row corpus max ts)
     // for the censoring edge — the q08 scalar pattern
-    "q166_kaplan_meier")
+    "q166_kaplan_meier",
+    // q169: ≤ n+1-row report × broadcast(1-row grand total) — the q08
+    // scalar pattern
+    "q169_contribution")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -179,7 +182,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // spec, which Spark itself flags via "No Partition Defined". We
     // assert on the executed plan's Window nodes: each must carry a
     // partition expression.
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    // q169's rank/cumulative windows run on the |categories| DIM (the
+    // report is ≤ n+1 rows by construction) — the documented
+    // report-dim window contract, the window analog of the
+    // nestedLoopByContract scalar broadcasts
+    val unpartWindowByContract = Set("q169_contribution")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => unpartWindowByContract.contains(name) }
+      .flatMap { case (name, fn) =>
       val windows = physical(fn(spark, sfDir)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w

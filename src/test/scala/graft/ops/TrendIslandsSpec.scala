@@ -221,4 +221,45 @@ class TrendIslandsSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
     assert(re.toSeq == got.toSeq, "partitioning-independent")
   }
+
+  test("fillForward: carry-forward per key, leading nulls stay, multi-col one pass") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      ("a", ts(1), Option.empty[Double], Option("x")),
+      ("a", ts(2), Some(5.0), Option.empty[String]),
+      ("a", ts(3), Option.empty[Double], Option("y")),
+      ("a", ts(4), Option.empty[Double], Option.empty[String]),
+      ("b", ts(1), Some(9.0), Option.empty[String])
+    ).toDF("k", "ts", "v", "s").withColumn("event_id", col("ts").cast("long"))
+    val got = TrendOps.fillForward(df, "k", "ts", Seq("v", "s"))
+      .select("k", "event_id", "v", "s")
+      .as[(String, Long, Option[Double], Option[String])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, None, Some("x")), // leading null NOT back-filled
+      ("a", 2L, Some(5.0), Some("x")),
+      ("a", 3L, Some(5.0), Some("y")),
+      ("a", 4L, Some(5.0), Some("y")),
+      ("b", 1L, Some(9.0), None)))
+    // single Window node: both columns fill from one pass
+    val plan = TrendOps.fillForward(df, "k", "ts", Seq("v", "s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Window ").length <= 3, "window expressions must fuse")
+  }
+
+  test("topNWithOther: collapse, shares sum to 1, deterministic tie cut") {
+    val rows = Seq(("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 6.0),
+      ("e", 4.0)).flatMap { case (c, v) => Seq((c, v / 2), (c, v / 2)) }
+    val got = ProfileOps.topNWithOther(rows.toDF("cat", "v"), "cat", "v", 2)
+      .as[(String, Int, Double, Double, Double)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq("a", "b", "__other__"))
+    assert(got.map(_._3).toSeq == Seq(50.0, 30.0, 20.0))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    assert(math.abs(got.last._5 - 1.0) < 1e-12, "cum share ends at 1")
+    // tie on the metric: category name breaks it deterministically
+    val tied = Seq(("x", 1.0), ("y", 1.0), ("z", 1.0)).toDF("cat", "v")
+    val t = ProfileOps.topNWithOther(tied, "cat", "v", 2)
+      .as[(String, Int, Double, Double, Double)].collect().sortBy(_._2)
+    assert(t.map(_._1).toSeq == Seq("x", "y", "__other__"))
+  }
 }
