@@ -113,6 +113,37 @@ object StatsOps {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** WINSORIZE: clamp `valueCol` into its per-group exact
+    * [pLo, pHi] quantile band — the outlier-capping cleaner run
+    * before averaging heavy-tailed metrics (a single fat-finger price
+    * stops owning the mean). Bounds come from [[weightedQuantile]]
+    * with unit weights (the exact lower-edge quantile, deterministic
+    * under ties and partitioning); the ≤|groups|-row bound dims ride
+    * broadcasts back onto the rows. Output: the input columns plus
+    * `p_lo`, `p_hi`, and `winsorized` (NULL value rows pass through
+    * with a NULL winsorized value).
+    */
+  def winsorize(
+      df: DataFrame, keyCol: String, valueCol: String, pLo: Double,
+      pHi: Double): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val one = df.select(col(keyCol), col(valueCol))
+      .withColumn("__one", lit(1.0))
+    val lo = weightedQuantile(one, keyCol, valueCol, "__one", pLo)
+      .select(col(keyCol), col("weighted_quantile").as("p_lo"))
+    val hi = weightedQuantile(one, keyCol, valueCol, "__one", pHi)
+      .select(col(keyCol), col("weighted_quantile").as("p_hi"))
+    df.join(broadcast(lo), Seq(keyCol)).join(broadcast(hi), Seq(keyCol))
+      // greatest/least IGNORE nulls (they return the extreme of the
+      // non-null args), so a null value must be guarded explicitly or
+      // it would silently clamp to p_lo
+      .withColumn("winsorized",
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("p_lo")),
+            col("p_hi"))))
+  }
+
   /** TWO-PROPORTION Z-TEST (pooled) — the A/B-test readout: given
     * per-variant trial and success counts, the difference in
     * conversion rates and the pooled z statistic

@@ -5103,6 +5103,69 @@ object ExtensionQueries {
       | CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
       |FROM c CROSS JOIN t""".stripMargin
 
+  // --------------------------------------------------------------- q170
+  /** Winsorized means ([[graft.ops.StatsOps.winsorize]], [p10, p90]):
+    * per return flag the raw vs outlier-capped average price with the
+    * clamp bounds and tail counts — the robust-mean cleaning step.
+    * Bounds are exact lower-edge quantiles (unit-weight
+    * [[graft.ops.StatsOps.weightedQuantile]]); averages are
+    * round-then-DECIMAL sums over one double division.
+    */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast("decimal(38,6)")).cast("double")
+    StatsOps.winsorize(
+        Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", pLo = 0.1, pHi = 0.9)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"),
+        (dsum(col("l_extendedprice").cast("double")) /
+          count(lit(1)).cast("double")).as("avg_raw"),
+        (dsum(col("winsorized")) / count(lit(1)).cast("double"))
+          .as("avg_winsorized"),
+        sum(when(col("l_extendedprice") < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("l_extendedprice") > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clamped_high"))
+  }
+
+  val q170Sql: String =
+    """WITH clean AS (
+      | SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+      |  CAST(1.0 AS DECIMAL(38, 6)) AS w
+      | FROM lineitem
+      | WHERE l_extendedprice IS NOT NULL),
+      |c AS (
+      | SELECT k, v,
+      |  CAST(sum(w) OVER (PARTITION BY k ORDER BY v
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS cum,
+      |  CAST(sum(w) OVER (PARTITION BY k) AS DOUBLE) AS tot
+      | FROM clean),
+      |lo AS (
+      | SELECT k, min(v) AS p_lo FROM c WHERE cum >= tot * 0.1 GROUP BY 1),
+      |hi AS (
+      | SELECT k, min(v) AS p_hi FROM c WHERE cum >= tot * 0.9 GROUP BY 1),
+      |j AS (
+      | SELECT li.l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+      |  lo.p_lo, hi.p_hi,
+      |  least(greatest(CAST(l_extendedprice AS DOUBLE), lo.p_lo), hi.p_hi)
+      |   AS wz
+      | FROM lineitem li JOIN lo ON li.l_returnflag = lo.k
+      |  JOIN hi ON li.l_returnflag = hi.k)
+      |SELECT k AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+      | CAST(sum(CAST(round(v, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS avg_raw,
+      | CAST(sum(CAST(round(wz, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS avg_winsorized,
+      | CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_clamped_low,
+      | CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_clamped_high
+      |FROM j GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5241,5 +5304,6 @@ object ExtensionQueries {
     "q166_kaplan_meier" -> ((q166 _, q166Sql)),
     "q167_cohort_ltv" -> ((q167 _, q167Sql)),
     "q168_fill_forward" -> ((q168 _, q168Sql)),
-    "q169_contribution" -> ((q169 _, q169Sql)))
+    "q169_contribution" -> ((q169 _, q169Sql)),
+    "q170_winsorize" -> ((q170 _, q170Sql)))
 }

@@ -186,4 +186,23 @@ class StatsOpsSpec extends AnyFunSuite {
       StatsOps.welchTTest(badDf, "v", "x").collect()
     }
   }
+
+  test("winsorize: clamps into the exact quantile band; nulls pass through") {
+    val df = ((1 to 100).map(i => ("g", i.toDouble)) :+
+      ("g", Double.NaN)).filter(!_._2.isNaN) // 1..100
+      .toDF("k", "v")
+    val got = StatsOps.winsorize(df, "k", "v", 0.1, 0.9)
+      .select("v", "p_lo", "p_hi", "winsorized")
+      .as[(Double, Double, Double, Double)].collect()
+    val (lo, hi) = (got.head._2, got.head._3)
+    assert(lo == 10.0 && hi == 90.0, s"exact lower-edge deciles: $lo, $hi")
+    got.foreach { case (v, _, _, w) =>
+      assert(w == math.min(math.max(v, 10.0), 90.0))
+    }
+    val n = Seq(("g", Option.empty[Double]), ("g", Some(5.0)))
+      .toDF("k", "v")
+    val nw = StatsOps.winsorize(n, "k", "v", 0.5, 0.9)
+      .select("winsorized").collect()
+    assert(nw.exists(_.isNullAt(0)), "null value stays null")
+  }
 }
