@@ -310,6 +310,106 @@ object StatsOps {
             se2 * se2 / (d(col("n2")) - lit(1.0)))).as("df"))
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) test — the NONPARAMETRIC A/B
+    * readout beside [[welchTTest]]: no normality assumption, robust to
+    * the heavy-tailed metrics (revenue, latency) where a mean test
+    * misleads. The rank algebra runs entirely on INTEGER tie-group
+    * counts: per distinct value the tie block of size `t` at inclusive
+    * cumulative count `C` has average rank `C − (t−1)/2`, so twice the
+    * variant-1 rank sum is `Σ nₐ·(2C − t + 1)` — exact in DECIMAL, no
+    * fractional ranks ever materialize. `U₁ = R₁ − n₁(n₁+1)/2`, the
+    * normal approximation uses the tie-corrected variance
+    * `n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))` (no continuity
+    * correction — pinned, engine-neutral), and the rank-biserial
+    * effect size `r = 1 − 2U₁/(n₁n₂)` rides along. All-tied input
+    * (zero variance) emits NULL z.
+    *
+    * Scale shape: one value-keyed count (map-side combined), then the
+    * cumulative count over the distinct-value frame via
+    * [[runningTotals]] (range-partitioned prefix sums — NO
+    * unpartitioned window even when the metric has millions of
+    * distinct values), one exact aggregate to a single row.
+    * `variantCol` must take exactly two values (lexicographically
+    * first = variant 1, assert_true-guarded like [[twoProportionZ]]).
+    */
+  def mannWhitneyU(
+      df: DataFrame, variantCol: String, valueCol: String): DataFrame = {
+    val d = (x: Column) => x.cast("double")
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .select(col(variantCol).as("__v"), x.as("__x"))
+    val lab = base.agg(min(col("__v")).as("__v1"), max(col("__v")).as("__v2"),
+      countDistinct(col("__v")).as("__k"))
+    val counts = base.crossJoin(broadcast(lab))
+      .groupBy("__x", "__v1", "__v2", "__k")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("__v") === col("__v1"), 1L).otherwise(0L)).as("na"))
+    val cum = runningTotals(
+      counts.select("__x", "t", "na", "__v1", "__v2", "__k"), "__x", Seq("t"))
+    def big(c: Column) = c.cast("decimal(38,0)")
+    val s = cum.groupBy("__v1", "__v2", "__k")
+      .agg(sum(col("na")).as("n1"), sum(col("t") - col("na")).as("n2"),
+        sum(big(col("na")) * big(lit(2) * col("t_cum") - col("t") + 1))
+          .as("r2x"),
+        sum(big(col("t")) * big(col("t")) * big(col("t")) - big(col("t")))
+          .as("ties"))
+    val (n1, n2) = (d(col("n1")), d(col("n2")))
+    val bigN = n1 + n2
+    val u1 = d(col("r2x")) / lit(2.0) - n1 * (n1 + lit(1.0)) / lit(2.0)
+    val mu = n1 * n2 / lit(2.0)
+    val s2 = n1 * n2 / lit(12.0) *
+      ((bigN + lit(1.0)) - d(col("ties")) / (bigN * (bigN - lit(1.0))))
+    s.withColumn("__guard", assert_true(col("__k") === 2,
+        lit("mannWhitneyU: variantCol must take exactly 2 values")))
+      .filter(col("__guard").isNull)
+      .select(col("__v1").as("variant1"), col("__v2").as("variant2"),
+        col("n1"), col("n2"), u1.as("u1"),
+        when(s2 > 0, (u1 - mu) / sqrt(s2)).as("z"),
+        (lit(1.0) - lit(2.0) * u1 / (n1 * n2)).as("r_rank_biserial"))
+  }
+
+  /** MAD ROBUST OUTLIER GATE — per-group modified z-scores: the
+    * median/MAD pair resists the very outliers a mean/stddev gate is
+    * poisoned by (one fat-finger price inflates σ until nothing else
+    * flags). Both centers are exact lower-edge quantiles
+    * ([[weightedQuantile]] with unit weights — deterministic under
+    * ties and partitioning); a row flags when
+    * `|0.6745·(x − median)/MAD| > zThresh` (Iglewicz–Hoaglin 3.5 by
+    * default). Per group: n, median, MAD, outlier count and the max
+    * |modified z|; a zero-MAD group (> half the mass on one value)
+    * emits NULL counts — the score is undefined there, and a NULL
+    * beats silently flagging everything off-mode.
+    *
+    * Scale shape: two quantile passes (each one keyed window + keyed
+    * aggregate), the ≤|groups|-row center dims ride broadcasts back
+    * over the rows, one keyed aggregate ends it.
+    */
+  def madOutliers(
+      df: DataFrame, keyCol: String, valueCol: String,
+      zThresh: Double = 3.5): DataFrame = {
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("double").as("__x"))
+      .withColumn("__one", lit(1.0))
+    val med = weightedQuantile(clean, keyCol, "__x", "__one", 0.5)
+      .select(col(keyCol), col("weighted_quantile").as("median"))
+    val dev = clean.join(broadcast(med), Seq(keyCol))
+      .withColumn("__ad", abs(col("__x") - col("median")))
+    val mad = weightedQuantile(
+        dev.withColumn("__one", lit(1.0)), keyCol, "__ad", "__one", 0.5)
+      .select(col(keyCol), col("weighted_quantile").as("mad"))
+    val z = lit(0.6745) * (col("__x") - col("median")) / col("mad")
+    dev.join(broadcast(mad), Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        min(col("median")).as("median"), min(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 && abs(z) > zThresh, 1L).otherwise(0L))
+          .as("__no"),
+        max(when(col("mad") > 0, abs(z))).as("max_abs_z"))
+      .select(col(keyCol), col("n"), col("median"), col("mad"),
+        when(col("mad") > 0, col("__no")).as("n_outliers"),
+        col("max_abs_z"))
+  }
+
   /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
     * `valueCol` within each `keyCol` group — the scale-free feature
     * transform (per-language quality scores become comparable across

@@ -5166,6 +5166,111 @@ object ExtensionQueries {
       |  AS n_clamped_high
       |FROM j GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q171
+  /** Mann–Whitney U rank-sum test
+    * ([[graft.ops.StatsOps.mannWhitneyU]]): click vs purchase event
+    * values, floored so tie blocks are dense and the tie-corrected
+    * variance path is exercised. The rank algebra runs on integer
+    * tie-group counts (2·R₁ stays integral), so the statistic replays
+    * exactly; the cumulative count rides the range-partitioned
+    * [[graft.ops.StatsOps.runningTotals]] prefix — no unpartitioned
+    * window even with millions of distinct metric values.
+    */
+  def q171(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.mannWhitneyU(
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("metric", floor(col("value").cast("double"))),
+      "event_type", "metric")
+
+  val q171Sql: String =
+    """WITH base AS (
+      | SELECT event_type AS v,
+      |  CAST(floor(CAST(value AS DOUBLE)) AS DOUBLE) AS x
+      | FROM events WHERE event_type IN ('click', 'purchase')),
+      |lab AS (SELECT min(v) AS v1, max(v) AS v2 FROM base),
+      |c AS (
+      | SELECT x, CAST(count(*) AS BIGINT) AS t,
+      |  CAST(sum(CASE WHEN v = (SELECT v1 FROM lab) THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS na
+      | FROM base GROUP BY 1),
+      |w AS (
+      | SELECT x, t, na,
+      |  sum(t) OVER (ORDER BY x
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM c),
+      |s AS (
+      | SELECT CAST(sum(na) AS BIGINT) AS n1,
+      |  CAST(sum(t - na) AS BIGINT) AS n2,
+      |  CAST(sum(na * (2 * cum - t + 1)) AS DOUBLE) AS r2x,
+      |  CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+      | FROM w),
+      |e AS (
+      | SELECT n1, n2, r2x, ties,
+      |  CAST(n1 AS DOUBLE) AS dn1, CAST(n2 AS DOUBLE) AS dn2,
+      |  CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS bn
+      | FROM s),
+      |f AS (
+      | SELECT n1, n2, dn1, dn2, bn,
+      |  r2x / 2.0 - dn1 * (dn1 + 1.0) / 2.0 AS u1,
+      |  dn1 * dn2 / 2.0 AS mu,
+      |  dn1 * dn2 / 12.0 * ((bn + 1.0) - ties / (bn * (bn - 1.0))) AS s2
+      | FROM e)
+      |SELECT lab.v1 AS variant1, lab.v2 AS variant2, n1, n2, u1,
+      | CASE WHEN s2 > 0 THEN (u1 - mu) / sqrt(s2) END AS z,
+      | 1.0 - 2.0 * u1 / (dn1 * dn2) AS r_rank_biserial
+      |FROM f CROSS JOIN lab""".stripMargin
+
+  // --------------------------------------------------------------- q172
+  /** MAD robust outlier gate ([[graft.ops.StatsOps.madOutliers]],
+    * modified z threshold 3.5): per return flag the median/MAD pair
+    * and the outlier census over extended prices. Both centers are
+    * exact lower-edge quantiles (the q170 convention), so the flags
+    * replay bit-level.
+    */
+  def q172(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.madOutliers(
+      Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice")
+
+  val q172Sql: String =
+    """WITH clean AS (
+      | SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c1 AS (
+      | SELECT k, v,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM clean),
+      |med AS (
+      | SELECT k, min(v) AS med FROM c1 WHERE cum >= tot * 0.5 GROUP BY 1),
+      |dev AS (
+      | SELECT clean.k, v, med, abs(v - med) AS ad
+      | FROM clean JOIN med USING (k)),
+      |c2 AS (
+      | SELECT k, ad,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY ad RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM dev),
+      |mad AS (
+      | SELECT k, min(ad) AS mad FROM c2 WHERE cum >= tot * 0.5 GROUP BY 1),
+      |j AS (
+      | SELECT dev.k, v, dev.med, mad.mad FROM dev JOIN mad USING (k))
+      |SELECT k AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | min(med) AS median, min(mad) AS mad,
+      | CASE WHEN min(mad) > 0 THEN
+      |  CAST(sum(CASE WHEN abs(0.6745 * (v - med) / mad) > 3.5
+      |   THEN 1 ELSE 0 END) AS BIGINT) END AS n_outliers,
+      | max(CASE WHEN mad > 0 THEN abs(0.6745 * (v - med) / mad) END)
+      |  AS max_abs_z
+      |FROM j GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5305,5 +5410,7 @@ object ExtensionQueries {
     "q167_cohort_ltv" -> ((q167 _, q167Sql)),
     "q168_fill_forward" -> ((q168 _, q168Sql)),
     "q169_contribution" -> ((q169 _, q169Sql)),
-    "q170_winsorize" -> ((q170 _, q170Sql)))
+    "q170_winsorize" -> ((q170 _, q170Sql)),
+    "q171_mann_whitney" -> ((q171 _, q171Sql)),
+    "q172_mad_outliers" -> ((q172 _, q172Sql)))
 }

@@ -205,4 +205,73 @@ class StatsOpsSpec extends AnyFunSuite {
       .select("winsorized").collect()
     assert(nw.exists(_.isNullAt(0)), "null value stays null")
   }
+
+  test("mannWhitneyU: separated groups, tie correction, guard, invariance") {
+    // A: 1,2,3  B: 4,5,6 -> R1 = 6, U1 = 0, ties = 0,
+    // s2 = 9/12*7 = 5.25, z = -4.5/sqrt(5.25), r = 1
+    val sep = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("v", "x")
+    val r1 = StatsOps.mannWhitneyU(sep, "v", "x")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(r1._1 == "A" && r1._2 == "B" && r1._3 == 3L && r1._4 == 3L)
+    assert(r1._5 == 0.0, s"U1 ${r1._5} != 0")
+    assert(math.abs(r1._6 - (-4.5 / math.sqrt(5.25))) < 1e-12)
+    assert(math.abs(r1._7 - 1.0) < 1e-12)
+
+    // A: 1,2,2  B: 2,3,3 -> avg-rank blocks: {1}:1, {2,2,2}:3, {3,3}:5.5
+    // R1 = 1+3+3 = 7, U1 = 1; ties = (27-3)+(8-2) = 30
+    // s2 = 0.75*(7 - 30/30) = 4.5, z = -3.5/sqrt(4.5)
+    val tied = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0),
+      ("B", 2.0), ("B", 3.0), ("B", 3.0)).toDF("v", "x")
+    val r2 = StatsOps.mannWhitneyU(tied, "v", "x")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(r2._5 == 1.0, s"tied U1 ${r2._5} != 1")
+    assert(math.abs(r2._6 - (-3.5 / math.sqrt(4.5))) < 1e-12)
+
+    // all-tied input: zero variance -> NULL z
+    val flat = Seq(("A", 7.0), ("A", 7.0), ("B", 7.0), ("B", 7.0))
+      .toDF("v", "x")
+    assert(StatsOps.mannWhitneyU(flat, "v", "x")
+      .select("z").collect().head.isNullAt(0), "all-tied z must be NULL")
+
+    intercept[Exception] {
+      StatsOps.mannWhitneyU(
+        sep.union(Seq(("C", 9.0)).toDF("v", "x")), "v", "x").collect()
+    }
+
+    val rep = StatsOps.mannWhitneyU(tied.repartition(7), "v", "x")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(rep == r2, "rank algebra must be partitioning-proof")
+  }
+
+  test("madOutliers: hand case, zero-MAD group NULLs, null exclusion") {
+    // 1..9 plus 100: median = 5 (lower edge of 10), absdevs sorted
+    // 0,1,1,2,2,3,3,4,4,95 -> MAD = 2; only 100 flags
+    // (|0.6745*95/2| = 32.04); max |z| matches it
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0))
+      .toDF("k", "v")
+    val r = StatsOps.madOutliers(df, "k", "v")
+      .as[(String, Long, Double, Double, Option[Long], Option[Double])]
+      .collect().head
+    assert(r._2 == 10L && r._3 == 5.0 && r._4 == 2.0)
+    assert(r._5.contains(1L), s"exactly the fat-finger row flags: ${r._5}")
+    assert(math.abs(r._6.get - 0.6745 * 95.0 / 2.0) < 1e-12)
+
+    // > half the mass on one value -> MAD = 0 -> score undefined
+    val flat = Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0),
+      ("b", 1.0)).toDF("k", "v")
+    val rf = StatsOps.madOutliers(flat, "k", "v")
+      .as[(String, Long, Double, Double, Option[Long], Option[Double])]
+      .collect().head
+    assert(rf._4 == 0.0 && rf._5.isEmpty && rf._6.isEmpty,
+      s"zero-MAD group must emit NULL outlier stats: $rf")
+
+    val withNull = Seq(("c", Some(1.0)), ("c", Some(2.0)), ("c", None),
+      ("c", Some(3.0))).toDF("k", "v")
+    assert(StatsOps.madOutliers(withNull, "k", "v")
+      .select("n").as[Long].collect().head == 3L, "NULL values excluded")
+  }
 }
