@@ -36,6 +36,95 @@ object TrendOps {
       .filter(col("__axis_ok").isNull)
       .drop("__axis_ok")
 
+  /** AUTOCORRELATION per key at lags `1..maxLag` — the seasonality
+    * probe over a per-bucket series (daily revenue, hourly events):
+    * `acf(k) = Σ_t d_t·d_{t+k} / Σ_t d_t²` with `d = x − x̄` (the
+    * variance-normalized estimator — the denominator runs over the
+    * FULL series, so acf(k) ∈ [−1, 1] and decays with lag). Pairs come
+    * from a keyed equi-join on `(key, idx + k)` — exact-offset
+    * semantics, so axis GAPS simply contribute no pair (never a
+    * silently misaligned `lag()`-row pair), and the plan is
+    * partition-parallel with NO window at all. Means and both sums
+    * accumulate round-then-DECIMAL (exact, order-free); lags with no
+    * pairs emit `n_pairs = 0` and NULL acf only when the series has
+    * zero variance.
+    *
+    * `df` must hold one row per `(key, idx)` (the per-bucket
+    * aggregate); `idxCol` is an integer axis.
+    */
+  def acfByKey(
+      df: DataFrame, keyCol: String, idxCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag > 0, s"maxLag must be positive, got $maxLag")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d6(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast("decimal(38,6)")).cast("double")
+    def d9(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val s = df.select(col(keyCol).as("__k"),
+        col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val st = s.groupBy("__k").agg(count(lit(1)).as("n"),
+      (d6(col("__x")) / count(lit(1)).cast("double")).as("__mean"))
+    val dev = s.join(st, Seq("__k"))
+      .select(col("__k"), col("__i"), (col("__x") - col("__mean")).as("__d"))
+    val den = dev.groupBy("__k").agg(d9(col("__d") * col("__d")).as("__den"))
+    val lags = (1 to maxLag).toDF("lag_k")
+    val num = dev.crossJoin(broadcast(lags))
+      .select(col("__k"), (col("__i") + col("lag_k")).as("__i2"),
+        col("lag_k"), col("__d"))
+      .join(dev.select(col("__k"), col("__i").as("__i2"),
+        col("__d").as("__d2")), Seq("__k", "__i2"))
+      .groupBy("__k", "lag_k")
+      .agg(count(lit(1)).as("n_pairs"), d9(col("__d") * col("__d2")).as("__num"))
+    st.join(den, Seq("__k")).crossJoin(broadcast(lags))
+      .join(num, Seq("__k", "lag_k"), "left")
+      .select(col("__k").as(keyCol), col("lag_k"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("__den") > 0,
+          coalesce(col("__num"), lit(0.0)) / col("__den")).as("acf"))
+  }
+
+  /** CUSUM CHANGEPOINT per key: the index maximizing the absolute
+    * cumulative deviation `|S_t|`, `S_t = Σ_{i≤t} (x_i − x̄)` — the
+    * classic level-shift locator over a per-bucket series (a metric
+    * that jumps mid-window pulls the cumulative sum to an extreme at
+    * the shift point). The mean is exact (round-then-DECIMAL / n) and
+    * the cumulative sum accumulates DECIMAL deviations in one KEYED
+    * ordered window, so `|S|` compares exactly and the argmax
+    * (smallest index on ties, via a max-struct with negated index) is
+    * deterministic under any partitioning. Output per key:
+    * `(n, cp_idx, max_abs_cusum)`.
+    */
+  def cusumChangepoint(
+      df: DataFrame, keyCol: String, idxCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def d6(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast("decimal(38,6)")).cast("double")
+    val s = df.select(col(keyCol).as("__k"),
+        col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val st = s.groupBy("__k").agg(
+      (d6(col("__x")) / count(lit(1)).cast("double")).as("__mean"))
+    val cum = s.join(st, Seq("__k"))
+      .withColumn("__s",
+        sum(round(col("__x") - col("__mean"), 9).cast("decimal(38,9)"))
+          .over(w))
+    cum.groupBy("__k")
+      .agg(count(lit(1)).as("n"),
+        max(struct(abs(col("__s")).as("a"), (-col("__i")).as("ni"))).as("__m"))
+      .select(col("__k").as(keyCol), col("n"),
+        (-col("__m.ni")).as("cp_idx"),
+        col("__m.a").cast("double").as("max_abs_cusum"))
+  }
+
   /** Rolling sum/avg over the trailing `window` axis points
     * (`RANGE BETWEEN window-1 PRECEDING AND CURRENT ROW` semantics,
     * partial windows included — the first points average over what

@@ -5271,6 +5271,103 @@ object ExtensionQueries {
       |  AS max_abs_z
       |FROM j GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q173
+  /** Autocorrelation of daily revenue per return flag
+    * ([[graft.ops.TrendOps.acfByKey]], lags 1–7): the seasonality
+    * probe. Pairs come from an exact-offset keyed self-join (gaps
+    * contribute no pair — never a misaligned row-lag); means and both
+    * deviation sums run round-then-DECIMAL.
+    */
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        floor(unix_micros(col("l_shipdate")
+          .cast(org.apache.spark.sql.types.TimestampType)) /
+          lit(86400000000L)).as("day"))
+      .agg(sum(round(col("l_extendedprice").cast("double"), 6)
+        .cast("decimal(38,6)")).cast("double").as("rev"))
+    TrendOps.acfByKey(daily, "l_returnflag", "day", "rev", maxLag = 7)
+  }
+
+  val q173Sql: String =
+    """WITH s AS (
+      | SELECT l_returnflag AS k,
+      |  CAST(floor(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+      |   AS idx,
+      |  CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6))) AS DOUBLE) AS x
+      | FROM lineitem GROUP BY 1, 2),
+      |st AS (
+      | SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(x, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) AS m
+      | FROM s GROUP BY 1),
+      |d AS (SELECT s.k, idx, x - m AS dv FROM s JOIN st USING (k)),
+      |den AS (
+      | SELECT k, CAST(sum(CAST(round(dv * dv, 9) AS DECIMAL(38, 9)))
+      |  AS DOUBLE) AS den
+      | FROM d GROUP BY 1),
+      |lags AS (SELECT unnest(generate_series(1, 7)) AS lag_k),
+      |num AS (
+      | SELECT a.k, l.lag_k, CAST(count(*) AS BIGINT) AS np,
+      |  CAST(sum(CAST(round(a.dv * b.dv, 9) AS DECIMAL(38, 9)))
+      |   AS DOUBLE) AS num
+      | FROM d a CROSS JOIN lags l
+      |  JOIN d b ON b.k = a.k AND b.idx = a.idx + l.lag_k
+      | GROUP BY 1, 2),
+      |grid AS (
+      | SELECT st.k, l.lag_k, den.den
+      | FROM st CROSS JOIN lags l JOIN den ON den.k = st.k)
+      |SELECT g.k AS l_returnflag, CAST(g.lag_k AS INT) AS lag_k,
+      | coalesce(np, CAST(0 AS BIGINT)) AS n_pairs,
+      | CASE WHEN den > 0 THEN coalesce(num, 0.0) / den END AS acf
+      |FROM grid g LEFT JOIN num ON num.k = g.k AND num.lag_k = g.lag_k"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q174
+  /** CUSUM changepoint per event type
+    * ([[graft.ops.TrendOps.cusumChangepoint]]) over daily event-value
+    * sums: the level-shift locator. The cumulative deviation runs as
+    * exact DECIMAL in one keyed window; the argmax breaks ties toward
+    * the earliest day via a max-struct.
+    */
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value").cast("double"), 6)
+        .cast("decimal(38,6)")).cast("double").as("v"))
+    TrendOps.cusumChangepoint(daily, "event_type", "day", "v")
+  }
+
+  val q174Sql: String =
+    """WITH s AS (
+      | SELECT event_type AS k,
+      |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS idx,
+      |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6))) AS DOUBLE) AS x
+      | FROM events GROUP BY 1, 2),
+      |st AS (
+      | SELECT k,
+      |  CAST(sum(CAST(round(x, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) AS m
+      | FROM s GROUP BY 1),
+      |c AS (
+      | SELECT s.k, idx,
+      |  sum(CAST(round(x - m, 9) AS DECIMAL(38, 9))) OVER
+      |   (PARTITION BY s.k ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      | FROM s JOIN st ON st.k = s.k),
+      |r AS (
+      | SELECT k, idx, abs(cs) AS a,
+      |  row_number() OVER (PARTITION BY k ORDER BY abs(cs) DESC, idx)
+      |   AS rn,
+      |  count(*) OVER (PARTITION BY k) AS n
+      | FROM c)
+      |SELECT k AS event_type, CAST(n AS BIGINT) AS n, idx AS cp_idx,
+      | CAST(a AS DOUBLE) AS max_abs_cusum
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5412,5 +5509,7 @@ object ExtensionQueries {
     "q169_contribution" -> ((q169 _, q169Sql)),
     "q170_winsorize" -> ((q170 _, q170Sql)),
     "q171_mann_whitney" -> ((q171 _, q171Sql)),
-    "q172_mad_outliers" -> ((q172 _, q172Sql)))
+    "q172_mad_outliers" -> ((q172 _, q172Sql)),
+    "q173_acf" -> ((q173 _, q173Sql)),
+    "q174_cusum" -> ((q174 _, q174Sql)))
 }

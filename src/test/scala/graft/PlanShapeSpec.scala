@@ -146,7 +146,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "q166_kaplan_meier",
     // q169: ≤ n+1-row report × broadcast(1-row grand total) — the q08
     // scalar pattern
-    "q169_contribution")
+    "q169_contribution",
+    // q171: value rows × broadcast(1-row min/max variant labels), and
+    // the distinct-value frame × broadcast(maxLag-row lag dim) — the
+    // q08 scalar pattern
+    "q171_mann_whitney",
+    // q173: per-key stats × broadcast(maxLag-row lag dim) grid — the
+    // q08 scalar pattern
+    "q173_acf")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

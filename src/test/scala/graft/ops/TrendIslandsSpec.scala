@@ -262,4 +262,58 @@ class TrendIslandsSpec extends AnyFunSuite {
       .as[(String, Int, Double, Double, Double)].collect().sortBy(_._2)
     assert(t.map(_._1).toSeq == Seq("x", "y", "__other__"))
   }
+
+  test("acfByKey: hand values, gap = no pair, zero variance, invariance") {
+    // series 1,2,3,4 at idx 0..3: mean 2.5, dev -1.5,-0.5,0.5,1.5
+    // den = 5; lag1 num = 1.25 -> 0.25; lag2 = -1.5 -> -0.3;
+    // lag3 = -2.25 -> -0.45; lag4 has no pair -> 0/den = 0
+    val s = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0),
+      ("a", 3L, 4.0)).toDF("k", "i", "v")
+    val r = TrendOps.acfByKey(s, "k", "i", "v", 4)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .sortBy(_._2).toSeq
+    assert(r.map(_._3) == Seq(3L, 2L, 1L, 0L))
+    assert(math.abs(r(0)._4.get - 0.25) < 1e-9)
+    assert(math.abs(r(1)._4.get - (-0.3)) < 1e-9)
+    assert(math.abs(r(2)._4.get - (-0.45)) < 1e-9)
+    assert(r(3)._4.contains(0.0), "pairless lag: acf 0, not NULL")
+
+    // gap at idx 2: lag1 pairs only (0,1); lag2 only (1,3)
+    val gap = Seq(("g", 0L, 1.0), ("g", 1L, 5.0), ("g", 3L, 9.0))
+      .toDF("k", "i", "v")
+    val g = TrendOps.acfByKey(gap, "k", "i", "v", 2)
+      .as[(String, Int, Long, Option[Double])].collect().sortBy(_._2)
+    assert(g.map(_._3).toSeq == Seq(1L, 1L),
+      s"exact-offset pairs across the gap: ${g.toSeq}")
+
+    val flat = Seq(("f", 0L, 3.0), ("f", 1L, 3.0), ("f", 2L, 3.0))
+      .toDF("k", "i", "v")
+    assert(TrendOps.acfByKey(flat, "k", "i", "v", 1)
+      .select("acf").collect().head.isNullAt(0),
+      "zero-variance series: acf undefined")
+
+    val rep = TrendOps.acfByKey(s.repartition(5), "k", "i", "v", 4)
+      .as[(String, Int, Long, Option[Double])].collect().sortBy(_._2).toSeq
+    assert(rep == r, "acf must be partitioning-proof")
+  }
+
+  test("cusumChangepoint: level shift located; earliest index on ties") {
+    // 0,0,10,10: mean 5, S = -5,-10,-5,0 -> cp at idx 1, |S| = 10
+    val s = Seq(("a", 0L, 0.0), ("a", 1L, 0.0), ("a", 2L, 10.0),
+      ("a", 3L, 10.0)).toDF("k", "i", "v")
+    val r = TrendOps.cusumChangepoint(s, "k", "i", "v")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(r == (("a", 4L, 1L, 10.0)), s"got $r")
+
+    // 0,10,0,10: S = -5,0,-5,0 -> |S| = 5 at idx 0 and 2 -> earliest
+    val tie = Seq(("t", 0L, 0.0), ("t", 1L, 10.0), ("t", 2L, 0.0),
+      ("t", 3L, 10.0)).toDF("k", "i", "v")
+    val rt = TrendOps.cusumChangepoint(tie, "k", "i", "v")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(rt._3 == 0L && rt._4 == 5.0, s"tie must break earliest: $rt")
+
+    val rep = TrendOps.cusumChangepoint(s.repartition(7), "k", "i", "v")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(rep == r, "cusum must be partitioning-proof")
+  }
 }
