@@ -129,6 +129,79 @@ object GraphOps {
     allNodes.crossJoin(broadcast(total))
   }
 
+  /** ADAMIC–ADAR link prediction over an undirected edge list: score
+    * non-adjacent pairs by `Σ_z 1/ln(deg z)` over common neighbors
+    * `z` — the classic "who should link next" ranker (friend/related-
+    * item suggestion over the dedup similarity graph or a user
+    * interaction graph). Wedges enumerate per CENTER (one self-join of
+    * the symmetric neighbor list), terms round to 9 decimals and
+    * accumulate as DECIMAL — exact, order-free — and existing edges
+    * leave via an anti-join; the top-`k` pairs are picked on the exact
+    * DECIMAL score with a `(a, b)` tiebreak (distributed take-ordered,
+    * no global sort materialized).
+    *
+    * Scale: a degree-`d` center emits `d(d−1)/2` wedges — the hub
+    * hazard. `maxCenterDeg` EXCLUDES centers above the cap; that is a
+    * principled truncation for this score (a huge-degree hub
+    * contributes only `1/ln d → 0` per pair) — the same documented
+    * occupancy-cap trade as the LSH bucket cap.
+    */
+  def adamicAdar(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      topK: Int = 20, maxCenterDeg: Int = Int.MaxValue): DataFrame = {
+    require(topK > 0 && maxCenterDeg >= 2)
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val sym = canon.select(col("a").as("z"), col("b").as("x"))
+      .union(canon.select(col("b").as("z"), col("a").as("x")))
+    val deg = sym.groupBy("z").agg(count(lit(1)).as("deg"))
+    val centers = sym.join(deg, Seq("z"))
+      .filter(col("deg") >= 2 && col("deg") <= maxCenterDeg)
+      .withColumn("__w", lit(1.0) / log(col("deg").cast("double")))
+    val wedges = centers.select(col("z"), col("x"), col("__w"))
+      .join(centers.select(col("z"), col("x").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val scored = wedges.groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(col("__w"), 9).cast("decimal(38,9)")).as("__s"))
+      .join(canon.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+    scored.orderBy(col("__s").desc, col("x"), col("y")).limit(topK)
+      .select(col("x").as("a"), col("y").as("b"), col("common_neighbors"),
+        col("__s").cast("double").as("aa_score"))
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node:
+    * `2·triangles / (deg·(deg−1))` — how close each node's
+    * neighborhood is to a clique (community-ness; near-dup clusters in
+    * a similarity graph score ~1, bridge/boilerplate nodes ~0). Rides
+    * [[triangleCount]]'s degree-oriented wedge join (hub-proof) plus
+    * the same undirected degree dim; nodes of degree < 2 emit NULL
+    * (the ratio is undefined there, and NULL beats a fake 0 that
+    * would drag neighborhood averages).
+    */
+  def clusteringCoefficient(
+      edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleCount(edges, srcCol, dstCol)
+      .select(col("id"), col("triangles"))
+    deg.join(tri, Seq("id"))
+      .select(col("id"), col("deg"), col("triangles"),
+        when(col("deg") >= 2,
+          (lit(2.0) * col("triangles").cast("double")) /
+            (col("deg") * (col("deg") - 1)).cast("double")).as("lcc"))
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris,
     * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, SoCC 2014
     * "Connected Components in MapReduce and Beyond", two-phase

@@ -5368,6 +5368,108 @@ object ExtensionQueries {
       | CAST(a AS DOUBLE) AS max_abs_cusum
       |FROM r WHERE rn = 1""".stripMargin
 
+  // --------------------------------------------------------------- q175
+  /** Adamic–Adar link prediction ([[graft.ops.GraphOps.adamicAdar]],
+    * top 20) on the q118/q119 arithmetic graph: non-adjacent pairs
+    * ranked by `Σ 1/ln(deg)` over common neighbors. Terms accumulate
+    * round-then-DECIMAL and the cut orders by the EXACT decimal score
+    * with an `(a, b)` tiebreak, so the selected set replays.
+    */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count()
+    val e = d.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      .union(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+      .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+      .filter(col("src") =!= col("dst"))
+    GraphOps.adamicAdar(e, topK = 20)
+  }
+
+  val q175Sql: String =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+      |e0 AS (
+      | SELECT doc_id AS src, (doc_id + 1) % cnt AS dst
+      |  FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id + 2) % cnt FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id * 7 + 11) % cnt
+      |  FROM documents CROSS JOIN t),
+      |canon AS (
+      | SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      | FROM e0 WHERE src <> dst),
+      |sym AS (SELECT a AS z, b AS x FROM canon
+      |        UNION ALL SELECT b, a FROM canon),
+      |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM sym
+      |        GROUP BY 1),
+      |c AS (
+      | SELECT sym.z, sym.x, 1.0 / ln(CAST(deg AS DOUBLE)) AS w
+      | FROM sym JOIN deg USING (z) WHERE deg >= 2),
+      |wed AS (
+      | SELECT c1.x AS x, c2.x AS y, c1.w
+      | FROM c c1 JOIN c c2 ON c2.z = c1.z AND c2.x > c1.x),
+      |sc AS (
+      | SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+      |  sum(CAST(round(w, 9) AS DECIMAL(38, 9))) AS s
+      | FROM wed GROUP BY 1, 2),
+      |ne AS (
+      | SELECT sc.* FROM sc
+      |  LEFT JOIN canon ON canon.a = sc.x AND canon.b = sc.y
+      | WHERE canon.a IS NULL)
+      |SELECT x AS a, y AS b, common_neighbors,
+      | CAST(s AS DOUBLE) AS aa_score
+      |FROM ne ORDER BY s DESC, x, y LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q176
+  /** Local clustering coefficient
+    * ([[graft.ops.GraphOps.clusteringCoefficient]]) on the arithmetic
+    * graph: `2·triangles/(deg·(deg−1))` per node, degree-< 2 nodes
+    * NULL. The engine's degree-oriented wedge join is checked against
+    * the oracle's independent three-way edge join.
+    */
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count()
+    val e = d.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      .union(d.select(col("doc_id"), (col("doc_id") + 2) % n))
+      .union(d.select(col("doc_id"), (col("doc_id") * 7 + 11) % n))
+      .filter(col("src") =!= col("dst"))
+    GraphOps.clusteringCoefficient(e)
+  }
+
+  val q176Sql: String =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+      |e0 AS (
+      | SELECT doc_id AS src, (doc_id + 1) % cnt AS dst
+      |  FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id + 2) % cnt FROM documents CROSS JOIN t
+      | UNION SELECT doc_id, (doc_id * 7 + 11) % cnt
+      |  FROM documents CROSS JOIN t),
+      |canon AS (
+      | SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      | FROM e0 WHERE src <> dst),
+      |tri AS (
+      | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      | FROM canon e1
+      |  JOIN canon e2 ON e2.a = e1.b
+      |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (
+      | SELECT x AS id FROM tri UNION ALL
+      | SELECT y FROM tri UNION ALL
+      | SELECT z FROM tri),
+      |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      |       FROM corners GROUP BY 1),
+      |deg AS (
+      | SELECT id, CAST(count(*) AS BIGINT) AS deg
+      | FROM (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+      | GROUP BY 1)
+      |SELECT deg.id, deg.deg,
+      | COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+      | CASE WHEN deg.deg >= 2 THEN
+      |  (2.0 * CAST(COALESCE(pn.triangles, 0) AS DOUBLE))
+      |   / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END AS lcc
+      |FROM deg LEFT JOIN pn ON pn.id = deg.id""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5511,5 +5613,7 @@ object ExtensionQueries {
     "q171_mann_whitney" -> ((q171 _, q171Sql)),
     "q172_mad_outliers" -> ((q172 _, q172Sql)),
     "q173_acf" -> ((q173 _, q173Sql)),
-    "q174_cusum" -> ((q174 _, q174Sql)))
+    "q174_cusum" -> ((q174 _, q174Sql)),
+    "q175_adamic_adar" -> ((q175 _, q175Sql)),
+    "q176_clustering_coef" -> ((q176 _, q176Sql)))
 }

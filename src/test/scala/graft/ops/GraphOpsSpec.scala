@@ -159,4 +159,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(alt.forall(_._2 == 0L),
       s"every path node must label 0, got ${alt.filter(_._2 != 0L).take(5).toSeq}")
   }
+
+  test("adamicAdar: square graph hand scores; existing edges excluded") {
+    // 4-cycle 1-2-3-4-1: non-adjacent (1,3) and (2,4) each share two
+    // deg-2 neighbors -> score 2/ln 2; adjacent pairs share none
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val r = GraphOps.adamicAdar(square)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(r.map(p => (p._1, p._2)) == Seq((1L, 3L), (2L, 4L)))
+    r.foreach { p =>
+      assert(p._3 == 2L)
+      assert(math.abs(p._4 - 2.0 / math.log(2.0)) < 1e-8)
+    }
+
+    // triangle 1-2-3 plus pendant 3-4: wedge (1,2) through 3 is an
+    // existing edge -> anti-joined away; (1,4)/(2,4) survive at 1/ln 3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val rt = GraphOps.adamicAdar(tri)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(rt.map(p => (p._1, p._2)) == Seq((1L, 4L), (2L, 4L)),
+      s"edge (1,2) must not be suggested: $rt")
+    rt.foreach(p => assert(math.abs(p._4 - 1.0 / math.log(3.0)) < 1e-8))
+  }
+
+  test("adamicAdar: hub cap excludes the center; topK cuts deterministically") {
+    // star 0-{1,2,3}: all pairs score through the deg-3 hub; capping
+    // centers at deg 2 removes every wedge
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(GraphOps.adamicAdar(star).count() == 3L)
+    assert(GraphOps.adamicAdar(star, maxCenterDeg = 2).count() == 0L)
+    // topK = 1 keeps the (a, b)-smallest of the tied pairs
+    val one = GraphOps.adamicAdar(star, topK = 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert((one._1, one._2) == ((1L, 2L)), s"tie must cut on (a,b): $one")
+  }
+
+  test("clusteringCoefficient: triangle+pendant hand values; deg<2 NULL") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.clusteringCoefficient(g)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3)) ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+    assert(r(0)._4.contains(1.0) && r(1)._4.contains(1.0))
+    assert(math.abs(r(2)._4.get - 1.0 / 3.0) < 1e-12)
+    assert(r(3)._4.isEmpty, "pendant node: lcc undefined")
+  }
 }
