@@ -91,6 +91,20 @@ object GraphOps {
   def triangleCount(
       edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    val (allNodes, closed) = triangleCore(edges, srcCol, dstCol)
+    val total = closed.agg(count(lit(1)).as("total_triangles"))
+    allNodes.crossJoin(broadcast(total))
+  }
+
+  /** [[triangleCount]]'s guts without the scalar total attached:
+    * `(per-node (id, triangles) frame, closed-wedge frame)` — so
+    * consumers that only need per-node counts
+    * ([[clusteringCoefficient]]) carry no 1-row cross join in their
+    * plan.
+    */
+  private def triangleCore(
+      edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val canon = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
@@ -125,8 +139,7 @@ object GraphOps {
       .join(perNode, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
-    val total = closed.agg(count(lit(1)).as("total_triangles"))
-    allNodes.crossJoin(broadcast(total))
+    (allNodes, closed)
   }
 
   /** ADAMIC–ADAR link prediction over an undirected edge list: score
@@ -193,8 +206,7 @@ object GraphOps {
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val tri = triangleCount(edges, srcCol, dstCol)
-      .select(col("id"), col("triangles"))
+    val tri = triangleCore(edges, srcCol, dstCol)._1
     deg.join(tri, Seq("id"))
       .select(col("id"), col("deg"), col("triangles"),
         when(col("deg") >= 2,

@@ -63,6 +63,33 @@ object ProfileOps {
       .filter(col("group_n") < k)
   }
 
+  /** L-DIVERSITY violation audit — k-anonymity's sharper sibling
+    * ([[kAnonymityViolations]]): a class can hold ≥ k members yet
+    * still leak the SENSITIVE attribute if they all share one value
+    * (homogeneity attack — "everyone in that ZIP+age class has the
+    * same diagnosis"). Flags equivalence classes over `quasiCols`
+    * whose sensitive column takes fewer than `l` distinct values.
+    * One keyed count+distinct (map-side combined); output is the
+    * violating tail only; NULL sensitive values count as a value
+    * (they are an observable outcome — the conservative choice,
+    * matching the NULL-class grouping convention).
+    */
+  def lDiversityViolations(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        // count(DISTINCT) skips NULLs in every engine; add the NULL
+        // "value" back explicitly (no sentinel collisions, no
+        // collect_set memory on high-cardinality sensitive columns)
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L)))
+          .as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
   /** RFM SCORING (recency / frequency / monetary — the classic
     * customer-value segmentation): per key, days since the last
     * transaction (relative to the corpus max date), transaction

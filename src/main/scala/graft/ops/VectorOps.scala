@@ -513,4 +513,44 @@ object VectorOps {
     df.filter(col(vecCol).isNotNull)
       .withColumn(outCol,
         graft.functions.MatVec.matVec(col(vecCol), model.components))
+
+  /** PER-DIMENSION EMBEDDING STATS + outlier census — the
+    * feature-quality screen run before standardizing/whitening an
+    * embedding corpus: per dimension the population mean and std
+    * (round-then-DECIMAL sufficient sums — exact, order-free) and how
+    * many cells sit beyond `outlierZ` standard deviations (a dimension
+    * with a heavy outlier tail or near-zero variance is a broken
+    * feature — dead ReLU, saturated logit — and poisons cosine
+    * geometry downstream). Zero-variance dimensions emit NULL
+    * `n_outliers` (the z-score is undefined there).
+    *
+    * Scale shape: one posexplode pass to (dim, cell) rows, one
+    * dim-keyed aggregation (map-side combined, ≤ dim rows out), and
+    * the ≤ dim-row stats dim broadcast back over a second cell pass
+    * for the census — the corpus shuffles only (dim, partial-sum)
+    * rows, never vectors.
+    */
+  def dimStats(
+      df: DataFrame, vecCol: String, outlierZ: Double = 4.0): DataFrame = {
+    require(outlierZ > 0, s"outlierZ must be positive, got $outlierZ")
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val cells = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("dim"), col("__x").cast("double").as("__x"))
+    val st = cells.groupBy("dim")
+      .agg(count(lit(1)).as("n"), d9(col("__x")).as("__sx"),
+        d9(col("__x") * col("__x")).as("__sxx"))
+    val nD = col("n").cast("double")
+    val m = st.select(col("dim"), col("n"),
+      (col("__sx") / nD).as("mean"),
+      sqrt((col("__sxx") - col("__sx") * col("__sx") / nD) / nD).as("std"))
+    val o = cells.join(broadcast(m), Seq("dim"))
+      .groupBy("dim")
+      .agg(sum(when(col("std") > 0 &&
+        abs((col("__x") - col("mean")) / col("std")) > outlierZ, 1L)
+        .otherwise(0L)).as("__no"))
+    m.join(o, Seq("dim"))
+      .select(col("dim"), col("n"), col("mean"), col("std"),
+        when(col("std") > 0, col("__no")).as("n_outliers"))
+  }
 }

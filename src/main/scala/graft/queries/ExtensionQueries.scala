@@ -5470,6 +5470,65 @@ object ExtensionQueries {
       |   / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END AS lcc
       |FROM deg LEFT JOIN pn ON pn.id = deg.id""".stripMargin
 
+  // --------------------------------------------------------------- q177
+  /** L-diversity violation audit
+    * ([[graft.ops.ProfileOps.lDiversityViolations]], l = 2): classes
+    * over (nation, segment) where the sensitive account-balance SIGN
+    * is homogeneous — the classes q146's size-only k-anonymity check
+    * can never flag. NULL sensitive values count as a value.
+    */
+  def q177(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.lDiversityViolations(
+      Tables.customer(spark, dir)
+        .withColumn("acct_pos", col("c_acctbal") > 0),
+      Seq("c_nationkey", "c_mktsegment"), "acct_pos", l = 2)
+
+  val q177Sql: String =
+    """WITH g AS (
+      | SELECT c_nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS group_n,
+      |  CAST(count(DISTINCT c_acctbal > 0) +
+      |   max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS distinct_sensitive
+      | FROM customer GROUP BY 1, 2)
+      |SELECT * FROM g WHERE distinct_sensitive < 2""".stripMargin
+
+  // --------------------------------------------------------------- q178
+  /** Per-dimension embedding stats + outlier census
+    * ([[graft.ops.VectorOps.dimStats]], |z| > 4): the feature-quality
+    * screen before whitening. Sufficient sums are round-then-DECIMAL;
+    * the oracle zips DuckDB's positional double-unnest against the
+    * same pinned mean/std/census algebra.
+    */
+  def q178(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.dimStats(Tables.embeddings(spark, dir), "embedding")
+
+  val q178Sql: String =
+    """WITH cells AS (
+      | SELECT CAST(u.i - 1 AS INT) AS dim, CAST(u.x AS DOUBLE) AS x
+      | FROM embeddings t, LATERAL (
+      |  SELECT unnest(generate_series(1, len(embedding))) AS i,
+      |   unnest(embedding) AS x) u),
+      |st AS (
+      | SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(x, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxx
+      | FROM cells GROUP BY 1),
+      |m AS (
+      | SELECT dim, n, sx / CAST(n AS DOUBLE) AS mean,
+      |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      |   AS std
+      | FROM st),
+      |o AS (
+      | SELECT c.dim,
+      |  sum(CASE WHEN m.std > 0 AND abs((c.x - m.mean) / m.std) > 4.0
+      |   THEN 1 ELSE 0 END) AS no
+      | FROM cells c JOIN m USING (dim) GROUP BY 1)
+      |SELECT m.dim, m.n, m.mean, m.std,
+      | CASE WHEN m.std > 0 THEN CAST(o.no AS BIGINT) END AS n_outliers
+      |FROM m JOIN o USING (dim)""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5615,5 +5674,7 @@ object ExtensionQueries {
     "q173_acf" -> ((q173 _, q173Sql)),
     "q174_cusum" -> ((q174 _, q174Sql)),
     "q175_adamic_adar" -> ((q175 _, q175Sql)),
-    "q176_clustering_coef" -> ((q176 _, q176Sql)))
+    "q176_clustering_coef" -> ((q176 _, q176Sql)),
+    "q177_l_diversity" -> ((q177 _, q177Sql)),
+    "q178_dim_stats" -> ((q178 _, q178Sql)))
 }

@@ -80,4 +80,23 @@ class ProfileOpsSpec extends AnyFunSuite {
     // classes: (us,30)=3, (us,40)=1, (de,50)=2 -> 2 violating, 3 rows, min 1
     assert(got == ((3L, 2L, 3L, 1L)))
   }
+
+  test("lDiversityViolations: homogeneous classes flag; NULL counts as a value") {
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("x")), ("a", Some("x")), // 1 distinct
+      ("b", Some("x")), ("b", Some("y")),                   // 2 distinct
+      ("c", None), ("c", Some("x")),                        // null + x = 2
+      ("d", None), ("d", None)                              // null only = 1
+    ).toDF("q", "s")
+    val l2 = ProfileOps.lDiversityViolations(df, Seq("q"), "s", 2)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(l2 == Seq(("a", 3L, 1L), ("d", 2L, 1L)),
+      s"a (homogeneous) and d (NULL-only) flag at l=2: $l2")
+    val l3 = ProfileOps.lDiversityViolations(df, Seq("q"), "s", 3)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(l3.map(_._1) == Seq("a", "b", "c", "d"),
+      "every class has < 3 distinct sensitive values")
+    assert(l3.find(_._1 == "c").get._3 == 2L,
+      "NULL must count as a distinct sensitive value")
+  }
 }

@@ -231,4 +231,19 @@ class VectorOpsSpec extends AnyFunSuite {
       s"PCA scores must decorrelate, got cov ${c01((0, 1))}")
     assert(c01((0, 0)) > c01((1, 1)))
   }
+
+  test("dimStats: hand mean/std, outlier census, zero-variance NULL") {
+    // dim 0: nine 0s and one 9 -> mean 0.9, var 7.29, std 2.7,
+    // z(9) = 3 -> flags at z > 2; dim 1: constant -> std 0 -> NULL
+    val vecs = ((1 to 9).map(_ => Seq(0.0f, 10.0f)) :+ Seq(9.0f, 10.0f))
+      .map(Tuple1(_)).toDF("v")
+    val r = VectorOps.dimStats(vecs, "v", outlierZ = 2.0)
+      .as[(Int, Long, Double, Double, Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(r.map(_._2) == Seq(10L, 10L))
+    assert(math.abs(r(0)._3 - 0.9) < 1e-9 && math.abs(r(0)._4 - 2.7) < 1e-9)
+    assert(r(0)._5.contains(1L), s"exactly the 9.0 cell flags: ${r(0)._5}")
+    assert(r(1)._4 == 0.0 && r(1)._5.isEmpty,
+      "constant dimension: std 0, census undefined")
+  }
 }
