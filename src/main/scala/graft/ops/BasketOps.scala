@@ -89,4 +89,44 @@ object BasketOps {
       .select(col("item_a").as("item"), col("item_b").as("neighbor"),
         col("n_ab"), col("score"), col("__rk").as("rank"))
   }
+
+  /** USER-LEVEL RECOMMENDATIONS from the item-item neighbor table —
+    * the serving step of item-based collaborative filtering: each
+    * user's distinct item profile pulls in its items' top-`kNeighbors`
+    * neighbors ([[itemNeighbors]]), candidate scores sum the neighbor
+    * cosines over the user's items (round-then-DECIMAL — exact,
+    * order-free), items the user already has leave via an anti-join,
+    * and the top `topN` per user cut on the EXACT decimal score with
+    * an item-id tiebreak.
+    *
+    * Scale shape: the neighbor table is a ≤ |items|·k row dim riding
+    * a broadcast into the profile join — the user-item frame shuffles
+    * once for the (user, candidate) aggregation and once for the
+    * per-user rank window; item payloads never fan out.
+    */
+  def recommendItems(
+      df: DataFrame, userCol: String, basketCols: Seq[String],
+      itemCol: String, kNeighbors: Int, topN: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val nb = itemNeighbors(df, basketCols, itemCol, kNeighbors, minPairCount)
+      .select(col("item").as("__item"), col("neighbor").as("__cand"),
+        col("score"))
+    val profile = df.select(col(userCol).as("__user"),
+      col(itemCol).as("__item")).distinct()
+    val cand = profile.join(broadcast(nb), Seq("__item"))
+      .groupBy("__user", "__cand")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(round(col("score"), 9).cast("decimal(38,9)")).as("__s"))
+      .join(profile.select(col("__user"), col("__item").as("__cand")),
+        Seq("__user", "__cand"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__user"))
+      .orderBy(col("__s").desc, col("__cand"))
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topN)
+      .select(col("__user").as(userCol), col("__cand").as("item"),
+        col("n_sources"), col("__s").cast("double").as("score"),
+        col("__rk").as("rank"))
+  }
 }

@@ -410,6 +410,62 @@ object StatsOps {
         col("max_abs_z"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): adjust each unit's metric by its
+    * PRE-period covariate, `y' = y − θ·(x − x̄)` with
+    * `θ = cov(x, y)/var(x)` estimated on the POOLED population (never
+    * per-variant — a per-arm θ reintroduces bias), then report
+    * per-variant means/variances of both the raw and adjusted metric
+    * and the variance reduction `1 − var(y')/var(y)` (≈ corr(x,y)² —
+    * the factor by which the experiment's effective sample size
+    * grows). All sufficient statistics accumulate round-then-DECIMAL
+    * (exact, order-free); θ and x̄ ride a 1-row broadcast back over
+    * the units. Zero covariate variance leaves θ NULL and the
+    * adjusted columns NULL (no adjustment is defined); rows with NULL
+    * metric or covariate are excluded.
+    */
+  def cuped(
+      df: DataFrame, variantCol: String, metricCol: String,
+      covariateCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
+    val x = col(covariateCol).cast("double")
+    val y = col(metricCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(variantCol).as("variant"), x.as("__x"), y.as("__y"))
+    val pooled = base.agg(count(lit(1)).as("__n"),
+      sum(t9(col("__x"))).as("__sx"), sum(t9(col("__y"))).as("__sy"),
+      sum(t9(col("__x") * col("__x"))).as("__sxx"),
+      sum(t9(col("__x") * col("__y"))).as("__sxy"))
+    val nP = d(col("__n"))
+    val denX = nP * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val theta = pooled.select(
+      when(denX > 0,
+        (nP * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) / denX)
+        .as("__theta"),
+      (d(col("__sx")) / nP).as("__xbar"))
+    val adj = base.crossJoin(broadcast(theta))
+      .withColumn("__ya",
+        col("__y") - col("__theta") * (col("__x") - col("__xbar")))
+    def svar(sxx: Column, sx: Column, n: Column) =
+      (d(sxx) - d(sx) * d(sx) / d(n)) / (d(n) - lit(1.0))
+    adj.groupBy("variant")
+      .agg(count(lit(1)).as("n"), min(col("__theta")).as("theta"),
+        sum(t9(col("__y"))).as("__sy"), sum(t9(col("__y") * col("__y")))
+          .as("__syy"),
+        sum(t9(col("__ya"))).as("__sa"), sum(t9(col("__ya") * col("__ya")))
+          .as("__saa"))
+      .select(col("variant"), col("n"), col("theta"),
+        (d(col("__sy")) / d(col("n"))).as("mean_raw"),
+        (d(col("__sa")) / d(col("n"))).as("mean_adj"),
+        svar(col("__syy"), col("__sy"), col("n")).as("var_raw"),
+        svar(col("__saa"), col("__sa"), col("n")).as("var_adj"),
+        (lit(1.0) - svar(col("__saa"), col("__sa"), col("n")) /
+          svar(col("__syy"), col("__sy"), col("n")))
+          .as("variance_reduction"))
+  }
+
   /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
     * `valueCol` within each `keyCol` group — the scale-free feature
     * transform (per-language quality scores become comparable across

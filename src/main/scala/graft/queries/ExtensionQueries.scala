@@ -5529,6 +5529,142 @@ object ExtensionQueries {
       | CASE WHEN m.std > 0 THEN CAST(o.no AS BIGINT) END AS n_outliers
       |FROM m JOIN o USING (dim)""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  /** CUPED variance reduction ([[graft.ops.StatsOps.cuped]]): per-user
+    * purchase spend adjusted by the pre-period view-count covariate,
+    * variants split on user-id parity. θ/x̄ derive from pooled
+    * round-then-DECIMAL sufficient sums on a 1-row broadcast; the
+    * per-variant variance algebra replays the same pinned shapes.
+    */
+  def q179(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value").cast("double"), 6).cast("decimal(38,6)"))
+          .otherwise(lit(0).cast("decimal(38,6)"))).cast("double").as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("double").as("x"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    StatsOps.cuped(per, "variant", "y", "x")
+  }
+
+  val q179Sql: String =
+    """WITH per AS (
+      | SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'purchase'
+      |   THEN CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(38, 6))
+      |   ELSE CAST(0 AS DECIMAL(38, 6)) END) AS DOUBLE) AS y,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |   AS DOUBLE) AS x,
+      |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      | FROM events GROUP BY 1),
+      |p AS (
+      | SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(x, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(round(y, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxx,
+      |  CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxy
+      | FROM per),
+      |th AS (
+      | SELECT CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+      |   (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (CAST(n AS DOUBLE) * sxx - sx * sx) END AS theta,
+      |  sx / CAST(n AS DOUBLE) AS xbar
+      | FROM p),
+      |a AS (
+      | SELECT variant, th.theta, y,
+      |  y - th.theta * (x - th.xbar) AS ya
+      | FROM per CROSS JOIN th),
+      |g AS (
+      | SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |  min(theta) AS theta,
+      |  CAST(sum(CAST(round(y, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS syy,
+      |  CAST(sum(CAST(round(ya, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sa,
+      |  CAST(sum(CAST(round(ya * ya, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS saa
+      | FROM a GROUP BY 1)
+      |SELECT variant, n, theta,
+      | sy / CAST(n AS DOUBLE) AS mean_raw,
+      | sa / CAST(n AS DOUBLE) AS mean_adj,
+      | (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |  AS var_raw,
+      | (saa - sa * sa / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |  AS var_adj,
+      | 1.0 - ((saa - sa * sa / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0))
+      |       / ((syy - sy * sy / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0)) AS variance_reduction
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------------- q180
+  /** User-level recommendations
+    * ([[graft.ops.BasketOps.recommendItems]], 3 neighbors, top 2): the
+    * serving step over q160's neighbor table — candidate scores sum
+    * neighbor cosines over each user's profile (round-then-DECIMAL),
+    * owned items anti-join away, the per-user cut ranks on the exact
+    * decimal score with an item tiebreak.
+    */
+  def q180(spark: SparkSession, dir: String): DataFrame =
+    BasketOps.recommendItems(
+      // a deterministic event subset keeps per-user profiles sparse
+      // (full fixture profiles own every item -> empty recs)
+      Tables.events(spark, dir).filter(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("day",
+          floor(unix_micros(col("ts")) / lit(86400000000L))),
+      "user_id", Seq("user_id", "day"), "event_type",
+      kNeighbors = 3, topN = 2)
+
+  val q180Sql: String =
+    """WITH obs AS (
+      | SELECT DISTINCT user_id,
+      |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |  event_type AS item
+      | FROM events WHERE event_id % 3 = 0),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM obs
+      |       GROUP BY 1),
+      |p AS (
+      | SELECT a.item AS item_a, b.item AS item_b,
+      |  CAST(count(*) AS BIGINT) AS n_ab
+      | FROM obs a JOIN obs b ON a.user_id = b.user_id AND a.day = b.day
+      |  AND a.item <> b.item
+      | GROUP BY 1, 2),
+      |sc AS (
+      | SELECT item_a, item_b, n_ab,
+      |  CAST(n_ab AS DOUBLE) /
+      |   sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS score
+      | FROM p JOIN ic ia ON p.item_a = ia.item
+      |        JOIN ic ib ON p.item_b = ib.item),
+      |rk AS (
+      | SELECT item_a, item_b, n_ab, score, row_number() OVER
+      |   (PARTITION BY item_a ORDER BY score DESC, item_b) AS rk
+      | FROM sc),
+      |nbr AS (SELECT item_a AS item, item_b AS cand, score FROM rk
+      |        WHERE rk <= 3),
+      |prof AS (SELECT DISTINCT user_id, event_type AS item FROM events
+      |        WHERE event_id % 3 = 0),
+      |c AS (
+      | SELECT pr.user_id, n.cand,
+      |  CAST(count(*) AS BIGINT) AS n_sources,
+      |  sum(CAST(round(n.score, 9) AS DECIMAL(38, 9))) AS s
+      | FROM prof pr JOIN nbr n USING (item) GROUP BY 1, 2),
+      |f AS (
+      | SELECT c.* FROM c
+      |  LEFT JOIN prof ON prof.user_id = c.user_id AND prof.item = c.cand
+      | WHERE prof.item IS NULL),
+      |r2 AS (
+      | SELECT user_id, cand, n_sources, s,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |   ORDER BY s DESC, cand) AS INT) AS rank
+      | FROM f)
+      |SELECT user_id, cand AS item, n_sources, CAST(s AS DOUBLE) AS score,
+      | rank
+      |FROM r2 WHERE rank <= 2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5676,5 +5812,7 @@ object ExtensionQueries {
     "q175_adamic_adar" -> ((q175 _, q175Sql)),
     "q176_clustering_coef" -> ((q176 _, q176Sql)),
     "q177_l_diversity" -> ((q177 _, q177Sql)),
-    "q178_dim_stats" -> ((q178 _, q178Sql)))
+    "q178_dim_stats" -> ((q178 _, q178Sql)),
+    "q179_cuped" -> ((q179 _, q179Sql)),
+    "q180_recommend" -> ((q180 _, q180Sql)))
 }

@@ -153,7 +153,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q171_mann_whitney",
     // q173: per-key stats × broadcast(maxLag-row lag dim) grid — the
     // q08 scalar pattern
-    "q173_acf")
+    "q173_acf",
+    // q179: unit rows × broadcast(1-row pooled θ/x̄) — the q08 scalar
+    // pattern
+    "q179_cuped",
+    // q180: rides q98/q160's pair machinery (1-row basket-total
+    // broadcast)
+    "q180_recommend")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

@@ -71,4 +71,27 @@ class BasketOpsSpec extends AnyFunSuite {
       .as[(String, String, Long, Double, Int)].collect()
     assert(k2.count(_._1 == "a") == 2 && k2.map(_._5).forall(r => r == 1 || r == 2))
   }
+
+  test("recommendItems: owned items excluded, scores sum over sources") {
+    // u1{A,B} u2{A,C} u3{B,C}: every pair co-occurs once, all item
+    // counts 2 -> every neighbor cosine = 1/2. u1's candidates: C via
+    // A (0.5) + C via B (0.5) -> score 1.0 from 2 sources; A and B
+    // are owned and must not appear
+    val df = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "C"),
+      ("u3", "B"), ("u3", "C")).toDF("u", "item")
+    val r = BasketOps.recommendItems(df, "u", Seq("u"), "item",
+        kNeighbors = 2, topN = 1)
+      .as[(String, String, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(r.map(x => (x._1, x._2)) ==
+      Seq(("u1", "C"), ("u2", "B"), ("u3", "A")), s"got $r")
+    r.foreach { x =>
+      assert(x._3 == 2L && math.abs(x._4 - 1.0) < 1e-9 && x._5 == 1)
+    }
+
+    // a user owning everything gets no recommendations
+    val full = df.union(Seq(("u4", "A"), ("u4", "B"), ("u4", "C"))
+      .toDF("u", "item"))
+    assert(BasketOps.recommendItems(full, "u", Seq("u"), "item", 2, 3)
+      .filter($"u" === "u4").count() == 0L)
+  }
 }

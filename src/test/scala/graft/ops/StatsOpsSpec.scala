@@ -247,6 +247,33 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(rep == r2, "rank algebra must be partitioning-proof")
   }
 
+  test("cuped: perfect covariate removes all variance; flat covariate NULLs") {
+    // y = 10x exactly -> pooled theta = 10, xbar = 2.5, y' = 25 for
+    // every unit -> var_adj = 0, variance_reduction = 1
+    val df = Seq(("A", 1.0, 10.0), ("A", 2.0, 20.0),
+      ("B", 3.0, 30.0), ("B", 4.0, 40.0)).toDF("v", "x", "y")
+    val r = StatsOps.cuped(df, "v", "y", "x")
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq("A", "B") && r.forall(_._2 == 2L))
+    r.foreach { row =>
+      assert(math.abs(row._3 - 10.0) < 1e-9, s"theta ${row._3} != 10")
+      assert(math.abs(row._5 - 25.0) < 1e-9, s"mean_adj ${row._5} != 25")
+      assert(math.abs(row._7) < 1e-9, s"var_adj ${row._7} != 0")
+      assert(math.abs(row._8 - 1.0) < 1e-9)
+    }
+    assert(math.abs(r.head._6 - 50.0) < 1e-9, "var_raw(A) = 50")
+
+    val flat = Seq(("A", 5.0, 1.0), ("A", 5.0, 2.0), ("B", 5.0, 3.0))
+      .toDF("v", "x", "y")
+    val rf = StatsOps.cuped(flat, "v", "y", "x")
+      .select("theta", "mean_adj", "var_adj").collect()
+    rf.foreach { row =>
+      assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2),
+        s"flat covariate: adjustment undefined, got $row")
+    }
+  }
+
   test("madOutliers: hand case, zero-MAD group NULLs, null exclusion") {
     // 1..9 plus 100: median = 5 (lower edge of 10), absdevs sorted
     // 0,1,1,2,2,3,3,4,4,95 -> MAD = 2; only 100 flags
