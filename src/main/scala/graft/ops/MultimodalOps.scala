@@ -193,6 +193,87 @@ object MultimodalOps {
           (a, b) => a.cast("double") * b.cast("double") < 0),
         b => b)).as("zcr")))
 
+  /** AVERAGE HASH (aHash) of a decoded grayscale cell grid — the
+    * classic perceptual image fingerprint: each of the `cells` pixels
+    * contributes one bit, set when the pixel sits above the image
+    * MEAN. Returned as a `struct(hi, lo)` of two `cells/2`-bit
+    * positive longs (two halves keep every value inside signed-64 /
+    * DuckDB-replayable range). The mean is the left-to-right double
+    * fold (`list_sum` parity); the bit packs are integer folds —
+    * value-exact in any engine. Rows whose grid is not exactly
+    * `cells` long hash to NULL (malformed decode — surface, don't
+    * guess). Downstream of the [[decodeFrames]]/
+    * [[graft.functions.ResizeBilinear]] pipeline: decode → resize to
+    * the 8×8 thumb → `averageHash` → [[imageNearDups]].
+    */
+  def averageHash(vec: Column, cells: Int = 64): Column = {
+    // <= 64 keeps each 32-bit half strictly inside signed-64 range in
+    // every engine (DuckDB hard-errors on BIGINT overflow)
+    require(cells >= 2 && cells % 2 == 0 && cells <= 64,
+      s"cells must be even, 2..64, got $cells")
+    val d = transform(vec, x => x.cast("double"))
+    val mean = aggregate(d, lit(0.0), (a, x) => a + x) /
+      lit(cells.toDouble)
+    val half = cells / 2
+    def pack(from: Int): Column =
+      aggregate(sequence(lit(from), lit(from + half - 1)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at(d, i + 1) > mean, 1L).otherwise(0L))
+    when(size(vec) === cells,
+      struct(pack(0).as("hi"), pack(half).as("lo")))
+  }
+
+  /** Image NEAR-DUP pairs by aHash Hamming distance: hash every row
+    * ([[averageHash]]), generate candidates by 4-band LSH over the
+    * hash bits (16-bit band values join on equality — by pigeonhole
+    * the candidate set is EXACT for `maxHamming < 4`: at most 3
+    * flipped bits cannot touch all four bands), verify with
+    * `popcount(xor)` at the join, emit `(id_a, id_b, hamming)` with
+    * `id_a < id_b`.
+    *
+    * Scale shape: only (id, hi, lo, band, value) longs shuffle — the
+    * pixel grids never leave the hash stage; per-band buckets are the
+    * SimHash-dedup join geometry (cap/salt the same way if a
+    * degenerate corpus floods one bucket).
+    */
+  def imageNearDups(
+      df: DataFrame, idCol: String, vecCol: String, maxHamming: Int,
+      cells: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banded candidates are exact only for maxHamming < 4, got $maxHamming")
+    val hashed = df
+      .withColumn("__h", averageHash(col(vecCol), cells))
+      .filter(col("__h").isNotNull)
+      .select(col(idCol).as("__id"), col("__h.hi").as("__hi"),
+        col("__h.lo").as("__lo"))
+    val m16 = lit(65535L)
+    val bands = hashed.select(col("__id"), col("__hi"), col("__lo"),
+      explode(array(
+        struct(lit(0).as("band"),
+          shiftrightunsigned(col("__hi"), 16).bitwiseAND(m16).as("bv")),
+        struct(lit(1).as("band"), col("__hi").bitwiseAND(m16).as("bv")),
+        struct(lit(2).as("band"),
+          shiftrightunsigned(col("__lo"), 16).bitwiseAND(m16).as("bv")),
+        struct(lit(3).as("band"), col("__lo").bitwiseAND(m16).as("bv"))))
+        .as("__b"))
+      .select(col("__id"), col("__hi"), col("__lo"),
+        col("__b.band").as("__band"), col("__b.bv").as("__bv"))
+    val a = bands.select(col("__band"), col("__bv"),
+      col("__id").as("id_a"), col("__hi").as("__ha"), col("__lo").as("__la"))
+    val b = bands.select(col("__band"), col("__bv"),
+      col("__id").as("id_b"), col("__hi").as("__hb"), col("__lo").as("__lb"))
+    val ham = bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+      bit_count(col("__la").bitwiseXOR(col("__lb")))
+    a.join(b, Seq("__band", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__la"),
+        col("__hb"), col("__lb"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SILENCE TRIM: drop leading and trailing frames whose energy is
     * below `minEnergy`, returning the contiguous sample span from the
     * first to the last active frame (interior quiet frames are kept —

@@ -5665,6 +5665,72 @@ object ExtensionQueries {
       | rank
       |FROM r2 WHERE rank <= 2""".stripMargin
 
+  // --------------------------------------------------------------- q181
+  /** Image near-dup pairs by average-hash
+    * ([[graft.ops.MultimodalOps.imageNearDups]], Hamming ≤ 3): the
+    * embeddings double as 8×8 grayscale thumbs; every 50th image gets
+    * a planted twin with one perturbed pixel. Hashes are mean-
+    * threshold bit packs (integer-exact in both engines), candidates
+    * come from 4-band LSH (pigeonhole-exact at this radius), verify
+    * is `popcount(xor)` at the join.
+    */
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    val twins = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.5)).cast("float"))
+            .otherwise(x)).as("embedding"))
+    MultimodalOps.imageNearDups(e.unionByName(twins), "vec_id",
+      "embedding", maxHamming = 3)
+  }
+
+  val q181Sql: String =
+    """WITH base AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |tw AS (
+      | SELECT vec_id + 10000000 AS vec_id,
+      |  list_transform(generate_series(1, 64), i ->
+      |   CASE WHEN i = 1
+      |    THEN CAST(CAST(embedding[1] AS DOUBLE) + 0.5 AS REAL)
+      |    ELSE embedding[i] END) AS embedding
+      | FROM base WHERE vec_id % 50 = 0),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+      |h AS (
+      | SELECT vec_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
+      |   CAST(CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >
+      |     list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |      / 64.0
+      |    THEN 1 ELSE 0 END AS BIGINT) << (31 - i))) AS BIGINT) AS hi,
+      |  CAST(list_sum(list_transform(generate_series(32, 63), i ->
+      |   CAST(CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >
+      |     list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |      / 64.0
+      |    THEN 1 ELSE 0 END AS BIGINT) << (63 - i))) AS BIGINT) AS lo
+      | FROM allv),
+      |b AS (
+      | SELECT vec_id, hi, lo, band,
+      |  CASE band WHEN 0 THEN (hi >> 16) & 65535
+      |            WHEN 1 THEN hi & 65535
+      |            WHEN 2 THEN (lo >> 16) & 65535
+      |            ELSE lo & 65535 END AS bv
+      | FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+      |cand AS (
+      | SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+      |  a.hi AS ha, a.lo AS la, b2.hi AS hb, b2.lo AS lb
+      | FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv
+      |  AND a.vec_id < b2.vec_id)
+      |SELECT id_a, id_b,
+      | CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT)
+      |  AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3"""
+      .stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5814,5 +5880,6 @@ object ExtensionQueries {
     "q177_l_diversity" -> ((q177 _, q177Sql)),
     "q178_dim_stats" -> ((q178 _, q178Sql)),
     "q179_cuped" -> ((q179 _, q179Sql)),
-    "q180_recommend" -> ((q180 _, q180Sql)))
+    "q180_recommend" -> ((q180 _, q180Sql)),
+    "q181_image_neardup" -> ((q181 _, q181Sql)))
 }

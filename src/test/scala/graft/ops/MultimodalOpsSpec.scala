@@ -157,4 +157,26 @@ class MultimodalOpsSpec extends AnyFunSuite {
     // length-mismatch is NULL, not garbage
     assert(run(Seq(1.0f, 2.0f), 2, 2, 1, 1, 1) == None)
   }
+
+  test("averageHash: mean-threshold bit pack, wrong-length NULL") {
+    // 4 cells [0,10,0,10]: mean 5 -> bits 0101 -> hi = 01b, lo = 01b
+    val df = Seq(Tuple1(Seq(0.0f, 10.0f, 0.0f, 10.0f))).toDF("v")
+    val h = df.select(MultimodalOps.averageHash(col("v"), 4).as("h"))
+      .select("h.hi", "h.lo").as[(Long, Long)].collect().head
+    assert(h == ((1L, 1L)), s"got $h")
+    val bad = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
+    assert(bad.select(MultimodalOps.averageHash(col("v"), 4))
+      .collect().head.isNullAt(0), "wrong-length grid hashes to NULL")
+  }
+
+  test("imageNearDups: one-bit twin pairs; distant images don't") {
+    val a = (0 until 32).map(_ => 0.0f) ++ (0 until 32).map(_ => 10.0f)
+    val b = a.updated(0, 10.0f) // one extra high pixel -> 1-bit flip
+    val c = (0 until 64).map(i => if (i % 2 == 0) 0.0f else 10.0f)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "v")
+    val pairs = MultimodalOps.imageNearDups(df, "id", "v", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1)),
+      s"only the planted twin pair at Hamming 1: $pairs")
+  }
 }
