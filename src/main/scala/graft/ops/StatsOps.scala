@@ -225,6 +225,46 @@ object StatsOps {
       when(denX > 0 && denY > 0, (cov * cov) / (denX * denY)).as("r2"))
   }
 
+  /** THEIL–SEN ROBUST SLOPE per key — [[groupwiseRegression]]'s
+    * outlier-proof sibling: the MEDIAN of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)` (29% breakdown point — one fat-finger
+    * point owns an OLS fit but not this), plus the matching intercept
+    * as the median of `y − slope·x`. Both medians are the exact
+    * lower-edge [[weightedQuantile]] (deterministic under ties and
+    * partitioning). Pairs come from a keyed self-join — O(n²) PER
+    * KEY, so run it on per-bucket report dims (daily aggregates), not
+    * raw events; x duplicates within a key are excluded pairwise
+    * (vertical slopes are undefined), NULL x/y rows up front.
+    */
+  def theilSen(
+      df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val s = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val pairs = s
+      .join(s.select(col("__k"), col("__x").as("__x2"),
+        col("__y").as("__y2")), Seq("__k"))
+      .filter(col("__x2") > col("__x"))
+      .select(col("__k"),
+        ((col("__y2") - col("__y")) / (col("__x2") - col("__x")))
+          .as("__slope"))
+      .withColumn("__one", lit(1.0))
+    val slope = weightedQuantile(pairs, "__k", "__slope", "__one", 0.5)
+      .select(col("__k"), col("weighted_quantile").as("ts_slope"),
+        col("total_weight").cast("long").as("n_pairs"))
+    val resid = s.join(broadcast(slope), Seq("__k"))
+      .select(col("__k"), col("ts_slope"), col("n_pairs"),
+        (col("__y") - col("ts_slope") * col("__x")).as("__b"))
+      .withColumn("__one", lit(1.0))
+    weightedQuantile(resid, "__k", "__b", "__one", 0.5)
+      .select(col("__k"), col("weighted_quantile").as("ts_intercept"))
+      .join(slope, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_pairs"), col("ts_slope"),
+        col("ts_intercept"))
+  }
+
   /** BENFORD first-digit audit — the fraud/data-quality screen for
     * naturally-scaled positive amounts: observed first-significant-
     * digit shares vs Benford's `log10(1 + 1/d)`, with each digit's

@@ -125,6 +125,52 @@ object TrendOps {
         col("__m.a").cast("double").as("max_abs_cusum"))
   }
 
+  /** CLASSICAL SEASONAL DECOMPOSITION (additive, moving-average
+    * trend): `x = trend + seasonal + residual` per key over an
+    * integer axis — the "is Monday always low, or is this a real
+    * dip?" splitter. Trend is the centered `period`-point moving
+    * average over a RANGE frame (gap-correct: axis holes shrink the
+    * frame and a partial frame emits NULL trend rather than a
+    * neighbor-shifted fake); seasonal is the per-phase
+    * (`idx mod period`) mean of the detrended values, centered would
+    * require a second pass the additive form doesn't need; residual
+    * is what's left. All means are round-then-DECIMAL sums over one
+    * double division — exact, order-free. `period` must be odd (the
+    * centered window is symmetric); one row per `(key, idx)` is the
+    * [[rollingAgg]] axis contract.
+    */
+  def seasonalDecompose(
+      df: DataFrame, keyCol: String, idxCol: String, valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3, got $period")
+    val half = period / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__i"))
+      .rangeBetween(-half, half)
+    def d9s(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val s = df.select(col(keyCol).as("__k"),
+        col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val tr = s
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("__cnt") === period,
+          sum(round(col("__x"), 6).cast("decimal(38,6)")).over(w)
+            .cast("double") / lit(period.toDouble)))
+      .withColumn("__phase", pmod(col("__i"), lit(period.toLong)))
+    val seas = tr.filter(col("trend").isNotNull)
+      .groupBy("__k", "__phase")
+      .agg((d9s(col("__x") - col("trend")) /
+        count(lit(1)).cast("double")).as("seasonal"))
+    tr.join(seas, Seq("__k", "__phase"), "left")
+      .select(col("__k").as(keyCol), col("__i").as(idxCol),
+        col("__x").as(valueCol), col("trend"), col("seasonal"),
+        (col("__x") - col("trend") - col("seasonal")).as("residual"))
+  }
+
   /** Rolling sum/avg over the trailing `window` axis points
     * (`RANGE BETWEEN window-1 PRECEDING AND CURRENT ROW` semantics,
     * partial windows included — the first points average over what

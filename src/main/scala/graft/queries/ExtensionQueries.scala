@@ -5731,6 +5731,107 @@ object ExtensionQueries {
       |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3"""
       .stripMargin
 
+  // --------------------------------------------------------------- q182
+  /** Additive seasonal decomposition
+    * ([[graft.ops.TrendOps.seasonalDecompose]], period 7) of daily
+    * event-value sums per type: centered-MA trend over a gap-correct
+    * RANGE frame (partial frames → NULL), per-weekday seasonal means
+    * of the detrended values, residual remainder. All means are
+    * round-then-DECIMAL sums over one double division.
+    */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value").cast("double"), 6)
+        .cast("decimal(38,6)")).cast("double").as("v"))
+    TrendOps.seasonalDecompose(daily, "event_type", "day", "v", period = 7)
+  }
+
+  val q182Sql: String =
+    """WITH s AS (
+      | SELECT event_type AS k,
+      |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS idx,
+      |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6))) AS DOUBLE) AS x
+      | FROM events GROUP BY 1, 2),
+      |t AS (
+      | SELECT k, idx, x,
+      |  CASE WHEN count(*) OVER w = 7 THEN
+      |   CAST(sum(CAST(round(x, 6) AS DECIMAL(38, 6))) OVER w AS DOUBLE)
+      |    / 7.0 END AS trend,
+      |  idx % 7 AS phase
+      | FROM s WINDOW w AS (PARTITION BY k ORDER BY idx
+      |  RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |se AS (
+      | SELECT k, phase,
+      |  CAST(sum(CAST(round(x - trend, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) AS seasonal
+      | FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+      |SELECT t.k AS event_type, t.idx AS day, t.x AS v, t.trend,
+      | se.seasonal, t.x - t.trend - se.seasonal AS residual
+      |FROM t LEFT JOIN se ON se.k = t.k AND se.phase = t.phase"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q183
+  /** Theil–Sen robust trend ([[graft.ops.StatsOps.theilSen]]) of daily
+    * revenue per return flag: the median pairwise slope and matching
+    * intercept, both exact lower-edge quantiles over the keyed pair
+    * frame — the outlier-proof answer q162's OLS can't give.
+    */
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        floor(unix_micros(col("l_shipdate")
+          .cast(org.apache.spark.sql.types.TimestampType)) /
+          lit(86400000000L)).as("day"))
+      .agg(sum(round(col("l_extendedprice").cast("double"), 6)
+        .cast("decimal(38,6)")).cast("double").as("rev"))
+    StatsOps.theilSen(daily, "l_returnflag", "day", "rev")
+  }
+
+  val q183Sql: String =
+    """WITH s AS (
+      | SELECT l_returnflag AS k,
+      |  CAST(floor(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+      |   AS idx,
+      |  CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6))) AS DOUBLE) AS rev
+      | FROM lineitem GROUP BY 1, 2),
+      |s2 AS (SELECT k, CAST(idx AS DOUBLE) AS x, rev AS y FROM s),
+      |pr AS (
+      | SELECT a.k, (b.y - a.y) / (b.x - a.x) AS slope
+      | FROM s2 a JOIN s2 b ON b.k = a.k AND b.x > a.x),
+      |c1 AS (
+      | SELECT k, slope,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY slope RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |    ROW) AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM pr),
+      |sl AS (
+      | SELECT k, min(slope) AS ts_slope, CAST(max(tot) AS BIGINT)
+      |  AS n_pairs
+      | FROM c1 WHERE cum >= tot * 0.5 GROUP BY 1),
+      |r AS (
+      | SELECT s2.k, s2.y - sl.ts_slope * s2.x AS b
+      | FROM s2 JOIN sl ON sl.k = s2.k),
+      |c2 AS (
+      | SELECT k, b,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY b RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM r),
+      |ic AS (
+      | SELECT k, min(b) AS ts_intercept FROM c2
+      | WHERE cum >= tot * 0.5 GROUP BY 1)
+      |SELECT sl.k AS l_returnflag, sl.n_pairs, sl.ts_slope,
+      | ic.ts_intercept
+      |FROM sl JOIN ic ON ic.k = sl.k""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -5881,5 +5982,7 @@ object ExtensionQueries {
     "q178_dim_stats" -> ((q178 _, q178Sql)),
     "q179_cuped" -> ((q179 _, q179Sql)),
     "q180_recommend" -> ((q180 _, q180Sql)),
-    "q181_image_neardup" -> ((q181 _, q181Sql)))
+    "q181_image_neardup" -> ((q181 _, q181Sql)),
+    "q182_seasonal" -> ((q182 _, q182Sql)),
+    "q183_theil_sen" -> ((q183 _, q183Sql)))
 }

@@ -274,6 +274,21 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("theilSen: outlier-proof slope; singleton keys emit nothing") {
+    // (0,0),(1,1),(2,2),(3,100): median of pairwise slopes is 1 — the
+    // fat-finger point owns an OLS fit but not this
+    val df = Seq(("a", 0.0, 0.0), ("a", 1.0, 1.0), ("a", 2.0, 2.0),
+      ("a", 3.0, 100.0), ("b", 5.0, 5.0)).toDF("k", "x", "y")
+    val r = StatsOps.theilSen(df, "k", "x", "y")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(("a", 6L, 1.0, 0.0)),
+      s"median slope 1, intercept 0, singleton b dropped: $r")
+    val ols = StatsOps.groupwiseRegression(
+        df.filter($"k" === "a"), "k", "x", "y")
+      .select("slope").as[Double].collect().head
+    assert(ols > 20.0, s"OLS is owned by the outlier ($ols); Theil-Sen is not")
+  }
+
   test("madOutliers: hand case, zero-MAD group NULLs, null exclusion") {
     // 1..9 plus 100: median = 5 (lower edge of 10), absdevs sorted
     // 0,1,1,2,2,3,3,4,4,95 -> MAD = 2; only 100 flags

@@ -297,6 +297,34 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(rep == r, "acf must be partitioning-proof")
   }
 
+  test("seasonalDecompose: exact pattern recovered; gaps NULL the trend") {
+    // x = 10 + s[phase], s = (-1, 0, 1): 3-point centered MA = 10 on
+    // interior points, seasonal means recover s exactly, residual 0
+    val s = Map(0 -> -1.0, 1 -> 0.0, 2 -> 1.0)
+    val rows = (0L to 8L).map(i => ("a", i, 10.0 + s((i % 3).toInt)))
+    val r = TrendOps.seasonalDecompose(rows.toDF("k", "i", "v"), "k", "i",
+        "v", 3)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._2).toSeq
+    assert(r.head._4.isEmpty && r.last._4.isEmpty,
+      "boundary points have no full centered frame")
+    r.filter(x => x._2 >= 1 && x._2 <= 7).foreach { x =>
+      assert(math.abs(x._4.get - 10.0) < 1e-9, s"trend at ${x._2}: ${x._4}")
+      assert(math.abs(x._5.get - s((x._2 % 3).toInt)) < 1e-9)
+      assert(math.abs(x._6.get) < 1e-9, s"residual at ${x._2}: ${x._6}")
+    }
+
+    // removing idx 4 breaks the RANGE frame of its neighbors too
+    val gap = rows.filterNot(_._2 == 4L)
+    val g = TrendOps.seasonalDecompose(gap.toDF("k", "i", "v"), "k", "i",
+        "v", 3)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().map(x => x._2 -> x._4).toMap
+    assert(g(3L).isEmpty && g(5L).isEmpty,
+      "gap neighbors must not fake a trend from shifted rows")
+    assert(g(2L).nonEmpty && g(6L).nonEmpty)
+  }
+
   test("cusumChangepoint: level shift located; earliest index on ties") {
     // 0,0,10,10: mean 5, S = -5,-10,-5,0 -> cp at idx 1, |S| = 10
     val s = Seq(("a", 0L, 0.0), ("a", 1L, 0.0), ("a", 2L, 10.0),
