@@ -242,7 +242,11 @@ object MultimodalOps {
     require(maxHamming >= 0 && maxHamming < 4,
       s"banded candidates are exact only for maxHamming < 4, got $maxHamming")
     val hashed = df
-      .withColumn("__h", averageHash(col(vecCol), cells))
+      // fused one-pass expression; the composable [[averageHash]] is
+      // its bit-identical differential twin (the HOF form re-evaluates
+      // the mean fold inside every pack step — O(cells²)/row)
+      .withColumn("__h", graft.functions.AverageHashHalves
+        .averageHashHalves(col(vecCol), cells))
       .filter(col("__h").isNotNull)
       .select(col(idCol).as("__id"), col("__h.hi").as("__hi"),
         col("__h.lo").as("__lo"))

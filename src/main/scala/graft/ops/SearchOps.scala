@@ -299,6 +299,42 @@ object SearchOps {
     * id-asc tiebreak — exactly the window twin's rule (q136's oracle
     * IS the window formulation; matching rows prove equivalence).
     */
+  /** TF-IDF KEYWORD EXTRACTION — top `k` characteristic terms per
+    * document: `score = tf · (ln((1+N)/(1+df)) + 1)` (the
+    * [[hashedTfidf]] smoothed-idf shape on RAW terms — the
+    * human-readable summary surface next to the model-facing hashed
+    * vectors). The per-doc cut ranks on (score desc, term asc) in one
+    * doc-keyed window; corpus-frequent terms self-suppress through
+    * idf, so no stopword list is needed.
+    *
+    * Scale shape: one tokenize+explode pass, one (doc, term) count
+    * (map-side combined), the |vocab|-row df dim broadcast back, one
+    * doc-keyed rank window. Output is ≤ k rows per doc.
+    */
+  def keywordExtract(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val tf = df
+      .select(col(idCol), explode(TextOps.whitespaceTokenize(col(textCol)))
+        .as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (log((lit(1.0) + col("__n_docs")) /
+            (lit(1.0) + col("df_docs").cast("double"))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df_docs"),
+        col("score"), col("rank"))
+  }
+
   def topKPerGroup(
       df: DataFrame, groupCol: String, valueCol: String, idCol: String,
       k: Int): DataFrame =

@@ -5780,20 +5780,24 @@ object ExtensionQueries {
     * frame — the outlier-proof answer q162's OLS can't give.
     */
   def q183(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.lineitem(spark, dir)
+    // weekly buckets: the pair frame is O(points²) PER KEY by
+    // contract — ~360 weeks -> 65k pairs/key stays a report dim at
+    // any corpus size, where daily buckets (2.5k points -> 3M
+    // pairs/key through a |keys|-way shuffle) measured 20 s at sf0.1
+    val weekly = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"),
         floor(unix_micros(col("l_shipdate")
           .cast(org.apache.spark.sql.types.TimestampType)) /
-          lit(86400000000L)).as("day"))
+          lit(604800000000L)).as("week"))
       .agg(sum(round(col("l_extendedprice").cast("double"), 6)
         .cast("decimal(38,6)")).cast("double").as("rev"))
-    StatsOps.theilSen(daily, "l_returnflag", "day", "rev")
+    StatsOps.theilSen(weekly, "l_returnflag", "week", "rev")
   }
 
   val q183Sql: String =
     """WITH s AS (
       | SELECT l_returnflag AS k,
-      |  CAST(floor(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+      |  CAST(floor(epoch_us(l_shipdate) / 604800000000) AS BIGINT)
       |   AS idx,
       |  CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
       |   AS DECIMAL(38, 6))) AS DOUBLE) AS rev
@@ -5831,6 +5835,195 @@ object ExtensionQueries {
       |SELECT sl.k AS l_returnflag, sl.n_pairs, sl.ts_slope,
       | ic.ts_intercept
       |FROM sl JOIN ic ON ic.k = sl.k""".stripMargin
+
+  // --------------------------------------------------------------- q184
+  /** TF-IDF keyword extraction
+    * ([[graft.ops.SearchOps.keywordExtract]], top 3 per doc): the
+    * human-readable summary surface beside the hashed tf-idf vectors;
+    * smoothed idf self-suppresses corpus-frequent terms, the cut
+    * ranks (score desc, term asc).
+    */
+  def q184(spark: SparkSession, dir: String): DataFrame =
+    SearchOps.keywordExtract(
+      Tables.documents(spark, dir), "text", "doc_id", k = 3)
+
+  val q184Sql: String =
+    """WITH tok AS (
+      | SELECT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |   AS term
+      | FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+      |        FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |sc AS (
+      | SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+      |  CAST(tf.tf AS DOUBLE) *
+      |   (ln((1.0 + nd.n_docs) / (1.0 + CAST(dfq.df_docs AS DOUBLE)))
+      |    + 1.0) AS score
+      | FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+      |rk AS (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |   ORDER BY score DESC, term) AS INT) AS rank
+      | FROM sc)
+      |SELECT doc_id, term, tf, df_docs, score, rank
+      |FROM rk WHERE rank <= 3""".stripMargin
+
+  // --------------------------------------------------------------- q185
+  /** Conversion-latency quantiles: per signup-week cohort, the p50 and
+    * p90 of first-signup → first-subsequent-purchase latency (micros),
+    * both exact lower-edge [[graft.ops.StatsOps.weightedQuantile]]s —
+    * the funnel-speed report beside q86's conversion counts.
+    */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("s"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p"))
+    val lat = su.join(pu, Seq("user_id"))
+      .filter(col("p") >= col("s"))
+      .groupBy(col("user_id"), col("s")).agg(min(col("p")).as("p1"))
+      .select(floor(col("s") / lit(604800000000L)).as("cohort"),
+        (col("p1") - col("s")).as("lat_us"))
+      .withColumn("__one", lit(1.0))
+    val p50 = StatsOps.weightedQuantile(lat, "cohort", "lat_us", "__one", 0.5)
+      .select(col("cohort"), col("weighted_quantile").as("p50"),
+        col("total_weight").cast("long").as("n"))
+    val p90 = StatsOps.weightedQuantile(lat, "cohort", "lat_us", "__one", 0.9)
+      .select(col("cohort"), col("weighted_quantile").as("p90"))
+    p50.join(p90, Seq("cohort"))
+      .select(col("cohort"), col("n"), col("p50"), col("p90"))
+  }
+
+  val q185Sql: String =
+    """WITH su AS (
+      | SELECT user_id, min(epoch_us(ts)) AS s FROM events
+      | WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      | SELECT user_id, epoch_us(ts) AS p FROM events
+      | WHERE event_type = 'purchase'),
+      |l0 AS (
+      | SELECT su.user_id, su.s, min(pu.p) AS p1
+      | FROM su JOIN pu USING (user_id) WHERE pu.p >= su.s
+      | GROUP BY 1, 2),
+      |lat AS (
+      | SELECT CAST(floor(s / 604800000000) AS BIGINT) AS cohort,
+      |  p1 - s AS lat_us
+      | FROM l0),
+      |c AS (
+      | SELECT cohort, CAST(lat_us AS DOUBLE) AS v,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY cohort
+      |    ORDER BY CAST(lat_us AS DOUBLE)
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY cohort)
+      |   AS DOUBLE) AS tot
+      | FROM lat),
+      |q50 AS (
+      | SELECT cohort, min(v) AS p50, CAST(max(tot) AS BIGINT) AS n
+      | FROM c WHERE cum >= tot * 0.5 GROUP BY 1),
+      |q90 AS (
+      | SELECT cohort, min(v) AS p90 FROM c
+      | WHERE cum >= tot * 0.9 GROUP BY 1)
+      |SELECT q50.cohort, q50.n, q50.p50, q90.p90
+      |FROM q50 JOIN q90 USING (cohort)""".stripMargin
+
+  // --------------------------------------------------------------- q186
+  /** Token frequency-of-frequency spectrum with simple Good–Turing
+    * adjusted counts: per observed count `r`, how many vocabulary
+    * types occur exactly `r` times (`n_r`) and
+    * `r* = (r+1)·n_{r+1}/n_r` — the smoothing statistic behind
+    * held-out LM mass estimates; spectrum holes leave `r*` NULL.
+    */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(graft.ops.TextOps.whitespaceTokenize(col("text")))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val spec = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val nxt = spec.select((col("r") - 1).as("r"), col("n_r").as("__n1"))
+    spec.join(nxt, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        ((col("r") + 1).cast("double") * col("__n1").cast("double") /
+          col("n_r").cast("double")).as("r_star"))
+  }
+
+  val q186Sql: String =
+    """WITH tok AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |  AS term
+      | FROM documents),
+      |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM tok
+      |        GROUP BY 1),
+      |spec AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt
+      |         GROUP BY 1)
+      |SELECT s.r, s.n_r,
+      | CAST(s.r + 1 AS DOUBLE) * CAST(n2.n_r AS DOUBLE)
+      |  / CAST(s.n_r AS DOUBLE) AS r_star
+      |FROM spec s LEFT JOIN spec n2 ON n2.r = s.r + 1""".stripMargin
+
+  // --------------------------------------------------------------- q187
+  /** Zipf's-law fit: OLS of ln(freq) on ln(rank) over the corpus
+    * vocabulary ([[graft.ops.StatsOps.groupwiseRegression]] on one
+    * key) — slope ≈ −1 is the healthy-corpus signature; rank comes
+    * from the range-partitioned sorted row index (the gini pattern,
+    * NO unpartitioned window), ties broken by term.
+    */
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(graft.ops.TextOps.whitespaceTokenize(col("text")))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = JoinOps.withRowIndex(
+      vocab.sort(col("cnt").desc, col("term")), "__idx")
+    val pts = ranked.select(lit("corpus").as("corpus"),
+      log(col("__idx").cast("double") + lit(1.0)).as("ln_rank"),
+      log(col("cnt").cast("double")).as("ln_freq"))
+    StatsOps.groupwiseRegression(pts, "corpus", "ln_rank", "ln_freq")
+  }
+
+  val q187Sql: String =
+    """WITH tok AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |  AS term
+      | FROM documents),
+      |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |      GROUP BY 1),
+      |r AS (
+      | SELECT 'corpus' AS corpus,
+      |  ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1
+      |     AS DOUBLE) + 1.0) AS x,
+      |  ln(CAST(cnt AS DOUBLE)) AS y
+      | FROM v),
+      |a AS (
+      | SELECT corpus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(x, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(round(y, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxy,
+      |  CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxx,
+      |  CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS syy
+      | FROM r GROUP BY 1)
+      |SELECT corpus, n,
+      | CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |   / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+      | CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+      |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+      |   / CAST(n AS DOUBLE) END AS intercept,
+      | CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 AND
+      |           CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+      |  ((CAST(n AS DOUBLE) * sxy - sx * sy) *
+      |   (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+      |  ((CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |   (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+      |FROM a""".stripMargin
 
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
@@ -5984,5 +6177,9 @@ object ExtensionQueries {
     "q180_recommend" -> ((q180 _, q180Sql)),
     "q181_image_neardup" -> ((q181 _, q181Sql)),
     "q182_seasonal" -> ((q182 _, q182Sql)),
-    "q183_theil_sen" -> ((q183 _, q183Sql)))
+    "q183_theil_sen" -> ((q183 _, q183Sql)),
+    "q184_keywords" -> ((q184 _, q184Sql)),
+    "q185_conversion_latency" -> ((q185 _, q185Sql)),
+    "q186_freq_spectrum" -> ((q186 _, q186Sql)),
+    "q187_zipf" -> ((q187 _, q187Sql)))
 }

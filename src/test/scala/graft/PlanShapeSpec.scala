@@ -159,7 +159,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q179_cuped",
     // q180: rides q98/q160's pair machinery (1-row basket-total
     // broadcast)
-    "q180_recommend")
+    "q180_recommend",
+    // q184: term rows × broadcast(1-row corpus doc count) for the
+    // smoothed idf — the q08 scalar pattern
+    "q184_keywords")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

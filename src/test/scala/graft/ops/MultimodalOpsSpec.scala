@@ -169,6 +169,29 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0), "wrong-length grid hashes to NULL")
   }
 
+  test("AverageHashHalves fused == composable HOF averageHash on random grids") {
+    val rnd = new scala.util.Random(11)
+    val grids = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 10.0f))
+    }
+    val df = grids.toDF("id", "v")
+    val both = df.select(col("id"),
+        MultimodalOps.averageHash(col("v"), 64).as("hof"),
+        graft.functions.AverageHashHalves.averageHashHalves(col("v"), 64)
+          .as("fused"))
+      .select(col("id"), col("hof.hi"), col("hof.lo"),
+        col("fused.hi").as("fhi"), col("fused.lo").as("flo"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    both.foreach { r =>
+      assert(r._2 == r._4 && r._3 == r._5,
+        s"fused hash must be bit-identical to the HOF form: $r")
+    }
+    // wrong-length grid: both forms NULL
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    assert(bad.select(graft.functions.AverageHashHalves
+      .averageHashHalves(col("v"), 64)).collect().head.isNullAt(0))
+  }
+
   test("imageNearDups: one-bit twin pairs; distant images don't") {
     val a = (0 until 32).map(_ => 0.0f) ++ (0 until 32).map(_ => 10.0f)
     val b = a.updated(0, 10.0f) // one extra high pixel -> 1-bit flip

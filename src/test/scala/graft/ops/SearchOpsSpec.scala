@@ -136,4 +136,22 @@ class SearchOpsSpec extends AnyFunSuite {
       .as[(String, Int, Long, Double)].collect().sortBy(_._2)
     assert(all.toSeq == Seq(("a", 1, 2L, 2.0), ("a", 2, 1L, 1.0)))
   }
+
+  test("keywordExtract: idf suppresses corpus-frequent terms, ranked cut") {
+    // df: apple 1, banana 3, cherry 1 over N=3 docs; smoothed idf
+    // makes the rare terms beat the everywhere-banana
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "banana")).toDF("doc_id", "text")
+    val r = SearchOps.keywordExtract(docs, "text", "doc_id", 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6).toSeq).toMap
+    val idfRare = math.log(4.0 / 2.0) + 1.0
+    assert(r(1L).map(_._2) == Seq("apple", "banana"),
+      s"rare apple outranks banana: ${r(1L)}")
+    assert(math.abs(r(1L).head._5 - 2.0 * idfRare) < 1e-12)
+    assert(r(2L).map(_._2) == Seq("cherry", "banana"))
+    assert(math.abs(r(2L).head._5 - idfRare) < 1e-12)
+    assert(r(3L).map(_._2) == Seq("banana") && r(3L).head._5 == 1.0,
+      "idf of an everywhere-term is exactly 1 (smoothed ln(1)=0)")
+  }
 }
