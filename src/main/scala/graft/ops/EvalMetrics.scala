@@ -314,4 +314,43 @@ object EvalMetrics {
           lit(2.0) * col("rouge_p") * col("rouge_r") / (col("rouge_p") + col("rouge_r"))))
       .drop("__rh", "__ch")
   }
+
+  /** PAIRWISE WIN MATRIX — the head-to-head eval aggregate (LLM
+    * arena / offline judge scoring): per evaluation unit (prompt,
+    * query) each system's metric is its exact DECIMAL score sum; for
+    * every system pair present on the same unit, count wins / ties /
+    * losses and the tie-excluded win rate. Systems pair as
+    * `system_a < system_b` (string order), so each matchup appears
+    * once with a deterministic orientation.
+    *
+    * Scale shape: one (unit, system) keyed aggregation, one
+    * unit-keyed self-join of the per-unit score dim (rows = units ×
+    * systems² at worst — systems is small by contract), one
+    * pair-keyed count. Units where a system is absent simply don't
+    * contribute to that system's matchups (no imputation).
+    */
+  def pairwiseWins(
+      df: DataFrame, unitCol: String, systemCol: String,
+      scoreCol: String): DataFrame = {
+    val m = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(systemCol).as("__sys"))
+      .agg(sum(round(col(scoreCol).cast("double"), 6)
+        .cast("decimal(38,6)")).cast("double").as("__m"))
+    val a = m.select(col("__u"), col("__sys").as("system_a"),
+      col("__m").as("__ma"))
+    val b = m.select(col("__u"), col("__sys").as("system_b"),
+      col("__m").as("__mb"))
+    val wins = sum(when(col("__ma") > col("__mb"), 1L).otherwise(0L))
+    val losses = sum(when(col("__ma") < col("__mb"), 1L).otherwise(0L))
+    a.join(b, Seq("__u"))
+      .filter(col("system_a") < col("system_b"))
+      .groupBy("system_a", "system_b")
+      .agg(count(lit(1)).as("n_units"), wins.as("wins"),
+        losses.as("losses"),
+        sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L)).as("ties"))
+      .withColumn("win_rate",
+        when(col("wins") + col("losses") > 0,
+          col("wins").cast("double") /
+            (col("wins") + col("losses")).cast("double")))
+  }
 }

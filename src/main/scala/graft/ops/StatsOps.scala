@@ -506,6 +506,95 @@ object StatsOps {
           .as("variance_reduction"))
   }
 
+  /** DELETE-ONE-GROUP JACKKNIFE standard error of the mean — the
+    * cluster-robust uncertainty estimate (Efron & Stein 1981; the
+    * "bucketed jackknife" of large-scale experimentation): rows are
+    * grouped into `bucketCol` clusters (users, sessions — the unit of
+    * independence), each leave-one-bucket-out mean
+    * `θ₍g₎ = (S − s_g)/(N − n_g)` is exact DECIMAL subtraction over
+    * one double division, and
+    * `SE² = (G−1)/G · Σ (θ₍g₎ − θ̄)²` (round-then-DECIMAL term sum).
+    * A plain i.i.d. SE understates uncertainty when rows within a
+    * user correlate — this is the one to quote. One bucket-keyed
+    * aggregation (map-side combined), then constant-size math on the
+    * G-row dim; needs G ≥ 2 and no bucket holding everything.
+    */
+  def jackknifeMean(
+      df: DataFrame, bucketCol: String, valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val x = col(valueCol).cast("double")
+    val per = df.filter(x.isNotNull)
+      .groupBy(col(bucketCol).as("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(round(x, 6).cast("decimal(38,6)")).as("__sg"))
+    val tot = per.agg(count(lit(1)).as("__nb"), sum(col("__ng")).as("__N"),
+      sum(col("__sg")).as("__S"))
+    val theta = per.crossJoin(broadcast(tot))
+      .select(col("__nb"), col("__N"), col("__S"),
+        (d(col("__S") - col("__sg")) / d(col("__N") - col("__ng")))
+          .as("__th"))
+    // SS from sufficient sums (Σθ² − (Σθ)²/G) — one aggregation, no
+    // self-referential join; the identical pinned formula replays in
+    // the oracle (the q162 sufficient-statistics convention)
+    theta.groupBy("__nb", "__N", "__S")
+      .agg(sum(round(col("__th"), 9).cast("decimal(38,9)")).cast("double")
+        .as("__st"),
+        sum(round(col("__th") * col("__th"), 9).cast("decimal(38,9)"))
+          .cast("double").as("__stt"))
+      .select(col("__N").cast("long").as("n"), col("__nb").as("n_buckets"),
+        (d(col("__S")) / d(col("__N"))).as("mean"),
+        sqrt((d(col("__nb")) - lit(1.0)) / d(col("__nb")) *
+          (col("__stt") - col("__st") * col("__st") / d(col("__nb"))))
+          .as("se_jackknife"))
+  }
+
+  /** MANTEL–HAENSZEL pooled odds ratio across strata — the
+    * Simpson's-paradox-proof A/B readout: per stratum the 2×2 cell
+    * counts (variant × success), pooled as
+    * `OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ` (Mantel & Haenszel 1959). A
+    * marginal odds ratio flips sign under confounded stratum mixes;
+    * the MH estimate conditions on the stratum. Everything derives
+    * from integer counts — per-stratum terms are pinned doubles,
+    * round-then-DECIMAL summed. `variantCol` must take exactly two
+    * values (lexicographically first = treatment, assert_true-guarded
+    * like [[twoProportionZ]]); zero pooled denominator emits NULL.
+    */
+  def mantelHaenszel(
+      df: DataFrame, stratumCol: String, variantCol: String,
+      successCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val lab = df.agg(min(col(variantCol)).as("__v1"),
+      max(col(variantCol)).as("__v2"),
+      countDistinct(col(variantCol)).as("__k"))
+    val cells = df.crossJoin(broadcast(lab))
+      .groupBy(col(stratumCol).as("__s"), col("__v1"), col("__v2"),
+        col("__k"))
+      .agg(
+        sum(when(col(variantCol) === col("__v1") && col(successCol), 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col(variantCol) === col("__v1") && !col(successCol), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col(variantCol) =!= col("__v1") && col(successCol), 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col(variantCol) =!= col("__v1") && !col(successCol), 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("__n", col("a") + col("b") + col("c") + col("d"))
+    def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
+    cells
+      .groupBy("__v1", "__v2", "__k")
+      .agg(count(lit(1)).as("n_strata"),
+        sum(t9(d(col("a")) * d(col("d")) / d(col("__n")))).cast("double")
+          .as("__num"),
+        sum(t9(d(col("b")) * d(col("c")) / d(col("__n")))).cast("double")
+          .as("__den"))
+      .withColumn("__guard", assert_true(col("__k") === 2,
+        lit("mantelHaenszel: variantCol must take exactly 2 values")))
+      .filter(col("__guard").isNull)
+      .select(col("__v1").as("variant1"), col("__v2").as("variant2"),
+        col("n_strata"),
+        when(col("__den") > 0, col("__num") / col("__den")).as("or_mh"))
+  }
+
   /** Group-wise rank (quantile) normalization: `pct_rank ∈ [0, 1]` of
     * `valueCol` within each `keyCol` group — the scale-free feature
     * transform (per-language quality scores become comparable across

@@ -6025,6 +6025,126 @@ object ExtensionQueries {
       |   (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
       |FROM a""".stripMargin
 
+  // --------------------------------------------------------------- q188
+  /** Cluster-robust jackknife SE
+    * ([[graft.ops.StatsOps.jackknifeMean]], 32 user-hash buckets) of
+    * the mean purchase value: the leave-one-bucket-out means are
+    * exact DECIMAL subtractions, the spread term round-then-DECIMAL —
+    * the uncertainty an i.i.d. SE understates when a user's rows
+    * correlate.
+    */
+  def q188(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.jackknifeMean(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase")
+        .withColumn("bucket", pmod(col("user_id"), lit(32))),
+      "bucket", "value")
+
+  val q188Sql: String =
+    """WITH per AS (
+      | SELECT user_id % 32 AS bk, CAST(count(*) AS BIGINT) AS ng,
+      |  sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(38, 6)))
+      |   AS sg
+      | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      | GROUP BY 1),
+      |tot AS (
+      | SELECT CAST(count(*) AS BIGINT) AS nb, sum(ng) AS N, sum(sg) AS S
+      | FROM per),
+      |th AS (
+      | SELECT nb, N, S,
+      |  CAST(S - sg AS DOUBLE) / CAST(N - ng AS DOUBLE) AS th
+      | FROM per CROSS JOIN tot),
+      |ss AS (
+      | SELECT nb, N, S,
+      |  CAST(sum(CAST(round(th, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS st,
+      |  CAST(sum(CAST(round(th * th, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS stt
+      | FROM th GROUP BY 1, 2, 3)
+      |SELECT CAST(N AS BIGINT) AS n, nb AS n_buckets,
+      | CAST(S AS DOUBLE) / CAST(N AS DOUBLE) AS mean,
+      | sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) *
+      |  (stt - st * st / CAST(nb AS DOUBLE))) AS se_jackknife
+      |FROM ss""".stripMargin
+
+  // --------------------------------------------------------------- q189
+  /** Mantel–Haenszel pooled odds ratio
+    * ([[graft.ops.StatsOps.mantelHaenszel]]): account-positivity odds
+    * for even- vs odd-key customers pooled ACROSS nation strata — the
+    * Simpson's-paradox-proof form of q159's marginal test. Integer
+    * cells, round-then-DECIMAL term sums.
+    */
+  def q189(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.mantelHaenszel(
+      Tables.customer(spark, dir)
+        .withColumn("variant",
+          when(pmod(col("c_custkey"), lit(2)) === 0, "even")
+            .otherwise("odd"))
+        .withColumn("pos", col("c_acctbal") > 0),
+      "c_nationkey", "variant", "pos")
+
+  val q189Sql: String =
+    """WITH v AS (
+      | SELECT c_nationkey AS s,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS v,
+      |  c_acctbal > 0 AS p
+      | FROM customer),
+      |cells AS (
+      | SELECT s,
+      |  CAST(sum(CASE WHEN v = 'even' AND p THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS a,
+      |  CAST(sum(CASE WHEN v = 'even' AND NOT p THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS b,
+      |  CAST(sum(CASE WHEN v <> 'even' AND p THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS c,
+      |  CAST(sum(CASE WHEN v <> 'even' AND NOT p THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS d
+      | FROM v GROUP BY 1),
+      |agg AS (
+      | SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |  CAST(sum(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |   / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(38, 9)))
+      |   AS DOUBLE) AS num,
+      |  CAST(sum(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      |   / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(38, 9)))
+      |   AS DOUBLE) AS den
+      | FROM cells)
+      |SELECT 'even' AS variant1, 'odd' AS variant2, n_strata,
+      | CASE WHEN den > 0 THEN num / den END AS or_mh
+      |FROM agg""".stripMargin
+
+  // --------------------------------------------------------------- q190
+  /** Pairwise win matrix ([[graft.ops.EvalMetrics.pairwiseWins]]):
+    * event types as competing systems, users as evaluation units,
+    * per-unit exact DECIMAL score sums compared head-to-head — the
+    * arena-style eval aggregate with tie-excluded win rates.
+    */
+  def q190(spark: SparkSession, dir: String): DataFrame =
+    EvalMetrics.pairwiseWins(
+      Tables.events(spark, dir), "user_id", "event_type", "value")
+
+  val q190Sql: String =
+    """WITH m AS (
+      | SELECT user_id AS u, event_type AS sys,
+      |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6))) AS DOUBLE) AS m
+      | FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      |SELECT a.sys AS system_a, b.sys AS system_b,
+      | CAST(count(*) AS BIGINT) AS n_units,
+      | CAST(sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS wins,
+      | CAST(sum(CASE WHEN a.m < b.m THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS losses,
+      | CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS ties,
+      | CASE WHEN sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) +
+      |           sum(CASE WHEN a.m < b.m THEN 1 ELSE 0 END) > 0 THEN
+      |  CAST(sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS DOUBLE) /
+      |  CAST(sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) +
+      |       sum(CASE WHEN a.m < b.m THEN 1 ELSE 0 END) AS DOUBLE) END
+      |  AS win_rate
+      |FROM m a JOIN m b ON b.u = a.u AND a.sys < b.sys
+      |GROUP BY 1, 2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6181,5 +6301,8 @@ object ExtensionQueries {
     "q184_keywords" -> ((q184 _, q184Sql)),
     "q185_conversion_latency" -> ((q185 _, q185Sql)),
     "q186_freq_spectrum" -> ((q186 _, q186Sql)),
-    "q187_zipf" -> ((q187 _, q187Sql)))
+    "q187_zipf" -> ((q187 _, q187Sql)),
+    "q188_jackknife" -> ((q188 _, q188Sql)),
+    "q189_mantel_haenszel" -> ((q189 _, q189Sql)),
+    "q190_win_matrix" -> ((q190 _, q190Sql)))
 }

@@ -162,7 +162,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q180_recommend",
     // q184: term rows × broadcast(1-row corpus doc count) for the
     // smoothed idf — the q08 scalar pattern
-    "q184_keywords")
+    "q184_keywords",
+    // q188: G-row bucket dim × broadcast(1-row totals) — the q08
+    // scalar pattern
+    "q188_jackknife",
+    // q189: rows × broadcast(1-row min/max variant labels) — q159's
+    // pattern
+    "q189_mantel_haenszel")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

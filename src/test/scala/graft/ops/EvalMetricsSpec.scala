@@ -87,4 +87,21 @@ class EvalMetricsSpec extends AnyFunSuite {
     // ECE = (2*0.45 + 1*0.45 + 1*0) / 4 = 0.3375, same on every row
     assert(rows.forall(r => math.abs(r._6 - 0.3375) < 1e-12))
   }
+
+  test("pairwiseWins: head-to-head counts, ties excluded from the rate") {
+    // u1: A=5 B=3 C=5 ; u2: A=1 B=2 (C absent)
+    val df = Seq((1L, "A", 5.0), (1L, "B", 3.0), (1L, "C", 5.0),
+      (2L, "A", 1.0), (2L, "B", 2.0)).toDF("u", "sys", "score")
+    val r = EvalMetrics.pairwiseWins(df, "u", "sys", "score")
+      .as[(String, String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(x => (x._1, x._2) -> x).toMap
+    val ab = r(("A", "B"))
+    assert(ab._3 == 2L && ab._4 == 1L && ab._5 == 1L && ab._6 == 0L)
+    assert(ab._7.contains(0.5))
+    val ac = r(("A", "C"))
+    assert(ac._3 == 1L && ac._6 == 1L && ac._7.isEmpty,
+      s"all-tie matchup has no defined rate: $ac")
+    val bc = r(("B", "C"))
+    assert(bc._3 == 1L && bc._5 == 1L && bc._7.contains(0.0))
+  }
 }

@@ -289,6 +289,39 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(ols > 20.0, s"OLS is owned by the outlier ($ols); Theil-Sen is not")
   }
 
+  test("jackknifeMean: hand SE over three buckets") {
+    // buckets a:[1,2] b:[3,4] c:[5,6] -> leave-one-out means
+    // 4.5, 3.5, 2.5 -> SS = 2, SE = sqrt(2/3 * 2)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = StatsOps.jackknifeMean(df, "g", "v")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 == 6L && r._2 == 3L)
+    assert(math.abs(r._3 - 3.5) < 1e-12)
+    assert(math.abs(r._4 - math.sqrt(4.0 / 3.0)) < 1e-12, s"SE ${r._4}")
+  }
+
+  test("mantelHaenszel: hand pooled OR; 3-variant guard aborts") {
+    // s1: a=4 b=1 c=2 d=3 -> ad/n=1.2, bc/n=0.2
+    // s2: a=1 b=4 c=1 d=4 -> 0.4, 0.4  => OR_MH = 1.6/0.6
+    def rows(s: String, v: String, p: Boolean, n: Int) =
+      Seq.fill(n)((s, v, p))
+    val df = (rows("s1", "t", true, 4) ++ rows("s1", "t", false, 1) ++
+      rows("s1", "u", true, 2) ++ rows("s1", "u", false, 3) ++
+      rows("s2", "t", true, 1) ++ rows("s2", "t", false, 4) ++
+      rows("s2", "u", true, 1) ++ rows("s2", "u", false, 4))
+      .toDF("s", "v", "p")
+    val r = StatsOps.mantelHaenszel(df, "s", "v", "p")
+      .as[(String, String, Long, Option[Double])].collect().head
+    assert(r._1 == "t" && r._2 == "u" && r._3 == 2L)
+    assert(math.abs(r._4.get - 1.6 / 0.6) < 1e-12, s"OR ${r._4}")
+    intercept[Exception] {
+      StatsOps.mantelHaenszel(
+        df.union(Seq(("s1", "w", true)).toDF("s", "v", "p")),
+        "s", "v", "p").collect()
+    }
+  }
+
   test("madOutliers: hand case, zero-MAD group NULLs, null exclusion") {
     // 1..9 plus 100: median = 5 (lower edge of 10), absdevs sorted
     // 0,1,1,2,2,3,3,4,4,95 -> MAD = 2; only 100 flags
