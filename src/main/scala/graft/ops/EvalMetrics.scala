@@ -315,6 +315,64 @@ object EvalMetrics {
       .drop("__rh", "__ch")
   }
 
+  /** BRADLEY–TERRY STRENGTHS from head-to-head outcomes — the model
+    * behind arena leaderboards: latent strengths `s` with
+    * `P(i beats j) = sᵢ/(sᵢ+sⱼ)`, fit by `iters` Hunter-2004 MM
+    * passes `sᵢ ← Wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ)`, sum-normalized each pass.
+    * Ties credit half a win to each side, carried as the INTEGER
+    * `2·wins + ties`, so every win total is exact; per-pass
+    * denominators and the normalizer are round-then-DECIMAL sums —
+    * the whole iteration replays stage-for-stage in the oracle (the
+    * q118 PageRank unroll convention). The comparison graph must be
+    * connected with every system winning at least half a point
+    * (else its strength collapses to 0 — which IS the MLE there).
+    *
+    * Scale shape: the heavy work is the per-unit score aggregation
+    * and one unit-keyed self-join ([[pairwiseWins]]'s geometry); the
+    * iteration itself runs on the |systems|²-bounded pair dim.
+    */
+  def bradleyTerry(
+      df: DataFrame, unitCol: String, systemCol: String,
+      scoreCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = (c: Column) => c.cast("double")
+    val m = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(systemCol).as("__sys"))
+      .agg(sum(round(col(scoreCol).cast("double"), 6)
+        .cast("decimal(38,6)")).cast("double").as("__m"))
+    val a = m.select(col("__u"), col("__sys").as("i"), col("__m").as("__ma"))
+    val b = m.select(col("__u"), col("__sys").as("j"), col("__m").as("__mb"))
+    val sym = a.join(b, Seq("__u"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ma") > col("__mb"), 2L)
+          .when(col("__ma") === col("__mb"), 1L).otherwise(0L)).as("w2"))
+      .localCheckpoint()
+    val wi = sym.groupBy("i")
+      .agg((sum(col("w2")).cast("double") / lit(2.0)).as("__W"),
+        sum(col("n")).as("n_comparisons"))
+    var s = wi.select(col("i"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val raw = sym
+        .join(s.select(col("i"), col("s").as("__si")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("s").as("__sj")), Seq("j"))
+        .groupBy("i")
+        .agg(sum(round(d(col("n")) / (col("__si") + col("__sj")), 9)
+          .cast("decimal(38,9)")).cast("double").as("__den"))
+        .join(wi.select(col("i"), col("__W")), Seq("i"))
+        .select(col("i"), (col("__W") / col("__den")).as("__raw"))
+      val tot = raw.agg(sum(round(col("__raw"), 9).cast("decimal(38,9)"))
+        .cast("double").as("__tot"))
+      s = raw.crossJoin(broadcast(tot))
+        .select(col("i"), (col("__raw") / col("__tot")).as("s"))
+        .localCheckpoint()
+    }
+    s.join(wi, Seq("i"))
+      .select(col("i").as("system"), col("n_comparisons"),
+        col("__W").as("win_score"), col("s").as("strength"))
+  }
+
   /** PAIRWISE WIN MATRIX — the head-to-head eval aggregate (LLM
     * arena / offline judge scoring): per evaluation unit (prompt,
     * query) each system's metric is its exact DECIMAL score sum; for

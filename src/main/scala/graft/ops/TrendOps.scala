@@ -125,6 +125,38 @@ object TrendOps {
         col("__m.a").cast("double").as("max_abs_cusum"))
   }
 
+  /** EXPONENTIALLY TIME-DECAYED SUM per key:
+    * `Σ v·2^(−Δt/halfLife)` with Δt measured back from the corpus
+    * max timestamp — the recency-weighted engagement/quality score
+    * (training-data sampling weights, churn features) where a plain
+    * sum lets dead history dominate. The decay factor is the pinned
+    * double `exp(−Δdays·ln2/halfLifeDays)`; weighted terms are
+    * round-then-DECIMAL summed (exact, order-free), and the reference
+    * timestamp rides a 1-row broadcast — so the whole thing is ONE
+    * keyed aggregation over one pass. NULL value/ts rows are
+    * excluded.
+    */
+  def decayedSum(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    val ts = unix_micros(col(tsCol))
+    val clean = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), ts.as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val ref = clean.agg(max(col("__t")).as("__ref"))
+    val dtDays = (col("__ref") - col("__t")).cast("double") /
+      lit(86400000000.0)
+    val wv = col("__v") *
+      exp(dtDays * lit(-math.log(2.0) / halfLifeDays))
+    clean.crossJoin(broadcast(ref))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(round(wv, 9).cast("decimal(38,9)")).cast("double")
+          .as("decayed_sum"))
+  }
+
   /** CLASSICAL SEASONAL DECOMPOSITION (additive, moving-average
     * trend): `x = trend + seasonal + residual` per key over an
     * integer axis — the "is Monday always low, or is this a real

@@ -6145,6 +6145,81 @@ object ExtensionQueries {
       |FROM m a JOIN m b ON b.u = a.u AND a.sys < b.sys
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q191
+  /** Time-decayed purchase value per user
+    * ([[graft.ops.TrendOps.decayedSum]], 30-day half-life): the
+    * recency-weighted engagement score — pinned
+    * `exp(−Δdays·ln2/30)` factors, round-then-DECIMAL sums, corpus
+    * max-ts on a 1-row broadcast.
+    */
+  def q191(spark: SparkSession, dir: String): DataFrame =
+    TrendOps.decayedSum(
+      Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts", "value", halfLifeDays = 30.0)
+
+  val q191Sql: String =
+    """WITH clean AS (
+      | SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+      | FROM events
+      | WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |  AND value IS NOT NULL),
+      |r AS (SELECT max(t) AS ref FROM clean)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(round(v * exp(CAST(ref - t AS DOUBLE)
+      |  / 86400000000.0 * (-ln(2) / 30.0)), 9) AS DECIMAL(38, 9)))
+      |  AS DOUBLE) AS decayed_sum
+      |FROM clean CROSS JOIN r GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q192
+  /** Bradley–Terry strengths
+    * ([[graft.ops.EvalMetrics.bradleyTerry]], 5 MM passes) over the
+    * q190 head-to-head outcomes: the arena-leaderboard model. Integer
+    * half-win credits, round-then-DECIMAL denominators and
+    * normalizers; the oracle unrolls all five passes stage-for-stage
+    * (the q118 convention).
+    */
+  def q192(spark: SparkSession, dir: String): DataFrame =
+    EvalMetrics.bradleyTerry(
+      Tables.events(spark, dir), "user_id", "event_type", "value",
+      iters = 5)
+
+  val q192Sql: String = {
+    def pass(k: Int): String =
+      s"""d$k AS (
+        | SELECT sym.i,
+        |  CAST(sum(CAST(round(CAST(sym.n AS DOUBLE) / (si.s + sj.s), 9)
+        |   AS DECIMAL(38, 9))) AS DOUBLE) AS den
+        | FROM sym JOIN s${k - 1} si ON si.i = sym.i
+        |  JOIN s${k - 1} sj ON sj.i = sym.j
+        | GROUP BY 1),
+        |p$k AS (SELECT d$k.i, wi.W / d$k.den AS raw
+        |        FROM d$k JOIN wi ON wi.i = d$k.i),
+        |s$k AS (
+        | SELECT i, raw / t.tot AS s FROM p$k CROSS JOIN
+        |  (SELECT CAST(sum(CAST(round(raw, 9) AS DECIMAL(38, 9)))
+        |    AS DOUBLE) AS tot FROM p$k) t)"""
+    s"""WITH m AS (
+      | SELECT user_id AS u, event_type AS sys,
+      |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6))) AS DOUBLE) AS m
+      | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |sym AS (
+      | SELECT a.sys AS i, b.sys AS j, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN a.m > b.m THEN 2 WHEN a.m = b.m THEN 1
+      |   ELSE 0 END) AS BIGINT) AS w2
+      | FROM m a JOIN m b ON b.u = a.u AND a.sys <> b.sys
+      | GROUP BY 1, 2),
+      |wi AS (
+      | SELECT i, CAST(sum(w2) AS DOUBLE) / 2.0 AS W,
+      |  CAST(sum(n) AS BIGINT) AS n_comparisons
+      | FROM sym GROUP BY 1),
+      |s0 AS (SELECT i, 1.0 AS s FROM wi),
+      |${(1 to 5).map(pass).mkString(",\n")}
+      |SELECT s5.i AS system, wi.n_comparisons, wi.W AS win_score,
+      | s5.s AS strength
+      |FROM s5 JOIN wi ON wi.i = s5.i""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6304,5 +6379,7 @@ object ExtensionQueries {
     "q187_zipf" -> ((q187 _, q187Sql)),
     "q188_jackknife" -> ((q188 _, q188Sql)),
     "q189_mantel_haenszel" -> ((q189 _, q189Sql)),
-    "q190_win_matrix" -> ((q190 _, q190Sql)))
+    "q190_win_matrix" -> ((q190 _, q190Sql)),
+    "q191_decayed_sum" -> ((q191 _, q191Sql)),
+    "q192_bradley_terry" -> ((q192 _, q192Sql)))
 }

@@ -168,7 +168,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q188_jackknife",
     // q189: rows × broadcast(1-row min/max variant labels) — q159's
     // pattern
-    "q189_mantel_haenszel")
+    "q189_mantel_haenszel",
+    // q191: rows × broadcast(1-row corpus max ts) — the q08 scalar
+    // pattern
+    "q191_decayed_sum",
+    // q192: |systems|-row dim × broadcast(1-row normalizer) per MM
+    // pass — the q08 scalar pattern
+    "q192_bradley_terry")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

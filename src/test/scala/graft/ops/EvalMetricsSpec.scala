@@ -104,4 +104,25 @@ class EvalMetricsSpec extends AnyFunSuite {
     val bc = r(("B", "C"))
     assert(bc._3 == 1L && bc._5 == 1L && bc._7.contains(0.0))
   }
+
+  test("bradleyTerry: dominant system takes all mass; transitive order holds") {
+    // A beats B on every unit -> MLE pushes A -> 1, B -> 0
+    val dom = (1 to 6).flatMap(u => Seq((u.toLong, "A", 2.0),
+      (u.toLong, "B", 1.0))).toDF("u", "sys", "score")
+    val rd = EvalMetrics.bradleyTerry(dom, "u", "sys", "score", iters = 8)
+      .as[(String, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    assert(rd("A")._3 == 6.0 && rd("B")._3 == 0.0, "win scores exact")
+    assert(rd("A")._4 > 0.99 && rd("B")._4 < 0.01, s"dominance: $rd")
+
+    // transitive A > B > C with some noise units -> strengths ordered
+    val tri = (1 to 8).flatMap { u =>
+      Seq((u.toLong, "A", 3.0), (u.toLong, "B", 2.0), (u.toLong, "C", 1.0))
+    } ++ Seq((9L, "A", 1.0), (9L, "B", 2.0), (9L, "C", 3.0))
+    val rt = EvalMetrics.bradleyTerry(tri.toDF("u", "sys", "score"),
+        "u", "sys", "score", iters = 5)
+      .as[(String, Long, Double, Double)].collect().map(x => x._1 -> x._4)
+      .toMap
+    assert(rt("A") > rt("B") && rt("B") > rt("C"), s"ordering: $rt")
+    assert(math.abs(rt.values.sum - 1.0) < 1e-9, "sum-normalized")
+  }
 }

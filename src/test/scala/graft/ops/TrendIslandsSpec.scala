@@ -297,6 +297,18 @@ class TrendIslandsSpec extends AnyFunSuite {
     assert(rep == r, "acf must be partitioning-proof")
   }
 
+  test("decayedSum: half-life weights, reference at corpus max ts") {
+    // newest event weights 1; one and two half-lives older weight
+    // 0.5 / 0.25 -> every term contributes exactly 2
+    def at(days: Long) = new java.sql.Timestamp(days * 86400000L)
+    val df = Seq(("u", at(0), 8.0), ("u", at(30), 4.0), ("u", at(60), 2.0))
+      .toDF("k", "t", "v")
+    val r = TrendOps.decayedSum(df, "k", "t", "v", halfLifeDays = 30.0)
+      .as[(String, Long, Double)].collect().head
+    assert(r._2 == 3L)
+    assert(math.abs(r._3 - 6.0) < 1e-6, s"got ${r._3}")
+  }
+
   test("seasonalDecompose: exact pattern recovered; gaps NULL the trend") {
     // x = 10 + s[phase], s = (-1, 0, 1): 3-point centered MA = 10 on
     // interior points, seasonal means recover s exactly, residual 0
