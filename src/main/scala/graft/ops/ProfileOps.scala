@@ -143,6 +143,80 @@ object ProfileOps {
           .as("segment"))
   }
 
+  /** ABC / PARETO CLASSIFICATION — the 80/15/5 inventory cut: items
+    * ranked by exact integer metric (micros), class A while the
+    * cumulative total sits within `aPct`% of the grand total, B
+    * within `bPct`%, C beyond. Both thresholds compare as INTEGER
+    * cross-products (`cum·100 ≤ tot·aPct`) — no floating boundary can
+    * flip an item between engines. Ranks come from the
+    * range-partitioned sorted row index + [[graft.ops.StatsOps
+    * .runningTotals]] prefix sums (the gini pattern — NO
+    * unpartitioned window at any item count); ties break on the item.
+    *
+    * `metricMicros` must be a non-negative long (pre-scaled exact
+    * units — e.g. `round(x, 6)·10⁶`).
+    */
+  def abcClassify(
+      df: DataFrame, itemCol: String, metricMicrosCol: String,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(aPct >= 1 && aPct < bPct && bPct < 100,
+      s"need 1 <= aPct < bPct < 100, got ($aPct, $bPct)")
+    val items = df.groupBy(col(itemCol))
+      .agg(sum(col(metricMicrosCol)).as("metric_micros"))
+    // order by metric desc (negated metric ascending), item tiebreak —
+    // the running prefix walks the Pareto curve front-to-back
+    // deterministically even through equal metrics
+    val sorted = items.withColumn("__neg", -col("metric_micros"))
+    val cum = StatsOps.runningTotalsBy(sorted, Seq("__neg", itemCol),
+      Seq("metric_micros"))
+    val tot = items.agg(sum(col("metric_micros")).as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .select(col(itemCol), col("metric_micros"),
+        col("metric_micros_cum").as("cum_micros"),
+        when(col("metric_micros_cum") * 100 <= col("__tot") * aPct, "A")
+          .when(col("metric_micros_cum") * 100 <= col("__tot") * bPct, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** DECILE GAINS / LIFT TABLE — the targeting-model report card:
+    * rank units by score (desc, id tiebreak), split into `buckets`
+    * equal slices by rank, and per slice report the response rate,
+    * the cumulative share of all responders captured, and the lift
+    * over the base rate. Every number derives from integer counts
+    * and the deterministic rank, so the table replays exactly. Ranks
+    * and cumulative counts ride the range-partitioned row-index +
+    * prefix-sum machinery (NO unpartitioned window).
+    */
+  def gainsTable(
+      df: DataFrame, idCol: String, scoreCol: String,
+      responseCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.select(col(idCol).as("__id"),
+      col(scoreCol).cast("double").as("__score"),
+      when(col(responseCol), 1L).otherwise(0L).as("__resp"))
+      .filter(col("__score").isNotNull)
+    val sorted = base.withColumn("__neg", -col("__score"))
+      .sort(col("__neg"), col("__id"))
+    val idx = graft.ops.JoinOps.withRowIndex(sorted, "__idx")
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__resp")).as("__r"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val bucketed = idx.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        floor(d(col("__idx")) * buckets / d(col("__n"))).cast("int") + 1)
+    val per = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__resp")).as("responders"),
+        max(col("__n")).as("__n"), max(col("__r")).as("__r"))
+    val cum = StatsOps.runningTotals(
+      per.sort("bucket"), "bucket", Seq("responders"))
+    cum.select(col("bucket"), col("n"), col("responders"),
+      (d(col("responders")) / d(col("n"))).as("response_rate"),
+      when(col("__r") > 0, d(col("responders_cum")) / d(col("__r")))
+        .as("cum_capture"),
+      when(col("__r") > 0,
+        (d(col("responders")) / d(col("n"))) / (d(col("__r")) / d(col("__n"))))
+        .as("lift"))
+  }
+
   /** TOP-N + OTHER contribution table — the BI staple ("which sources
     * carry the corpus?"): categories ranked by their exact DECIMAL
     * metric sum, the top `n` kept by name, everything else collapsed

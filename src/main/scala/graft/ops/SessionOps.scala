@@ -242,4 +242,36 @@ object SessionOps {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("n"), col("sum_value"))
   }
+
+  /** TOP ENTRY PATHS — the "how do journeys start" report: each key's
+    * first `pathLen` events (ordered by `(ts, tieCol)` — fully
+    * deterministic) joined into a `>`-separated path string, the most
+    * common paths ranked by (count desc, path asc). Keys with fewer
+    * than `pathLen` events contribute their shorter prefix — a real
+    * journey shape, not noise to drop.
+    *
+    * Scale shape: one keyed rank window keeps `pathLen` rows per key,
+    * a keyed `sort_array(collect_list(struct(rank, step)))` rebuilds
+    * the ordered prefix (deterministic under any partitioning — the
+    * sort is ON the rank), one path-keyed count, and a distributed
+    * take-ordered cut.
+    */
+  def topPaths(
+      df: DataFrame, keyCol: String, tsCol: String, stepCol: String,
+      tieCol: String, pathLen: Int, topK: Int): DataFrame = {
+    require(pathLen >= 1 && topK >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val paths = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col(keyCol))
+      .agg(concat_ws(">",
+        transform(
+          sort_array(collect_list(struct(col("__rn"),
+            col(stepCol).cast("string").as("__s")))),
+          x => x.getField("__s"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path")).limit(topK)
+  }
 }

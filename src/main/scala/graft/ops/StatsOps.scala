@@ -144,6 +144,33 @@ object StatsOps {
             col("p_hi"))))
   }
 
+  /** TRIMMED MEAN — [[winsorize]]'s dropping sibling: rows OUTSIDE
+    * the per-group exact [pLo, pHi] lower-edge quantile band are
+    * EXCLUDED (not clamped) before averaging — the robust mean when
+    * the tails are garbage rather than merely extreme. Bounds are the
+    * deterministic [[weightedQuantile]]s; the kept-row mean is a
+    * round-then-DECIMAL sum over one double division. Output per
+    * group: total n, kept n, band, raw and trimmed means.
+    */
+  def trimmedMean(
+      df: DataFrame, keyCol: String, valueCol: String, pLo: Double,
+      pHi: Double): DataFrame = {
+    val w = winsorize(df, keyCol, valueCol, pLo, pHi)
+    def dsum(c: Column) = sum(round(c, 6).cast("decimal(38,6)"))
+      .cast("double")
+    val v = col(valueCol).cast("double")
+    val kept = v >= col("p_lo") && v <= col("p_hi")
+    w.filter(col(valueCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"),
+        (dsum(v) / count(lit(1)).cast("double")).as("mean_raw"),
+        (dsum(when(kept, v)) /
+          sum(when(kept, 1L).otherwise(0L)).cast("double"))
+          .as("mean_trimmed"))
+  }
+
   /** TWO-PROPORTION Z-TEST (pooled) — the A/B-test readout: given
     * per-variant trial and success counts, the difference in
     * conversion rates and the pooled z statistic
@@ -660,9 +687,19 @@ object StatsOps {
     * one reused partitioner object.
     */
   def runningTotals(
-      df: DataFrame, orderCol: String, sumCols: Seq[String]): DataFrame = {
+      df: DataFrame, orderCol: String, sumCols: Seq[String]): DataFrame =
+    runningTotalsBy(df, Seq(orderCol), sumCols)
+
+  /** [[runningTotals]] over a COMPOSITE ordering — callers whose
+    * primary order key ties (equal metrics in a Pareto walk) pass the
+    * tiebreak columns explicitly so the prefix sums are deterministic
+    * under any partitioning.
+    */
+  def runningTotalsBy(
+      df: DataFrame, orderCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     require(sumCols.nonEmpty, "runningTotals: no columns to sum")
-    val sorted = df.sort(orderCol)
+    require(orderCols.nonEmpty, "runningTotals: no ordering")
+    val sorted = df.sort(orderCols.map(col): _*)
     val idx = sumCols.map(sorted.schema.fieldIndex).toArray
     val rdd = sorted.rdd
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>

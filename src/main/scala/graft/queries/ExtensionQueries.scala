@@ -6220,6 +6220,151 @@ object ExtensionQueries {
       |FROM s5 JOIN wi ON wi.i = s5.i""".stripMargin
   }
 
+  // --------------------------------------------------------------- q193
+  /** Top entry paths ([[graft.ops.SessionOps.topPaths]], first 3
+    * events, top 10): the journey-start report — per-user prefixes
+    * ordered (ts, event_id), counted, cut on (count desc, path).
+    */
+  def q193(spark: SparkSession, dir: String): DataFrame =
+    SessionOps.topPaths(Tables.events(spark, dir), "user_id", "ts",
+      "event_type", "event_id", pathLen = 3, topK = 10)
+
+  val q193Sql: String =
+    """WITH r AS (
+      | SELECT user_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS rn
+      | FROM events),
+      |p AS (
+      | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      | FROM r WHERE rn <= 3 GROUP BY 1)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_keys
+      |FROM p GROUP BY 1 ORDER BY n_keys DESC, path LIMIT 10"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q194
+  /** ABC / Pareto classification
+    * ([[graft.ops.ProfileOps.abcClassify]], 80/95) of parts by
+    * revenue micros: integer cross-product thresholds, prefix sums on
+    * the range-partitioned row-index machinery — no boundary ulp, no
+    * unpartitioned window.
+    */
+  def q194(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.abcClassify(
+      Tables.lineitem(spark, dir).select(col("l_partkey"),
+        (round(col("l_extendedprice").cast("double"), 6)
+          .cast("decimal(38,6)") * 1000000).cast("long").as("mm")),
+      "l_partkey", "mm")
+
+  val q194Sql: String =
+    """WITH li AS (
+      | SELECT l_partkey,
+      |  CAST(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+      |   AS DECIMAL(38, 6)) * 1000000 AS BIGINT) AS mm
+      | FROM lineitem),
+      |it AS (SELECT l_partkey, CAST(sum(mm) AS BIGINT) AS metric_micros
+      |       FROM li GROUP BY 1),
+      |t AS (SELECT CAST(sum(metric_micros) AS BIGINT) AS tot FROM it),
+      |c AS (
+      | SELECT l_partkey, metric_micros,
+      |  CAST(sum(metric_micros) OVER (ORDER BY metric_micros DESC,
+      |   l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS BIGINT) AS cum_micros
+      | FROM it)
+      |SELECT l_partkey, metric_micros, cum_micros,
+      | CASE WHEN cum_micros * 100 <= t.tot * 80 THEN 'A'
+      |      WHEN cum_micros * 100 <= t.tot * 95 THEN 'B'
+      |      ELSE 'C' END AS abc_class
+      |FROM c CROSS JOIN t""".stripMargin
+
+  // --------------------------------------------------------------- q195
+  /** Trimmed means ([[graft.ops.StatsOps.trimmedMean]], [p5, p95]):
+    * q170's dropping sibling — tail rows excluded, not clamped; same
+    * exact lower-edge band, round-then-DECIMAL means.
+    */
+  def q195(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.trimmedMean(
+      Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", 0.05, 0.95)
+
+  val q195Sql: String =
+    """WITH clean AS (
+      | SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c AS (
+      | SELECT k, v,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM clean),
+      |lo AS (SELECT k, min(v) AS p_lo FROM c WHERE cum >= tot * 0.05
+      |       GROUP BY 1),
+      |hi AS (SELECT k, min(v) AS p_hi FROM c WHERE cum >= tot * 0.95
+      |       GROUP BY 1),
+      |j AS (
+      | SELECT clean.k, v, lo.p_lo, hi.p_hi
+      | FROM clean JOIN lo ON clean.k = lo.k JOIN hi ON clean.k = hi.k)
+      |SELECT k AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CASE WHEN v >= p_lo AND v <= p_hi THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS n_kept,
+      | min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+      | CAST(sum(CAST(round(v, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS mean_raw,
+      | CAST(sum(CASE WHEN v >= p_lo AND v <= p_hi
+      |  THEN CAST(round(v, 6) AS DECIMAL(38, 6)) END) AS DOUBLE)
+      |  / CAST(sum(CASE WHEN v >= p_lo AND v <= p_hi THEN 1 ELSE 0 END)
+      |   AS DOUBLE) AS mean_trimmed
+      |FROM j GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q196
+  /** Decile gains/lift table ([[graft.ops.ProfileOps.gainsTable]]):
+    * customers ranked by account balance, response = BUILDING
+    * segment — the targeting report with integer-exact counts and
+    * range-partitioned ranks.
+    */
+  def q196(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.gainsTable(
+      Tables.customer(spark, dir)
+        .withColumn("resp", col("c_mktsegment") === "BUILDING"),
+      "c_custkey", "c_acctbal", "resp", buckets = 10)
+
+  val q196Sql: String =
+    """WITH b AS (
+      | SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS score,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS resp
+      | FROM customer WHERE c_acctbal IS NOT NULL),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(resp) AS BIGINT) AS r FROM b),
+      |i AS (
+      | SELECT id, resp,
+      |  row_number() OVER (ORDER BY score DESC, id) - 1 AS idx
+      | FROM b),
+      |bk AS (
+      | SELECT CAST(floor(CAST(idx AS DOUBLE) * 10 / CAST(t.n AS DOUBLE))
+      |   AS INT) + 1 AS bucket, resp
+      | FROM i CROSS JOIN t),
+      |per AS (
+      | SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(resp) AS BIGINT) AS responders
+      | FROM bk GROUP BY 1),
+      |c AS (
+      | SELECT bucket, n, responders,
+      |  CAST(sum(responders) OVER (ORDER BY bucket
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS rc
+      | FROM per)
+      |SELECT c.bucket, c.n, c.responders,
+      | CAST(c.responders AS DOUBLE) / CAST(c.n AS DOUBLE)
+      |  AS response_rate,
+      | CASE WHEN t.r > 0 THEN CAST(rc AS DOUBLE) / CAST(t.r AS DOUBLE)
+      |  END AS cum_capture,
+      | CASE WHEN t.r > 0 THEN
+      |  (CAST(c.responders AS DOUBLE) / CAST(c.n AS DOUBLE)) /
+      |  (CAST(t.r AS DOUBLE) / CAST(t.n AS DOUBLE)) END AS lift
+      |FROM c CROSS JOIN t""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6381,5 +6526,9 @@ object ExtensionQueries {
     "q189_mantel_haenszel" -> ((q189 _, q189Sql)),
     "q190_win_matrix" -> ((q190 _, q190Sql)),
     "q191_decayed_sum" -> ((q191 _, q191Sql)),
-    "q192_bradley_terry" -> ((q192 _, q192Sql)))
+    "q192_bradley_terry" -> ((q192 _, q192Sql)),
+    "q193_top_paths" -> ((q193 _, q193Sql)),
+    "q194_abc" -> ((q194 _, q194Sql)),
+    "q195_trimmed_mean" -> ((q195 _, q195Sql)),
+    "q196_gains" -> ((q196 _, q196Sql)))
 }

@@ -174,7 +174,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q191_decayed_sum",
     // q192: |systems|-row dim × broadcast(1-row normalizer) per MM
     // pass — the q08 scalar pattern
-    "q192_bradley_terry")
+    "q192_bradley_terry",
+    // q194: item dim × broadcast(1-row grand total) — the q08 scalar
+    // pattern
+    "q194_abc",
+    // q196: ranked rows × broadcast(1-row population totals) — the
+    // q08 scalar pattern
+    "q196_gains")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

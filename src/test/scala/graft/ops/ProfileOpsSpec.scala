@@ -81,6 +81,36 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(got == ((3L, 2L, 3L, 1L)))
   }
 
+  test("abcClassify: integer-exact 80/95 cuts, deterministic through ties") {
+    // revenues 80/15/5 of 100: cum 80 -> A (8000 <= 8000),
+    // cum 95 -> B (9500 <= 9500), cum 100 -> C
+    val df = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("item", "mm")
+    val r = ProfileOps.abcClassify(df, "item", "mm")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 80L, 80L, "A"), (2L, 15L, 95L, "B"),
+      (3L, 5L, 100L, "C")), s"got $r")
+    // equal metrics: item-id tiebreak fixes the cumulative walk
+    val tied = Seq((9L, 50L), (1L, 50L)).toDF("item", "mm")
+    val rt = ProfileOps.abcClassify(tied, "item", "mm")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rt == Seq((1L, 50L, 50L, "A"), (9L, 50L, 100L, "C")),
+      s"smaller id walks first: $rt")
+  }
+
+  test("gainsTable: perfect-ranking deciles, capture and lift exact") {
+    // scores 10..1, responders = top 3 scores, 5 buckets of 2
+    val df = (1L to 10L).map(i => (i, (11 - i).toDouble, i <= 3))
+      .toDF("id", "score", "resp")
+    val r = ProfileOps.gainsTable(df, "id", "score", "resp", buckets = 5)
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(r.map(_._3) == Seq(2L, 1L, 0L, 0L, 0L))
+    assert(math.abs(r.head._4 - 1.0) < 1e-12)
+    assert(math.abs(r.head._5 - 2.0 / 3.0) < 1e-12, "capture 2 of 3")
+    assert(math.abs(r.head._6 - 1.0 / 0.3) < 1e-12, "lift vs 30% base")
+    assert(math.abs(r(1)._5 - 1.0) < 1e-12, "all responders by decile 2")
+  }
+
   test("lDiversityViolations: homogeneous classes flag; NULL counts as a value") {
     val df = Seq(
       ("a", Some("x")), ("a", Some("x")), ("a", Some("x")), // 1 distinct

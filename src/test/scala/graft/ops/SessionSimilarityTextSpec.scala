@@ -66,6 +66,21 @@ class SessionOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
     assert(re.toSeq == got.toSeq, "partitioning-independent")
   }
+
+  test("topPaths: ordered prefixes, short journeys kept, ranked cut") {
+    val ev = Seq(
+      (1L, ts(0), "A", 1L), (1L, ts(1), "B", 2L), (1L, ts(2), "C", 3L),
+      (1L, ts(3), "D", 4L), // 4th event must not appear in the path
+      (2L, ts(0), "A", 5L), (2L, ts(1), "B", 6L), (2L, ts(2), "C", 7L),
+      (3L, ts(0), "X", 8L)  // single-event journey keeps its prefix
+    ).toDF("u", "t", "et", "eid")
+    val r = SessionOps.topPaths(ev, "u", "t", "et", "eid", 3, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("A>B>C", 2L), ("X", 1L)), s"got $r")
+    val rep = SessionOps.topPaths(ev.repartition(5), "u", "t", "et",
+      "eid", 3, 10).as[(String, Long)].collect().toSeq
+    assert(rep == r, "path assembly must be partitioning-proof")
+  }
 }
 
 class SimilarityOpsSpec extends AnyFunSuite {

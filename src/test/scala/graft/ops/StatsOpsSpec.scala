@@ -289,6 +289,17 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(ols > 20.0, s"OLS is owned by the outlier ($ols); Theil-Sen is not")
   }
 
+  test("trimmedMean: tails dropped, winsorize clamps instead") {
+    // 1..20: [p10, p90] lower-edge band = [2, 18]; trimmed mean of
+    // 2..18 = 10; raw mean 10.5
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val r = StatsOps.trimmedMean(df, "k", "v", 0.1, 0.9)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._2 == 20L && r._3 == 17L && r._4 == 2.0 && r._5 == 18.0)
+    assert(math.abs(r._6 - 10.5) < 1e-12 && math.abs(r._7 - 10.0) < 1e-12)
+  }
+
   test("jackknifeMean: hand SE over three buckets") {
     // buckets a:[1,2] b:[3,4] c:[5,6] -> leave-one-out means
     // 4.5, 3.5, 2.5 -> SS = 2, SE = sqrt(2/3 * 2)
