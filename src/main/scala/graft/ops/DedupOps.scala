@@ -70,6 +70,36 @@ object DedupOps {
   def hashedTokenSet(text: Column): Column =
     array_sort(array_distinct(transform(TextOps.whitespaceTokenize(text), t => xxhash64(t))))
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — "who copies whom": for every
+    * source pair (including a source against itself), the number of
+    * exact-duplicate document pairs whose members come from those two
+    * sources. The provenance view of [[exactDupGroups]]: a corpus
+    * where two crawls re-serve the same boilerplate shows up as one
+    * hot off-diagonal cell, which is exactly what a mix designer
+    * needs before weighting sources independently.
+    *
+    * Only `(hash, id, source)` rows shuffle (text never crosses an
+    * exchange); the pair join is per-group quadratic in DUPLICATE
+    * group sizes only. `hashFn` defaults to xxhash64; pass
+    * [[graft.core.PortableHash.md5Long]] for the oracle-replayable
+    * twin.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame, textCol: String, idCol: String, srcCol: String,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val t = df.select(hashFn(normText(col(textCol))).as("__h"),
+      col(idCol).as("__id"), col(srcCol).as("__src"))
+    val a = t.select(col("__h"), col("__id").as("__ida"),
+      col("__src").as("__sa"))
+    val b = t.select(col("__h"), col("__id").as("__idb"),
+      col("__src").as("__sb"))
+    a.join(b, Seq("__h"))
+      .filter(col("__ida") < col("__idb"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** All near-duplicate pairs (id_a < id_b) with token-set Jaccard >=
     * `threshold`. Pairwise with a size-band prefilter — safe because
     * J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs outside the band

@@ -225,4 +225,29 @@ object SplitOps {
           graft.functions.SortedLongUpperBound.sortedLongUpperBound(
             typedlit(cum.toSeq), u) + 1).as("neg"))
   }
+
+  /** LEAK-PROOF train/test split — the content-keyed assignment that
+    * keeps exact duplicates on ONE side (Lee et al. 2022's
+    * deduplication lesson applies to SPLITS first: a test doc whose
+    * twin sits in train is a leaked answer, and row-hash splits plant
+    * exactly that). The draw keys on the NORMALIZED TEXT
+    * ([[graft.ops.DedupOps.normText]]) through the portable md5 draw
+    * ([[graft.core.PortableHash.md5Long]] with a seed salt), so two
+    * byte-identical documents — any row order, any partitioning, any
+    * engine — land on the same side by construction. Appends a
+    * `split` column ('test' when `draw mod 100 < testPct`).
+    *
+    * Near-dup families need the same property at the CLUSTER level:
+    * feed a cluster representative (e.g. [[graft.ops.DedupOps
+    * .dedupKeepersConverged]]'s rep id) as `textCol` instead.
+    */
+  def leakProofSplit(
+      df: DataFrame, textCol: String, testPct: Int,
+      seed: String): DataFrame = {
+    require(testPct >= 1 && testPct <= 99, s"testPct 1..99, got $testPct")
+    val draw = pmod(graft.core.PortableHash.md5Long(
+      DedupOps.normText(col(textCol)), lit(seed)), lit(100L))
+    df.withColumn("split",
+      when(draw < testPct, "test").otherwise("train"))
+  }
 }

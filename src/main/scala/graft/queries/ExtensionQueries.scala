@@ -6365,6 +6365,76 @@ object ExtensionQueries {
       |  (CAST(t.r AS DOUBLE) / CAST(t.n AS DOUBLE)) END AS lift
       |FROM c CROSS JOIN t""".stripMargin
 
+  // --------------------------------------------------------------- q197
+  /** Leak-proof split audit ([[graft.ops.SplitOps.leakProofSplit]],
+    * 10% test): content-keyed assignment — per-split doc and
+    * distinct-content counts, plus the leaked-group census (groups
+    * spanning both sides), which is 0 BY CONSTRUCTION and audited
+    * anyway: the number a row-hash split would make nonzero.
+    */
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    val s = SplitOps.leakProofSplit(
+      Tables.documents(spark, dir), "text", testPct = 10, seed = "split42")
+    val per = s.groupBy("split").agg(count(lit(1)).as("n_docs"),
+      countDistinct(DedupOps.normText(col("text"))).as("n_groups"))
+    val leaked = s
+      .groupBy(DedupOps.normText(col("text")).as("__n"))
+      .agg(countDistinct(col("split")).as("__c"))
+      .filter(col("__c") > 1)
+      .agg(count(lit(1)).as("n_leaked_groups"))
+    per.crossJoin(broadcast(leaked))
+  }
+
+  val q197Sql: String =
+    s"""WITH s AS (
+      | SELECT doc_id, lower(trim(text)) AS norm,
+      |  CASE WHEN ${dk("lower(trim(text)) || '#' || 'split42'")} % 100
+      |   < 10 THEN 'test' ELSE 'train' END AS split
+      | FROM documents),
+      |per AS (
+      | SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT norm) AS BIGINT) AS n_groups
+      | FROM s GROUP BY 1),
+      |lk AS (
+      | SELECT CAST(count(*) AS BIGINT) AS n_leaked_groups FROM (
+      |  SELECT norm FROM s GROUP BY norm
+      |  HAVING count(DISTINCT split) > 1))
+      |SELECT per.split, per.n_docs, per.n_groups, lk.n_leaked_groups
+      |FROM per CROSS JOIN lk""".stripMargin
+
+  // --------------------------------------------------------------- q198
+  /** Cross-source duplication matrix
+    * ([[graft.ops.DedupOps.crossSourceDupMatrix]], portable hash):
+    * exact-dup pairs bucketed by source pair — the who-copies-whom
+    * provenance view a mix designer reads before weighting sources.
+    */
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture has no natural byte-dups: plant a deterministic
+    // mirror crawl (every 25th doc re-served under a mirror_ source)
+    val d = Tables.documents(spark, dir)
+      .select("doc_id", "text", "source")
+    val mirror = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        concat(lit("mirror_"), col("source")).as("source"))
+    DedupOps.crossSourceDupMatrix(d.unionByName(mirror), "text",
+      "doc_id", "source", hashFn = PortableHash.md5Long(_))
+  }
+
+  val q198Sql: String =
+    s"""WITH allv AS (
+      | SELECT doc_id, text, source FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000000, text, 'mirror_' || source
+      | FROM documents WHERE doc_id % 25 = 0),
+      |t AS (
+      | SELECT ${dk("lower(trim(text))")} AS h, doc_id, source
+      | FROM allv)
+      |SELECT least(a.source, b.source) AS source_a,
+      | greatest(a.source, b.source) AS source_b,
+      | CAST(count(*) AS BIGINT) AS n_dup_pairs
+      |FROM t a JOIN t b ON b.h = a.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6530,5 +6600,7 @@ object ExtensionQueries {
     "q193_top_paths" -> ((q193 _, q193Sql)),
     "q194_abc" -> ((q194 _, q194Sql)),
     "q195_trimmed_mean" -> ((q195 _, q195Sql)),
-    "q196_gains" -> ((q196 _, q196Sql)))
+    "q196_gains" -> ((q196 _, q196Sql)),
+    "q197_leakproof_split" -> ((q197 _, q197Sql)),
+    "q198_cross_source_dups" -> ((q198 _, q198Sql)))
 }

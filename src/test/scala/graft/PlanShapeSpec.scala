@@ -180,7 +180,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q194_abc",
     // q196: ranked rows × broadcast(1-row population totals) — the
     // q08 scalar pattern
-    "q196_gains")
+    "q196_gains",
+    // q197: split dim × broadcast(1-row leak census) — the q08 scalar
+    // pattern
+    "q197_leakproof_split")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

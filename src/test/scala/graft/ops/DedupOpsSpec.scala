@@ -144,4 +144,16 @@ class DedupOpsSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(again.subsetOf(kept))
   }
+
+  test("crossSourceDupMatrix: pair counts by source pair, canonical order") {
+    // "dup" appears in s1 twice and s2 once -> pairs: (s1,s1)=1,
+    // (s1,s2)=2; "solo" texts contribute nothing
+    val docs = Seq(
+      (1L, "Dup ", "s1"), (2L, "dup", "s1"), (3L, " DUP", "s2"),
+      (4L, "solo a", "s1"), (5L, "solo b", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = DedupOps.crossSourceDupMatrix(docs, "text", "doc_id", "source")
+      .as[(String, String, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(r == Seq(("s1", "s1", 1L), ("s1", "s2", 2L)), s"got $r")
+  }
 }

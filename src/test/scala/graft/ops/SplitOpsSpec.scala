@@ -168,4 +168,24 @@ class SplitOpsSpec extends AnyFunSuite {
     val expected = toks(cum.indexWhere(u < _))
     assert(one._3 == expected)
   }
+
+  test("leakProofSplit: duplicate texts land on one side; ratio tracks") {
+    // dup pairs share content, distinct rows carry unique texts
+    val docs = ((0 until 400).map(i => (i.toLong, s"unique text $i")) ++
+      (0 until 50).flatMap(i => Seq((1000L + i, s"twin text $i"),
+        (2000L + i, s"twin text $i")))).toDF("doc_id", "text")
+    val s = SplitOps.leakProofSplit(docs, "text", testPct = 20, "sd")
+    val byText = s.groupBy("text")
+      .agg(countDistinct(col("split")).as("c"))
+      .filter(col("c") > 1).count()
+    assert(byText == 0L, "no content may span the split")
+    val testFrac = s.filter(col("split") === "test").count().toDouble /
+      s.count()
+    assert(testFrac > 0.12 && testFrac < 0.28,
+      s"20% draw should land near 0.2, got $testFrac")
+    val rep = SplitOps.leakProofSplit(docs.repartition(7), "text", 20, "sd")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val base = s.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(rep == base, "assignment is partitioning-proof")
+  }
 }
