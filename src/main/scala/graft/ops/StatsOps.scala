@@ -144,6 +144,122 @@ object StatsOps {
             col("p_hi"))))
   }
 
+  /** EQUAL-FREQUENCY BINNING — the feature-discretization staple: per
+    * group, values split into `k` bins of (near-)equal row count, by
+    * PURE INTEGER math on the cumulative RANGE-frame count:
+    * `bin = ⌈cnt·k / n⌉ = (cnt·k + n − 1) div n` — tie masses share a
+    * cumulative count, hence a bin (deterministic; no floating
+    * boundary exists to disagree across engines). Output per
+    * (key, bin): row count and the value span. Heavy tie mass makes
+    * bins uneven — that is the correct equal-frequency semantics, not
+    * an error.
+    */
+  def equalFreqBins(
+      df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("double").as("__v"))
+    clean
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      // DIV: true integer division (Spark `/` on longs is double
+      // division, whose cast-truncation could misplace a boundary row)
+      .withColumn("bin",
+        expr(s"CAST((__cnt * $k + __n - 1) DIV __n AS INT)"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("v_min"),
+        max(col("__v")).as("v_max"))
+  }
+
+  /** PAIRWISE PEARSON CORRELATION MATRIX over `cols` — the feature
+    * redundancy screen before modeling, in ONE aggregation pass: all
+    * (n, Σx, Σx², Σxy) sufficient statistics accumulate
+    * round-then-DECIMAL simultaneously, then the ≤ k(k−1)/2 matrix
+    * rows explode out of the single stats row. Rows with a NULL in
+    * ANY column are excluded (listwise deletion — all cells share one
+    * n, so the matrix is positive semi-definite). Zero-variance
+    * columns emit NULL cells.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val d = (c: Column) => c.cast("double")
+    def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
+    val xs = cols.map(c => col(c).cast("double"))
+    val clean = df.filter(xs.map(_.isNotNull).reduce(_ && _))
+      .select(cols.indices.map(i => xs(i).as(s"__x$i")): _*)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.indices.flatMap { i =>
+        Seq(sum(t9(col(s"__x$i"))).as(s"__s$i"),
+          sum(t9(col(s"__x$i") * col(s"__x$i"))).as(s"__ss$i"))
+      } ++
+      cols.indices.flatMap { i =>
+        ((i + 1) until cols.size).map { j =>
+          sum(t9(col(s"__x$i") * col(s"__x$j"))).as(s"__p${i}_$j")
+        }
+      }
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    val n = d(col("__n"))
+    def den(i: Int) = n * d(col(s"__ss$i")) - d(col(s"__s$i")) * d(col(s"__s$i"))
+    val cells = cols.indices.flatMap { i =>
+      ((i + 1) until cols.size).map { j =>
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          when(den(i) > 0 && den(j) > 0,
+            (n * d(col(s"__p${i}_$j")) -
+              d(col(s"__s$i")) * d(col(s"__s$j"))) /
+              (sqrt(den(i)) * sqrt(den(j)))).as("corr"))
+      }
+    }
+    one.select(col("__n").as("n"), explode(array(cells: _*)).as("c"))
+      .select(col("c.col_a"), col("c.col_b"), col("n"), col("c.corr"))
+  }
+
+  /** SPEARMAN RANK CORRELATION — Pearson on AVERAGE ranks (the
+    * monotone-association measure robust to any monotone
+    * transformation and to outliers): per column, tie blocks get the
+    * standard average rank `C − (t−1)/2` computed from integer
+    * tie-group counts over the range-partitioned [[runningTotals]]
+    * prefix (no unpartitioned window), ranks join back to rows, and
+    * the final correlation is the pinned sufficient-statistics
+    * formula (round-then-DECIMAL sums). NULL-in-either rows are
+    * excluded up front so both rankings cover the same n.
+    */
+  def spearman(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
+    val clean = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    def avgRanks(c: String): DataFrame = {
+      val counts = clean.groupBy(col(c)).agg(count(lit(1)).as("t"))
+      runningTotals(counts, c, Seq("t"))
+        .select(col(c),
+          (d(col("t_cum")) - (d(col("t")) - lit(1.0)) / lit(2.0))
+            .as(s"${c}_r"))
+    }
+    val ranked = clean
+      .join(avgRanks("__x"), Seq("__x"))
+      .join(avgRanks("__y"), Seq("__y"))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(t9(col("__x_r"))).as("sx"), sum(t9(col("__y_r"))).as("sy"),
+      sum(t9(col("__x_r") * col("__x_r"))).as("sxx"),
+      sum(t9(col("__y_r") * col("__y_r"))).as("syy"),
+      sum(t9(col("__x_r") * col("__y_r"))).as("sxy"))
+    val n = d(col("n"))
+    val denX = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val denY = n * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    s.select(col("n"),
+      when(denX > 0 && denY > 0,
+        (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(denX) * sqrt(denY))).as("spearman_rho"))
+  }
+
   /** TRIMMED MEAN — [[winsorize]]'s dropping sibling: rows OUTSIDE
     * the per-group exact [pLo, pHi] lower-edge quantile band are
     * EXCLUDED (not clamped) before averaging — the robust mean when

@@ -6435,6 +6435,126 @@ object ExtensionQueries {
       |FROM t a JOIN t b ON b.h = a.h AND a.doc_id < b.doc_id
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q199
+  /** Equal-frequency binning ([[graft.ops.StatsOps.equalFreqBins]],
+    * k = 8) of extended prices per return flag: pure-integer bin
+    * assignment over the RANGE-frame cumulative count — no floating
+    * boundary, tie mass shares a bin.
+    */
+  def q199(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.equalFreqBins(
+      Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", k = 8)
+
+  val q199Sql: String =
+    """WITH clean AS (
+      | SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c AS (
+      | SELECT k, v,
+      |  CAST(count(*) OVER (PARTITION BY k ORDER BY v
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS cnt,
+      |  CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+      | FROM clean),
+      |b AS (
+      | SELECT k, v, CAST((cnt * 8 + n - 1) // n AS INT) AS bin FROM c)
+      |SELECT k AS l_returnflag, bin, CAST(count(*) AS BIGINT) AS n,
+      | min(v) AS v_min, max(v) AS v_max
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q200
+  /** Pearson correlation matrix ([[graft.ops.StatsOps.corrMatrix]])
+    * over four lineitem numerics in ONE aggregation pass; the oracle
+    * re-derives every cell from the same round-then-DECIMAL
+    * sufficient sums.
+    */
+  def q200(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.corrMatrix(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  val q200Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val idx = cols.indices
+    def d9(e: String, a: String) =
+      s"CAST(sum(CAST(round($e, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS $a"
+    val sums = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+      idx.flatMap(i => Seq(d9(s"x$i", s"s$i"), d9(s"x$i * x$i", s"ss$i"))) ++
+      idx.flatMap(i => (i + 1 until cols.size).map(j =>
+        d9(s"x$i * x$j", s"p${i}_$j")))).mkString(",\n |  ")
+    def den(i: Int) = s"(CAST(n AS DOUBLE) * ss$i - s$i * s$i)"
+    val cells = idx.flatMap(i => (i + 1 until cols.size).map { j =>
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, n,
+        | CASE WHEN ${den(i)} > 0 AND ${den(j)} > 0 THEN
+        |  (CAST(n AS DOUBLE) * p${i}_$j - s$i * s$j)
+        |   / (sqrt(${den(i)}) * sqrt(${den(j)})) END AS corr
+        |FROM s"""
+    }).mkString("\n |UNION ALL\n |")
+    s"""WITH clean AS (
+      | SELECT ${idx.map(i => s"CAST(${cols(i)} AS DOUBLE) AS x$i")
+        .mkString(", ")}
+      | FROM lineitem
+      | WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+      |s AS (
+      | SELECT $sums
+      | FROM clean)
+      |${cells}""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q201
+  /** Spearman rank correlation ([[graft.ops.StatsOps.spearman]])
+    * between extended price and quantity: average tie ranks from
+    * integer tie-group counts, Pearson on the ranks via pinned
+    * sufficient statistics.
+    */
+  def q201(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.spearman(Tables.lineitem(spark, dir),
+      "l_extendedprice", "l_quantity")
+
+  val q201Sql: String =
+    """WITH clean AS (
+      | SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+      |  CAST(l_quantity AS DOUBLE) AS y
+      | FROM lineitem
+      | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |cx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM clean
+      |       GROUP BY 1),
+      |rx AS (
+      | SELECT x,
+      |  CAST(sum(t) OVER (ORDER BY x
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   - (CAST(t AS DOUBLE) - 1.0) / 2.0 AS xr
+      | FROM cx),
+      |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM clean
+      |       GROUP BY 1),
+      |ry AS (
+      | SELECT y,
+      |  CAST(sum(t) OVER (ORDER BY y
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   - (CAST(t AS DOUBLE) - 1.0) / 2.0 AS yr
+      | FROM cy),
+      |j AS (
+      | SELECT rx.xr, ry.yr
+      | FROM clean JOIN rx USING (x) JOIN ry USING (y)),
+      |s AS (
+      | SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(xr, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(round(yr, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(xr * xr, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxx,
+      |  CAST(sum(CAST(round(yr * yr, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS syy,
+      |  CAST(sum(CAST(round(xr * yr, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxy
+      | FROM j)
+      |SELECT n,
+      | CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 AND
+      |           CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS spearman_rho
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6602,5 +6722,8 @@ object ExtensionQueries {
     "q195_trimmed_mean" -> ((q195 _, q195Sql)),
     "q196_gains" -> ((q196 _, q196Sql)),
     "q197_leakproof_split" -> ((q197 _, q197Sql)),
-    "q198_cross_source_dups" -> ((q198 _, q198Sql)))
+    "q198_cross_source_dups" -> ((q198 _, q198Sql)),
+    "q199_equal_freq_bins" -> ((q199 _, q199Sql)),
+    "q200_corr_matrix" -> ((q200 _, q200Sql)),
+    "q201_spearman" -> ((q201 _, q201Sql)))
 }

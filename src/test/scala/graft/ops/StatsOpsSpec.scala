@@ -289,6 +289,58 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(ols > 20.0, s"OLS is owned by the outlier ($ols); Theil-Sen is not")
   }
 
+  test("equalFreqBins: even split, tie mass shares a bin") {
+    val even = (1 to 16).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val r = StatsOps.equalFreqBins(even, "k", "v", 4)
+      .as[(String, Int, Long, Double, Double)].collect().sortBy(_._2).toSeq
+    assert(r.map(x => (x._2, x._3)) ==
+      Seq((1, 4L), (2, 4L), (3, 4L), (4, 4L)))
+    assert(r.head._4 == 1.0 && r.head._5 == 4.0 && r.last._4 == 13.0)
+
+    // 4 copies of 1 then 2,3,4,5 with k=2: the tie block fills bin 1
+    val tied = (Seq.fill(4)(1.0) ++ Seq(2.0, 3.0, 4.0, 5.0))
+      .map(("g", _)).toDF("k", "v")
+    val rt = StatsOps.equalFreqBins(tied, "k", "v", 2)
+      .as[(String, Int, Long, Double, Double)].collect().sortBy(_._2).toSeq
+    assert(rt == Seq(("g", 1, 4L, 1.0, 1.0), ("g", 2, 4L, 2.0, 5.0)),
+      s"got $rt")
+  }
+
+  test("corrMatrix: perfect/anti correlation, zero-variance NULL cells") {
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("a", "b", "c", "z")
+    val r = StatsOps.corrMatrix(df, Seq("a", "b", "c", "z"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(x => (x._1, x._2) -> x._4).toMap
+    assert(r.size == 6)
+    assert(math.abs(r(("a", "b")).get - 1.0) < 1e-9)
+    assert(math.abs(r(("a", "c")).get + 1.0) < 1e-9)
+    assert(r(("a", "z")).isEmpty && r(("c", "z")).isEmpty,
+      "constant column: correlation undefined")
+  }
+
+  test("spearman: monotone = 1 through nonlinearity, ties averaged") {
+    val cubic = (1 to 20).map(i => (i.toDouble, math.pow(i, 3)))
+      .toDF("x", "y")
+    val r = StatsOps.spearman(cubic, "x", "y")
+      .as[(Long, Option[Double])].collect().head
+    assert(r._1 == 20L && math.abs(r._2.get - 1.0) < 1e-12,
+      s"monotone rho must be exactly 1: $r")
+
+    // tie blocks on both sides, same pattern -> still 1
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val rt = StatsOps.spearman(tied, "x", "y")
+      .as[(Long, Option[Double])].collect().head
+    assert(math.abs(rt._2.get - 1.0) < 1e-12, s"tied rho: $rt")
+
+    // Pearson is dragged by the outlier; Spearman is not
+    val out = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 1000.0))
+      .toDF("x", "y")
+    assert(math.abs(StatsOps.spearman(out, "x", "y")
+      .as[(Long, Option[Double])].collect().head._2.get - 1.0) < 1e-12)
+  }
+
   test("trimmedMean: tails dropped, winsorize clamps instead") {
     // 1..20: [p10, p90] lower-edge band = [2, 18]; trimmed mean of
     // 2..18 = 10; raw mean 10.5
