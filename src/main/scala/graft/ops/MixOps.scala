@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.PortableHash
@@ -79,5 +79,38 @@ object MixOps {
     df.join(broadcast(rates), strataCol)
       .filter(PortableHash.uniform01(col(idCol), lit(seed)) < col("rate"))
       .drop("rate")
+  }
+
+  /** IMPORTANCE REWEIGHTING to a UNIFORM category target — the
+    * mix-correction primitive when resampling is off the table
+    * (training loss weights, estimator reweighting): per category the
+    * weight `w_c = N/(k·n_c)` that makes the weighted marginal
+    * uniform, plus on every row Kish's EFFECTIVE SAMPLE SIZE
+    * `ESS = (Σw)²/Σw² = N²/Σ_c n_c·w_c²` — the honesty metric (a
+    * 1000:1 skew "fixed" by weights leaves far fewer effective rows
+    * than N, and downstream error bars must use ESS, not N).
+    * Per-category rows from one keyed count; weights are pinned
+    * doubles, the ESS denominator a round-then-DECIMAL sum.
+    */
+  def importanceWeights(df: DataFrame, catCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val per = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("__N"), count(lit(1)).as("__k"))
+    val w = d(col("__N")) / (d(col("__k")) * d(col("n")))
+    val cat = per.crossJoin(broadcast(tot))
+      .select(col(catCol), col("n"),
+        (d(col("n")) / d(col("__N"))).as("observed_share"),
+        w.as("weight"), col("__N"), col("__k"))
+    val ess = cat
+      .select(col("__N"),
+        round(d(col("n")) * col("weight") * col("weight"), 9)
+          .cast("decimal(38,9)").as("__t"))
+      .groupBy("__N")
+      .agg((d(col("__N")) * d(col("__N")) /
+        sum(col("__t")).cast("double")).as("ess"))
+      .select(col("ess"))
+    cat.crossJoin(broadcast(ess))
+      .select(col(catCol), col("n"), col("observed_share"), col("weight"),
+        col("ess"))
   }
 }

@@ -260,6 +260,61 @@ object StatsOps {
           (sqrt(denX) * sqrt(denY))).as("spearman_rho"))
   }
 
+  /** TARGET ENCODING with smoothing AND the leave-one-out form — the
+    * categorical-feature workhorse, built leak-aware: the smoothed
+    * encoding `(S_c + m·ȳ)/(n_c + m)` (Micci-Barreca 2001) shrinks
+    * rare categories toward the global mean, and the LOO encoding
+    * `(S_c − y_row)/(n_c − 1)` excludes the row's own target — the
+    * version safe to train on (a category's own label leaking into
+    * its feature is the classic target-encoding overfit). Category
+    * sums are exact DECIMAL, the row's target subtracts as DECIMAL
+    * (exact), and singleton categories fall back to the global mean
+    * for LOO (nothing else to average). One keyed aggregation + the
+    * category dim joined back + a 1-row global-mean broadcast.
+    */
+  def targetEncode(
+      df: DataFrame, catCol: String, targetCol: String,
+      m: Double = 10.0): DataFrame = {
+    require(m >= 0, s"m must be >= 0, got $m")
+    val d = (c: Column) => c.cast("double")
+    def t6(c: Column) = round(c, 6).cast("decimal(38,6)")
+    val y = col(targetCol).cast("double")
+    val clean = df.filter(y.isNotNull)
+    val per = clean.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__nc"), sum(t6(y)).as("__sc"))
+    val g = clean.agg((sum(t6(y)).cast("double") /
+      count(lit(1)).cast("double")).as("__gm"))
+    clean.join(per, Seq(catCol)).crossJoin(broadcast(g))
+      .withColumn("enc_smoothed",
+        (d(col("__sc")) + col("__gm") * lit(m)) / (d(col("__nc")) + lit(m)))
+      .withColumn("enc_loo",
+        when(col("__nc") > 1,
+          d(col("__sc") - t6(y)) / (d(col("__nc")) - lit(1.0)))
+          .otherwise(col("__gm")))
+      .drop("__nc", "__sc", "__gm")
+  }
+
+  /** HERFINDAHL–HIRSCHMAN concentration index of a categorical
+    * column: `HHI = 10000·Σ share²` (classic 0–10000 scale; 10000 =
+    * one category holds everything, N/k→ uniform floor 10000/k) —
+    * the concentration gauge beside [[entropy]] and [[gini]]. One
+    * keyed count, a 1-row total broadcast, round-then-DECIMAL term
+    * sum; output is one row.
+    */
+  def hhi(df: DataFrame, catCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val per = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("__N"), count(lit(1)).as("__k"))
+    val share = d(col("n")) / d(col("__N"))
+    per.crossJoin(broadcast(tot))
+      .select(round(lit(10000.0) * share * share, 9)
+        .cast("decimal(38,9)").as("__t"), col("__N"), col("__k"))
+      .groupBy("__N", "__k")
+      .agg(sum(col("__t")).cast("double").as("hhi"))
+      .select(col("hhi"), col("__k").as("n_categories"),
+        col("__N").as("n_rows"))
+  }
+
   /** TRIMMED MEAN — [[winsorize]]'s dropping sibling: rows OUTSIDE
     * the per-group exact [pLo, pHi] lower-edge quantile band are
     * EXCLUDED (not clamped) before averaging — the robust mean when

@@ -6555,6 +6555,97 @@ object ExtensionQueries {
       |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS spearman_rho
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q202
+  /** Target encoding ([[graft.ops.StatsOps.targetEncode]], m = 10):
+    * per-supplier smoothed and LEAVE-ONE-OUT price encodings — the
+    * leak-aware categorical feature; the row's own target subtracts
+    * as exact DECIMAL.
+    */
+  def q202(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.targetEncode(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_suppkey",
+          "l_extendedprice"),
+      "l_suppkey", "l_extendedprice", m = 10.0)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "enc_smoothed",
+        "enc_loo")
+
+  val q202Sql: String =
+    """WITH clean AS (
+      | SELECT l_orderkey, l_linenumber, l_suppkey,
+      |  CAST(l_extendedprice AS DOUBLE) AS y
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |per AS (
+      | SELECT l_suppkey, CAST(count(*) AS BIGINT) AS nc,
+      |  sum(CAST(round(y, 6) AS DECIMAL(38, 6))) AS sc
+      | FROM clean GROUP BY 1),
+      |g AS (
+      | SELECT CAST(sum(CAST(round(y, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS gm
+      | FROM clean)
+      |SELECT c.l_orderkey, c.l_linenumber, c.l_suppkey,
+      | (CAST(sc AS DOUBLE) + gm * 10.0) / (CAST(nc AS DOUBLE) + 10.0)
+      |  AS enc_smoothed,
+      | CASE WHEN nc > 1 THEN
+      |  CAST(sc - CAST(round(y, 6) AS DECIMAL(38, 6)) AS DOUBLE)
+      |   / (CAST(nc AS DOUBLE) - 1.0)
+      | ELSE gm END AS enc_loo
+      |FROM clean c JOIN per USING (l_suppkey) CROSS JOIN g"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q203
+  /** Importance reweighting to a uniform source target
+    * ([[graft.ops.MixOps.importanceWeights]]): per-source weights
+    * plus Kish's effective sample size on every row — the honesty
+    * metric a weighted mix must quote instead of N.
+    */
+  def q203(spark: SparkSession, dir: String): DataFrame =
+    MixOps.importanceWeights(Tables.documents(spark, dir), "source")
+
+  val q203Sql: String =
+    """WITH per AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+      | GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |       CAST(count(*) AS BIGINT) AS kk FROM per),
+      |c AS (
+      | SELECT source, n,
+      |  CAST(n AS DOUBLE) / CAST(t.nn AS DOUBLE) AS observed_share,
+      |  CAST(t.nn AS DOUBLE) / (CAST(t.kk AS DOUBLE) * CAST(n AS DOUBLE))
+      |   AS weight,
+      |  t.nn
+      | FROM per CROSS JOIN t),
+      |e AS (
+      | SELECT nn,
+      |  CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) /
+      |  CAST(sum(CAST(round(CAST(n AS DOUBLE) * weight * weight, 9)
+      |   AS DECIMAL(38, 9))) AS DOUBLE) AS ess
+      | FROM c GROUP BY nn)
+      |SELECT c.source, c.n, c.observed_share, c.weight, e.ess
+      |FROM c CROSS JOIN (SELECT ess FROM e) e""".stripMargin
+
+  // --------------------------------------------------------------- q204
+  /** Herfindahl–Hirschman source concentration
+    * ([[graft.ops.StatsOps.hhi]]): 10000·Σ share² — the concentration
+    * gauge beside q107 entropy and q131 gini.
+    */
+  def q204(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.hhi(Tables.documents(spark, dir), "source")
+
+  val q204Sql: String =
+    """WITH per AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+      | GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |       CAST(count(*) AS BIGINT) AS kk FROM per)
+      |SELECT
+      | CAST(sum(CAST(round(
+      |  10000.0 * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+      |   * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+      |  AS DECIMAL(38, 9))) AS DOUBLE) AS hhi,
+      | kk AS n_categories, nn AS n_rows
+      |FROM per CROSS JOIN t GROUP BY kk, nn""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6725,5 +6816,8 @@ object ExtensionQueries {
     "q198_cross_source_dups" -> ((q198 _, q198Sql)),
     "q199_equal_freq_bins" -> ((q199 _, q199Sql)),
     "q200_corr_matrix" -> ((q200 _, q200Sql)),
-    "q201_spearman" -> ((q201 _, q201Sql)))
+    "q201_spearman" -> ((q201 _, q201Sql)),
+    "q202_target_encoding" -> ((q202 _, q202Sql)),
+    "q203_importance_weights" -> ((q203 _, q203Sql)),
+    "q204_hhi" -> ((q204 _, q204Sql)))
 }

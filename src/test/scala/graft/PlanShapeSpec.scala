@@ -183,7 +183,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q196_gains",
     // q197: split dim × broadcast(1-row leak census) — the q08 scalar
     // pattern
-    "q197_leakproof_split")
+    "q197_leakproof_split",
+    // q202: rows × broadcast(1-row global mean) — the q08 scalar
+    // pattern
+    "q202_target_encoding",
+    // q203/q204: category dim × broadcast(1-row totals / ESS) — the
+    // q08 scalar pattern
+    "q203_importance_weights", "q204_hhi")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

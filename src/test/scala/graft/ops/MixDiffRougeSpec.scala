@@ -46,6 +46,19 @@ class MixDiffRougeSpec extends AnyFunSuite {
     assert(byLang("big") < 500, s"big stratum not thinned: $byLang")
   }
 
+  test("importanceWeights: uniform target weights, Kish ESS exact") {
+    // a: 3 rows, b: 1 -> w_a = 2/3, w_b = 2; ESS = 16/(3*4/9 + 4) = 3
+    val df = (Seq.fill(3)("a") ++ Seq("b")).map(Tuple1(_)).toDF("src")
+    val r = MixOps.importanceWeights(df, "src")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a")._2 == 3L && math.abs(r("a")._3 - 0.75) < 1e-12)
+    assert(math.abs(r("a")._4 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r("b")._4 - 2.0) < 1e-12)
+    r.values.foreach(x => assert(math.abs(x._5 - 3.0) < 1e-9,
+      s"ESS must be 3, got ${x._5}"))
+  }
+
   // ------------------------------------------------------ snapshotDiff
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {

@@ -341,6 +341,31 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(Long, Option[Double])].collect().head._2.get - 1.0) < 1e-12)
   }
 
+  test("targetEncode: smoothing shrinks to global mean, LOO drops own row") {
+    // a: [1,2,3] (S=6), b: [10] singleton; global mean 4, m=2
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("cat", "y")
+    val r = StatsOps.targetEncode(df, "cat", "y", m = 2.0)
+      .as[(String, Double, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    assert(math.abs(r(("a", 1.0))._1 - 14.0 / 5.0) < 1e-12)
+    assert(math.abs(r(("b", 10.0))._1 - 6.0) < 1e-12)
+    assert(math.abs(r(("a", 1.0))._2 - 2.5) < 1e-12, "LOO of y=1")
+    assert(math.abs(r(("a", 3.0))._2 - 1.5) < 1e-12, "LOO of y=3")
+    assert(math.abs(r(("b", 10.0))._2 - 4.0) < 1e-12,
+      "singleton LOO falls back to the global mean")
+  }
+
+  test("hhi: uniform floor and single-category ceiling") {
+    val uni = (0 until 16).map(i => Tuple1(s"c${i % 4}")).toDF("c")
+    val r = StatsOps.hhi(uni, "c")
+      .as[(Double, Long, Long)].collect().head
+    assert(r == ((2500.0, 4L, 16L)), s"got $r")
+    val one = Seq.fill(5)(Tuple1("only")).toDF("c")
+    assert(StatsOps.hhi(one, "c").as[(Double, Long, Long)]
+      .collect().head._1 == 10000.0)
+  }
+
   test("trimmedMean: tails dropped, winsorize clamps instead") {
     // 1..20: [p10, p90] lower-edge band = [2, 18]; trimmed mean of
     // 2..18 = 10; raw mean 10.5
