@@ -6646,6 +6646,142 @@ object ExtensionQueries {
       | kk AS n_categories, nn AS n_rows
       |FROM per CROSS JOIN t GROUP BY kk, nn""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** Per-language document-length profile: token-count p10/p50/p90
+    * (exact lower-edge [[graft.ops.StatsOps.weightedQuantile]]s) —
+    * the calibration table a length filter reads per language (a CJK
+    * length cut tuned on English garbage-collects the wrong docs).
+    */
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.whitespaceTokenize(col("text"))).cast("double")
+          .as("n_tokens"))
+      .withColumn("__one", lit(1.0))
+    def q(p: Double, name: String) =
+      StatsOps.weightedQuantile(d, "lang", "n_tokens", "__one", p)
+        .select(col("lang"), col("weighted_quantile").as(name))
+    q(0.1, "p10").join(q(0.5, "p50"), "lang").join(q(0.9, "p90"), "lang")
+      .join(d.groupBy("lang").agg(count(lit(1)).as("n_docs")), "lang")
+      .select("lang", "n_docs", "p10", "p50", "p90")
+  }
+
+  val q205Sql: String =
+    """WITH d AS (
+      | SELECT lang,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |   AS DOUBLE) AS v
+      | FROM documents),
+      |c AS (
+      | SELECT lang, v,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY lang
+      |    ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY lang)
+      |   AS DOUBLE) AS tot
+      | FROM d),
+      |q10 AS (SELECT lang, min(v) AS p10 FROM c WHERE cum >= tot * 0.1
+      |        GROUP BY 1),
+      |q50 AS (SELECT lang, min(v) AS p50 FROM c WHERE cum >= tot * 0.5
+      |        GROUP BY 1),
+      |q90 AS (SELECT lang, min(v) AS p90 FROM c WHERE cum >= tot * 0.9
+      |        GROUP BY 1),
+      |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM d
+      |      GROUP BY 1)
+      |SELECT n.lang, n.n_docs, q10.p10, q50.p50, q90.p90
+      |FROM n JOIN q10 ON q10.lang = n.lang
+      | JOIN q50 ON q50.lang = n.lang JOIN q90 ON q90.lang = n.lang"""
+      .stripMargin
+
+  // --------------------------------------------------------------- q206
+  /** Vocabulary coverage curve: cumulative corpus-token share of the
+    * top 1/10/100/1000 types — the vocab-sizing readout (how much of
+    * the stream a k-entry vocabulary explains); ranks via the
+    * range-partitioned row index, prefix sums via
+    * [[graft.ops.StatsOps.runningTotals]].
+    */
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TextOps.whitespaceTokenize(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = JoinOps.withRowIndex(
+      vocab.sort(col("cnt").desc, col("token")), "__idx")
+    val cum = StatsOps.runningTotals(ranked, "__idx", Seq("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("n_types"))
+    cum.filter((col("__idx") + 1).isin(1, 10, 100, 1000))
+      .crossJoin(broadcast(tot))
+      .select((col("__idx") + 1).cast("int").as("top_k"),
+        col("cnt_cum").as("cum_tokens"),
+        (col("cnt_cum").cast("double") / col("__tot").cast("double"))
+          .as("coverage"),
+        col("n_types"))
+  }
+
+  val q206Sql: String =
+    """WITH tok AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |  AS token
+      | FROM documents),
+      |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |      GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+      |       CAST(count(*) AS BIGINT) AS n_types FROM v),
+      |r AS (
+      | SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+      | FROM v),
+      |c AS (
+      | SELECT rk, CAST(sum(cnt) OVER (ORDER BY rk
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |  AS cum
+      | FROM r)
+      |SELECT CAST(rk AS INT) AS top_k, cum AS cum_tokens,
+      | CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) AS coverage,
+      | t.n_types
+      |FROM c CROSS JOIN t WHERE rk IN (1, 10, 100, 1000)""".stripMargin
+
+  // --------------------------------------------------------------- q207
+  /** Out-of-vocabulary rate: src0 tokens against the top-500 vocab
+    * built from the OTHER sources ([[graft.ops.SearchOps.buildVocab]])
+    * — the domain-shift gauge a frozen tokenizer pays as [UNK] mass.
+    */
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = SearchOps.buildVocab(
+      docs.filter(col("source") =!= "src0"), "text", 500)
+      .select(col("token")).withColumn("__in", lit(1))
+    val toks = docs.filter(col("source") === "src0")
+      .select(explode(TextOps.whitespaceTokenize(col("text"))).as("token"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  val q207Sql: String =
+    """WITH train AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |  AS token
+      | FROM documents WHERE source <> 'src0'),
+      |vc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM train
+      |       GROUP BY 1),
+      |vocab AS (
+      | SELECT token FROM (
+      |  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rk
+      |  FROM vc) WHERE rk <= 500),
+      |ev AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |  AS token
+      | FROM documents WHERE source = 'src0')
+      |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+      | CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS n_oov,
+      | CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+      |  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM ev LEFT JOIN vocab ON vocab.token = ev.token""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6819,5 +6955,8 @@ object ExtensionQueries {
     "q201_spearman" -> ((q201 _, q201Sql)),
     "q202_target_encoding" -> ((q202 _, q202Sql)),
     "q203_importance_weights" -> ((q203 _, q203Sql)),
-    "q204_hhi" -> ((q204 _, q204Sql)))
+    "q204_hhi" -> ((q204 _, q204Sql)),
+    "q205_length_profile" -> ((q205 _, q205Sql)),
+    "q206_vocab_coverage" -> ((q206 _, q206Sql)),
+    "q207_oov_rate" -> ((q207 _, q207Sql)))
 }

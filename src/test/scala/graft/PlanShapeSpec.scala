@@ -189,7 +189,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q202_target_encoding",
     // q203/q204: category dim × broadcast(1-row totals / ESS) — the
     // q08 scalar pattern
-    "q203_importance_weights", "q204_hhi")
+    "q203_importance_weights", "q204_hhi",
+    // q206: vocab dim × broadcast(1-row corpus totals) — the q08
+    // scalar pattern
+    "q206_vocab_coverage")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
