@@ -315,6 +315,61 @@ object StatsOps {
         col("__N").as("n_rows"))
   }
 
+  /** HUBER ROBUST LOCATION (M-estimator, `iters` fixed IRLS passes) —
+    * the efficiency upgrade over the median: near-Gaussian data keeps
+    * ~95% efficiency (the median only 64%) while outliers beyond
+    * `c·scale` are down-weighted `w = c·scale/|x−m|` instead of
+    * dominating. Starts at the exact lower-edge median, scale =
+    * 1.4826·MAD (both [[weightedQuantile]]-deterministic), and runs a
+    * PINNED number of reweighting passes — each one keyed join of the
+    * per-key center dim plus round-then-DECIMAL weighted sums — so
+    * the whole iteration replays stage-for-stage (the q118/q192
+    * unroll convention). Zero-MAD groups (over half the mass on one
+    * point) keep the median: the ψ-weights are undefined there, and
+    * the median IS the MLE.
+    */
+  def huberMean(
+      df: DataFrame, keyCol: String, valueCol: String,
+      c: Double = 1.345, iters: Int = 3): DataFrame = {
+    require(c > 0 && iters >= 1)
+    val d = (x: Column) => x.cast("double")
+    def t9(x: Column) = round(x, 9).cast("decimal(38,9)")
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__x"))
+      .withColumn("__one", lit(1.0))
+    val med = weightedQuantile(clean, "__k", "__x", "__one", 0.5)
+      .select(col("__k"), col("weighted_quantile").as("__med"))
+    val dev = clean.join(broadcast(med), Seq("__k"))
+      .withColumn("__ad", abs(col("__x") - col("__med")))
+      .withColumn("__one", lit(1.0))
+    val scale = weightedQuantile(dev, "__k", "__ad", "__one", 0.5)
+      .select(col("__k"), (lit(1.4826) * col("weighted_quantile"))
+        .as("__s"))
+    val base = clean.join(broadcast(med), Seq("__k"))
+      .join(broadcast(scale), Seq("__k"))
+    var m = med.join(scale, Seq("__k"))
+      .select(col("__k"), col("__med").as("__m"))
+    for (_ <- 1 to iters) {
+      val cur = base.join(broadcast(m), Seq("__k"))
+      val w = when(abs(col("__x") - col("__m")) <= lit(c) * col("__s"),
+        lit(1.0)).otherwise(
+        lit(c) * col("__s") / abs(col("__x") - col("__m")))
+      m = cur
+        .groupBy("__k")
+        .agg((sum(t9(w * col("__x"))).cast("double") /
+          sum(t9(w)).cast("double")).as("__mn"),
+          min(col("__s")).as("__sc"), min(col("__med")).as("__md"))
+        .select(col("__k"),
+          when(col("__sc") > 0, col("__mn")).otherwise(col("__md"))
+            .as("__m"))
+    }
+    clean.groupBy("__k").agg(count(lit(1)).as("n"))
+      .join(med, Seq("__k")).join(scale, Seq("__k"))
+      .join(m, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n"), col("__med").as("median"),
+        col("__s").as("scale"), col("__m").as("huber_mean"))
+  }
+
   /** TRIMMED MEAN — [[winsorize]]'s dropping sibling: rows OUTSIDE
     * the per-group exact [pLo, pHi] lower-edge quantile band are
     * EXCLUDED (not clamped) before averaging — the robust mean when

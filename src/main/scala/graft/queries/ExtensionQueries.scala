@@ -6782,6 +6782,183 @@ object ExtensionQueries {
       |  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
       |FROM ev LEFT JOIN vocab ON vocab.token = ev.token""".stripMargin
 
+  // --------------------------------------------------------------- q208
+  /** Huber robust means ([[graft.ops.StatsOps.huberMean]], c = 1.345,
+    * 3 IRLS passes) of extended prices per return flag — the
+    * efficiency upgrade over the median, every pass unrolled
+    * stage-for-stage in the oracle.
+    */
+  def q208(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.huberMean(
+      Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice")
+
+  val q208Sql: String = {
+    def pass(t: Int): String =
+      s"""w$t AS (
+        | SELECT j.k,
+        |  CAST(sum(CAST(round((CASE WHEN abs(x - m${t - 1}.m) <=
+        |     1.345 * j.s THEN 1.0
+        |    ELSE 1.345 * j.s / abs(x - m${t - 1}.m) END) * x, 9)
+        |   AS DECIMAL(38, 9))) AS DOUBLE) AS swx,
+        |  CAST(sum(CAST(round(CASE WHEN abs(x - m${t - 1}.m) <=
+        |     1.345 * j.s THEN 1.0
+        |    ELSE 1.345 * j.s / abs(x - m${t - 1}.m) END, 9)
+        |   AS DECIMAL(38, 9))) AS DOUBLE) AS sw,
+        |  min(j.s) AS s, min(j.med) AS med
+        | FROM j JOIN m${t - 1} ON m${t - 1}.k = j.k GROUP BY 1),
+        |m$t AS (
+        | SELECT k, CASE WHEN s > 0 THEN swx / sw ELSE med END AS m
+        | FROM w$t)"""
+    s"""WITH clean AS (
+      | SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS x
+      | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c1 AS (
+      | SELECT k, x,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM clean),
+      |med AS (SELECT k, min(x) AS med FROM c1 WHERE cum >= tot * 0.5
+      |        GROUP BY 1),
+      |dv AS (
+      | SELECT clean.k, x, med, abs(x - med) AS ad
+      | FROM clean JOIN med ON med.k = clean.k),
+      |c2 AS (
+      | SELECT k, ad,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k
+      |    ORDER BY ad RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY k)
+      |   AS DOUBLE) AS tot
+      | FROM dv),
+      |sc AS (SELECT k, 1.4826 * min(ad) AS s FROM c2
+      |       WHERE cum >= tot * 0.5 GROUP BY k),
+      |j AS (
+      | SELECT dv.k, dv.x, dv.med, sc.s
+      | FROM dv JOIN sc ON sc.k = dv.k),
+      |m0 AS (SELECT k, med AS m FROM med),
+      |${(1 to 3).map(pass).mkString(",\n")}
+      |SELECT j2.k AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | min(j2.med) AS median, min(j2.s) AS scale, min(m3.m) AS huber_mean
+      |FROM j j2 JOIN m3 ON m3.k = j2.k GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q209
+  /** Per-source quality scorecard: doc counts, mean q26 quality
+    * score, exact-dup rate, mean token length — the data-vendor
+    * report card read before buying/weighting a source.
+    */
+  def q209(spark: SparkSession, dir: String): DataFrame = {
+    def d9(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val d = Tables.documents(spark, dir)
+    d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      (d9(TextAnalysis.qualityScore(col("text"))) /
+        count(lit(1)).cast("double")).as("avg_quality"),
+      ((count(lit(1)) - countDistinct(DedupOps.normText(col("text"))))
+        .cast("double") / count(lit(1)).cast("double")).as("dup_rate"),
+      (d9(size(TextOps.whitespaceTokenize(col("text"))).cast("double")) /
+        count(lit(1)).cast("double")).as("avg_tokens"))
+  }
+
+  val q209Sql: String = {
+    val enWords = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+      | SELECT source, text, lower(trim(text)) AS norm,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      | FROM documents),
+      |q AS (
+      | SELECT source, norm,
+      |  least(CAST(len(toks) AS INT) / 20.0, 1.0) * 0.4
+      |   + greatest(0.0, 1.0 -
+      |      (CAST(len(text) - len(regexp_replace(text,
+      |        '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text)) * 4.0)
+      |     * 0.4
+      |   + least((CAST(len(list_filter(toks,
+      |        tk -> list_contains($enWords, tk))) AS DOUBLE) / len(toks))
+      |      * 5.0, 1.0) * 0.2 AS quality,
+      |  CAST(len(toks) AS DOUBLE) AS ntok
+      | FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(CAST(round(quality, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS avg_quality,
+      | CAST(count(*) - count(DISTINCT norm) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS dup_rate,
+      | CAST(sum(CAST(round(ntok, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS avg_tokens
+      |FROM q GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q210
+  /** Funnel A/B test: signup→purchase-within-7-days conversion by
+    * user-id parity
+    * through [[graft.ops.StatsOps.twoProportionZ]] — the composed
+    * experiment readout over the funnel definition q86 pins.
+    */
+  def q210(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("st"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p"))
+    val cv = su.join(pu, Seq("user_id"), "left")
+      .groupBy("user_id", "st")
+      .agg(max(when(col("p") >= col("st") &&
+        col("p") < col("st") + lit(604800000000L), 1).otherwise(0))
+        .as("conv"))
+    val v = cv.select(
+      when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+        .as("variant"),
+      (col("conv") === 1).as("converted"))
+    StatsOps.twoProportionZ(v, "variant", "converted")
+  }
+
+  val q210Sql: String =
+    """WITH su AS (
+      | SELECT user_id, min(epoch_us(ts)) AS st FROM events
+      | WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      | SELECT user_id, epoch_us(ts) AS p FROM events
+      | WHERE event_type = 'purchase'),
+      |cv AS (
+      | SELECT su.user_id, su.st,
+      |  max(CASE WHEN pu.p >= su.st AND pu.p < su.st + 604800000000
+      |   THEN 1 ELSE 0 END) AS conv
+      | FROM su LEFT JOIN pu ON pu.user_id = su.user_id GROUP BY 1, 2),
+      |v AS (
+      | SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |  conv = 1 AS converted
+      | FROM cv),
+      |a AS (
+      | SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS s
+      | FROM v GROUP BY 1),
+      |p AS (SELECT min(variant) AS v1 FROM a),
+      |w AS (
+      | SELECT p.v1,
+      |  max(CASE WHEN variant = v1 THEN n END) AS n1,
+      |  max(CASE WHEN variant = v1 THEN s END) AS s1,
+      |  max(CASE WHEN variant <> v1 THEN variant END) AS v2,
+      |  max(CASE WHEN variant <> v1 THEN n END) AS n2,
+      |  max(CASE WHEN variant <> v1 THEN s END) AS s2
+      | FROM a CROSS JOIN p GROUP BY p.v1)
+      |SELECT v1 AS variant1, v2 AS variant2, n1, s1, n2, s2,
+      | CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      | CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      | (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+      |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+      | sqrt(((CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) /
+      |       (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |  (1.0 - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) /
+      |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |  (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+      |FROM w""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -6958,5 +7135,8 @@ object ExtensionQueries {
     "q204_hhi" -> ((q204 _, q204Sql)),
     "q205_length_profile" -> ((q205 _, q205Sql)),
     "q206_vocab_coverage" -> ((q206 _, q206Sql)),
-    "q207_oov_rate" -> ((q207 _, q207Sql)))
+    "q207_oov_rate" -> ((q207 _, q207Sql)),
+    "q208_huber_mean" -> ((q208 _, q208Sql)),
+    "q209_source_scorecard" -> ((q209 _, q209Sql)),
+    "q210_funnel_ab" -> ((q210 _, q210Sql)))
 }

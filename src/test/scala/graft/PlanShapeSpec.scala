@@ -192,7 +192,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q203_importance_weights", "q204_hhi",
     // q206: vocab dim × broadcast(1-row corpus totals) — the q08
     // scalar pattern
-    "q206_vocab_coverage")
+    "q206_vocab_coverage",
+    // q210: rides twoProportionZ's 2-row variant frame ×
+    // broadcast(1-row min-variant label) — q159's pattern
+    "q210_funnel_ab")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

@@ -366,6 +366,37 @@ class StatsOpsSpec extends AnyFunSuite {
       .collect().head._1 == 10000.0)
   }
 
+  test("huberMean: matches a plain-Scala 3-pass IRLS; zero-MAD keeps median") {
+    val xs = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 100.0)
+    // independent reference: same lower-edge median/MAD, same 3 passes
+    def loEdge(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted; s(math.ceil(q * s.size).toInt - 1)
+    }
+    val med = loEdge(xs, 0.5)
+    val scale = 1.4826 * loEdge(xs.map(x => math.abs(x - med)), 0.5)
+    var m = med
+    for (_ <- 1 to 3) {
+      val w = xs.map { x =>
+        val adx = math.abs(x - m)
+        if (adx <= 1.345 * scale) 1.0 else 1.345 * scale / adx
+      }
+      m = w.zip(xs).map { case (a, b) => a * b }.sum / w.sum
+    }
+    val got = StatsOps.huberMean(xs.map(("g", _)).toDF("k", "v"), "k", "v")
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(got._2 == 6L && got._3 == med)
+    assert(math.abs(got._4 - scale) < 1e-12)
+    assert(math.abs(got._5 - m) < 1e-6, s"engine ${got._5} vs ref $m")
+    assert(math.abs(got._5 - 2.0) < 1.0,
+      "the fat-finger point must not own the location")
+
+    // over half the mass on one value -> MAD 0 -> keep the median
+    val flat = Seq(5.0, 5.0, 5.0, 5.0, 1.0).map(("f", _)).toDF("k", "v")
+    val gf = StatsOps.huberMean(flat, "k", "v")
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(gf._4 == 0.0 && gf._5 == 5.0, s"zero-MAD keeps the median: $gf")
+  }
+
   test("trimmedMean: tails dropped, winsorize clamps instead") {
     // 1..20: [p10, p90] lower-edge band = [2, 18]; trimmed mean of
     // 2..18 = 10; raw mean 10.5
