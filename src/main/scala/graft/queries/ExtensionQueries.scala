@@ -6895,7 +6895,7 @@ object ExtensionQueries {
   }
 
   // --------------------------------------------------------------- q210
-  /** Funnel A/B test: signup→purchase-within-7-days conversion by
+  /** Funnel A/B test: signup→purchase-within-1-day conversion by
     * user-id parity
     * through [[graft.ops.StatsOps.twoProportionZ]] — the composed
     * experiment readout over the funnel definition q86 pins.
@@ -6909,7 +6909,7 @@ object ExtensionQueries {
     val cv = su.join(pu, Seq("user_id"), "left")
       .groupBy("user_id", "st")
       .agg(max(when(col("p") >= col("st") &&
-        col("p") < col("st") + lit(604800000000L), 1).otherwise(0))
+        col("p") < col("st") + lit(86400000000L), 1).otherwise(0))
         .as("conv"))
     val v = cv.select(
       when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
@@ -6927,7 +6927,7 @@ object ExtensionQueries {
       | WHERE event_type = 'purchase'),
       |cv AS (
       | SELECT su.user_id, su.st,
-      |  max(CASE WHEN pu.p >= su.st AND pu.p < su.st + 604800000000
+      |  max(CASE WHEN pu.p >= su.st AND pu.p < su.st + 86400000000
       |   THEN 1 ELSE 0 END) AS conv
       | FROM su LEFT JOIN pu ON pu.user_id = su.user_id GROUP BY 1, 2),
       |v AS (
