@@ -6959,6 +6959,134 @@ object ExtensionQueries {
       |  (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
       |FROM w""".stripMargin
 
+  // --------------------------------------------------------------- q211
+  /** Session engagement report on [[graft.ops.SessionOps.sessionize]]
+    * (30-min gap): session count, bounce rate (single-event
+    * sessions), exact-DECIMAL mean duration and the lower-edge median
+    * duration — the engagement scorecard q19's raw sessionization
+    * feeds.
+    */
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    val s = SessionOps.sessionize(Tables.events(spark, dir), "user_id",
+      "ts", gapSeconds = 1800L)
+    val per = s.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("__n"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / lit(1000000.0)).as("__dur"))
+    val med = StatsOps.weightedQuantile(
+      per.select(lit("all").as("__k"), col("__dur"))
+        .withColumn("__one", lit(1.0)), "__k", "__dur", "__one", 0.5)
+      .select(col("weighted_quantile").as("p50_duration_s"))
+    per.agg(count(lit(1)).as("n_sessions"),
+      (sum(when(col("__n") === 1, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("bounce_rate"),
+      (sum(round(col("__dur"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"))
+        .as("avg_duration_s"))
+      .crossJoin(broadcast(med))
+  }
+
+  val q211Sql: String =
+    """WITH g AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |   OR lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |   THEN 1 ELSE 0 END AS b
+      | FROM events),
+      |s AS (
+      | SELECT user_id,
+      |  sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS session_id,
+      |  ts
+      | FROM g),
+      |per AS (
+      | SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+      |   / 1000000.0 AS dur
+      | FROM s GROUP BY 1, 2),
+      |c AS (
+      | SELECT dur AS v,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (ORDER BY dur
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER () AS DOUBLE) AS tot
+      | FROM per),
+      |md AS (SELECT min(v) AS p50 FROM c WHERE cum >= tot * 0.5)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS bounce_rate,
+      | CAST(sum(CAST(round(dur, 6) AS DECIMAL(38, 6)))
+      |  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_duration_s,
+      | md.p50 AS p50_duration_s
+      |FROM per CROSS JOIN md GROUP BY md.p50""".stripMargin
+
+  // --------------------------------------------------------------- q212
+  /** Inter-arrival gap profile per event type: each event's gap to
+    * the SAME USER's previous event of that type (one keyed lag
+    * window), then the per-type lower-edge median and mean gap — the
+    * cadence table behind retention/frequency modeling.
+    */
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    // seconds, not micros: micro-scale DECIMAL(38,6) sums reach the
+    // 2^53/1e6 cast boundary where decimal->double rounding may
+    // differ in the last ulp across engines
+    val gaps = Tables.events(spark, dir)
+      .withColumn("__gap",
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).cast("double") /
+          lit(1000000.0))
+      .filter(col("__gap").isNotNull)
+      .select(col("event_type"), col("__gap"))
+      .withColumn("__one", lit(1.0))
+    val med = StatsOps.weightedQuantile(gaps, "event_type", "__gap",
+        "__one", 0.5)
+      .select(col("event_type"),
+        col("weighted_quantile").as("p50_gap_s"),
+        col("total_weight").cast("long").as("n_gaps"))
+    val avg = gaps.groupBy("event_type")
+      .agg((sum(round(col("__gap"), 6)
+        .cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_gap_s"))
+    med.join(avg, Seq("event_type"))
+      .select("event_type", "n_gaps", "p50_gap_s", "avg_gap_s")
+  }
+
+  val q212Sql: String =
+    """WITH g AS (
+      | SELECT event_type,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id,
+      |   event_type ORDER BY ts, event_id) AS gap
+      | FROM events),
+      |gaps AS (
+      | SELECT event_type, CAST(gap AS DOUBLE) / 1000000.0 AS gap
+      | FROM g WHERE gap IS NOT NULL),
+      |c AS (
+      | SELECT event_type, gap AS v,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY
+      |    event_type ORDER BY gap
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS cum,
+      |  CAST(sum(CAST(1.0 AS DECIMAL(38, 6))) OVER (PARTITION BY
+      |    event_type) AS DOUBLE) AS tot
+      | FROM gaps),
+      |md AS (
+      | SELECT event_type, min(v) AS p50, CAST(max(tot) AS BIGINT) AS n
+      | FROM c WHERE cum >= tot * 0.5 GROUP BY 1),
+      |av AS (
+      | SELECT event_type,
+      |  CAST(sum(CAST(round(gap, 6) AS DECIMAL(38, 6)))
+      |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_s
+      | FROM gaps GROUP BY 1)
+      |SELECT md.event_type, md.n AS n_gaps, md.p50 AS p50_gap_s,
+      | av.avg_gap_s
+      |FROM md JOIN av ON av.event_type = md.event_type""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7138,5 +7266,7 @@ object ExtensionQueries {
     "q207_oov_rate" -> ((q207 _, q207Sql)),
     "q208_huber_mean" -> ((q208 _, q208Sql)),
     "q209_source_scorecard" -> ((q209 _, q209Sql)),
-    "q210_funnel_ab" -> ((q210 _, q210Sql)))
+    "q210_funnel_ab" -> ((q210 _, q210Sql)),
+    "q211_session_report" -> ((q211 _, q211Sql)),
+    "q212_interarrival" -> ((q212 _, q212Sql)))
 }

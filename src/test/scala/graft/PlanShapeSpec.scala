@@ -195,7 +195,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q206_vocab_coverage",
     // q210: rides twoProportionZ's 2-row variant frame ×
     // broadcast(1-row min-variant label) — q159's pattern
-    "q210_funnel_ab")
+    "q210_funnel_ab",
+    // q211: 1-row report × broadcast(1-row median) — the q08 scalar
+    // pattern
+    "q211_session_report")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
