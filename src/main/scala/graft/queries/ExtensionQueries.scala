@@ -6973,10 +6973,14 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("__n"),
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .cast("double") / lit(1000000.0)).as("__dur"))
-    val med = StatsOps.weightedQuantile(
-      per.select(lit("all").as("__k"), col("__dur"))
-        .withColumn("__one", lit(1.0)), "__k", "__dur", "__one", 0.5)
-      .select(col("weighted_quantile").as("p50_duration_s"))
+    // global lower-edge median WITHOUT a single-partition window:
+    // range-partitioned sorted row index + integer rank*2 >= n cut
+    val ranked = JoinOps.withRowIndex(
+      per.select(col("__dur")).sort("__dur"), "__idx")
+    val cnt = per.agg(count(lit(1)).as("__cnt"))
+    val med = ranked.crossJoin(broadcast(cnt))
+      .filter((col("__idx") + 1) * 2 >= col("__cnt"))
+      .agg(min(col("__dur")).as("p50_duration_s"))
     per.agg(count(lit(1)).as("n_sessions"),
       (sum(when(col("__n") === 1, 1L).otherwise(0L)).cast("double") /
         count(lit(1)).cast("double")).as("bounce_rate"),
