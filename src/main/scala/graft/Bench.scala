@@ -929,16 +929,23 @@ object Bench {
     val ordered =
       (SparkEntry.queries.view.filterKeys(!excluded.contains(_)).toSeq.sortBy(_._1) ++
         scaleBenches.toSeq.sortBy(_._1)).filter(t => wanted(t._1))
-    // (name, seconds, error): failures are REPORTED, never silently
-    // recorded as a plausible timing.
-    val results = ordered.map { case (name, fn) =>
-      // warm this row's plan family, then drop whatever it cached and
-      // any pass diagnostics the warm run emitted; warm failures are
-      // ignored (the timed run reports them)
-      warmDir.foreach { wd =>
-        try force(fn(spark, wd)) catch { case _: Throwable => () }
-        spark.sharedState.cacheManager.clearCache()
-      }
+    // CONTENTION-PROOF TIMING (VERDICT r7 #1): the r7 artifact recorded
+    // 2-9x phantom regressions on ~14 rows because a single timed run
+    // on a busy box records whatever the box was doing, not what the
+    // operator costs. Each row is now timed TWICE (the first timed run
+    // doubles as steady-state warmup for the second); if the two
+    // disagree by >30% a third attempt adjudicates. The recorded value
+    // is the MIN (the least-contended observation — the only one that
+    // is a property of the code), and the max/min spread across
+    // attempts is emitted per row so a reader can see from the JSON
+    // alone which rows were measured under noise. The documented
+    // quadratic oracle validators (gate-excluded by contract) run once:
+    // re-measuring a 20 s validator buys nothing the gate reads.
+    val singleRun = Set(
+      "b_minhash_pairs", "b_dup_components", "b_prefix_jaccard",
+      "b_containment")
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame)
+        : (Double, Option[String], List[(Int, Long, Double)]) = {
       convergedPasses.clear()
       val t0 = System.nanoTime()
       val err = try { force(fn(spark, sfDir)); None } catch {
@@ -953,15 +960,56 @@ object Bench {
       // pressure rides into later rows. Outside the timing: releasing
       // a row's caches is harness hygiene, not operator cost.
       spark.sharedState.cacheManager.clearCache()
-      // snapshot this row's per-pass diagnostics (only the converged
-      // fixpoint emits any) before the next row's warm/clear
       val passes = convergedPasses.synchronized(convergedPasses.toList.sortBy(_._1))
-      (name, sec, err, passes)
+      (sec, err, passes)
     }
+    // canary gauge: q01 re-timed every `canaryEvery` rows; if the box
+    // degrades mid-run the canary series shows WHEN, and a drift beyond
+    // 1.5x marks the whole artifact contended (the r7 failure mode,
+    // detectable from the JSON alone).
+    val canaryFn = SparkEntry.queries.get("q01_pricing_summary")
+    val canaryEvery = 20
+    val canarySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runCanary(): Unit = canaryFn.foreach { fn =>
+      val (sec, err, _) = timeOnce("canary_q01", fn)
+      if (err.isEmpty) canarySecs += sec
+    }
+    // (name, min seconds, spread max/min, error, diag passes of the min
+    // attempt): failures are REPORTED, never silently recorded as a
+    // plausible timing.
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % canaryEvery == 0 && only.isEmpty) runCanary()
+      // warm this row's plan family, then drop whatever it cached and
+      // any pass diagnostics the warm run emitted; warm failures are
+      // ignored (the timed run reports them)
+      warmDir.foreach { wd =>
+        try force(fn(spark, wd)) catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
+      }
+      val attempts = scala.collection.mutable.ArrayBuffer(timeOnce(name, fn))
+      if (attempts.head._2.isEmpty && !singleRun.contains(name)) {
+        attempts += timeOnce(name, fn)
+        val secs = attempts.map(_._1)
+        if (secs.max / secs.min > 1.3) attempts += timeOnce(name, fn)
+      }
+      val ok = attempts.filter(_._2.isEmpty)
+      if (ok.isEmpty) {
+        val (sec, err, passes) = attempts.head
+        (name, sec, 1.0, err, passes)
+      } else {
+        val best = ok.minBy(_._1)
+        val spread = ok.map(_._1).max / best._1
+        (name, best._1, spread, None, best._3)
+      }
+    }
+    if (only.isEmpty) runCanary()
+    // streaming rows stay single-run: a second start() with the same
+    // memory-sink queryName is not re-entrant, and none of the r7
+    // phantoms were s_ rows — the canary series covers run validity.
     val streaming =
       if (only.exists(names => !names.exists(_.startsWith("s_")))) Nil
       else streamingBenches(spark, sfDir).filter(t => wanted(t._1))
-    val allTimings = results.map { case (k, v, e, _) => (k, v, e) } ++
+    val allTimings = results.map { case (k, v, _, e, _) => (k, v, e) } ++
       streaming.map { case (k, v, _, e) => (k, v, e) }
     val qs = allTimings.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
@@ -972,16 +1020,32 @@ object Bench {
     val stateRows = streaming.map { case (k, _, st, _) =>
       "\"" + k + "\":" + st
     }.mkString("{", ",", "}")
-    val diag = results.collect { case (name, _, _, ps) if ps.nonEmpty =>
-      // pass 0 is the prep stage (tokenize + band-hash + persist)
+    // per-row max/min across timed attempts (1.0 = attempts agreed or
+    // single-run row) — the from-the-JSON contention witness
+    val spreads = results.map { case (k, _, sp, _, _) =>
+      "\"" + k + "\":" + math.round(sp * 100.0) / 100.0
+    }.mkString("{", ",", "}")
+    val diag = results.collect { case (name, rowSec, _, _, ps) if ps.nonEmpty =>
+      // pass 0 is the prep stage (tokenize + band-hash + persist);
+      // result_sec is the remainder of the row — the final keeper
+      // materialize (VERDICT r7 #7: diag parts must sum to ~ the row
+      // total so an artifact swing is attributable from the JSON alone)
       val (prep, passes) = ps.partition(_._1 == 0)
+      val accounted = prep.headOption.map(_._3).getOrElse(0.0) + passes.map(_._3).sum
       "\"" + name + "\":{\"prep_sec\":" + prep.headOption.map(_._3).getOrElse(0.0) +
         ",\"passes\":" + passes.length +
         ",\"pass_secs\":[" + passes.map(_._3).mkString(",") +
-        "],\"pass_survivors\":[" + passes.map(_._2).mkString(",") + "]}"
+        "],\"pass_survivors\":[" + passes.map(_._2).mkString(",") +
+        "],\"result_sec\":" + math.max(0.0, rowSec - accounted) + "}"
     }.mkString("{", ",", "}")
+    val canaryDrift =
+      if (canarySecs.size >= 2) canarySecs.max / canarySecs.min else 1.0
+    val canary = "{\"secs\":[" +
+      canarySecs.map(s => math.round(s * 1000.0) / 1000.0).mkString(",") +
+      "],\"drift\":" + math.round(canaryDrift * 100.0) / 100.0 +
+      ",\"contended\":" + (canaryDrift > 1.5) + "}"
     val total = allTimings.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"diag":$diag,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"spread":$spreads,"canary":$canary,"diag":$diag,"sf":"$sfDir"}"""
     println(json)
     // VERDICT r6 #5: the driver's stdout capture truncates long runs
     // (BENCH_r06.json lost the whole q-family to a 2 KB tail), so the

@@ -82,13 +82,17 @@ object DedupOps {
     * exchange); the pair join is per-group quadratic in DUPLICATE
     * group sizes only. `hashFn` defaults to xxhash64; pass
     * [[graft.core.PortableHash.md5Long]] for the oracle-replayable
-    * twin.
+    * twin. NULL-text rows are dropped before hashing: xxhash64 maps
+    * NULL to its seed (one giant phantom dup group) while md5Long
+    * yields NULL (drops out of the equi-join) — excluding them keeps
+    * both hashFn options on one contract.
     */
   def crossSourceDupMatrix(
       df: DataFrame, textCol: String, idCol: String, srcCol: String,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val t = df.select(hashFn(normText(col(textCol))).as("__h"),
-      col(idCol).as("__id"), col(srcCol).as("__src"))
+    val t = df.filter(col(textCol).isNotNull)
+      .select(hashFn(normText(col(textCol))).as("__h"),
+        col(idCol).as("__id"), col(srcCol).as("__src"))
     val a = t.select(col("__h"), col("__id").as("__ida"),
       col("__src").as("__sa"))
     val b = t.select(col("__h"), col("__id").as("__idb"),

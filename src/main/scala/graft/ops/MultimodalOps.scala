@@ -201,8 +201,11 @@ object MultimodalOps {
     * DuckDB-replayable range). The mean is the left-to-right double
     * fold (`list_sum` parity); the bit packs are integer folds —
     * value-exact in any engine. Rows whose grid is not exactly
-    * `cells` long hash to NULL (malformed decode — surface, don't
-    * guess). Downstream of the [[decodeFrames]]/
+    * `cells` long — or containing a NULL cell — hash to NULL
+    * (malformed decode — surface, don't guess; without the null-cell
+    * guard a NULL mean would silently zero every bit and two
+    * corrupted grids would match as Hamming-0 near-dups). Same NULL
+    * contract as the fused [[graft.functions.AverageHashHalves]]. Downstream of the [[decodeFrames]]/
     * [[graft.functions.ResizeBilinear]] pipeline: decode → resize to
     * the 8×8 thumb → `averageHash` → [[imageNearDups]].
     */
@@ -219,7 +222,7 @@ object MultimodalOps {
       aggregate(sequence(lit(from), lit(from + half - 1)), lit(0L),
         (acc, i) => acc * 2 +
           when(element_at(d, i + 1) > mean, 1L).otherwise(0L))
-    when(size(vec) === cells,
+    when(size(vec) === cells && !exists(vec, x => x.isNull),
       struct(pack(0).as("hi"), pack(half).as("lo")))
   }
 

@@ -288,17 +288,6 @@ object SearchOps {
             col("idcg").cast("double")).as("ndcg_k"))
   }
 
-  /** TOP-K ROWS PER GROUP with a BOUNDED aggregation buffer
-    * ([[graft.functions.TopKAggregator]]) instead of the
-    * `row_number` window idiom: the window shuffles AND sorts every
-    * row of every group; here each map task keeps ≤ k (value, id)
-    * pairs per group, so the exchange carries k × tasks rows per
-    * group and the reduce is a k-bounded merge — the per-group twin
-    * of the global `orderBy(...).limit(k)` TakeOrdered shape. Output
-    * `(groupCol, rank 1..k, idCol, valueCol)` ranked value-desc with
-    * id-asc tiebreak — exactly the window twin's rule (q136's oracle
-    * IS the window formulation; matching rows prove equivalence).
-    */
   /** TF-IDF KEYWORD EXTRACTION — top `k` characteristic terms per
     * document: `score = tf · (ln((1+N)/(1+df)) + 1)` (the
     * [[hashedTfidf]] smoothed-idf shape on RAW terms — the
@@ -335,6 +324,17 @@ object SearchOps {
         col("score"), col("rank"))
   }
 
+  /** TOP-K ROWS PER GROUP with a BOUNDED aggregation buffer
+    * ([[graft.functions.TopKAggregator]]) instead of the
+    * `row_number` window idiom: the window shuffles AND sorts every
+    * row of every group; here each map task keeps ≤ k (value, id)
+    * pairs per group, so the exchange carries k × tasks rows per
+    * group and the reduce is a k-bounded merge — the per-group twin
+    * of the global `orderBy(...).limit(k)` TakeOrdered shape. Output
+    * `(groupCol, rank 1..k, idCol, valueCol)` ranked value-desc with
+    * id-asc tiebreak — exactly the window twin's rule (q136's oracle
+    * IS the window formulation; matching rows prove equivalence).
+    */
   def topKPerGroup(
       df: DataFrame, groupCol: String, valueCol: String, idCol: String,
       k: Int): DataFrame =

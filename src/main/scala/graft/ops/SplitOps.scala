@@ -193,21 +193,30 @@ object SplitOps {
     * weight, and category selection walks the cumulative ladder
     * (`[cum_{i-1}, cum_i)` ranges partition `[0, W)`).
     *
-    * Scale: the vocabulary folds to the driver ONCE (vocab-sized — the
-    * [[graft.ops.SimilarityOps.kmeansCentroids]] broadcast-dim
-    * contract) and ships in the plan as two sorted literal arrays
-    * (the TopCentroids pattern); each draw is then one O(log V)
-    * generated binary search
-    * ([[graft.functions.SortedLongUpperBound]]) — no per-draw joins,
-    * no O(V) interpreted fold, nothing corpus-sized ever shuffles.
+    * Scale: the vocabulary folds to the driver ONCE, CAPPED to the
+    * `maxVocab` most frequent tokens (TakeOrdered on (count desc,
+    * token asc) — the [[graft.ops.SearchOps.buildVocab]]
+    * construction; word2vec's unigram table is capped the same way,
+    * so V is a model hyperparameter, not an unbounded corpus
+    * statistic, and an open-domain 100 TB corpus can no longer OOM
+    * the driver or explode the plan with a 10⁸-entry literal). The
+    * survivors ship in the plan as two sorted literal arrays (the
+    * TopCentroids pattern); each draw is then one O(log V) generated
+    * binary search ([[graft.functions.SortedLongUpperBound]]) — no
+    * per-draw joins, no O(V) interpreted fold, nothing corpus-sized
+    * ever shuffles. Draws are unchanged by the cap whenever the true
+    * vocabulary fits under it.
     */
   def negativeSamples(
       df: DataFrame, idCol: String, corpus: DataFrame, textCol: String,
-      k: Int, salt: String): DataFrame = {
+      k: Int, salt: String, maxVocab: Int = 1 << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val vocab = corpus
       .select(explode(TextOps.whitespaceTokenize(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(maxVocab)
       .select(col("tok"),
         round(sqrt(col("cnt").cast("double") *
           sqrt(col("cnt").cast("double"))) * 1000).cast("long").as("w"))
@@ -240,6 +249,12 @@ object SplitOps {
     * Near-dup families need the same property at the CLUSTER level:
     * feed a cluster representative (e.g. [[graft.ops.DedupOps
     * .dedupKeepersConverged]]'s rep id) as `textCol` instead.
+    *
+    * NULL text falls to 'train' — the oracle twin builds its salted
+    * key with NULL-propagating `||`, so its draw is NULL and the
+    * `< testPct` test is false; the explicit guard here keeps the two
+    * engines agreeing (concat_ws would silently skip the NULL and
+    * hash the bare salt).
     */
   def leakProofSplit(
       df: DataFrame, textCol: String, testPct: Int,
@@ -248,6 +263,7 @@ object SplitOps {
     val draw = pmod(graft.core.PortableHash.md5Long(
       DedupOps.normText(col(textCol)), lit(seed)), lit(100L))
     df.withColumn("split",
-      when(draw < testPct, "test").otherwise("train"))
+      when(col(textCol).isNotNull && draw < testPct, "test")
+        .otherwise("train"))
   }
 }

@@ -7061,6 +7061,46 @@ object ExtensionQueries {
       .select("event_type", "n_gaps", "p50_gap_s", "avg_gap_s")
   }
 
+  // --------------------------------------------------------------- q213
+  /** CAPPED negative sampling ([[graft.ops.SplitOps.negativeSamples]]
+    * with `maxVocab = 20`): the unigram table is cut to the 20 most
+    * frequent tokens (count desc, token asc — the word2vec capped
+    * unigram-table discipline that keeps the driver collect bounded
+    * on an open corpus) BEFORE the ^0.75 damping, ladder and md5
+    * draws; the oracle replays the cut as `ORDER BY cnt DESC, tok
+    * LIMIT 20` and then the same interval-join walk as q123, so both
+    * the truncation rule and the post-cap renormalization (draws are
+    * mod the CAPPED total weight) are pinned cross-engine.
+    */
+  def q213(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    SplitOps.negativeSamples(d, "doc_id", d, "text", k = 3,
+      salt = "negcap", maxVocab = 20)
+  }
+
+  val q213Sql: String =
+    s"""WITH w AS (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      | FROM documents),
+      |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1
+      |      ORDER BY cnt DESC, tok ASC LIMIT 20),
+      |wt AS (SELECT tok,
+      |  CAST(round(sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) * 1000)
+      |    AS BIGINT) AS w
+      | FROM v),
+      |c AS (SELECT tok, w,
+      |  CAST(SUM(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      | FROM wt),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wt),
+      |d AS (
+      | SELECT doc_id, j,
+      |  ${dk("doc_id || '#' || j || '#' || 'negcap'")} % tw AS u
+      | FROM documents
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) jj
+      |  CROSS JOIN t)
+      |SELECT d.doc_id, CAST(d.j AS INT) AS j, c.tok AS neg
+      |FROM d JOIN c ON d.u < c.cum AND d.u >= c.cum - c.w""".stripMargin
+
   val q212Sql: String =
     """WITH g AS (
       | SELECT event_type,
@@ -7272,5 +7312,6 @@ object ExtensionQueries {
     "q209_source_scorecard" -> ((q209 _, q209Sql)),
     "q210_funnel_ab" -> ((q210 _, q210Sql)),
     "q211_session_report" -> ((q211 _, q211Sql)),
-    "q212_interarrival" -> ((q212 _, q212Sql)))
+    "q212_interarrival" -> ((q212 _, q212Sql)),
+    "q213_neg_samples_capped" -> ((q213 _, q213Sql)))
 }

@@ -156,4 +156,22 @@ class DedupOpsSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
     assert(r == Seq(("s1", "s1", 1L), ("s1", "s2", 2L)), s"got $r")
   }
+
+  test("crossSourceDupMatrix: NULL texts never form a phantom dup group") {
+    // under the xxhash64 default NULL used to hash to the seed, so all
+    // NULL-text rows collided as one giant "duplicate" group; both
+    // hashFn options must now agree: NULLs contribute no pairs
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "s1"), (2L, null.asInstanceOf[String], "s2"),
+      (3L, null.asInstanceOf[String], "s2"), (4L, "real dup", "s1"),
+      (5L, "real dup", "s2")
+    ).toDF("doc_id", "text", "source")
+    val xx = DedupOps.crossSourceDupMatrix(docs, "text", "doc_id", "source")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val md = DedupOps.crossSourceDupMatrix(docs, "text", "doc_id", "source",
+        hashFn = c => graft.core.PortableHash.md5Long(c))
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(xx == Seq(("s1", "s2", 1L)), s"got $xx")
+    assert(md == xx, "xxhash64 and md5Long paths must share NULL semantics")
+  }
 }

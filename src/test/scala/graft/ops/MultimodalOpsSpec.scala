@@ -167,6 +167,15 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val bad = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
     assert(bad.select(MultimodalOps.averageHash(col("v"), 4))
       .collect().head.isNullAt(0), "wrong-length grid hashes to NULL")
+    // NULL cell -> NULL hash (not the silent all-zero pack a NULL mean
+    // would produce — two corrupted grids must not match as Hamming-0
+    // twins); same contract as the fused AverageHashHalves
+    val nullCell = Seq(Tuple1(Seq[java.lang.Float](0.0f, null, 0.0f, 10.0f)))
+      .toDF("v")
+    assert(nullCell.select(MultimodalOps.averageHash(col("v"), 4))
+      .collect().head.isNullAt(0), "null-cell grid hashes to NULL")
+    assert(nullCell.select(graft.functions.AverageHashHalves
+      .averageHashHalves(col("v"), 4)).collect().head.isNullAt(0))
   }
 
   test("AverageHashHalves fused == composable HOF averageHash on random grids") {

@@ -169,6 +169,35 @@ class SplitOpsSpec extends AnyFunSuite {
     assert(one._3 == expected)
   }
 
+  test("negativeSamples: maxVocab caps the unigram table; no-op under cap") {
+    val corpus = Seq(
+      (1L, "common common common common common common common common rare"),
+      (2L, "common common common common common common common common other")
+    ).toDF("doc_id", "text")
+    val many = (1L to 200L).map((_, "x")).toDF("doc_id", "ignored")
+    // under cap: any maxVocab >= true vocab size leaves every draw
+    // unchanged (the cap is a truncation rule, not a reweighting)
+    val unc = SplitOps.negativeSamples(many, "doc_id", corpus, "text", 3, "c")
+      .as[(Long, Int, String)].collect().toSet
+    val big = SplitOps.negativeSamples(many, "doc_id", corpus, "text", 3, "c",
+        maxVocab = 3)
+      .as[(Long, Int, String)].collect().toSet
+    assert(big == unc, "cap at vocab size must not change draws")
+    // cap engages: top-1 by (count desc, tok asc) is 'common' — every
+    // draw renormalizes onto the surviving table
+    val one = SplitOps.negativeSamples(many, "doc_id", corpus, "text", 3, "c",
+        maxVocab = 1)
+      .as[(Long, Int, String)].collect()
+    assert(one.length == 600 && one.forall(_._3 == "common"))
+    // tie at the cut boundary breaks token-asc: 'other' < 'rare'
+    val two = SplitOps.negativeSamples(many, "doc_id", corpus, "text", 3, "c",
+        maxVocab = 2)
+      .as[(Long, Int, String)].collect()
+    assert(two.forall(r => r._3 == "common" || r._3 == "other"),
+      "count-tied tokens must cut on token asc")
+    assert(two.exists(_._3 == "other"), "9:1 weight still draws the tail")
+  }
+
   test("leakProofSplit: duplicate texts land on one side; ratio tracks") {
     // dup pairs share content, distinct rows carry unique texts
     val docs = ((0 until 400).map(i => (i.toLong, s"unique text $i")) ++
@@ -187,5 +216,13 @@ class SplitOpsSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     val base = s.select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(rep == base, "assignment is partitioning-proof")
+    // NULL text falls to 'train' — the oracle's NULL-propagating draw
+    // semantics (concat_ws would hash the bare salt and could leak a
+    // NULL doc into 'test' while DuckDB keeps it in 'train')
+    val withNull = Seq((1L, "some text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nullSide = SplitOps.leakProofSplit(withNull, "text", 50, "sd")
+      .filter(col("doc_id") === 2L).select("split").as[String].head()
+    assert(nullSide == "train", "NULL text must land in train on every engine")
   }
 }
