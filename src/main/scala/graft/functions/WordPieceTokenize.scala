@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordPieceTokenize(
     child: Expression,
     vocab: Seq[String],
-    lowercase: Boolean = true) extends UnaryExpression with CodegenFallback {
+    lowercase: Boolean = true,
+    maxCharsPerWord: Int = 100) extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val vocabIds: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](vocab.size * 2)
@@ -56,18 +57,54 @@ case class WordPieceTokenize(
       (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
       (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
 
+  /** BERT `_is_punctuation` (tokenization.py): the four ASCII symbol
+    * ranges (so `$ + < = > ^ | ~` split like punctuation even though
+    * Unicode classes them as symbols) plus every general category P*.
+    * Notably NON-ASCII symbols (€, ©, emoji) are NOT punctuation in
+    * BERT — they ride inside word runs and usually sink the word to
+    * [UNK]; the previous !isLetterOrDigit test split them off, a real
+    * divergence from the reference tokenizer.
+    */
   private def isPunct(cp: Int): Boolean =
-    !Character.isLetterOrDigit(cp) && !Character.isWhitespace(cp)
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+        val t = Character.getType(cp)
+        t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
+        t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
+        t == Character.INITIAL_QUOTE_PUNCTUATION ||
+        t == Character.FINAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION
+      }
 
-  /** basic tokenizer: lowercase (+ accent strip, the HF
-    * `do_lower_case` contract: NFD then drop combining marks) →
+  /** BERT `_is_whitespace`: space/tab/LF/CR plus category Zs — which
+    * INCLUDES U+00A0 no-break space (Java's isWhitespace excludes it).
+    */
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+      Character.getType(cp) == Character.SPACE_SEPARATOR
+
+  /** BERT `_clean_text` removal set: NUL, U+FFFD, and `_is_control`
+    * (category C* except the tab/LF/CR that count as whitespace) —
+    * so ZWJ/ZWNJ (Cf) vanish instead of becoming [UNK] tokens.
+    */
+  private def isDropped(cp: Int): Boolean =
+    cp == 0 || cp == 0xFFFD || ((cp != '\t' && cp != '\n' && cp != '\r') && {
+      val t = Character.getType(cp)
+      t == Character.CONTROL || t == Character.FORMAT ||
+      t == Character.UNASSIGNED || t == Character.PRIVATE_USE ||
+      t == Character.SURROGATE
+    })
+
+  /** basic tokenizer: clean (control-char removal) → lowercase (+
+    * accent strip, the HF `do_lower_case` contract: NFD then drop
+    * combining marks; Locale.ROOT so the fold is host-locale-proof) →
     * whitespace split + CJK isolation + punct split, iterated by CODE
     * POINT so astral-plane ideographs stay whole.
     */
   private[functions] def basicTokens(text: String): Seq[String] = {
     val t =
       if (lowercase)
-        java.text.Normalizer.normalize(text.toLowerCase, java.text.Normalizer.Form.NFD)
+        java.text.Normalizer.normalize(
+            text.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFD)
           .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
       else text
     val out = Seq.newBuilder[String]
@@ -77,7 +114,8 @@ case class WordPieceTokenize(
     while (i < t.length) {
       val cp = t.codePointAt(i)
       val n = Character.charCount(cp)
-      if (Character.isWhitespace(cp)) flush()
+      if (isDropped(cp)) ()
+      else if (isWs(cp)) flush()
       else if (isCjk(cp) || isPunct(cp)) { flush(); out += t.substring(i, i + n) }
       else cur.appendAll(t.substring(i, i + n))
       i += n
@@ -86,8 +124,15 @@ case class WordPieceTokenize(
     out.result()
   }
 
-  /** greedy longest-match WordPiece of one basic token. */
+  /** greedy longest-match WordPiece of one basic token; words longer
+    * than `maxCharsPerWord` CODE POINTS go whole to [UNK] before any
+    * matching (HF WordpieceTokenizer's max_input_chars_per_word=100 —
+    * the guard that keeps a pathological megabyte "word" from running
+    * the greedy loop quadratically).
+    */
   private[functions] def wordPieces(word: String): Seq[Int] = {
+    if (word.codePointCount(0, word.length) > maxCharsPerWord)
+      return Seq(unkId)
     val pieces = Seq.newBuilder[Int]
     var start = 0
     while (start < word.length) {
@@ -122,6 +167,8 @@ case class WordPieceTokenize(
 
 object WordPieceTokenize {
   /** Column-API entry point. */
-  def wordpiece(text: Column, vocab: Seq[String], lowercase: Boolean = true): Column =
-    ColumnBridge.column(WordPieceTokenize(ColumnBridge.expression(text), vocab, lowercase))
+  def wordpiece(text: Column, vocab: Seq[String], lowercase: Boolean = true,
+      maxCharsPerWord: Int = 100): Column =
+    ColumnBridge.column(WordPieceTokenize(
+      ColumnBridge.expression(text), vocab, lowercase, maxCharsPerWord))
 }

@@ -98,6 +98,34 @@ class WordPieceTokenizeSpec extends AnyFunSuite {
     // unknown BMP ideograph between known ones -> per-char [UNK]
     assert(t("三龘峡") == Seq(2, 7, 1, 8, 3))
   }
+
+  test("BERT-Chinese structural-slice golden: 63 frozen cases from an " +
+      "independent Python reimplementation (SURVEY §7.4.7)") {
+    // tools/wordpiece_golden.py re-derives the PUBLISHED BERT tokenizer
+    // (clean_text control-removal, Zs whitespace, the 4 ASCII symbol
+    // ranges + category-P punctuation, CJK isolation, lowercase + NFD
+    // accent strip, greedy ## wordpiece with the 100-char word guard)
+    // on Python's unicodedata — a different Unicode engine — over a
+    // 450-entry vocab that reconstructs the real 21,128-entry file's
+    // layout ([PAD]=0, [unused*]=1..99, [UNK]=100, [CLS]=101,
+    // [SEP]=102, [MASK]=103). Frozen agreement pins the algorithm,
+    // not a shared bug. The real vocab file drops in unchanged.
+    val vPath = getClass.getResource("/wordpiece_vocab_bertzh_slice.txt").getPath
+    val v = graft.io.Sources.readVocab(spark, vPath)
+    assert(v.size == 450 && v(100) == "[UNK]" && v(101) == "[CLS]" &&
+      v(102) == "[SEP]" && v(103) == "[MASK]", "slice header drifted")
+    val cPath = getClass.getResource("/wordpiece_golden_cases.jsonl").getPath
+    val cases = spark.read.schema("text STRING, ids ARRAY<INT>").json(cPath)
+      .select("text", "ids").as[(String, Seq[Int])].collect()
+    assert(cases.length == 63, "frozen case file drifted")
+    val got = cases.map(_._1).toSeq.toDF("t")
+      .select(col("t"), WordPieceTokenize.wordpiece(col("t"), v).as("ids"))
+      .as[(String, Seq[Int])].collect().toMap
+    cases.foreach { case (text, want) =>
+      assert(got(text) == want,
+        s"divergence on '$text': got ${got(text)}, python golden $want")
+    }
+  }
 }
 
 class F1AggregatorSpec extends AnyFunSuite {
