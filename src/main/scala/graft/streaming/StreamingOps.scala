@@ -507,7 +507,18 @@ object StreamingOps {
     * bound instead of just recording it.
     */
   def runToMemoryMaxState(
-      df: DataFrame, name: String, outputMode: String): (DataFrame, Long) = {
+      df: DataFrame, name: String, outputMode: String): (DataFrame, Long) =
+    runToMemoryStats(df, name, outputMode) match { case (t, s, _) => (t, s) }
+
+  /** [[runToMemoryMaxState]] plus the TOTAL rows dropped by the
+    * watermark across the run — the late-data evidence: an
+    * out-of-order replay can assert exactly how many
+    * late-beyond-watermark rows the engine discarded (and therefore
+    * that emissions equal the batch twin minus those documented
+    * drops), not just that state stayed bounded.
+    */
+  def runToMemoryStats(
+      df: DataFrame, name: String, outputMode: String): (DataFrame, Long, Long) = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -515,9 +526,10 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val maxState = q.recentProgress.iterator
-      .flatMap(p => Option(p.stateOperators).iterator.flatten.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
-    (df.sparkSession.table(name), maxState)
+    val ops = q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatten).toList
+    val maxState = ops.map(_.numRowsTotal).foldLeft(0L)(math.max)
+    val dropped = ops.map(_.numRowsDroppedByWatermark).sum
+    (df.sparkSession.table(name), maxState, dropped)
   }
 }
