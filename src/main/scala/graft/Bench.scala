@@ -179,6 +179,13 @@ object Bench {
       DedupOps.dedupKeepersConverged(Tables.documents(s, dir), "text", "doc_id", 0.6,
         onPass = (p, n, sec) =>
           convergedPasses.synchronized { convergedPasses += ((p, n, sec)) })),
+    // the single-pass cluster-semantics twin of b_minhash_converged:
+    // ONE tokenize/band/verify sweep + long-only star contraction —
+    // the pass-count dependence of the fixpoint form is gone, which is
+    // the point of recording both
+    "b_minhash_components" -> ((s, dir) =>
+      DedupOps.dedupKeepersByComponents(
+        Tables.documents(s, dir), "text", "doc_id", 0.6)),
     // the standing-deployment incremental form: corpus bucket reps were
     // PRECOMPUTED to parquet (untimed, in main's warmup — the once-per-
     // corpus-version cost), so this row times what a daily batch

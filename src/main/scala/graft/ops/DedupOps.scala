@@ -1250,6 +1250,38 @@ object DedupOps {
         coalesce(col("component"), col(idCol).cast("long")))
   }
 
+  /** ONE-PASS cluster dedup (VERDICT r7 #5): keep exactly one doc —
+    * the min id — per CONNECTED COMPONENT of the verified star-edge
+    * graph ([[dupComponentsFromReps]]' machinery), the transitive-
+    * closure semantics the web-dedup literature uses (a dup CLUSTER
+    * yields one survivor, even when two members connect only through
+    * a third). Text is tokenized, banded and verified exactly ONCE;
+    * the only iteration left is the alternating star contraction over
+    * (long, long) label pairs, whose pass count is O(log cluster
+    * diameter) — not the data-dependent re-band/re-verify passes of
+    * [[dedupKeepersConverged]].
+    *
+    * Semantics triangle, from least to most aggressive dropping:
+    * [[dedupKeepers]] (drop iff verified against a bucket rep) ⊆
+    * [[dedupKeepersConverged]] (fixpoint: additionally catches pairs
+    * surfaced when drops promote new reps) and ⊆ THIS (additionally
+    * collapses docs connected only transitively — A~M and M~B drops
+    * both M and B even if A!~B). On tight planted clusters — the
+    * dedup deliverable — all three keep the same min-id reps
+    * (differential-spec pinned); they diverge only on loose chains,
+    * where the choice is a policy: fixpoint = "no detectable pair
+    * remains", components = "one per cluster".
+    *
+    * Returns kept rows of `df`, unchanged schema.
+    */
+  def dedupKeepersByComponents(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 20): DataFrame =
+    dupComponentsFromReps(df, textCol, idCol, threshold, bands, rowsPerBand,
+        maxPasses)
+      .filter(col("component") === col(idCol).cast("long"))
+      .drop("component")
+
   /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     * then near-dedup WITHIN each cluster — keep the min-id rep, drop
     * every other member whose cosine to the rep reaches `minCosine`.

@@ -95,6 +95,40 @@ class DedupKeepersSpec extends AnyFunSuite {
     assert(convIds == manual)
   }
 
+  test("dedupKeepersByComponents: one pass equals the converged fixpoint " +
+      "on planted clusters; ordering within the semantics triangle holds") {
+    val docs = syntheticCorpus()
+    val comp = DedupOps.dedupKeepersByComponents(docs, "text", "doc_id", 0.6)
+    val compIds = comp.select("doc_id").as[Long].collect().toSet
+    val conv = DedupOps.dedupKeepersConverged(docs, "text", "doc_id", 0.6)
+    val convIds = conv.select("doc_id").as[Long].collect().toSet
+    conv.unpersist()
+    // the differential claim: on tight planted clusters the single-pass
+    // component form reproduces the fixpoint's keeper set exactly
+    assert(compIds == convIds,
+      s"component keepers diverge from the fixpoint: only-comp=" +
+        s"${compIds -- convIds}, only-conv=${convIds -- compIds}")
+    // documented triangle: components ⊆ converged ⊆ single-pass
+    val onceIds = keeperIds(docs)
+    assert(convIds.subsetOf(onceIds) && compIds.subsetOf(convIds))
+    assert(comp.schema == docs.schema)
+    // idempotent: re-running on the keepers drops nothing
+    val again = DedupOps.dedupKeepersByComponents(comp, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == compIds)
+    // transitive-closure semantics on an explicit loose chain: B~M, M~A
+    // (shared halves) but A!~B — components keep ONE of the chain
+    val chain = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l m n o"), // J=2/3 to both neighbors
+      (3L, "f g h i j k l m n o")            // J=1/3 to doc 1
+    ).toDF("doc_id", "text")
+    val chainKept = DedupOps.dedupKeepersByComponents(chain, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(chainKept == Set(1L),
+      s"chain must collapse to its min id under cluster semantics, got $chainKept")
+  }
+
   /** ~130 docs over a 40-word vocab with planted near-dup clusters:
     * 30 bases × (1 + up to 3 mutated copies). Deterministic.
     */
