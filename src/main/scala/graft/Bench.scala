@@ -179,6 +179,23 @@ object Bench {
       DedupOps.dedupKeepersConverged(Tables.documents(s, dir), "text", "doc_id", 0.6,
         onPass = (p, n, sec) =>
           convergedPasses.synchronized { convergedPasses += ((p, n, sec)) })),
+    // fp16-packed embedding scan vs the fp32 array scan (SURVEY §1.2):
+    // identical sum-of-squares reduce over every element, differing
+    // only in storage encoding — the delta is the codec's scan win,
+    // the warmup stderr line records the byte ratio. At 100 TB the
+    // packed form halves the dominant multimodal payload.
+    "b_fp16_scan" -> ((s, dir) =>
+      s.read.parquet(precomputedFp16Path(s, dir))
+        .select(graft.functions.Fp16.unpackFp16(col("emb16")).as("v"))
+        .select(aggregate(col("v"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("ss"))
+        .agg(sum(col("ss")).as("total_ss"))),
+    "b_fp32_scan" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("embedding").as("v"))
+        .select(aggregate(col("v"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("ss"))
+        .agg(sum(col("ss")).as("total_ss"))),
     // the single-pass cluster-semantics twin of b_minhash_converged:
     // ONE tokenize/band/verify sweep + long-only star contraction —
     // the pass-count dependence of the fixpoint form is gone, which is
@@ -820,6 +837,35 @@ object Bench {
     * The 80% key-split corpus matches b_minhash_incremental's.
     */
   private val repsPathCache = scala.collection.concurrent.TrieMap[String, String]()
+  /** Once-per-corpus-version fp16 re-encode of the embeddings table
+    * (the SURVEY §1.2 storage lever): written at warmup so
+    * `b_fp16_scan` times the SCAN+decode+reduce path a packed store
+    * actually pays, not the one-time conversion. The fp32 twin row
+    * `b_fp32_scan` reads the original `array<float>` parquet — the
+    * recorded delta IS the codec's scan-side win, and the on-disk
+    * byte ratio is printed once to stderr for BASELINE.md.
+    */
+  private val fp16PathCache = scala.collection.mutable.Map[String, String]()
+  private[graft] def precomputedFp16Path(s: SparkSession, dir: String): String =
+    fp16PathCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_fp16_").toString
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.functions.Fp16.packFp16(col("embedding")).as("emb16"))
+        .write.mode("overwrite").parquet(out)
+      def bytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (f.isFile) f.length
+        else f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      }
+      val raw = bytes(s"$dir/embeddings.parquet")
+      val packed = bytes(out)
+      System.err.println(
+        f"[bench] fp16 embeddings: $packed%d B packed vs $raw%d B fp32 " +
+          f"(${raw.toDouble / packed}%.2fx smaller)")
+      out
+    })
+
   private[graft] def precomputedRepsPath(s: SparkSession, dir: String): String =
     repsPathCache.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_reps_").toString
@@ -908,6 +954,7 @@ object Bench {
     Tables.embeddings(spark, sfDir).count()
     precomputedRepsPath(spark, sfDir)
     precomputedLshIndex(spark, sfDir)
+    precomputedFp16Path(spark, sfDir)
     // per-row plan-family warmup dir: each timed row first runs once at
     // the 10× smaller fixture (see the loop below) so Janino compilation
     // of its generated classes and C2 JIT of its hot decode/agg loops
