@@ -1229,6 +1229,23 @@ object DedupOps {
   def dupComponentsFromReps(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 20): DataFrame = {
+    val comp = starComponentLabels(df, textCol, idCol, threshold, bands,
+      rowsPerBand, maxPasses)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+  }
+
+  /** Shared core of [[dupComponentsFromReps]] /
+    * [[dedupKeepersByComponents]]: (id, component) labels over the
+    * verified star-edge graph — only ids that appear in some verified
+    * edge get a row (callers default the rest to their own id). The
+    * returned frame is checkpointed (the [[connectedComponents]]
+    * contract) and long-typed only.
+    */
+  private def starComponentLabels(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int, rowsPerBand: Int, maxPasses: Int): DataFrame = {
     val withSets = df.select(col(idCol).as("id"),
       hashedTokenSet(col(textCol)).as("toks"))
     val banded = withSets
@@ -1244,10 +1261,7 @@ object DedupOps {
       .select("id", "rep").distinct()
     val toks = withSets.withColumn("n", size(col("toks")))
     val verified = verifiedEdges(starEdges, toks, toks, threshold)
-    val comp = connectedComponents(verified, "id", "rep", maxPasses)
-    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("component",
-        coalesce(col("component"), col(idCol).cast("long")))
+    connectedComponents(verified, "id", "rep", maxPasses)
   }
 
   /** ONE-PASS cluster dedup (VERDICT r7 #5): keep exactly one doc —
@@ -1272,15 +1286,22 @@ object DedupOps {
     * where the choice is a policy: fixpoint = "no detectable pair
     * remains", components = "one per cluster".
     *
-    * Returns kept rows of `df`, unchanged schema.
+    * Returns kept rows of `df`, unchanged schema, via the
+    * [[exactKeepers]] LOSERS anti-join shape: the dropped set (ids
+    * whose component label is a smaller id — bounded by the duplicate
+    * count, long-typed) joins back against `df`, so full rows — and
+    * the text column in particular — never cross an exchange; with a
+    * small loser set the anti-join broadcasts outright.
     */
   def dedupKeepersByComponents(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 20): DataFrame =
-    dupComponentsFromReps(df, textCol, idCol, threshold, bands, rowsPerBand,
-        maxPasses)
-      .filter(col("component") === col(idCol).cast("long"))
-      .drop("component")
+      bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 20): DataFrame = {
+    val losers = starComponentLabels(df, textCol, idCol, threshold, bands,
+        rowsPerBand, maxPasses)
+      .filter(col("component") =!= col("id"))
+      .select("id")
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 
   /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     * then near-dedup WITHIN each cluster — keep the min-id rep, drop
