@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Tables
-import graft.ops.{CurationOps, DedupOps, MaskingOps, SimilarityOps}
+import graft.ops.{CurationOps, DedupOps, MaskingOps, PqOps, SimilarityOps}
 import graft.streaming.StreamingOps
 
 /** Per-round benchmark runner: prints ONE JSON line with per-query
@@ -99,6 +99,13 @@ object Bench {
       SimilarityOps.lshCosineTopK(Tables.embeddings(s, dir), k = 10)),
     "b_ivf_cosine_topk" -> ((s, dir) =>
       SimilarityOps.ivfCosineTopK(Tables.embeddings(s, dir), k = 10, nlist = 32, nprobe = 4)),
+    // the compressed-index ANN leg: PQ train (1 Lloyd round) + fused
+    // encode + per-query LUT + O(m) ADC table walk per candidate
+    "b_pq_adc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      PqOps.pqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 10,
+        m = 8, ksub = 16, iters = 1, dim = 64)
+    }),
     "b_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")),
     // the exact-dedup DECISION form: kept rows via a broadcastable

@@ -7131,6 +7131,94 @@ object ExtensionQueries {
       | av.avg_gap_s
       |FROM md JOIN av ON av.event_type = md.event_type""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  private val q214M = 4
+  private val q214Ksub = 8
+  private val q214Sub = 16 // dim 64 / m
+
+  /** Squared-L2 chain between 16-element list slices, left-to-right in
+    * index order — [[graft.functions.Pq]]'s `d2` accumulation
+    * verbatim. `aIdx`/`bIdx` map the 1-based subspace-local j to the
+    * engine-side list index expression.
+    */
+  private def q214D2(a: String, aOff: String, b: String): String =
+    (1 to q214Sub).map { j =>
+      val x = s"(CAST($a[$aOff + $j] AS DOUBLE) - CAST($b[$j] AS DOUBLE))"
+      s"$x * $x"
+    }.mkString(" + ")
+
+  /** Argmin-d2 code assignment of every subvector in `sub` against
+    * codebook CTE `cbFrom` (columns s, code, c) — ascending-code scan
+    * displacing on strictly smaller distance, replayed as a
+    * row_number over (d2 ASC, code ASC).
+    */
+  private def q214AssignSql(cbFrom: String, out: String): String =
+    s"""$out AS (
+      | SELECT vec_id, s, v, code FROM (
+      |  SELECT sub.vec_id, sub.s, sub.v, cb.code,
+      |   row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+      |    (${q214D2("sub.v", "0", "cb.c")}) ASC, cb.code) AS rn
+      |  FROM sub JOIN $cbFrom cb ON cb.s = sub.s) WHERE rn = 1)""".stripMargin
+
+  /** Product-quantization ADC top-3
+    * ([[graft.ops.PqOps.pqSearchADC]], m=4, ksub=8, 1 Lloyd round,
+    * dim 64): the oracle unrolls subspace slicing, the seed codebook
+    * (8 smallest-id vectors), one L2 Lloyd round with the
+    * round-6-cast-REAL centroid update, the final encode, the
+    * per-query lookup table, and the ADC sum — pivoted to explicit
+    * `((d0 + d1) + d2) + d3` so both engines add subspaces in the
+    * same order and ranks replay bit-for-bit.
+    */
+  def q214(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    PqOps.pqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 3,
+      m = q214M, ksub = q214Ksub, iters = 1, dim = q214M * q214Sub)
+  }
+
+  val q214Sql: String = {
+    val avgList = (1 to q214Sub).map(j =>
+      s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
+    s"""WITH e AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) = ${q214M * q214Sub}
+      |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      |sub AS (
+      | SELECT e.vec_id, sp.s,
+      |  e.embedding[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
+      | FROM e CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+      |seed AS (
+      | SELECT s, CAST(code AS INT) AS code, v AS c FROM (
+      |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+      |    AS code, v
+      |  FROM sub) WHERE code < $q214Ksub),
+      |${q214AssignSql("seed", "a1")},
+      |cb1m AS (
+      | SELECT s, code, [$avgList] AS c FROM a1 GROUP BY s, code),
+      |cb1 AS (
+      | SELECT sd.s, sd.code, coalesce(m.c, sd.c) AS c
+      | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
+      |${q214AssignSql("cb1", "enc")},
+      |lut AS (
+      | SELECT q.vec_id AS query_id, cb.s, cb.code,
+      |  (${q214D2("q.v", "0", "cb.c")}) AS d2
+      | FROM (SELECT * FROM sub WHERE vec_id % 50 = 0) q
+      | JOIN cb1 cb ON cb.s = q.s),
+      |padd AS (
+      | SELECT l.query_id, en.vec_id AS neighbor_id,
+      |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
+      |  max(CASE WHEN l.s = 1 THEN l.d2 END) AS db,
+      |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
+      |  max(CASE WHEN l.s = 3 THEN l.d2 END) AS dd
+      | FROM enc en JOIN lut l ON l.s = en.s AND l.code = en.code
+      | WHERE l.query_id <> en.vec_id
+      | GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, round(adc, 6) AS adc6, rank FROM (
+      | SELECT query_id, neighbor_id, ((da + db) + dc) + dd AS adc,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |   ORDER BY ((da + db) + dc) + dd ASC, neighbor_id) AS INT) AS rank
+      | FROM padd) WHERE rank <= 3""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7313,5 +7401,6 @@ object ExtensionQueries {
     "q210_funnel_ab" -> ((q210 _, q210Sql)),
     "q211_session_report" -> ((q211 _, q211Sql)),
     "q212_interarrival" -> ((q212 _, q212Sql)),
-    "q213_neg_samples_capped" -> ((q213 _, q213Sql)))
+    "q213_neg_samples_capped" -> ((q213 _, q213Sql)),
+    "q214_pq_adc" -> ((q214 _, q214Sql)))
 }

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Product quantization: the fused encode/lut/adc expressions vs an
+  * independent straight-line Scala reference, the null contracts, the
+  * ADC==reconstruction invariant, training determinism, and end-to-end
+  * neighbor quality on planted clusters.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val ksub = 4
+  private val sub = dim / m
+
+  /** Independent reference: squared L2 of subspace `s` of `v` vs
+    * codebook entry `(s, c)` — same widen-then-accumulate order.
+    */
+  private def refD2(v: Seq[Float], cb: Array[Float], s: Int, c: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < sub) {
+      val x = v(s * sub + j).toDouble - cb((s * ksub + c) * sub + j).toDouble
+      acc += x * x
+      j += 1
+    }
+    acc
+  }
+
+  private def refEncode(v: Seq[Float], cb: Array[Float]): Seq[Int] =
+    (0 until m).map { s =>
+      (0 until ksub).minBy(c => (refD2(v, cb, s, c), c))
+    }
+
+  private def rnd(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextFloat() * 2f - 1f)
+  }
+
+  test("PqEncode / PqLut / AdcLookup agree with the independent reference " +
+      "on 200 random vectors") {
+    val cb = Array.tabulate(m * ksub * sub)(i => new scala.util.Random(i).nextFloat())
+    val vecs = (0 until 200).map(i => (i.toLong, rnd(i).toSeq))
+    val df = vecs.toDF("id", "v")
+    val q = rnd(9999)
+    val qlutRow = df.limit(1).select(
+      Pq.pqLutCol(typedlit(q.toSeq), cb, m, ksub, dim)).head.getSeq[Double](0)
+    // lut vs reference
+    for (s <- 0 until m; c <- 0 until ksub)
+      assert(qlutRow(s * ksub + c) == refD2(q.toSeq, cb, s, c),
+        s"lut($s,$c) mismatch")
+    val got = df.select(col("id"),
+        Pq.pqCodes(col("v"), cb, m, ksub, dim).as("codes"),
+        Pq.adcLookup(typedlit(qlutRow), Pq.pqCodes(col("v"), cb, m, ksub, dim),
+          ksub).as("adc"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+
+    vecs.foreach { case (id, v) =>
+      val (codes, adc) = got(id)
+      assert(codes == refEncode(v, cb), s"codes mismatch at $id")
+      // ADC invariant: table walk == distance to the RECONSTRUCTED vector,
+      // exactly (same d2 terms, same order)
+      val expect = (0 until m).map(s => refD2(q.toSeq, cb, s, codes(s))).sum
+      assert(adc == expect, s"adc mismatch at $id")
+    }
+  }
+
+  test("equal-distance ties keep the LOWEST code") {
+    // two identical codebook entries per subspace -> argmin must pick code 0
+    val entry = Array.tabulate(sub)(j => j * 0.5f)
+    val cb = new Array[Float](m * ksub * sub)
+    for (s <- 0 until m; c <- 0 until ksub; j <- 0 until sub)
+      cb((s * ksub + c) * sub + j) = entry(j)
+    val v = Array.tabulate(dim)(j => (j % sub) * 0.5f + 1f).toSeq
+    val codes = Seq((1L, v)).toDF("id", "v")
+      .select(Pq.pqCodes(col("v"), cb, m, ksub, dim)).head.getSeq[Int](0)
+    assert(codes == Seq.fill(m)(0))
+  }
+
+  test("null contracts: wrong length / null element -> NULL codes and lut; " +
+      "out-of-range or null code -> NULL adc") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq.fill(dim - 1)(0.5f)),
+      Row(2L, (Seq.fill(dim - 1)(0.5f) :+ null).asInstanceOf[Seq[Any]]),
+      Row(3L, null))
+    val cb = new Array[Float](m * ksub * sub)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r.get(0), r.get(1)))), schema)
+    val out = df.select(
+      Pq.pqCodes(col("v"), cb, m, ksub, dim).as("codes"),
+      Pq.pqLutCol(col("v"), cb, m, ksub, dim).as("lut")).collect()
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+
+    val lut = Seq.fill(m * ksub)(1.0)
+    val badCodes = Seq(
+      Seq(0, 1, 2, ksub), // out of range
+      Seq(0, 1, 2), // wrong arity
+      null)
+    badCodes.foreach { cs =>
+      val adcDf = Seq(1L).toDF("id").select(
+        Pq.adcLookup(typedlit(lut), typedlit(cs), ksub))
+      assert(adcDf.head.isNullAt(0), s"adc should be NULL for codes=$cs")
+    }
+  }
+
+  test("trainCodebooks: iters=0 returns the subvectors of the ksub " +
+      "smallest ids; an emptied code keeps its seed entry") {
+    val pts = (0 until 40).map { i =>
+      // ids 0..3 seed 4 far-apart anchors; later rows all hug anchor id%3
+      // (never anchor 3), so code 3 empties in the Lloyd round
+      val anchor = if (i < 4) i else i % 3
+      (i.toLong, Array.tabulate(dim)(j => anchor * 10f + j * 0.01f + (i % 7) * 0.001f).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cb0 = graft.ops.PqOps.trainCodebooks(df, "embedding", "vec_id",
+      m, ksub, iters = 0, dim)
+    for (c <- 0 until ksub; s <- 0 until m; j <- 0 until sub)
+      assert(cb0((s * ksub + c) * sub + j) == pts(c)._2(s * sub + j))
+
+    val cb1 = graft.ops.PqOps.trainCodebooks(df, "embedding", "vec_id",
+      m, ksub, iters = 1, dim)
+    // code 3 (anchor 3: only its own seed row assigns there) -> mean of the
+    // single member = the seed row itself, rounded; codes 0..2 move to the
+    // member means; either way every entry stays finite and code 3 stays
+    // anchored at ~30+
+    for (s <- 0 until m; j <- 0 until sub) {
+      val e3 = cb1((s * ksub + 3) * sub + j)
+      assert(e3 >= 29f && e3 <= 31f, s"code-3 entry drifted: $e3")
+    }
+  }
+
+  test("pqSearchADC: on planted clusters every query's top-1 neighbor is " +
+      "a same-cluster member") {
+    val r = new scala.util.Random(7)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    val pts = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val top1 = graft.ops.PqOps.pqSearchADC(queries, df, k = 1,
+        m = m, ksub = ksub, iters = 1, dim = dim)
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(top1.length == 8)
+    top1.foreach { case (q, n) =>
+      assert(q % 4 == n % 4, s"query $q matched cross-cluster neighbor $n")
+    }
+  }
+}
