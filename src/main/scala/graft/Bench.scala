@@ -106,6 +106,10 @@ object Bench {
       PqOps.pqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 10,
         m = 8, ksub = 16, iters = 1, dim = 64)
     }),
+    // downweight-instead-of-drop over the linear star-edge components
+    "b_soft_dedup" -> ((s, dir) =>
+      DedupOps.softDedupWeightsFromReps(
+        Tables.documents(s, dir), "text", "doc_id", 0.6)),
     "b_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")),
     // the exact-dedup DECISION form: kept rows via a broadcastable

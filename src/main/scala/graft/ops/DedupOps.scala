@@ -1303,6 +1303,38 @@ object DedupOps {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** SOFT dedup: instead of dropping duplicates, DOWNWEIGHT them so
+    * each duplicate cluster contributes one unit of training mass in
+    * total — `weight = 1 / |component|` over a component-labeled
+    * frame ([[dupComponents]] or [[dupComponentsFromReps]] output;
+    * singletons keep weight 1.0). The "count duplicates, don't drop
+    * them" sampling discipline: repeated text still appears (it IS
+    * higher-quality on average) but no longer dominates the token
+    * budget in proportion to its copy count.
+    *
+    * Scale shape: the window partitions by the `component` LONG — the
+    * only exchange carries the labeled id frame (two longs + the
+    * weight), never text; at 100 TB this is the same (long, long)
+    * shuffle [[dupComponents]] already paid to label.
+    */
+  def softDedupWeights(
+      labeled: DataFrame, compCol: String = "component"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(compCol)
+    labeled.withColumn("weight", lit(1.0) / count(lit(1)).over(w))
+  }
+
+  /** [[softDedupWeights]] over the PRODUCTION star-edge component
+    * labels ([[dupComponentsFromReps]]): tokenize/band/verify once,
+    * label, weight — O(docs × bands) end to end.
+    */
+  def softDedupWeightsFromReps(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, maxPasses: Int = 20): DataFrame =
+    softDedupWeights(
+      dupComponentsFromReps(df, textCol, idCol, threshold,
+        bands, rowsPerBand, maxPasses)
+        .select(col(idCol), col("component")))
+
   /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     * then near-dedup WITHIN each cluster — keep the min-id rep, drop
     * every other member whose cosine to the rep reaches `minCosine`.

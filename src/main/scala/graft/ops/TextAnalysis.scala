@@ -83,6 +83,39 @@ object TextAnalysis {
     lenScore * 0.4 + punctPenalty * 0.4 + swScore * 0.2
   }
 
+  /** Readability signals — a deterministic Flesch-Reading-Ease
+    * approximation over the engine's fixed proxies (readability as a
+    * curation signal: training mixes oversample mid-readability prose;
+    * fixed formula, not a learned model, like [[qualityScore]]):
+    *  - words: [[TextOps.whitespaceTokenize]] count;
+    *  - sentences: `[.!?]+` match count, floored at 1 (a fragment is
+    *    one sentence);
+    *  - syllables: `[aeiouyAEIOUY]+` vowel-group count, floored at the
+    *    word count (every word carries >= 1 syllable).
+    * `flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words)`, NULL when there are no words. Pure codegen column
+    * algebra, zero shuffles; both regexes are plain character-class+
+    * quantifier patterns that Java regex and RE2-family engines match
+    * identically, and the score is three double ops in a fixed order —
+    * an oracle replays it bit-for-bit (q216).
+    */
+  def readabilitySignals(text: Column): Column = {
+    val words = size(TextOps.whitespaceTokenize(text))
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = greatest(
+      size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0))), words)
+    val flesch = when(words === 0, lit(null).cast("double"))
+      .otherwise(lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+    struct(
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      flesch.as("flesch"))
+  }
+
   /** Intra-document REPETITION signals (Gopher-style quality rules,
     * Rae et al. 2021 §A1.1: "repetition removal" — documents dominated
     * by repeated fragments are low-quality for training): duplicate-

@@ -7219,6 +7219,74 @@ object ExtensionQueries {
       | FROM padd) WHERE rank <= 3""".stripMargin
   }
 
+  // --------------------------------------------------------------- q215
+  /** Soft dedup ([[graft.ops.DedupOps.softDedupWeights]] over q69's
+    * transitive components): every doc weighted `1/|component|` so a
+    * duplicate cluster contributes one unit of training mass total —
+    * the downweight-instead-of-drop sampling policy. The oracle
+    * extends q69's recursive-CTE closure with a per-component count;
+    * `1.0 / n` is one double division in both engines.
+    */
+  def q215(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.softDedupWeights(
+      DedupOps.dupComponents(
+        Tables.documents(spark, dir).select("doc_id"), "doc_id",
+        q21(spark, dir)))
+
+  val q215Sql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+      |edges AS (
+      | SELECT id_a AS a, id_b AS b FROM vpairs
+      | UNION ALL
+      | SELECT id_b AS a, id_a AS b FROM vpairs),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |lab AS (
+      | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+      |SELECT doc_id, component,
+      | 1.0 / CAST(count(*) OVER (PARTITION BY component) AS DOUBLE) AS weight
+      |FROM lab""".stripMargin
+
+  // --------------------------------------------------------------- q216
+  /** Readability ([[graft.ops.TextAnalysis.readabilitySignals]]):
+    * word / sentence / vowel-group counts and the fixed
+    * Flesch-Reading-Ease formula. Both regexes are character-class+
+    * quantifier patterns with identical Java/RE2 semantics; the score
+    * is three double ops in one fixed order.
+    */
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextAnalysis.readabilitySignals(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      s.getField("n_words").as("n_words"),
+      s.getField("n_sentences").as("n_sentences"),
+      s.getField("n_syllables").as("n_syllables"),
+      s.getField("flesch").as("flesch"))
+  }
+
+  val q216Sql: String =
+    """WITH s AS (
+      | SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |   AS INT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |   AS INT) AS n_sentences,
+      |  CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')),
+      |   len(list_filter(string_split(text, ' '), t -> t <> '')))
+      |   AS INT) AS n_syllables
+      | FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      | CASE WHEN n_words = 0 THEN NULL
+      |  ELSE 206.835
+      |   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+      | END AS flesch
+      |FROM s""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7402,5 +7470,7 @@ object ExtensionQueries {
     "q211_session_report" -> ((q211 _, q211Sql)),
     "q212_interarrival" -> ((q212 _, q212Sql)),
     "q213_neg_samples_capped" -> ((q213 _, q213Sql)),
-    "q214_pq_adc" -> ((q214 _, q214Sql)))
+    "q214_pq_adc" -> ((q214 _, q214Sql)),
+    "q215_soft_dedup" -> ((q215 _, q215Sql)),
+    "q216_readability" -> ((q216 _, q216Sql)))
 }

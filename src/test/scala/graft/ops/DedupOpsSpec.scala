@@ -174,4 +174,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(xx == Seq(("s1", "s2", 1L)), s"got $xx")
     assert(md == xx, "xxhash64 and md5Long paths must share NULL semantics")
   }
+
+  test("softDedupWeights: weights sum to 1 per component, singletons weigh 1, " +
+      "total mass == component count") {
+    val labeled = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster of 3
+      (4L, 4L), (5L, 5L) // singletons
+    ).toDF("doc_id", "component")
+    val w = DedupOps.softDedupWeights(labeled)
+      .as[(Long, Long, Double)].collect().map { case (id, _, wt) => id -> wt }.toMap
+    assert(w(1L) == 1.0 / 3 && w(2L) == 1.0 / 3 && w(3L) == 1.0 / 3)
+    assert(w(4L) == 1.0 && w(5L) == 1.0)
+    assert(math.abs(w.values.sum - 3.0) < 1e-12, "mass must equal #components")
+  }
+
+  test("softDedupWeightsFromReps: planted dup cluster shares one unit of " +
+      "mass; unrelated docs keep weight 1") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (3L, "the quick brown fox jumps over the lazy dog and then rests"),
+      (10L, "completely different words appear here nothing shared at all"),
+      (11L, "yet another unrelated document with its own private tokens")
+    ).toDF("doc_id", "text")
+    val w = DedupOps.softDedupWeightsFromReps(corpus, "text", "doc_id", 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, comp, wt) => id -> ((comp, wt)) }.toMap
+    assert(w(1L)._1 == 1L && w(2L)._1 == 1L && w(3L)._1 == 1L,
+      s"planted cluster must share component 1, got $w")
+    assert(w(1L)._2 == 1.0 / 3 && w(2L)._2 == 1.0 / 3 && w(3L)._2 == 1.0 / 3)
+    assert(w(10L) == ((10L, 1.0)) && w(11L) == ((11L, 1.0)))
+  }
 }

@@ -238,6 +238,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.forall { case (q, p) => q >= 0.0 && q <= 1.0 && p >= 0.0 && p <= 1.0 })
   }
 
+  test("readabilitySignals: counts, floors, the fixed flesch formula, " +
+      "degenerate inputs") {
+    val got = Seq(
+      "The cat sat. The dog ran!",  // 6 words, 2 sentences, 6 vowel groups
+      "no terminal punctuation",    // sentence floor 1
+      "rhythm myth",                // y-groups: 2; floor at words=2 stays 2
+      "zz zzz",                     // 0 vowel groups -> floored to 2 words
+      "",                           // empty: 0 words -> NULL flesch
+      "   "                         // whitespace only: same
+    ).toDF("text")
+      .select(TextAnalysis.readabilitySignals(col("text")).as("s"))
+      .select(col("s.n_words"), col("s.n_sentences"), col("s.n_syllables"),
+        col("s.flesch"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got(0)._1 == 6 && got(0)._2 == 2 && got(0)._3 == 6)
+    assert(got(0)._4.contains(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)))
+    assert(got(1)._2 == 1, "fragment is one sentence")
+    assert(got(2) == ((2, 1, 2, Some(206.835 - 1.015 * 2.0 - 84.6 * 1.0))))
+    assert(got(3)._3 == 2, "all-consonant words floor syllables at word count")
+    assert(got(4)._1 == 0 && got(4)._4.isEmpty)
+    assert(got(5)._1 == 0 && got(5)._4.isEmpty)
+  }
+
   test("c4LineFilter: line rules, sentence floor, doc-level poisons (multi-line)") {
     val doc = Seq(
       "This line survives the filter today.",   // kept
