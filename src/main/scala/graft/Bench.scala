@@ -106,6 +106,14 @@ object Bench {
       PqOps.pqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 10,
         m = 8, ksub = 16, iters = 1, dim = 64)
     }),
+    // perceptual-hash near-dup over the 8×8 thumbs: aHash vs DCT hash
+    // through the same 4-band pigeonhole candidates
+    "b_image_neardup_ahash" -> ((s, dir) =>
+      graft.ops.MultimodalOps.imageNearDups(
+        Tables.embeddings(s, dir), "vec_id", "embedding", maxHamming = 3)),
+    "b_image_neardup_phash" -> ((s, dir) =>
+      graft.ops.MultimodalOps.imageNearDupsDct(
+        Tables.embeddings(s, dir), "vec_id", "embedding", maxHamming = 3)),
     // downweight-instead-of-drop over the linear star-edge components
     "b_soft_dedup" -> ((s, dir) =>
       DedupOps.softDedupWeightsFromReps(

@@ -241,15 +241,38 @@ object MultimodalOps {
     */
   def imageNearDups(
       df: DataFrame, idCol: String, vecCol: String, maxHamming: Int,
-      cells: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"banded candidates are exact only for maxHamming < 4, got $maxHamming")
-    val hashed = df
+      cells: Int = 64): DataFrame =
+    nearDupsFromHashes(df
       // fused one-pass expression; the composable [[averageHash]] is
       // its bit-identical differential twin (the HOF form re-evaluates
       // the mean fold inside every pack step — O(cells²)/row)
       .withColumn("__h", graft.functions.AverageHashHalves
-        .averageHashHalves(col(vecCol), cells))
+        .averageHashHalves(col(vecCol), cells)),
+      idCol, maxHamming)
+
+  /** [[imageNearDups]] with the DCT perceptual hash
+    * ([[graft.functions.DctHashHalves]], 8×8 grids only) instead of
+    * aHash: frequency-structure bits survive the global brightness /
+    * contrast shifts that flip every mean-threshold bit at once, at
+    * the price of the 2×(8-term fold)/cell DCT in the hash pass. Same
+    * banding, verify, and scale shape — only (id, hi, lo, band, value)
+    * longs ever shuffle.
+    */
+  def imageNearDupsDct(
+      df: DataFrame, idCol: String, vecCol: String, maxHamming: Int): DataFrame =
+    nearDupsFromHashes(df
+      .withColumn("__h", graft.functions.DctHashHalves.dctHashHalves(col(vecCol))),
+      idCol, maxHamming)
+
+  /** Shared candidate+verify stage over a `__h struct(hi, lo)` hash
+    * column: 4-band 16-bit LSH (pigeonhole-exact for Hamming < 4),
+    * `popcount(xor)` verify at the join, `(id_a, id_b, hamming)` out.
+    */
+  private def nearDupsFromHashes(
+      withHash: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banded candidates are exact only for maxHamming < 4, got $maxHamming")
+    val hashed = withHash
       .filter(col("__h").isNotNull)
       .select(col(idCol).as("__id"), col("__h.hi").as("__hi"),
         col("__h.lo").as("__lo"))

@@ -7287,6 +7287,58 @@ object ExtensionQueries {
       | END AS flesch
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q217
+  /** DCT perceptual hash ([[graft.functions.DctHashHalves]]) of every
+    * 8×8 thumb (embeddings doubling as grayscale grids, the q181
+    * convention): orthonormal separable DCT-II with the cosine basis
+    * shipped to DuckDB as shortest-round-trip double literals from the
+    * ONE Scala computation, fixed-order 8-term folds, median
+    * `(s₃₁+s₃₂)/2` threshold, q181's hi/lo bit packs — bit-identical
+    * across engines with no `cos()`/rounding dependence.
+    */
+  def q217(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("__h",
+        graft.functions.DctHashHalves.dctHashHalves(col("embedding")))
+      .filter(col("__h").isNotNull)
+      .select(col("vec_id"), col("__h.hi").as("hi"), col("__h.lo").as("lo"))
+
+  val q217Sql: String = {
+    val bLit = graft.functions.DctHashHalves.basis8
+      .map(_.toString).mkString("[", ", ", "]")
+    def fold8(term: Int => String): String = (0 until 8).map(term).mkString(" + ")
+    // T[k=u*8+y] = Σ_x B[u*8+x] · g[x*8+y]
+    val tTerms = fold8(x => s"b[(k//8)*8 + ${x + 1}] * g[${x * 8} + (k%8) + 1]")
+    // C[j=u*8+v] = Σ_y B[v*8+y] · T[u*8+y]
+    val cTerms = fold8(y => s"b[(j%8)*8 + ${y + 1}] * t[(j//8)*8 + ${y + 1}]")
+    s"""WITH gr AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS g,
+      |  $bLit AS b
+      | FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      |t1 AS (
+      | SELECT vec_id, b,
+      |  list_transform(generate_series(0, 63), k -> $tTerms) AS t
+      | FROM gr),
+      |c1 AS (
+      | SELECT vec_id,
+      |  list_transform(generate_series(0, 63), j -> $cTerms) AS c
+      | FROM t1),
+      |md AS (
+      | SELECT vec_id, c,
+      |  (list_sort(c)[32] + list_sort(c)[33]) / 2.0 AS median
+      | FROM c1)
+      |SELECT vec_id,
+      | CAST(list_sum(list_transform(generate_series(0, 31), i ->
+      |  CAST(CASE WHEN c[i + 1] > median THEN 1 ELSE 0 END AS BIGINT)
+      |   << (31 - i))) AS BIGINT) AS hi,
+      | CAST(list_sum(list_transform(generate_series(32, 63), i ->
+      |  CAST(CASE WHEN c[i + 1] > median THEN 1 ELSE 0 END AS BIGINT)
+      |   << (63 - i))) AS BIGINT) AS lo
+      |FROM md""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7472,5 +7524,6 @@ object ExtensionQueries {
     "q213_neg_samples_capped" -> ((q213 _, q213Sql)),
     "q214_pq_adc" -> ((q214 _, q214Sql)),
     "q215_soft_dedup" -> ((q215 _, q215Sql)),
-    "q216_readability" -> ((q216 _, q216Sql)))
+    "q216_readability" -> ((q216 _, q216Sql)),
+    "q217_phash" -> ((q217 _, q217Sql)))
 }
