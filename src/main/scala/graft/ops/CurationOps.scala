@@ -571,6 +571,46 @@ object CurationOps {
       contaminatedIdsWithGramSet(train, gramSet, textCol, idCol, n, gramKeys),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC decontamination — the embedding-side twin of the n-gram
+    * [[decontaminate]] pass: flag every corpus row whose embedding
+    * cosine to ANY heldout/eval row reaches `minCosine`, catching the
+    * paraphrased leakage n-gram overlap misses (the reason modern
+    * eval-hygiene pipelines run both). Candidates come from the shared
+    * hyperplane band signatures
+    * ([[graft.functions.HyperplaneBandSigs]] — the
+    * [[graft.ops.DedupOps.cosineKeepers]] family, same recall
+    * contract: a pair sharing no band bucket is not compared), the
+    * exact fused cosine verifies AT the bucket join, and distinct
+    * flagged pairs `(idCol, heldout_id, cosine)` come out — anti-join
+    * them on `idCol` for the cleaned corpus.
+    *
+    * Scale shape: the heldout side is an eval benchmark — thousands of
+    * rows, not a corpus — so its banded frame BROADCASTS and the
+    * corpus-side cost is one narrow fused signature pass + a
+    * broadcast-hash probe per band: no corpus exchange at all. The
+    * pair list is bounded by actual contamination, not |corpus|.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, heldout: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bands: Int = 8, planesPerBand: Int = 8,
+      dim: Int = 64): DataFrame = {
+    def banded(df: DataFrame, idOut: String, vecOut: String): DataFrame = df
+      .select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .select(col(idOut), col(vecOut), posexplode(
+        graft.functions.HyperplaneBandSigs.hyperplaneBandSigs(
+          col(vecOut), bands, planesPerBand, dim)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    banded(corpus, "__cid", "__cvec")
+      .join(broadcast(banded(heldout, "__hid", "__hvec")), Seq("band", "bucket"))
+      .withColumn("cosine", graft.functions.CosineSimilarity.cosineFused(
+        col("__cvec"), col("__hvec")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("__cid").as(idCol), col("__hid").as("heldout_id"),
+        col("cosine"))
+      .distinct()
+  }
+
   /** C4-style blocklist filter: keep only docs whose token set is
     * disjoint from `words` (Raffel et al. 2020 drop any page containing
     * a word from a public blocklist — the stage between the length

@@ -81,6 +81,41 @@ object MixOps {
       .drop("rate")
   }
 
+  /** TOKEN-BUDGET EPOCH PLAN — the mixture-design step a pretraining
+    * run does before any sampling: give each domain a share
+    * `w_d = n_d^τ / Σ n_d^τ` of the `targetTokens` budget (temperature
+    * `τ < 1` upweights small domains relative to their size — the
+    * standard temperature-mixing rule), and report the implied
+    * `epochs_d = target_d / n_d` (how many passes over the domain the
+    * budget forces — the repeat factor data-governance caps at ~4 in
+    * published mixes). One keyed count, per-domain token sums exact in
+    * LONG, the damped share rounded to 6 decimals BEFORE the
+    * cross-domain total (both engines then fold identical doubles in
+    * domain order — [[temperatureMixWeights]]' portability rule), and
+    * the |domains|-row result broadcast-meets itself only.
+    */
+  def epochPlan(
+      df: DataFrame, domainCol: String, tokensCol: String,
+      targetTokens: Long, temperature: Double): DataFrame = {
+    require(targetTokens >= 0, "epochPlan: targetTokens must be non-negative")
+    require(temperature > 0, "epochPlan: temperature must be positive")
+    val per = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens"))
+    val w = per.withColumn("w",
+      round(pow(col("n_tokens").cast("double"), lit(temperature)), 6))
+    val tot = w.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("domain").as("s"), col("w").as("r")))),
+        lit(0.0), (acc, x) => acc + x.getField("r")).as("tw"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("weight", col("w") / col("tw"))
+      .withColumn("target_tokens",
+        round(col("weight") * lit(targetTokens.toDouble), 6))
+      .withColumn("epochs",
+        round(col("target_tokens") / col("n_tokens").cast("double"), 6))
+      .select("domain", "n_tokens", "weight", "target_tokens", "epochs")
+  }
+
   /** IMPORTANCE REWEIGHTING to a UNIFORM category target — the
     * mix-correction primitive when resampling is off the table
     * (training loss weights, estimator reweighting): per category the

@@ -7339,6 +7339,65 @@ object ExtensionQueries {
       |FROM md""".stripMargin
   }
 
+  // --------------------------------------------------------------- q218
+  /** Semantic decontamination
+    * ([[graft.ops.CurationOps.semanticDecontaminate]]): every 25th
+    * embedding plays the heldout eval set; corpus rows are flagged by
+    * hyperplane-banded candidates + exact fused-cosine ≥ 0.4 verify.
+    * The oracle reuses q45's inlined-plane signature and cosine-chain
+    * SQL on both sides of the band join — the banded recall contract
+    * itself is what's being replayed, not a brute-force relaxation.
+    */
+  def q218(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    CurationOps.semanticDecontaminate(
+      e.filter(col("vec_id") % 25 =!= 0), e.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", minCosine = 0.4,
+      bands = q45Bands, planesPerBand = q45Planes, dim = q45Dim)
+  }
+
+  val q218Sql: String = {
+    def bandSelects(pred: String): String = (0 until q45Bands).map { b =>
+      s"""SELECT vec_id, embedding, $b AS band,
+         | ${q45SigSql("embedding", b)} AS sig
+         |FROM embeddings WHERE embedding IS NOT NULL AND $pred""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH cb AS (
+       |${bandSelects("vec_id % 25 <> 0")}),
+       |hb AS (
+       |${bandSelects("vec_id % 25 = 0")})
+       |SELECT DISTINCT c.vec_id, h.vec_id AS heldout_id,
+       | ${q45CosSql("c.embedding", "h.embedding")} AS cosine
+       |FROM cb c JOIN hb h ON h.band = c.band AND h.sig = c.sig
+       |WHERE ${q45CosSql("c.embedding", "h.embedding")} >= 0.4""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q219
+  /** Token-budget epoch plan ([[graft.ops.MixOps.epochPlan]], τ=0.7,
+    * 1M-token budget over `source` domains with `n_chars` as the token
+    * proxy): temperature-damped shares, per-domain token targets and
+    * the implied repeat factors. Both engines round the damped share
+    * to 6 decimals before the domain-ordered total fold.
+    */
+  def q219(spark: SparkSession, dir: String): DataFrame =
+    MixOps.epochPlan(Tables.documents(spark, dir), "source", "n_chars",
+      targetTokens = 1000000L, temperature = 0.7)
+
+  val q219Sql: String =
+    """WITH per AS (
+      | SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY 1),
+      |w AS (
+      | SELECT domain, n_tokens,
+      |  round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS w
+      | FROM per),
+      |t AS (SELECT list_sum(list(w ORDER BY domain)) AS tw FROM w)
+      |SELECT domain, n_tokens, w / tw AS weight,
+      | round(w / tw * 1000000.0, 6) AS target_tokens,
+      | round(round(w / tw * 1000000.0, 6) / CAST(n_tokens AS DOUBLE), 6)
+      |  AS epochs
+      |FROM w CROSS JOIN t""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7525,5 +7584,7 @@ object ExtensionQueries {
     "q214_pq_adc" -> ((q214 _, q214Sql)),
     "q215_soft_dedup" -> ((q215 _, q215Sql)),
     "q216_readability" -> ((q216 _, q216Sql)),
-    "q217_phash" -> ((q217 _, q217Sql)))
+    "q217_phash" -> ((q217 _, q217Sql)),
+    "q218_semantic_decontam" -> ((q218 _, q218Sql)),
+    "q219_epoch_plan" -> ((q219 _, q219Sql)))
 }

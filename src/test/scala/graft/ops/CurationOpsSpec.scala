@@ -390,4 +390,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assertNoStringShuffle(
       CurationOps.stupidBackoffSelf(train, "text", "doc_id"), expectShuffle = true)
   }
+
+  test("semanticDecontaminate: an exact embedding leak is ALWAYS flagged " +
+      "(shares every band bucket); near-orthogonal corpus rows are not") {
+    val r = new scala.util.Random(3)
+    val leak = Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    val heldout = Seq((1000L, leak)).toDF("vec_id", "embedding")
+    val corpus = ((1 to 30).map(i =>
+      (i.toLong, Seq.fill(64)(r.nextFloat() * 2f - 1f))) :+ (99L -> leak))
+      .toDF("vec_id", "embedding")
+    val flagged = CurationOps.semanticDecontaminate(
+        corpus, heldout, "vec_id", "embedding", minCosine = 0.95)
+      .as[(Long, Long, Double)].collect()
+    assert(flagged.map(f => (f._1, f._2)).toSet == Set((99L, 1000L)),
+      s"exactly the planted leak must be flagged, got ${flagged.toSeq}")
+    assert(flagged.head._3 > 0.9999)
+  }
+
+  test("semanticDecontaminate: flagged pairs are distinct even when a pair " +
+      "collides in several bands") {
+    val v = Seq.fill(64)(0.5f)
+    val flagged = CurationOps.semanticDecontaminate(
+        Seq((1L, v)).toDF("vec_id", "embedding"),
+        Seq((2L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCosine = 0.5)
+      .collect()
+    assert(flagged.length == 1, "identical vectors share all 8 bands -> one row")
+  }
 }

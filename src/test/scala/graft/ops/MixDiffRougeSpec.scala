@@ -59,6 +59,29 @@ class MixDiffRougeSpec extends AnyFunSuite {
       s"ESS must be 3, got ${x._5}"))
   }
 
+  test("epochPlan: weights sum to 1, targets sum to the budget, τ<1 " +
+      "upweights the small domain, τ=1 is proportional") {
+    val df = Seq(("big", 900L), ("big", 100L), ("small", 100L))
+      .toDF("src", "toks")
+    val plan = MixOps.epochPlan(df, "src", "toks",
+        targetTokens = 1000L, temperature = 0.7)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(plan("big")._2 == 1000L && plan("small")._2 == 100L)
+    assert(math.abs(plan.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(plan.values.map(_._4).sum - 1000.0) < 1e-3)
+    assert(plan("small")._3 > 0.1,
+      "temperature 0.7 must give the 10% domain more than its 10% share")
+    // epochs = target / n
+    plan.values.foreach(x =>
+      assert(math.abs(x._5 - x._4 / x._2) < 1e-6, s"epochs wrong: $x"))
+    val flat = MixOps.epochPlan(df, "src", "toks", 1000L, temperature = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> x._3).toMap
+    assert(math.abs(flat("big") - 1000.0 / 1100.0) < 1e-6)
+    assert(math.abs(flat("small") - 100.0 / 1100.0) < 1e-6)
+  }
+
   // ------------------------------------------------------ snapshotDiff
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
