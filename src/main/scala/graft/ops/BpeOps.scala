@@ -93,6 +93,42 @@ object BpeOps {
     (merges.toSeq, vocab)
   }
 
+  /** Learn `numMerges` merges and return the MERGE TABLE itself —
+    * `(step, a, b, cnt)`, one row per learned merge with the weighted
+    * pair count that won its round — the cross-engine-checkable trace
+    * of the whole training loop (each round's argmax over
+    * [[pairCounts]] is deterministic: ties break (cnt desc, a, b)).
+    * Same scale shape as [[bpeTrain]]: every round runs on the
+    * distinct-word vocab frame, the argmax is a 1-row driver collect,
+    * and the corpus is scanned exactly once.
+    */
+  def bpeMergeTable(
+      df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = wordVocab(df, textCol).localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rows += ((r + 1, a, b, c))
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    rows.toSeq.toDF("step", "a", "b", "cnt")
+  }
+
   /** Encode a corpus with a learned merge list: merges are applied to
     * the DISTINCT-WORD dictionary (vocab-sized work, `merges.length`
     * chained folds with checkpoint cuts every few rounds), then the

@@ -116,6 +116,42 @@ object MixOps {
       .select("domain", "n_tokens", "weight", "target_tokens", "epochs")
   }
 
+  /** EPOCH-PLAN MATERIALIZER — turn [[epochPlan]]'s per-domain repeat
+    * factors into the actual training-set row multiset: every doc in
+    * domain `d` appears `floor(epochs_d)` times plus one more copy
+    * with probability `frac(epochs_d)` (stochastic rounding — the
+    * standard way a fractional epoch is realized so the EXPECTED token
+    * count per domain hits its budget exactly). The extra-copy draw is
+    * the key-derived [[PortableHash.uniform01]] over `id#copy`, so the
+    * multiset is deterministic under any partitioning and replayable
+    * in any engine.
+    *
+    * Scale shape: the plan is |domains| rows broadcast onto the
+    * corpus; the repeat is a per-row `sequence`/`explode` bounded by
+    * `ceil(epochs)` (a mixture-design constant, ~4 in published
+    * mixes) — no shuffle beyond [[epochPlan]]'s own keyed count. The
+    * output carries `(id, domain, copy)` so downstream shuffling/
+    * packing sees distinct physical rows.
+    */
+  def epochPlanApply(
+      df: DataFrame, domainCol: String, tokensCol: String, idCol: String,
+      targetTokens: Long, temperature: Double, seed: Long = 42L): DataFrame = {
+    val plan = epochPlan(df, domainCol, tokensCol, targetTokens, temperature)
+      .select(col("domain").as(domainCol), col("epochs"))
+    df.join(broadcast(plan), domainCol)
+      .withColumn("full_copies", floor(col("epochs")).cast("int"))
+      .withColumn("frac", col("epochs") - col("full_copies").cast("double"))
+      .select(col(idCol), col(domainCol).as("domain"), col("full_copies"),
+        col("frac"),
+        explode(sequence(lit(0), col("full_copies"))).as("copy"))
+      // copies 0..full-1 always survive; the one extra candidate copy
+      // (index == full_copies) survives its stochastic-rounding draw
+      .filter(col("copy") < col("full_copies") ||
+        PortableHash.uniform01(
+          concat_ws("#", col(idCol), col("copy")), lit(seed)) < col("frac"))
+      .select(col(idCol), col("domain"), col("copy"))
+  }
+
   /** IMPORTANCE REWEIGHTING to a UNIFORM category target — the
     * mix-correction primitive when resampling is off the table
     * (training loss weights, estimator reweighting): per category the

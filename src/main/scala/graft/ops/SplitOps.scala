@@ -266,4 +266,38 @@ object SplitOps {
       when(col(textCol).isNotNull && draw < testPct, "test")
         .otherwise("train"))
   }
+
+  /** CURRICULUM ORDERING — the easy-to-hard training order (Bengio et
+    * al. 2009, and the staged-data recipe of modern pretraining runs):
+    * rows are bucketed by a difficulty score into coarse bins via
+    * FIXED thresholds (fixed, not quantile — quantile edges move with
+    * every ingest batch, fixed thresholds give a stable, auditable
+    * curriculum), shuffled WITHIN each bin by the key-derived
+    * [[PortableHash.uniform01]] draw (deterministic under any
+    * partitioning), and assigned a dense global `position` by a
+    * range-partitioned sort + `zipWithIndex`
+    * ([[JoinOps.withRowIndex]]) — NO single-partition window at any
+    * cardinality.
+    *
+    * `binThresholds` are DESCENDING score cutoffs: bin 0 is
+    * `score >= t(0)` (easiest first), bin i is `score >= t(i)`, and
+    * scores below the last threshold land in bin `t.length`.
+    */
+  def curriculumOrder(
+      df: DataFrame, scoreCol: Column, idCol: String,
+      binThresholds: Seq[Double], seed: String): DataFrame = {
+    require(binThresholds.nonEmpty &&
+      binThresholds == binThresholds.sorted.reverse,
+      "curriculumOrder: thresholds must be non-empty and descending")
+    val bin = binThresholds.zipWithIndex.foldRight(
+        lit(binThresholds.length): Column) { case ((t, i), rest) =>
+      when(scoreCol >= t, i).otherwise(rest)
+    }
+    val drawn = df
+      .withColumn("bin", bin)
+      .withColumn("draw", PortableHash.uniform01(col(idCol), lit(seed)))
+      .orderBy(col("bin"), col("draw"), col(idCol))
+    JoinOps.withRowIndex(drawn, "position")
+      .select(col(idCol), col("bin"), col("position"))
+  }
 }

@@ -7398,6 +7398,138 @@ object ExtensionQueries {
       |  AS epochs
       |FROM w CROSS JOIN t""".stripMargin
 
+  // --------------------------------------------------------------- q220
+  /** Epoch-plan materializer ([[graft.ops.MixOps.epochPlanApply]],
+    * same τ=0.7 / 1M-token plan as q219): each doc repeated
+    * `floor(epochs)` times plus a stochastic-rounding extra copy drawn
+    * by the portable md5 uniform over `doc_id#copy#seed` — the oracle
+    * replays the plan CTE, the lateral copy expansion AND every draw.
+    */
+  def q220(spark: SparkSession, dir: String): DataFrame =
+    MixOps.epochPlanApply(Tables.documents(spark, dir), "source", "n_chars",
+      "doc_id", targetTokens = 1000000L, temperature = 0.7, seed = 42L)
+
+  val q220Sql: String =
+    """WITH per AS (
+      | SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY 1),
+      |w AS (
+      | SELECT domain, n_tokens,
+      |  round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS w
+      | FROM per),
+      |t AS (SELECT list_sum(list(w ORDER BY domain)) AS tw FROM w),
+      |plan AS (
+      | SELECT domain,
+      |  round(round(w / tw * 1000000.0, 6) / CAST(n_tokens AS DOUBLE), 6)
+      |   AS epochs
+      | FROM w CROSS JOIN t),
+      |ext AS (
+      | SELECT d.doc_id, p.domain,
+      |  CAST(floor(p.epochs) AS INT) AS full_copies,
+      |  p.epochs - floor(p.epochs) AS frac
+      | FROM documents d JOIN plan p ON p.domain = d.source)
+      |SELECT e.doc_id, e.domain, CAST(u.copy AS INT) AS copy
+      |FROM ext e, unnest(range(0, e.full_copies + 1)) u(copy)
+      |WHERE u.copy < e.full_copies
+      |   OR CAST('0x' || substr(
+      |        md5(e.doc_id || '#' || u.copy || '#' || '42'), 1, 15) AS BIGINT)
+      |      / 1152921504606846976.0 < e.frac""".stripMargin
+
+  // --------------------------------------------------------------- q221
+  /** BPE merge-table training ([[graft.ops.BpeOps.bpeMergeTable]], 3
+    * rounds): the oracle unrolls the ENTIRE training loop — weighted
+    * adjacent-pair counts (q120's statistic), the (cnt desc, a, b)
+    * argmax, and the greedy left-to-right merge application as a
+    * `list_reduce` string fold semantically identical to
+    * [[graft.ops.BpeOps.applyMerge]]'s array fold — three times in
+    * chained CTEs, pinning every learned merge and its winning count.
+    */
+  def q221(spark: SparkSession, dir: String): DataFrame =
+    BpeOps.bpeMergeTable(Tables.documents(spark, dir), "text", numMerges = 3)
+
+  val q221Sql: String = {
+    // one training round: pairs from spaced-symbol state s{k-1}, the
+    // argmax m{k}, and the merged state s{k}
+    def round(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         | SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+         | FROM (SELECT n, string_split(s, ' ') AS l FROM $prev) t,
+         |      unnest(range(1, len(l))) u(i)
+         | GROUP BY 1, 2),
+         |m$k AS (
+         | SELECT a, b, cnt FROM p$k WHERE cnt >= 2
+         | ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS (
+         | SELECT n, list_reduce(string_split(s, ' '), (acc, x) ->
+         |   CASE WHEN (acc = m.a OR
+         |              right(acc, length(m.a) + 1) = ' ' || m.a)
+         |             AND x = m.b
+         |        THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+         |        ELSE acc || ' ' || x END) AS s
+         | FROM $prev CROSS JOIN m$k m)""".stripMargin
+    }
+    s"""WITH wds AS (
+       | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |   AS word
+       | FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM wds GROUP BY 1),
+       |s0 AS (
+       | SELECT n, array_to_string(regexp_split_to_array(word, ''), ' ') AS s
+       | FROM v),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT * FROM (
+       | SELECT CAST(1 AS INT) AS step, a, b, cnt FROM m1
+       | UNION ALL SELECT CAST(2 AS INT), a, b, cnt FROM m2
+       | UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM m3)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q222
+  /** Curriculum ordering ([[graft.ops.SplitOps.curriculumOrder]] over
+    * the q26 quality score, descending thresholds 0.8/0.5): easy bins
+    * first, md5-shuffled within bin, dense global position from the
+    * range-partitioned sort + zipWithIndex — the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY bin, draw, doc_id)` replays the
+    * total order exactly.
+    */
+  def q222(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    SplitOps.curriculumOrder(
+      d, graft.ops.TextAnalysis.qualityScore(col("text")), "doc_id",
+      binThresholds = Seq(0.8, 0.5), seed = "cur")
+  }
+
+  val q222Sql: String = {
+    val enWords = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+       |s AS (
+       | SELECT doc_id,
+       |  least(len(toks) / 20.0, 1.0) * 0.4
+       |   + greatest(0.0, 1.0 -
+       |      (CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |       / len(text)) * 4.0) * 0.4
+       |   + least((CAST(len(list_filter(toks, tk -> list_contains($enWords, tk))) AS DOUBLE)
+       |      / len(toks)) * 5.0, 1.0) * 0.2 AS quality
+       | FROM t),
+       |b AS (
+       | SELECT doc_id,
+       |  CASE WHEN quality >= 0.8 THEN 0
+       |       WHEN quality >= 0.5 THEN 1 ELSE 2 END AS bin,
+       |  CAST('0x' || substr(md5(doc_id || '#' || 'cur'), 1, 15) AS BIGINT)
+       |    / 1152921504606846976.0 AS draw
+       | FROM s)
+       |SELECT doc_id, CAST(bin AS INT) AS bin,
+       | ROW_NUMBER() OVER (ORDER BY bin, draw, doc_id) - 1 AS position
+       |FROM b""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7586,5 +7718,8 @@ object ExtensionQueries {
     "q216_readability" -> ((q216 _, q216Sql)),
     "q217_phash" -> ((q217 _, q217Sql)),
     "q218_semantic_decontam" -> ((q218 _, q218Sql)),
-    "q219_epoch_plan" -> ((q219 _, q219Sql)))
+    "q219_epoch_plan" -> ((q219 _, q219Sql)),
+    "q220_epoch_apply" -> ((q220 _, q220Sql)),
+    "q221_bpe_merges" -> ((q221 _, q221Sql)),
+    "q222_curriculum" -> ((q222 _, q222Sql)))
 }

@@ -96,6 +96,30 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("bpeMergeTable: steps/pairs agree with bpeTrain and counts with " +
+      "the independent reference recount") {
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+    val df = corpus.grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val table = BpeOps.bpeMergeTable(df, "text", 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    val (merges, _) = BpeOps.bpeTrain(df, "text", 4)
+    assert(table.map(r => (r._2, r._3)).toSeq == merges)
+    assert(table.map(_._1).toSeq == (1 to table.length))
+    // recount each winning pair's weighted count with the reference
+    val words = corpus.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab = words.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    table.foreach { case (_, a, b, cnt) =>
+      val ref = vocab.toSeq.map { case (syms, n) =>
+        syms.sliding(2).count { s => s.length == 2 && s(0) == a && s(1) == b } * n
+      }.sum
+      assert(ref == cnt, s"count for ($a,$b): ref $ref vs $cnt")
+      vocab = vocab.map { case (syms, n) => (refApply(syms, (a, b)), n) }
+    }
+  }
+
   test("bpeEncode: tokens concatenate back to the word stream") {
     val df = Seq((1L, "hug hug pun"), (2L, "pug hugs")).toDF("doc_id", "text")
     val (merges, _) = BpeOps.bpeTrain(df, "text", 3)

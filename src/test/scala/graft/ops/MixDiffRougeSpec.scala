@@ -82,6 +82,33 @@ class MixDiffRougeSpec extends AnyFunSuite {
     assert(math.abs(flat("small") - 100.0 / 1100.0) < 1e-6)
   }
 
+  test("epochPlanApply: integral epochs repeat exactly, fractional epochs " +
+      "stochastically round, deterministic under repartition") {
+    // one domain, budget = 3x tokens -> epochs exactly 3.0 (tau=1):
+    // every doc appears exactly 3 times, copies 0,1,2
+    val solo = (1L to 20L).map((_, "d", 10L)).toDF("id", "dom", "toks")
+    val exact = MixOps.epochPlanApply(solo, "dom", "toks", "id",
+        targetTokens = 600L, temperature = 1.0)
+      .as[(Long, String, Int)].collect()
+    assert(exact.length == 60)
+    assert(exact.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(0, 1, 2)))
+    // fractional: epochs = 1.5 -> every doc at least once (copy 0),
+    // extra copy-1 rows only ever copy 1, total strictly between n and 2n
+    val frac = MixOps.epochPlanApply(solo, "dom", "toks", "id",
+        targetTokens = 300L, temperature = 1.0)
+      .as[(Long, String, Int)].collect()
+    assert(frac.count(_._3 == 0) == 20, "copy 0 always survives")
+    assert(frac.forall(_._3 <= 1))
+    assert(frac.length > 20 && frac.length < 40,
+      s"stochastic rounding of epochs=1.5 must land strictly between, got ${frac.length}")
+    // repartition-proof
+    val re = MixOps.epochPlanApply(solo.repartition(5, col("id")),
+        "dom", "toks", "id", targetTokens = 300L, temperature = 1.0)
+      .as[(Long, String, Int)].collect()
+    assert(re.sortBy(r => (r._1, r._3)).toSeq ==
+      frac.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   // ------------------------------------------------------ snapshotDiff
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {

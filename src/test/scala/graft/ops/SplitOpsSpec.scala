@@ -225,4 +225,34 @@ class SplitOpsSpec extends AnyFunSuite {
       .filter(col("doc_id") === 2L).select("split").as[String].head()
     assert(nullSide == "train", "NULL text must land in train on every engine")
   }
+
+  test("curriculumOrder: fixed-threshold bins, dense global positions, " +
+      "bins strictly ordered, repartition-proof") {
+    val df = (0 until 60).map(i => (i.toLong, i / 20.0)).toDF("id", "score")
+    val out = SplitOps.curriculumOrder(
+        df, col("score"), "id", Seq(2.0, 1.0), "s")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(out.length == 60)
+    // dense 0..59 positions
+    assert(out.map(_._3).toSeq == (0L until 60L))
+    // bin 0 = score >= 2.0 (ids 40..59), bin 1 = [1,2), bin 2 = rest
+    out.foreach { case (id, bin, _) =>
+      val expect = if (id >= 40) 0 else if (id >= 20) 1 else 2
+      assert(bin == expect, s"id $id bin $bin")
+    }
+    // all of bin 0 precedes all of bin 1 precedes all of bin 2
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted)
+    // deterministic under different input partitioning
+    val re = SplitOps.curriculumOrder(
+        df.repartition(7, col("id")), col("score"), "id", Seq(2.0, 1.0), "s")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(re.toSeq == out.toSeq, "order must not depend on partitioning")
+  }
+
+  test("curriculumOrder rejects unsorted thresholds") {
+    val df = Seq((1L, 0.5)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      SplitOps.curriculumOrder(df, col("score"), "id", Seq(0.1, 0.9), "s")
+    }
+  }
 }
