@@ -135,6 +135,48 @@ object BpeOps {
     * corpus joins the broadcastable word→tokens dictionary — the
     * corpus itself is never rescanned per merge.
     */
+  /** TOKENIZER FERTILITY report — the standard tokenizer-eval table
+    * (tokens per word and characters per token, per language): train
+    * `numMerges` BPE merges on the corpus, apply them to the
+    * distinct-word dictionary, and fold the per-word token counts
+    * back over the full word stream grouped by `langCol`. High
+    * fertility on a language = the tokenizer fragments it = that
+    * language pays more sequence length per content — THE metric a
+    * multilingual vocab is tuned against.
+    *
+    * Scale shape: training is [[bpeTrain]]'s vocab-frame loop; the
+    * report is one corpus word pass joined to the BROADCAST dictionary
+    * and one lang-keyed integer aggregation — ratios are exact
+    * integer-sum divisions, so any engine replays them bit-for-bit.
+    */
+  def bpeFertility(
+      df: DataFrame, textCol: String, langCol: String,
+      numMerges: Int): DataFrame = {
+    val (merges, _) = bpeTrain(df, textCol, numMerges)
+    var dict = df
+      .select(explode(TextOps.whitespaceTokenize(col(textCol))).as("word"))
+      .distinct()
+      .withColumn("syms", charSymbols(col("word")))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      dict = dict.withColumn("syms", applyMerge(col("syms"), a, b))
+      if ((i + 1) % 8 == 0) dict = dict.localCheckpoint()
+    }
+    val tk = dict.select(col("word"),
+      size(col("syms")).cast("long").as("n_tok"),
+      length(col("word")).cast("long").as("n_chr"))
+    df.select(col(langCol).as("lang"),
+        explode(TextOps.whitespaceTokenize(col(textCol))).as("word"))
+      .join(broadcast(tk), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
   def bpeEncode(
       df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {

@@ -411,4 +411,100 @@ object EvalMetrics {
           col("wins").cast("double") /
             (col("wins") + col("losses")).cast("double")))
   }
+
+  /** COHEN'S KAPPA (Cohen 1960) — chance-corrected agreement between
+    * two categorical raters: `κ = (p_o − p_e)/(1 − p_e)` with observed
+    * agreement `p_o` and the chance agreement `p_e` implied by the two
+    * raters' marginal distributions. THE gate metric for labeling
+    * pipelines (are two annotators — or a heuristic and a model —
+    * actually agreeing beyond chance?). Rows where either rating is
+    * NULL are excluded (un-rated items carry no agreement evidence).
+    *
+    * Cross-engine parity by construction: everything up to the final
+    * two divisions is INTEGER — cell counts, the agreeing-cell sum,
+    * and `Σ_k rowA_k·rowB_k` stay BIGINT, so `p_o = agree/N` and
+    * `p_e = Σ/N²` are each one exact-integer-ratio double division.
+    * Perfect agreement with `p_e = 1` (both raters constant and equal)
+    * returns κ = NULL (undefined, 0/0).
+    *
+    * Scale shape: ONE keyed count down to the K×K contingency cells
+    * (map-side combined; K is the label alphabet, a constant), then
+    * all margins and sums fold on that constant-size frame. One row
+    * out: `(n, po, pe, kappa)`.
+    */
+  /** PER-GROUP FAIRNESS AUDIT of a binary classifier (Hardt et al.
+    * 2016's group metrics): per protected/slice group the selection
+    * rate, TPR and FPR, plus the two headline gaps against the
+    * OVERALL rates — demographic parity (`dp_gap` = group selection
+    * rate − overall) and equal opportunity (`eo_gap` = group TPR −
+    * overall). The report a curation pipeline runs before letting a
+    * quality classifier gate a corpus: a filter that passes one
+    * source/language at half the rate of another is a data-mix
+    * decision someone should have made on purpose.
+    *
+    * Rates degenerate groups can't define stay NULL (no positives →
+    * TPR, no negatives → FPR). Everything is integer counts until
+    * exact-ratio divisions, so any engine replays it bit-for-bit.
+    * Scale shape: ONE group-keyed integer aggregation (map-side
+    * combined), overall totals re-folded from the constant-size
+    * per-group frame — the corpus is scanned once.
+    */
+  def fairnessAudit(
+      df: DataFrame, groupCol: String, predCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        predCol.cast("int").as("__p"), labelCol.cast("int").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    val per = base.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__p").cast("long")).as("__pp"),
+      sum(when(col("__y") === 1 && col("__p") === 1, 1L).otherwise(0L))
+        .as("__tp"),
+      sum(when(col("__y") === 0 && col("__p") === 1, 1L).otherwise(0L))
+        .as("__fp"),
+      sum(col("__y").cast("long")).as("__pos"))
+    val tot = per.agg(sum(col("__n")).as("__tn"),
+      sum(col("__pp")).as("__tpp"), sum(col("__tp")).as("__ttp"),
+      sum(col("__pos")).as("__tpos"))
+    def rate(a: Column, b: Column): Column =
+      when(b > 0, a.cast("double") / b.cast("double"))
+    per.crossJoin(broadcast(tot)).select(
+      col("__g").as(groupCol), col("__n").as("n"),
+      rate(col("__pp"), col("__n")).as("pos_rate"),
+      rate(col("__tp"), col("__pos")).as("tpr"),
+      rate(col("__fp"), col("__n") - col("__pos")).as("fpr"),
+      (rate(col("__pp"), col("__n")) - rate(col("__tpp"), col("__tn")))
+        .as("dp_gap"),
+      (rate(col("__tp"), col("__pos")) - rate(col("__ttp"), col("__tpos")))
+        .as("eo_gap"))
+  }
+
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df
+      .select(raterA.cast("string").as("__a"), raterB.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val totals = cells.agg(
+      sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agree"))
+    val ma = cells.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy(col("__b").as("__a"))
+      .agg(sum(col("__c")).as("__cb"))
+    // margin products and n² leave BIGINT range on 10¹⁰⁺-row corpora:
+    // accumulate them as exact DECIMAL, divide once in double
+    val peNum = ma.join(mb, Seq("__a"))
+      .agg(coalesce(sum(col("__ca").cast("decimal(19,0)") *
+          col("__cb").cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("__pe_num"))
+    totals.crossJoin(peNum)
+      .select(col("__n").as("n"),
+        (col("__agree").cast("double") / col("__n").cast("double"))
+          .as("po"),
+        (col("__pe_num").cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double")))
+          .as("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

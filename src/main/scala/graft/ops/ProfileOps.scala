@@ -90,6 +90,35 @@ object ProfileOps {
       .filter(col("distinct_sensitive") < l)
   }
 
+  /** ε-DIFFERENTIALLY-PRIVATE group counts (Dwork et al. 2006): the
+    * sensitivity-1 counting query released with Laplace(1/ε) noise —
+    * the mechanism behind every private data-release dashboard, and
+    * the third rung of the privacy ladder after [[kAnonymityViolations]]
+    * (who is exposed) and [[lDiversityViolations]] (what leaks). The
+    * noise draw is the key-derived inverse CDF
+    * `−b·sgn(u−½)·ln(1−2|u−½|)` over
+    * [[graft.core.PortableHash.uniform01]]`(group#salt)` — per the
+    * engine randomness rule (SURVEY §7.4.2) it is partition-independent
+    * and replayable in any engine, which also makes the release
+    * IDEMPOTENT: re-running the pipeline re-releases the same noisy
+    * value instead of spending fresh ε each run.
+    *
+    * One keyed count (map-side combined) + row-local noise — no extra
+    * exchange at any scale. NULL groups form their own class.
+    */
+  def dpCounts(
+      df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val u = graft.core.PortableHash.uniform01(col(groupCol), lit(salt))
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        (col("__n").cast("double") -
+          lit(1.0 / epsilon) * signum(u - 0.5) *
+            log(lit(1.0) - lit(2.0) * abs(u - 0.5))).as("noisy_count"))
+  }
+
   /** RFM SCORING (recency / frequency / monetary — the classic
     * customer-value segmentation): per key, days since the last
     * transaction (relative to the corpus max date), transaction

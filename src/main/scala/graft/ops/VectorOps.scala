@@ -553,4 +553,72 @@ object VectorOps {
       .select(col("dim"), col("n"), col("mean"), col("std"),
         when(col("std") > 0, col("__no")).as("n_outliers"))
   }
+
+  /** TOP PRINCIPAL COMPONENT by distributed POWER ITERATION — the
+    * MATRIX-FREE PCA path: never materializes the dim² covariance
+    * ([[pcaTrain]]'s route), so it survives dims where dim² is no
+    * longer a constant (wide embeddings, token-level features). Each
+    * iteration is one corpus pass: project every centered row onto
+    * the current direction (`t = (x−μ)·w`, a generated left-to-right
+    * chain), then re-accumulate the direction as per-dimension
+    * round-then-DECIMAL(38,9) exact sums of `(x_j−μ_j)·t` — the
+    * [[covarianceMatrix]] parity discipline, so both engines see
+    * bit-identical sufficient statistics and the whole iteration
+    * replays in SQL. The per-pass driver collect is ONE row of `dim`
+    * decimals (bounded by contract, like the k-means recenter).
+    *
+    * Determinism pins: init `w₀ = 1/√dim` uniform; after each
+    * normalize, `w` is rounded HALF_UP to 6 decimals (the k-means
+    * centroid-resync convention) so the next pass's literals agree
+    * across engines; `λ` is the pre-rounding ‖u‖₂ of the final pass.
+    * A zero `λ` (rank-0 input) stops early and keeps the current
+    * direction. Returns one row per dimension:
+    * `(i, loading, eigenvalue, var_share)` with `var_share = λ /
+    * Σ_j Var(x_j)` (total variance from the same exact sums).
+    */
+  def powerComponent(
+      df: DataFrame, vecCol: String, dim: Int, iters: Int = 3): DataFrame = {
+    require(dim > 0, s"powerComponent: dim must be positive, got $dim")
+    require(iters >= 1, s"powerComponent: need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), _.isNull))
+    def x(j: Int) = col("v").getItem(j).cast("double")
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    val base = v.agg(count(lit(1)).as("n"),
+      (0 until dim).map(j => d9(x(j)).as(s"s$j")) ++
+        (0 until dim).map(j => d9(x(j) * x(j)).as(s"q$j")): _*).head()
+    val n = base.getLong(0).toDouble
+    require(n > 0, "powerComponent: no valid vectors")
+    val mu = Array.tabulate(dim)(j => base.getDecimal(1 + j).doubleValue() / n)
+    val totVar = (0 until dim)
+      .map(j => base.getDecimal(1 + dim + j).doubleValue() / n - mu(j) * mu(j))
+      .reduceLeft(_ + _)
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+    var lambda = 0.0
+    var r = 0
+    while (r < iters && (r == 0 || lambda > 0)) {
+      val t = (0 until dim)
+        .map(j => (x(j) - lit(mu(j))) * lit(w(j)))
+        .reduceLeft(_ + _)
+      // project t once, so the dim aggregates share one evaluation
+      val proj = v.withColumn("__t", t)
+      val row = proj.agg(
+        d9((x(0) - lit(mu(0))) * col("__t")).as("u0"),
+        (1 until dim).map(j =>
+          d9((x(j) - lit(mu(j))) * col("__t")).as(s"u$j")): _*).head()
+      val u = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue() / n)
+      lambda = math.sqrt(u.map(c => c * c).reduceLeft(_ + _))
+      if (lambda > 0) w = u.map(c => round6(c / lambda))
+      r += 1
+    }
+    val lam = lambda
+    val tv = totVar
+    (0 until dim).map(j => (j, w(j), lam, lam / tv))
+      .toDF("i", "loading", "eigenvalue", "var_share")
+  }
 }

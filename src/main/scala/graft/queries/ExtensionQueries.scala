@@ -7530,6 +7530,274 @@ object ExtensionQueries {
        |FROM b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q223
+  /** Power-iteration top principal component
+    * ([[graft.ops.VectorOps.powerComponent]], 3 passes, dim 64): the
+    * oracle replays every pass — exact round-then-DECIMAL(38,9)
+    * per-dimension sufficient sums, the left-to-right centered
+    * projection chain, the round-6 direction resync — as chained
+    * CTEs. `w₀ = 1/√64 = 0.125` exactly, so the first chain needs no
+    * literal shipping.
+    */
+  def q223(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.powerComponent(
+      Tables.embeddings(spark, dir), "embedding", dim = 64, iters = 3)
+
+  val q223Sql: String = {
+    val dim = 64
+    def xj(j: Int) = s"CAST(v[${j + 1}] AS DOUBLE)"
+    // one power pass: per-row projection t onto wExpr, exact per-dim
+    // re-accumulation, L2 normalize + round-6 resync
+    def pass(k: Int, wExpr: Int => String, wFrom: String): String = {
+      val tChain = (0 until dim)
+        .map(j => s"(${xj(j)} - m.mu[${j + 1}]) * ${wExpr(j)}")
+        .mkString(" + ")
+      s"""t$k AS (
+         | SELECT v, $tChain AS t FROM e, m$wFrom),
+         |u$k AS (
+         | SELECT i, CAST(SUM(CAST(round(
+         |   (CAST(v[i + 1] AS DOUBLE) - m.mu[i + 1]) * t, 9)
+         |   AS DECIMAL(38,9))) AS DOUBLE) AS u
+         | FROM (SELECT v, t, unnest(generate_series(0, ${dim - 1})) AS i
+         |       FROM t$k), m
+         | GROUP BY i),
+         |w$k AS (
+         | SELECT list_transform(ul, x -> round(x / lam, 6)) AS w, lam
+         | FROM (SELECT list(u / nn.n ORDER BY i) AS ul,
+         |        sqrt(list_sum(list((u / nn.n) * (u / nn.n) ORDER BY i)))
+         |         AS lam
+         |       FROM u$k, nn))""".stripMargin
+    }
+    s"""WITH e AS (
+       | SELECT embedding AS v FROM embeddings
+       | WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |b AS (
+       | SELECT i,
+       |  CAST(SUM(CAST(round(CAST(v[i + 1] AS DOUBLE), 9)
+       |    AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(round(
+       |    CAST(v[i + 1] AS DOUBLE) * CAST(v[i + 1] AS DOUBLE), 9)
+       |    AS DECIMAL(38,9))) AS DOUBLE) AS sq
+       | FROM (SELECT v, unnest(generate_series(0, ${dim - 1})) AS i FROM e)
+       | GROUP BY i),
+       |m AS (
+       | SELECT list(sx / nn.n ORDER BY i) AS mu,
+       |  list_sum(list(sq / nn.n - (sx / nn.n) * (sx / nn.n) ORDER BY i))
+       |   AS tv
+       | FROM b, nn),
+       |${pass(1, _ => "0.125", "")},
+       |${pass(2, j => s"w1.w[${j + 1}]", ", w1")},
+       |${pass(3, j => s"w2.w[${j + 1}]", ", w2")}
+       |SELECT CAST(i AS INT) AS i, w3.w[i + 1] AS loading,
+       | w3.lam AS eigenvalue, w3.lam / m.tv AS var_share
+       |FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS i), w3, m"""
+      .stripMargin
+  }
+
+  // --------------------------------------------------------------- q224
+  /** ε-DP noisy source counts ([[graft.ops.ProfileOps.dpCounts]],
+    * ε=0.5): the Laplace(2) release whose inverse-CDF noise draw is
+    * the portable md5 uniform over `source#dp` — the oracle replays
+    * the count, the draw, and the `−b·sgn(u−½)·ln(1−2|u−½|)` noise
+    * algebra exactly.
+    */
+  def q224(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.dpCounts(Tables.documents(spark, dir), "source",
+      epsilon = 0.5, salt = "dp")
+
+  val q224Sql: String =
+    """WITH g AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n
+      | FROM documents GROUP BY 1),
+      |u AS (
+      | SELECT source, n,
+      |  CAST('0x' || substr(md5(source || '#' || 'dp'), 1, 15) AS BIGINT)
+      |   / 1152921504606846976.0 AS u
+      | FROM g)
+      |SELECT source,
+      | CAST(n AS DOUBLE)
+      |  - 2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noisy_count
+      |FROM u""".stripMargin
+
+  // --------------------------------------------------------------- q225
+  /** Cohen's kappa ([[graft.ops.EvalMetrics.cohensKappa]]) between two
+    * heuristic quality raters — the q26 quality score at 0.5 and the
+    * q216 Flesch score at 60 — the labeling-pipeline agreement gate.
+    * All counts stay integer up to two exact-ratio divisions, so both
+    * engines agree bit-for-bit; undefined-flesch rows rate 'bad' in
+    * both engines (CASE NULL falls through).
+    */
+  def q225(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val quality = graft.ops.TextAnalysis.qualityScore(col("text"))
+    val flesch =
+      graft.ops.TextAnalysis.readabilitySignals(col("text")).getField("flesch")
+    EvalMetrics.cohensKappa(d,
+      when(quality >= 0.5, "good").otherwise("bad"),
+      when(flesch >= 60.0, "good").otherwise("bad"))
+  }
+
+  val q225Sql: String = {
+    val enWords = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+       |sig AS (
+       | SELECT doc_id,
+       |  least(len(toks) / 20.0, 1.0) * 0.4
+       |   + greatest(0.0, 1.0 -
+       |      (CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |       / len(text)) * 4.0) * 0.4
+       |   + least((CAST(len(list_filter(toks, tk -> list_contains($enWords, tk))) AS DOUBLE)
+       |      / len(toks)) * 5.0, 1.0) * 0.2 AS quality,
+       |  CAST(len(toks) AS INT) AS n_words,
+       |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+       |   AS n_sentences,
+       |  CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')),
+       |   len(toks)) AS INT) AS n_syllables
+       | FROM t),
+       |r AS (
+       | SELECT doc_id,
+       |  CASE WHEN quality >= 0.5 THEN 'good' ELSE 'bad' END AS a,
+       |  CASE WHEN (CASE WHEN n_words = 0 THEN NULL
+       |   ELSE 206.835
+       |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |   END) >= 60.0 THEN 'good' ELSE 'bad' END AS b
+       | FROM sig),
+       |cells AS (
+       | SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+       |tot AS (
+       | SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+       | FROM cells),
+       |ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+       |mb AS (SELECT b AS a, CAST(SUM(c) AS BIGINT) AS cb
+       |       FROM cells GROUP BY 1),
+       |pe AS (
+       | SELECT coalesce(SUM(CAST(ca AS DECIMAL(19,0))
+       |   * CAST(cb AS DECIMAL(19,0))), 0) AS pe_num
+       | FROM ma JOIN mb USING (a))
+       |SELECT n, po, pe,
+       | CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+       |FROM (
+       | SELECT tot.n AS n,
+       |  CAST(agree AS DOUBLE) / CAST(tot.n AS DOUBLE) AS po,
+       |  CAST(pe_num AS DOUBLE)
+       |   / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS pe
+       | FROM tot, pe)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q226
+  /** Tokenizer fertility ([[graft.ops.BpeOps.bpeFertility]], 3 BPE
+    * merges): tokens/word and chars/token per language. The oracle
+    * re-trains the 3 merges with q221's unrolled loop — here each
+    * round CTE carries the WORD through the fold so the final merged
+    * state joins back to the per-language word stream — and all
+    * ratios are exact integer-sum divisions.
+    */
+  def q226(spark: SparkSession, dir: String): DataFrame =
+    BpeOps.bpeFertility(Tables.documents(spark, dir), "text", "lang",
+      numMerges = 3)
+
+  val q226Sql: String = {
+    // q221's training round, with `word` carried through the fold
+    def round(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         | SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+         | FROM (SELECT n, string_split(s, ' ') AS l FROM $prev) t,
+         |      unnest(range(1, len(l))) u(i)
+         | GROUP BY 1, 2),
+         |m$k AS (
+         | SELECT a, b, cnt FROM p$k WHERE cnt >= 2
+         | ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS (
+         | SELECT word, n, list_reduce(string_split(s, ' '), (acc, x) ->
+         |   CASE WHEN (acc = m.a OR
+         |              right(acc, length(m.a) + 1) = ' ' || m.a)
+         |             AND x = m.b
+         |        THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+         |        ELSE acc || ' ' || x END) AS s
+         | FROM $prev CROSS JOIN m$k m)""".stripMargin
+    }
+    s"""WITH wds AS (
+       | SELECT lang,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       | FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM wds GROUP BY 1),
+       |s0 AS (
+       | SELECT word, n,
+       |  array_to_string(regexp_split_to_array(word, ''), ' ') AS s
+       | FROM v),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |tk AS (
+       | SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok,
+       |  CAST(length(word) AS BIGINT) AS n_chr
+       | FROM s3)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       | CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       | CAST(SUM(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+       | CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+       |  AS chars_per_token
+       |FROM wds JOIN tk USING (word)
+       |GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q227
+  /** Fairness audit ([[graft.ops.EvalMetrics.fairnessAudit]]) of the
+    * q112-convention pseudo-classifier (pred: `doc_id·13 mod 7 < 3`,
+    * label: `doc_id·29 mod 11 < 5`) sliced by `source`: selection
+    * rate, TPR/FPR, demographic-parity and equal-opportunity gaps vs
+    * the corpus-wide rates — all exact integer-count ratios.
+    */
+  def q227(spark: SparkSession, dir: String): DataFrame =
+    EvalMetrics.fairnessAudit(Tables.documents(spark, dir), "source",
+      (pmod(col("doc_id") * 13, lit(7)) < 3).cast("int"),
+      (pmod(col("doc_id") * 29, lit(11)) < 5).cast("int"))
+
+  val q227Sql: String =
+    """WITH b AS (
+      | SELECT source AS g,
+      |  CASE WHEN (doc_id * 13) % 7 < 3 THEN 1 ELSE 0 END AS p,
+      |  CASE WHEN (doc_id * 29) % 11 < 5 THEN 1 ELSE 0 END AS y
+      | FROM documents),
+      |per AS (
+      | SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(p) AS BIGINT) AS pp,
+      |  CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS tp,
+      |  CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS fp,
+      |  CAST(SUM(y) AS BIGINT) AS pos
+      | FROM b GROUP BY 1),
+      |tot AS (
+      | SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pp) AS BIGINT) AS tpp,
+      |  CAST(SUM(tp) AS BIGINT) AS ttp, CAST(SUM(pos) AS BIGINT) AS tpos
+      | FROM per)
+      |SELECT g AS source, n,
+      | CASE WHEN n > 0 THEN CAST(pp AS DOUBLE) / CAST(n AS DOUBLE) END
+      |  AS pos_rate,
+      | CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END
+      |  AS tpr,
+      | CASE WHEN n - pos > 0
+      |  THEN CAST(fp AS DOUBLE) / CAST(n - pos AS DOUBLE) END AS fpr,
+      | (CASE WHEN n > 0 THEN CAST(pp AS DOUBLE) / CAST(n AS DOUBLE) END)
+      |  - (CASE WHEN tn > 0 THEN CAST(tpp AS DOUBLE) / CAST(tn AS DOUBLE) END)
+      |  AS dp_gap,
+      | (CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END)
+      |  - (CASE WHEN tpos > 0
+      |      THEN CAST(ttp AS DOUBLE) / CAST(tpos AS DOUBLE) END) AS eo_gap
+      |FROM per, tot""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7721,5 +7989,10 @@ object ExtensionQueries {
     "q219_epoch_plan" -> ((q219 _, q219Sql)),
     "q220_epoch_apply" -> ((q220 _, q220Sql)),
     "q221_bpe_merges" -> ((q221 _, q221Sql)),
-    "q222_curriculum" -> ((q222 _, q222Sql)))
+    "q222_curriculum" -> ((q222 _, q222Sql)),
+    "q223_pca_power" -> ((q223 _, q223Sql)),
+    "q224_dp_counts" -> ((q224 _, q224Sql)),
+    "q225_cohens_kappa" -> ((q225 _, q225Sql)),
+    "q226_bpe_fertility" -> ((q226 _, q226Sql)),
+    "q227_fairness" -> ((q227 _, q227Sql)))
 }

@@ -120,6 +120,31 @@ class BpeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeFertility: per-lang integer sums match the plain-Scala replay") {
+    val docs = Seq(
+      (1L, "x", "hug hug pun"), (2L, "x", "pug hugs hug"),
+      (3L, "y", "pun pun bun"), (4L, "y", "hug"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val got = BpeOps.bpeFertility(df, "text", "lang", numMerges = 3)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (merges, _) = BpeOps.bpeTrain(df, "text", 3)
+    val words = docs.flatMap { case (_, lang, t) =>
+      t.split(" ").filter(_.nonEmpty).map(lang -> _) }
+    def tokCount(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector)(refApply).length
+    Seq("x", "y").foreach { lang =>
+      val ws = words.filter(_._1 == lang).map(_._2)
+      val nt = ws.map(w => tokCount(w).toLong).sum
+      val nc = ws.map(_.length.toLong).sum
+      val r = got(lang)
+      assert(r._2 == ws.length.toLong && r._3 == nt && r._4 == nc,
+        s"$lang sums: $r vs (${ws.length}, $nt, $nc)")
+      assert(math.abs(r._5 - nt.toDouble / ws.length) < 1e-12)
+      assert(math.abs(r._6 - nc.toDouble / nt) < 1e-12)
+    }
+  }
+
   test("bpeEncode: tokens concatenate back to the word stream") {
     val df = Seq((1L, "hug hug pun"), (2L, "pug hugs")).toDF("doc_id", "text")
     val (merges, _) = BpeOps.bpeTrain(df, "text", 3)

@@ -125,4 +125,56 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(rt("A") > rt("B") && rt("B") > rt("C"), s"ordering: $rt")
     assert(math.abs(rt.values.sum - 1.0) < 1e-9, "sum-normalized")
   }
+
+  test("fairnessAudit: hand rates and gaps, degenerate groups NULL out") {
+    import org.apache.spark.sql.functions.col
+    // group g1: 4 rows, preds 1,1,0,0, labels 1,0,1,0 ->
+    //   pos_rate .5, tp=1/pos=2 -> tpr .5, fp=1/neg=2 -> fpr .5
+    // group g2: 2 rows, preds 1,1, labels 1,1 ->
+    //   pos_rate 1, tpr 1, fpr NULL (no negatives)
+    // overall: sel 4/6, tpr 3/4
+    val df = Seq(
+      ("g1", 1, 1), ("g1", 1, 0), ("g1", 0, 1), ("g1", 0, 0),
+      ("g2", 1, 1), ("g2", 1, 1)).toDF("g", "p", "y")
+    val r = EvalMetrics.fairnessAudit(df, "g", col("p"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    val g1 = r("g1")
+    assert(g1._2 == 4L && g1._3.contains(0.5) && g1._4.contains(0.5) &&
+      g1._5.contains(0.5))
+    assert(math.abs(g1._6.get - (0.5 - 4.0 / 6.0)) < 1e-12, s"dp ${g1._6}")
+    assert(math.abs(g1._7.get - (0.5 - 0.75)) < 1e-12, s"eo ${g1._7}")
+    val g2 = r("g2")
+    assert(g2._3.contains(1.0) && g2._4.contains(1.0) && g2._5.isEmpty,
+      "no negatives in g2: FPR undefined")
+    assert(math.abs(g2._6.get - (1.0 - 4.0 / 6.0)) < 1e-12)
+  }
+
+  test("cohensKappa: textbook 2x2 value, NULL exclusion, degenerate pe=1") {
+    import org.apache.spark.sql.functions.col
+    // 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes:
+    // po = 35/50 = 0.7; margins A(yes)=25 B(yes)=30 ->
+    // pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes")) ++
+      Seq((null, "yes"), ("yes", null)) // un-rated rows drop
+    val got = EvalMetrics.cohensKappa(
+        rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(got._1 == 50L)
+    assert(math.abs(got._2 - 0.7) < 1e-12 && math.abs(got._3 - 0.5) < 1e-12)
+    assert(math.abs(got._4.get - 0.4) < 1e-12, s"kappa ${got._4}")
+    // both raters constant and equal: po = pe = 1 -> kappa undefined
+    val const = EvalMetrics.cohensKappa(
+        Seq.fill(5)(("x", "x")).toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(const._2 == 1.0 && const._3 == 1.0 && const._4.isEmpty)
+    // disjoint alphabets: agreement 0, kappa < 0 allowed
+    val dis = EvalMetrics.cohensKappa(
+        Seq(("x", "y"), ("y", "x")).toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(dis._2 == 0.0 && math.abs(dis._3 - 0.5) < 1e-12 &&
+      math.abs(dis._4.get + 1.0) < 1e-12)
+  }
 }

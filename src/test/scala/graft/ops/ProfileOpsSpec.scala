@@ -129,4 +129,40 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(l3.find(_._1 == "c").get._3 == 2L,
       "NULL must count as a distinct sensitive value")
   }
+
+  test("dpCounts: noise replays the independent inverse-CDF recompute; " +
+      "deterministic under repartition; epsilon scales the noise") {
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(30)("a") ++ Seq.fill(12)("b") ++ Seq.fill(7)("c"))
+      .toDF("g")
+    val got = ProfileOps.dpCounts(df, "g", epsilon = 0.5, salt = "dp")
+      .as[(String, Double)].collect().toMap
+    // independent replay: md5 top-15-hex uniform, Laplace inverse CDF
+    def u01(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    def lap(s: String, b: Double): Double = {
+      val u = u01(s + "#dp")
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val truth = Map("a" -> 30.0, "b" -> 12.0, "c" -> 7.0)
+    truth.foreach { case (g, n) =>
+      assert(math.abs(got(g) - (n + lap(g, 2.0))) < 1e-9,
+        s"group $g: ${got(g)} vs ${n + lap(g, 2.0)}")
+    }
+    // idempotent release: same draw under any partitioning
+    val re = ProfileOps.dpCounts(df.repartition(5), "g", 0.5, "dp")
+      .as[(String, Double)].collect().toMap
+    assert(re == got)
+    // tighter epsilon = proportionally larger noise, same sign
+    val loose = ProfileOps.dpCounts(df, "g", epsilon = 2.0, salt = "dp")
+      .as[(String, Double)].collect().toMap
+    truth.foreach { case (g, n) =>
+      assert(math.abs((got(g) - n) - 4.0 * (loose(g) - n)) < 1e-9,
+        "noise scales as 1/epsilon with the same draw")
+    }
+  }
 }

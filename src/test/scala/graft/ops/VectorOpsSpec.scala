@@ -232,6 +232,44 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(c01((0, 0)) > c01((1, 1)))
   }
 
+  test("powerComponent converges to the Jacobi top component; " +
+      "repartition-proof; invalid rows excluded") {
+    val dim = 8
+    val rnd = new scala.util.Random(29)
+    val u = Array.tabulate(dim)(i => if (i % 2 == 0) 0.5 else -0.5)
+    val rows = (0 until 300).map { _ =>
+      val a = rnd.nextGaussian() * 3.0
+      Tuple1(Seq.tabulate(dim)(i =>
+        (a * u(i) + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("v")
+    val got = VectorOps.powerComponent(df, "v", dim, iters = 5)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == dim)
+    val jac = VectorOps.pcaTrain(df, "v", dim, k = 1)
+    // same direction up to sign
+    val dot = got.map(_._2).zip(jac.components(0))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.999,
+      s"power direction must match Jacobi, |dot| = ${math.abs(dot)}")
+    assert(math.abs(got.head._3 - jac.eigenvalues(0))
+      < 0.01 * jac.eigenvalues(0),
+      s"eigenvalue ${got.head._3} vs Jacobi ${jac.eigenvalues(0)}")
+    // dominant axis: var_share near lambda/totvar, within (0, 1]
+    assert(got.head._4 > 0.9 && got.head._4 <= 1.0,
+      s"planted dominant axis must explain most variance: ${got.head._4}")
+    // repartition-proof (exact decimal sums are order-free)
+    val re = VectorOps.powerComponent(df.repartition(7), "v", dim, iters = 5)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+    // rows failing the vector contract do not perturb the result
+    val dirty = df.unionByName(
+      Seq(Tuple1(Seq(1.0f, 2.0f)), Tuple1(null: Seq[Float])).toDF("v"))
+    val cleaned = VectorOps.powerComponent(dirty, "v", dim, iters = 5)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(cleaned.toSeq == got.toSeq)
+  }
+
   test("dimStats: hand mean/std, outlier census, zero-variance NULL") {
     // dim 0: nine 0s and one 9 -> mean 0.9, var 7.29, std 2.7,
     // z(9) = 3 -> flags at z > 2; dim 1: constant -> std 0 -> NULL
