@@ -546,6 +546,52 @@ object CurationOps {
     evalDocs
       .select(explode(gramKeys(col(textCol), n)).as("gk")).distinct()
 
+  /** N-GRAM NOVELTY RATE — the memorization gauge (Carlini et al.
+    * 2022's verbatim-overlap family, measured in the eval→train
+    * direction): per EVAL doc, what share of its distinct n-gram keys
+    * appears anywhere in the training corpus. Decontamination
+    * ([[decontaminate]]) asks "which TRAIN docs leak eval text";
+    * novelty asks the converse release question "how much of this
+    * eval/generation set is already verbatim in training" — the
+    * number quoted when deciding whether a benchmark (or a model's
+    * sampled output) is measuring recall instead of generalization.
+    *
+    * Scale shape — the train side is the 100 TB side, so the probe is
+    * INVERTED relative to a naive lookup: the eval doc set's distinct
+    * gram keys BROADCAST (an eval benchmark is thousands of docs), the
+    * train corpus streams map-side against that broadcast emitting
+    * only MATCHED keys (bounded by the eval gram set, deduplicated by
+    * a keyed distinct on 64-bit keys), and the matched-key set joins
+    * back to the per-eval-doc gram lists. Train text never crosses an
+    * exchange; nothing proportional to the corpus is ever collected.
+    * Eval docs with fewer than `n` tokens have no grams and emit
+    * `n_grams = 0` with NULL rate.
+    */
+  def noveltyRate(
+      train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame = {
+    val evalGrams = evalDocs
+      .select(col(idCol), explode_outer(gramKeys(col(textCol), n)).as("gk"))
+    val evalSet = evalGrams.filter(col("gk").isNotNull)
+      .select("gk").distinct()
+    val hit = train
+      .select(explode(gramKeys(col(textCol), n)).as("gk"))
+      .join(broadcast(evalSet), Seq("gk"), "left_semi")
+      .distinct()
+      .withColumnRenamed("gk", "__hit")
+    evalGrams
+      .join(broadcast(hit), col("gk") === col("__hit"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("gk").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          lit(1.0) -
+            col("n_seen").cast("double") / col("n_grams").cast("double")))
+  }
+
   /** Decontamination DECISION path: `train` minus every doc flagged by
     * [[contaminatedIds]], unchanged schema. The anti-join side is the
     * contaminated-id set — proportional to eval overlap, not the

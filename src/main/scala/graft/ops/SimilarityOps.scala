@@ -39,6 +39,34 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** ANN RECALL HARNESS — recall@k of any approximate top-k result
+    * against an exact one: per query, the fraction of the exact
+    * neighbor set the approximate search kept. THE acceptance metric
+    * for every ANN deployment decision (LSH bands, IVF nprobe, PQ m,
+    * dimension truncation): a speedup quote without this number is
+    * meaningless. Both inputs are `(query_id, neighbor_id)` rankings
+    * (extra columns ignored); queries the approximate search returned
+    * nothing for score 0, not absent.
+    *
+    * Integer overlap counts over a left-semi join on the (query,
+    * neighbor) pair — exact-ratio recall, engine-portable; the frames
+    * are query-set-sized, so every join here is small-side work.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"annRecall: k must be >= 1, got $k")
+    val ex = exact.select("query_id", "neighbor_id")
+    val overlap = ex
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_kept"))
+    ex.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the ANN
     * corpus-storage story at 100 TB: a 4× smaller vector column (int8
     * vs float32) with cosine UNCHANGED up to rounding, because the

@@ -7798,6 +7798,104 @@ object ExtensionQueries {
       |      THEN CAST(ttp AS DOUBLE) / CAST(tpos AS DOUBLE) END) AS eo_gap
       |FROM per, tot""".stripMargin
 
+  // --------------------------------------------------------------- q228
+  /** N-gram novelty rate ([[graft.ops.CurationOps.noveltyRate]], q53's
+    * eval/train split and 3-gram string keys): per eval doc the share
+    * of its distinct grams already verbatim in the training corpus.
+    * The oracle replays the inverted probe — train grams against the
+    * eval gram set, matched keys joined back per doc — and gram-less
+    * docs emit `n_grams = 0` with NULL rate on both engines.
+    */
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    CurationOps.noveltyRate(
+      d.filter(col("doc_id") % 20 =!= 0),
+      d.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", n = 3,
+      gramKeys = (t, n) => array_distinct(CurationOps.ngramList(t, n)))
+  }
+
+  val q228Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id, CASE WHEN len(tk) < 3 THEN []
+      |   ELSE list_transform(generate_series(1, len(tk) - 2),
+      |     i -> array_to_string(tk[i : i+2], ' ')) END AS gs
+      | FROM toks),
+      |ev AS (
+      | SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0)),
+      |evset AS (SELECT DISTINCT g FROM ev),
+      |hit AS (
+      | SELECT DISTINCT tr.g
+      | FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0) tr
+      |  JOIN evset USING (g)),
+      |per AS (
+      | SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_seen
+      | FROM ev e LEFT JOIN hit h USING (g) GROUP BY 1)
+      |SELECT d.doc_id,
+      | coalesce(p.n_grams, 0) AS n_grams, coalesce(p.n_seen, 0) AS n_seen,
+      | CASE WHEN coalesce(p.n_grams, 0) > 0
+      |  THEN 1.0 - CAST(p.n_seen AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+      | END AS novelty
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+      |LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  // --------------------------------------------------------------- q229
+  /** Truncated-dimension retrieval recall (the Matryoshka-embedding
+    * evaluation): brute top-5 on the first 16 of 64 dims, scored by
+    * [[graft.ops.SimilarityOps.annRecall]] against the full-dim
+    * top-5 — how much ranking quality a 4× cheaper vector buys away.
+    * The oracle builds both rankings with q24's exact cosine algebra
+    * and counts the overlap as integers.
+    */
+  def q229(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val full = SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 20), e, 5)
+    val t = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc =
+      SimilarityOps.bruteCosineTopK(t.filter(col("vec_id") < 20), t, 5)
+    SimilarityOps.annRecall(full, trunc, k = 5)
+  }
+
+  val q229Sql: String = {
+    def ranking(src: String, out: String): String =
+      s"""${out}c AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, len(a.emb)),
+         |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+         |   / (a.nrm * b.nrm) AS cosine
+         | FROM $src a JOIN $src b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         |$out AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM ${out}c) WHERE rnk <= 5)""".stripMargin
+    s"""WITH ef AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |et AS (
+       | SELECT vec_id, embedding[1:16] AS emb,
+       |  sqrt(list_sum(list_transform(embedding[1:16],
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |${ranking("ef", "f")},
+       |${ranking("et", "t")},
+       |ov AS (
+       | SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_kept
+       | FROM f JOIN t USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT q.query_id, coalesce(ov.n_kept, 0) AS n_kept,
+       | CAST(coalesce(ov.n_kept, 0) AS DOUBLE) / 5.0 AS recall_at_k
+       |FROM (SELECT DISTINCT query_id FROM f) q
+       |LEFT JOIN ov USING (query_id)""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -7994,5 +8092,7 @@ object ExtensionQueries {
     "q224_dp_counts" -> ((q224 _, q224Sql)),
     "q225_cohens_kappa" -> ((q225 _, q225Sql)),
     "q226_bpe_fertility" -> ((q226 _, q226Sql)),
-    "q227_fairness" -> ((q227 _, q227Sql)))
+    "q227_fairness" -> ((q227 _, q227Sql)),
+    "q228_novelty" -> ((q228 _, q228Sql)),
+    "q229_truncated_recall" -> ((q229 _, q229Sql)))
 }

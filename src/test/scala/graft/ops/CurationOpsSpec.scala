@@ -417,4 +417,30 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect()
     assert(flagged.length == 1, "identical vectors share all 8 bands -> one row")
   }
+
+  test("noveltyRate: hand gram overlaps, gram-less doc NULL rate, " +
+      "repartition-proof") {
+    import org.apache.spark.sql.functions.{array_distinct, col}
+    val evalDocs = Seq((1L, "a b c d"), (2L, "x y z w"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val train = Seq((10L, "a b c q q"), (11L, "m n o")).toDF("doc_id", "text")
+    val keys = (t: org.apache.spark.sql.Column, n: Int) =>
+      array_distinct(CurationOps.ngramList(t, n))
+    val got = CurationOps.noveltyRate(
+        train, evalDocs, "text", "doc_id", n = 3, gramKeys = keys)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: grams {a b c, b c d}; train has "a b c" -> seen 1 of 2
+    assert(got(1L) == ((1L, 2L, 1L, Some(0.5))))
+    // doc 2: no overlap -> fully novel
+    assert(got(2L) == ((2L, 2L, 0L, Some(1.0))))
+    // doc 3: fewer than n tokens -> no grams, rate undefined
+    assert(got(3L) == ((3L, 0L, 0L, None)))
+    val re = CurationOps.noveltyRate(
+        train.repartition(3), evalDocs.repartition(2),
+        "text", "doc_id", 3, keys)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
 }

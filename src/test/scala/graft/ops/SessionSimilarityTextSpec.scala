@@ -191,6 +191,20 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got(204L) == 4L)
     assert(got.keySet.subsetOf(Set(200L, 204L)))
   }
+
+  test("annRecall: hand overlaps, zero-recall queries present, " +
+      "extra approx queries ignored") {
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L),
+      (2L, 6L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 2L), (1L, 3L), (1L, 9L), (2L, 7L), (2L, 8L),
+      (3L, 1L)).toDF("query_id", "neighbor_id")
+    val got = SimilarityOps.annRecall(exact, approx, k = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "queries come from the exact side")
+    assert(got(1L)._2 == 2L && math.abs(got(1L)._3 - 2.0 / 3.0) < 1e-12)
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0,
+      "a query the approx search missed entirely scores 0, not absent")
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
