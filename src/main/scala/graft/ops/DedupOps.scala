@@ -1374,4 +1374,104 @@ object DedupOps {
       .select("id")
     df.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** CONTENT-DEFINED CHUNKING (the gear-hash CDC family behind
+    * storage dedup and FastCDC): split text at positions where a
+    * rolling hash of the trailing window hits a mask — boundaries
+    * move WITH the content, so an insertion shifts at most one
+    * chunk's worth of boundaries and every untouched region re-chunks
+    * identically (the property fixed-size chunking — [[graft.ops
+    * .SplitOps]]' q50 shape — fundamentally lacks). The roll is the
+    * gear recurrence `h ← 2h + code(c)` taken mod `2^hashBits`;
+    * because the modulus kills every contribution older than
+    * `hashBits` shifts, `h` at position i has the CLOSED FORM of a
+    * Horner fold over just the trailing `hashBits` characters — which
+    * is what makes the whole chunker a per-row HOF expression (zero
+    * shuffles, codegen) AND lets any engine replay it from the same
+    * window fold. A cut fires after position i when
+    * `h_i mod 2^maskBits = 0` (expected chunk length `2^maskBits`).
+    *
+    * Returns the chunk array; empty/NULL text yields an empty/NULL
+    * array.
+    */
+  def cdcChunks(
+      text: Column, maskBits: Int = 6, hashBits: Int = 20): Column = {
+    require(maskBits >= 1 && maskBits <= hashBits && hashBits <= 30,
+      s"cdcChunks: need 1 <= maskBits <= hashBits <= 30")
+    val mod = lit(1L << hashBits)
+    val mask = lit(1L << maskBits)
+    val n = length(text)
+    // ONE left fold over positions (HOFs get no subexpression
+    // elimination, so a cuts-array formulation re-evaluates the hash
+    // array per filter element — O(n³); the fold is O(n) state): the
+    // running gear hash over the WHOLE prefix equals the trailing-
+    // window Horner fold mod 2^hashBits (older terms are multiples of
+    // the modulus), which is the closed form the SQL oracle replays.
+    val init = struct(lit(0L).as("h"), lit(1).as("start"),
+      array().cast("array<string>").as("chunks"))
+    val folded = aggregate(
+      sequence(lit(1), n), init,
+      (acc, i) => {
+        // the gear table: per-char Knuth multiplicative mix — raw
+        // ASCII codes leave the low maskBits nearly constant over a
+        // word alphabet (observed ~4x under-cutting), a spread gear
+        // value restores the designed 2^-maskBits cut rate
+        val gear = pmod(ascii(text.substr(i, lit(1))) *
+          lit(2654435761L), mod)
+        val h2 = pmod(acc.getField("h") * 2 + gear, mod)
+        val isCut = i < n && h2 % mask === 0
+        struct(
+          h2.as("h"),
+          when(isCut, i + 1).otherwise(acc.getField("start")).as("start"),
+          when(isCut, concat(acc.getField("chunks"),
+              array(text.substr(acc.getField("start"),
+                i - acc.getField("start") + 1))))
+            .otherwise(acc.getField("chunks")).as("chunks"))
+      },
+      acc => concat(acc.getField("chunks"),
+        array(text.substr(acc.getField("start"),
+          n - acc.getField("start") + 1))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(n === 0, array().cast("array<string>"))
+      .otherwise(folded)
+  }
+
+  /** Cross-document duplicate-CHUNK census over [[cdcChunks]] — the
+    * sub-document dedup gauge: per doc, how many of its chunks appear
+    * verbatim in at least one OTHER document (copied boilerplate,
+    * quoted passages, mirrored fragments that document-level dedup
+    * scores dilute below threshold). `keyFn` maps a chunk string to
+    * its shuffle key — xxhash64 by default (only 64-bit keys cross
+    * the exchange; the portable md5 twin slots in for oracle replay,
+    * the [[exactDedupGroups]] convention).
+    *
+    * Scale shape: chunking is row-local column algebra; the census is
+    * one (key → distinct-doc count > 1) aggregation of (key, doc)
+    * pairs and a second keyed fold back to docs — text never
+    * shuffles, and chunk keys are ~len/2^maskBits per doc.
+    */
+  def cdcDupStats(
+      df: DataFrame, textCol: String, idCol: String,
+      maskBits: Int = 6, hashBits: Int = 20,
+      keyFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val chunks = df
+      .select(col(idCol), explode(cdcChunks(col(textCol), maskBits, hashBits))
+        .as("__chunk"))
+      .select(col(idCol), keyFn(col("__chunk")).as("__ck"))
+    val shared = chunks.select(col(idCol), col("__ck")).distinct()
+      .groupBy("__ck").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__ck"))
+    // duplicated content can be pervasive (boilerplate) — the shared
+    // set is NOT broadcast-bounded; keep the key-keyed join and let
+    // AQE downgrade it when the set happens to be small
+    chunks
+      .join(shared.withColumnRenamed("__ck", "__sk"),
+        col("__ck") === col("__sk"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__sk").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_chunks").cast("double"))
+  }
 }

@@ -7896,6 +7896,61 @@ object ExtensionQueries {
        |LEFT JOIN ov USING (query_id)""".stripMargin
   }
 
+  // --------------------------------------------------------------- q230
+  /** Content-defined chunking dup census
+    * ([[graft.ops.DedupOps.cdcDupStats]], gear mask 2^6, hash window
+    * 20): per doc, chunks shared verbatim with another document. The
+    * oracle replays the closed-form trailing-window Horner fold, the
+    * cut positions, the substring chunking AND the cross-doc census —
+    * chunk strings as keys (the q53 oracle convention; production
+    * defaults to xxhash64 keys).
+    */
+  def q230(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cdcDupStats(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0),
+      "text", "doc_id", maskBits = 6, hashBits = 20, keyFn = c => c)
+
+  val q230Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, text FROM documents
+      | WHERE text IS NOT NULL AND len(text) > 0),
+      |co AS (
+      | SELECT doc_id, text,
+      |  list_transform(generate_series(1, length(text)),
+      |    i -> (CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+      |          * 2654435761) % 1048576) AS codes
+      | FROM d),
+      |hh AS (
+      | SELECT doc_id, text, len(codes) AS n,
+      |  list_transform(generate_series(1, len(codes)), i ->
+      |    list_reduce(codes[greatest(1, i - 19):i],
+      |      (a, x) -> a * 2 + x) % 1048576) AS hs
+      | FROM co),
+      |cu AS (
+      | SELECT doc_id, text, n,
+      |  list_concat(list_concat([CAST(0 AS BIGINT)],
+      |    list_filter(generate_series(1, n),
+      |      i -> i < n AND hs[i] % 64 = 0)), [CAST(n AS BIGINT)]) AS cuts
+      | FROM hh),
+      |ch AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(generate_series(1, len(cuts) - 1),
+      |    k -> substr(text, CAST(cuts[k] + 1 AS INT),
+      |      CAST(cuts[k + 1] - cuts[k] AS INT)))) AS chunk
+      | FROM cu),
+      |sh AS (
+      | SELECT chunk FROM (
+      |  SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+      | WHERE nd > 1)
+      |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      | CAST(SUM(CASE WHEN sh.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_shared,
+      | CAST(SUM(CASE WHEN sh.chunk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS shared_frac
+      |FROM ch LEFT JOIN sh USING (chunk)
+      |GROUP BY 1""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8094,5 +8149,6 @@ object ExtensionQueries {
     "q226_bpe_fertility" -> ((q226 _, q226Sql)),
     "q227_fairness" -> ((q227 _, q227Sql)),
     "q228_novelty" -> ((q228 _, q228Sql)),
-    "q229_truncated_recall" -> ((q229 _, q229Sql)))
+    "q229_truncated_recall" -> ((q229 _, q229Sql)),
+    "q230_cdc_chunks" -> ((q230 _, q230Sql)))
 }

@@ -205,4 +205,83 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(w(1L)._2 == 1.0 / 3 && w(2L)._2 == 1.0 / 3 && w(3L)._2 == 1.0 / 3)
     assert(w(10L) == ((10L, 1.0)) && w(11L) == ((11L, 1.0)))
   }
+
+  test("cdcChunks: chunks concatenate back; boundaries are " +
+      "content-defined (prefix insertion re-syncs); empty/NULL contracts") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val rnd = new scala.util.Random(41)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val base = (0 until 120).map(_ => words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val df = Seq((1L, base), (2L, "PREFIX INSERTED " + base),
+      (3L, ""), (4L, null: String)).toDF("id", "text")
+    val got = df.select(col("id"),
+        DedupOps.cdcChunks(col("text")).as("ch"),
+        concat_ws("", DedupOps.cdcChunks(col("text"))).as("rejoined"))
+      .as[(Long, Option[Seq[String]], String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == base, "chunks must concatenate back losslessly")
+    assert(got(3L)._2.contains(Seq.empty), "empty text -> empty chunk list")
+    assert(got(4L)._2.isEmpty, "NULL text -> NULL")
+    // content-defined: after the hash window ages the insertion out,
+    // boundaries re-sync — the two docs share a long common chunk tail
+    val c1 = got(1L)._2.get
+    val c2 = got(2L)._2.get
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.length >= math.max(1, c1.length - 3),
+      s"tails must re-sync: ${c1.length} chunks, ${common.length} common")
+    assert(c1.length >= 4, s"fixture long enough to chunk: ${c1.length}")
+  }
+
+  test("cdcDupStats: planted shared span is census'd; differential vs a " +
+      "plain-Scala fold replay; hashed keys agree with string keys") {
+    import org.apache.spark.sql.functions.col
+    // plain-Scala replay of the gear fold (the independent reference)
+    def gear(c: Char): Long = (c.toLong * 2654435761L) % 1048576L
+    def chunkRef(t: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var h = 0L
+      var start = 0
+      for (i <- 0 until t.length) {
+        h = (2 * h + gear(t(i))) % 1048576L
+        if (i < t.length - 1 && h % 64 == 0) {
+          out += t.substring(start, i + 1); start = i + 1
+        }
+      }
+      out += t.substring(start)
+      out.toSeq
+    }
+    // a 20-char marker whose trailing-window hash forces a cut at the
+    // end of EVERY occurrence (contributions older than 20 shifts
+    // vanish mod 2^20) — so any two docs containing the marker-fenced
+    // span chunk its interior identically
+    def winHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (2 * a + gear(c)) % 1048576L)
+    val rnd = new scala.util.Random(13)
+    def rndStr(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val marker = Iterator.continually(rndStr(20))
+      .find(m => winHash(m) % 64 == 0).get
+    val shared = marker + rndStr(100) + marker
+    val docs = Seq((1L, rndStr(50) + shared), (2L, shared + rndStr(60)),
+      (3L, rndStr(150)))
+    val df = docs.toDF("doc_id", "text")
+    val s = DedupOps.cdcDupStats(df, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(s(1L)._3 > 0 && s(2L)._3 > 0,
+      s"marker-fenced span must share chunks: $s")
+    // independent census from the reference chunker
+    val refChunks = docs.map { case (id, t) => id -> chunkRef(t) }.toMap
+    val sharedSet = refChunks.toSeq.flatMap { case (id, cs) =>
+      cs.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length > 1).keySet
+    refChunks.foreach { case (id, cs) =>
+      val exp = (id, cs.length.toLong, cs.count(sharedSet).toLong,
+        cs.count(sharedSet).toDouble / cs.length)
+      assert(s(id) == exp, s"doc $id: ${s(id)} vs reference $exp")
+    }
+    val str = DedupOps.cdcDupStats(df, "text", "doc_id", keyFn = c => c)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(str == s, "xxhash64 keys and string keys census identically")
+  }
 }
