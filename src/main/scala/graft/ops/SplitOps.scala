@@ -267,6 +267,34 @@ object SplitOps {
         .otherwise("train"))
   }
 
+  /** TEMPORAL EMBARGO SPLIT — the leakage-free time-based train/test
+    * split (the purged/embargoed evaluation discipline of López de
+    * Prado 2018, group-aware the way temporal recsys/ads evals must
+    * be): assignment is PER USER, not per event — a user whose
+    * activity straddles the boundary would leak serial correlation
+    * across the split, so `train` takes only users whose LAST event
+    * precedes the cutoff, `test` only users whose FIRST event clears
+    * the cutoff + embargo gap, and everyone else lands in
+    * `embargoed` (dropped from both sides, the purge). Timestamps are
+    * integer epoch micros end-to-end so every boundary comparison is
+    * exact on any engine.
+    *
+    * One user-keyed min/max/count aggregation (map-side combined) —
+    * nothing else moves at any scale.
+    */
+  def temporalEmbargoSplit(
+      df: DataFrame, userCol: String, tsUs: Column,
+      cutoffUs: Long, embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"embargo must be >= 0, got $embargoUs")
+    df.groupBy(userCol)
+      .agg(min(tsUs).as("min_ts"), max(tsUs).as("max_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("split",
+        when(col("max_ts") < cutoffUs, "train")
+          .when(col("min_ts") >= cutoffUs + embargoUs, "test")
+          .otherwise("embargoed"))
+  }
+
   /** CURRICULUM ORDERING — the easy-to-hard training order (Bengio et
     * al. 2009, and the staged-data recipe of modern pretraining runs):
     * rows are bucketed by a difficulty score into coarse bins via

@@ -949,4 +949,86 @@ object StatsOps {
     }
     df.sparkSession.createDataFrame(out, schema)
   }
+
+  /** Poisson(1) CDF F(0..5) — the resampling thresholds of
+    * [[poissonBootstrapCI]], public so the oracle SQL is built from
+    * the IDENTICAL doubles (shortest-round-trip literals re-parse
+    * exactly). Multiplicities above 5 are capped to 6 (P ≈ 0.06%).
+    */
+  val poisson1Cdf: IndexedSeq[Double] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 1.0
+    (0 to 5).map { k =>
+      if (k > 0) { fact *= k; cum += 1.0 / fact }
+      cum * e1
+    }
+  }
+
+  /** POISSON BOOTSTRAP confidence interval for the mean (Chamandy et
+    * al. 2012 — the bootstrap that works on data too big to resample):
+    * instead of drawing n rows with replacement per replicate (a full
+    * shuffle × B), every row gets an INDEPENDENT Poisson(1)
+    * multiplicity per replicate — for large n the replicate is
+    * distributionally indistinguishable from the classic bootstrap,
+    * and all `reps` replicates reduce in ONE corpus pass as 2·B
+    * map-side-combined aggregates. The multiplicity is the inverse
+    * Poisson CDF of the key-derived [[graft.core.PortableHash.uniform01]]
+    * draw over `key#replicate#seed` — partition-independent,
+    * idempotent, and replayable in any engine ([[poisson1Cdf]]).
+    *
+    * Exactness: replicate sums are round-then-DECIMAL(38,9); replicate
+    * means are exact-ratio doubles; the CI is order statistics of the
+    * B means (`floor(α/2·(B−1))` trimmed from each end) and the
+    * bootstrap SE folds over the ASCENDING means — every step
+    * bit-replayable. The only driver work is one row of 2·B+2
+    * aggregates. Returns one row:
+    * `(n, mean, boot_lo, boot_hi, boot_se)`.
+    */
+  def poissonBootstrapCI(
+      df: DataFrame, valueCol: String, keyCol: String,
+      reps: Int = 40, seed: String = "boot",
+      alpha: Double = 0.05): DataFrame = {
+    require(reps >= 4, s"need reps >= 4, got $reps")
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(keyCol).cast("string").as("__k"), v.as("__v"))
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    def w(b: Int): Column = {
+      val u = graft.core.PortableHash.uniform01(
+        concat_ws("#", col("__k"), lit(b)), lit(seed))
+      poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
+        case ((t, k), rest) => when(u < t, k).otherwise(rest)
+      }
+    }
+    val aggs =
+      Seq(count(lit(1)).as("__n"), d9(col("__v")).as("__sv")) ++
+        (0 until reps).flatMap(b => Seq(
+          d9(w(b).cast("double") * col("__v")).as(s"__s$b"),
+          sum(w(b).cast("long")).as(s"__c$b")))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    require(n > 0, "poissonBootstrapCI: no non-null values")
+    val mean = r.getDecimal(1).doubleValue() / n.toDouble
+    val means = (0 until reps).flatMap { b =>
+      val c = r.getLong(2 + 2 * b + 1)
+      if (c == 0) None
+      else Some(r.getDecimal(2 + 2 * b).doubleValue() / c.toDouble)
+    }.sorted
+    val b = means.length
+    val k = math.floor(alpha / 2.0 * (b - 1)).toInt
+    val lo = means(k)
+    val hi = means(b - 1 - k)
+    val mm = means.reduceLeft(_ + _) / b
+    val se =
+      if (b > 1)
+        math.sqrt(means.map(m => (m - mm) * (m - mm)).reduceLeft(_ + _)
+          / (b - 1))
+      else 0.0
+    Seq((n, mean, lo, hi, se))
+      .toDF("n", "mean", "boot_lo", "boot_hi", "boot_se")
+  }
 }

@@ -7951,6 +7951,92 @@ object ExtensionQueries {
       |FROM ch LEFT JOIN sh USING (chunk)
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q231
+  /** Temporal embargo split
+    * ([[graft.ops.SplitOps.temporalEmbargoSplit]]): cutoff at 70% of
+    * the corpus time range, embargo 2% — both INTEGER micros
+    * arithmetic (`lo + (hi−lo)·7/10`, exact in any engine), users
+    * straddling the purge window dropped to `embargoed`. The bounds
+    * collect is one 1-row aggregation (bounded by contract).
+    */
+  def q231(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val b = ev.agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    SplitOps.temporalEmbargoSplit(ev, "user_id", col("t"),
+      cutoffUs = lo + (hi - lo) * 7 / 10, embargoUs = (hi - lo) / 50)
+  }
+
+  val q231Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |p AS (
+      | SELECT min(t) + (max(t) - min(t)) * 7 // 10 AS cutoff,
+      |  (max(t) - min(t)) // 50 AS emb
+      | FROM e),
+      |u AS (
+      | SELECT user_id, min(t) AS min_ts, max(t) AS max_ts,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      | FROM e GROUP BY 1)
+      |SELECT user_id, min_ts, max_ts, n_events,
+      | CASE WHEN max_ts < cutoff THEN 'train'
+      |      WHEN min_ts >= cutoff + emb THEN 'test'
+      |      ELSE 'embargoed' END AS split
+      |FROM u, p""".stripMargin
+
+  // --------------------------------------------------------------- q232
+  /** Poisson bootstrap CI
+    * ([[graft.ops.StatsOps.poissonBootstrapCI]], B=40, α=0.05) for the
+    * mean event value: the oracle replays every per-row per-replicate
+    * Poisson(1) draw (inverse CDF of the md5 uniform against the
+    * SHARED [[graft.ops.StatsOps.poisson1Cdf]] literals), the exact
+    * DECIMAL replicate sums, the ascending-means order statistics and
+    * the SE fold.
+    */
+  def q232(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.poissonBootstrapCI(Tables.events(spark, dir),
+      "value", "event_id", reps = 40, seed = "boot", alpha = 0.05)
+
+  val q232Sql: String = {
+    val cdf = StatsOps.poisson1Cdf
+    val caseW = cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH e AS (
+       | SELECT CAST(event_id AS VARCHAR) AS k, value AS v FROM events
+       | WHERE value IS NOT NULL),
+       |t AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sv
+       | FROM e),
+       |d AS (
+       | SELECT b, v,
+       |  CAST('0x' || substr(md5(k || '#' || CAST(b AS VARCHAR)
+       |    || '#' || 'boot'), 1, 15) AS BIGINT)
+       |   / 1152921504606846976.0 AS u
+       | FROM e, range(0, 40) r(b)),
+       |w AS (SELECT b, v, $caseW AS w FROM d),
+       |m AS (
+       | SELECT b,
+       |  CAST(SUM(CAST(round(CAST(w AS DOUBLE) * v, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS s,
+       |  CAST(SUM(w) AS BIGINT) AS c
+       | FROM w GROUP BY b),
+       |mm AS (SELECT list(s / c ORDER BY s / c) AS ms FROM m WHERE c > 0),
+       |st AS (
+       | SELECT ms, len(ms) AS nb,
+       |  CAST(floor(0.025 * (len(ms) - 1)) AS INT) AS kk,
+       |  list_sum(ms) / len(ms) AS mb
+       | FROM mm)
+       |SELECT t.n, t.sv / t.n AS mean,
+       | st.ms[st.kk + 1] AS boot_lo,
+       | st.ms[st.nb - st.kk] AS boot_hi,
+       | CASE WHEN st.nb > 1 THEN
+       |  sqrt(list_sum(list_transform(st.ms, x -> (x - st.mb) * (x - st.mb)))
+       |   / (st.nb - 1)) ELSE 0.0 END AS boot_se
+       |FROM t, st""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8150,5 +8236,7 @@ object ExtensionQueries {
     "q227_fairness" -> ((q227 _, q227Sql)),
     "q228_novelty" -> ((q228 _, q228Sql)),
     "q229_truncated_recall" -> ((q229 _, q229Sql)),
-    "q230_cdc_chunks" -> ((q230 _, q230Sql)))
+    "q230_cdc_chunks" -> ((q230 _, q230Sql)),
+    "q231_embargo_split" -> ((q231 _, q231Sql)),
+    "q232_poisson_bootstrap" -> ((q232 _, q232Sql)))
 }

@@ -249,6 +249,27 @@ class SplitOpsSpec extends AnyFunSuite {
     assert(re.toSeq == out.toSeq, "order must not depend on partitioning")
   }
 
+  test("temporalEmbargoSplit: hand boundaries, straddlers purged, " +
+      "boundary users exact") {
+    // cutoff 100, embargo 20: train < 100, test >= 120
+    val ev = Seq(
+      (1L, 10L), (1L, 99L),            // all before cutoff -> train
+      (2L, 120L), (2L, 200L),          // first event at the test edge
+      (3L, 50L), (3L, 150L),           // straddles -> embargoed
+      (4L, 100L),                      // max_ts == cutoff: NOT train
+      (5L, 119L)                       // inside the gap -> embargoed
+    ).toDF("u", "t")
+    val got = SplitOps.temporalEmbargoSplit(ev, "u", col("t"), 100L, 20L)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, 99L, 2L, "train")))
+    assert(got(2L) == ((2L, 120L, 200L, 2L, "test")),
+      "min_ts == cutoff + embargo is test (inclusive)")
+    assert(got(3L)._5 == "embargoed", "straddler must be purged")
+    assert(got(4L)._5 == "embargoed", "event AT the cutoff is not train")
+    assert(got(5L)._5 == "embargoed", "gap events are purged")
+  }
+
   test("curriculumOrder rejects unsorted thresholds") {
     val df = Seq((1L, 0.5)).toDF("id", "score")
     intercept[IllegalArgumentException] {

@@ -468,4 +468,54 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(StatsOps.madOutliers(withNull, "k", "v")
       .select("n").as[Long].collect().head == 3L, "NULL values excluded")
   }
+
+  test("poissonBootstrapCI: full plain-Scala replay of draws, replicate " +
+      "means, trimmed CI and SE; repartition-proof") {
+    // values exactly representable in binary, so the round-at-9 step
+    // is exact on both paths
+    val vals = (1L to 200L).map(i => (i, (i % 13).toDouble + 0.25))
+    val df = vals.toDF("id", "v")
+    val reps = 20
+    val alpha = 0.3 // k = floor(0.15 * 19) = 2 -> real trimming
+    val got = StatsOps.poissonBootstrapCI(df, "v", "id", reps, "bs", alpha)
+      .as[(Long, Double, Double, Double, Double)].head()
+    def u01(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    def pois(u: Double): Int =
+      StatsOps.poisson1Cdf.indexWhere(u < _) match {
+        case -1 => 6
+        case k => k
+      }
+    val means = (0 until reps).flatMap { b =>
+      val ws = vals.map { case (id, v) => (pois(u01(s"$id#$b#bs")), v) }
+      val c = ws.map(_._1.toLong).sum
+      if (c == 0) None
+      else {
+        val s = ws.map { case (w, v) =>
+          BigDecimal(w * v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some(s.toDouble / c.toDouble)
+      }
+    }.sorted
+    val k = math.floor(alpha / 2.0 * (means.length - 1)).toInt
+    assert(k == 2, s"fixture must exercise trimming, k = $k")
+    assert(got._1 == 200L)
+    val mean = vals.map(_._2).sum / 200.0
+    assert(math.abs(got._2 - mean) < 1e-9)
+    assert(math.abs(got._3 - means(k)) < 1e-12, s"lo ${got._3} vs ${means(k)}")
+    assert(math.abs(got._4 - means(means.length - 1 - k)) < 1e-12)
+    val mm = means.reduceLeft(_ + _) / means.length
+    val se = math.sqrt(means.map(m => (m - mm) * (m - mm)).reduceLeft(_ + _)
+      / (means.length - 1))
+    assert(math.abs(got._5 - se) < 1e-12, s"se ${got._5} vs $se")
+    assert(got._3 <= got._2 && got._2 <= got._4, "CI brackets the mean")
+    val re = StatsOps.poissonBootstrapCI(
+        df.repartition(7), "v", "id", reps, "bs", alpha)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(re == got, "exact decimal sums make the CI order-free")
+  }
 }
