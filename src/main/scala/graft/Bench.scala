@@ -122,6 +122,19 @@ object Bench {
     "b_soft_dedup" -> ((s, dir) =>
       DedupOps.softDedupWeightsFromReps(
         Tables.documents(s, dir), "text", "doc_id", 0.6)),
+    // production CDC census twin of q230 (xxhash64 chunk keys — only
+    // 64-bit keys cross the census exchange, vs the oracle's strings)
+    "b_cdc_dup" -> ((s, dir) =>
+      DedupOps.cdcDupStats(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(col("text")) > 0),
+        "text", "doc_id")),
+    // production bootstrap twin of q232 (xxhash64 draws — the md5
+    // portable draw is the oracle's, ~20x the per-draw cost)
+    "b_bootstrap_xxh" -> ((s, dir) =>
+      graft.ops.StatsOps.poissonBootstrapCI(
+        Tables.events(s, dir), "value", "event_id", reps = 40,
+        uniform = graft.ops.StatsOps.xxhUniform)),
     "b_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")),
     // the exact-dedup DECISION form: kept rows via a broadcastable

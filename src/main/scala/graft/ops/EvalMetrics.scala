@@ -412,6 +412,46 @@ object EvalMetrics {
             (col("wins") + col("losses")).cast("double")))
   }
 
+  /** LABEL-NOISE screen by NEIGHBOR DISAGREEMENT (the cheap core of
+    * confident learning / deep-kNN label audits): for each query
+    * point, the fraction of its nearest neighbors carrying a
+    * DIFFERENT label — a point whose whole neighborhood disagrees is
+    * a mislabel candidate, and at dataset scale this list IS the
+    * re-annotation queue. Generic over any `(query_id, neighbor_id)`
+    * frame, so the same harness audits brute-force, LSH, IVF or PQ
+    * neighborhoods ([[graft.ops.SimilarityOps.annRecall]]'s
+    * convention). NULL-label rows carry no evidence: null-label
+    * queries are excluded, null-label neighbors leave the
+    * denominator.
+    *
+    * All joins are id-keyed (the label side never moves more than its
+    * (id, label) pairs); counts stay integer until one exact-ratio
+    * division.
+    */
+  def labelDisagreement(
+      neighbors: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String,
+      suspectAt: Double = 0.8): DataFrame = {
+    require(suspectAt > 0 && suspectAt <= 1,
+      s"need 0 < suspectAt <= 1, got $suspectAt")
+    val l = labels.select(col(idCol), col(labelCol))
+      .filter(col(labelCol).isNotNull)
+    val ql = l.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val nl = l.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
+    neighbors.select("query_id", "neighbor_id")
+      .join(ql, Seq("query_id"))
+      .join(nl, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") =!= col("__ql"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("query_id"), col("__ql").as("label"),
+        col("n_neighbors"), col("n_disagree"),
+        (col("n_disagree").cast("double") /
+          col("n_neighbors").cast("double")).as("disagree_frac"))
+      .withColumn("suspect", col("disagree_frac") >= suspectAt)
+  }
+
   /** COHEN'S KAPPA (Cohen 1960) — chance-corrected agreement between
     * two categorical raters: `κ = (p_o − p_e)/(1 − p_e)` with observed
     * agreement `p_o` and the chance agreement `p_e` implied by the two

@@ -985,10 +985,21 @@ object StatsOps {
     * aggregates. Returns one row:
     * `(n, mean, boot_lo, boot_hi, boot_se)`.
     */
+  /** Production draw for [[poissonBootstrapCI]]: xxhash64 top-53-bit
+    * uniform (the [[graft.ops.MaskingOps]] Xxh-family convention) —
+    * ~20× cheaper per draw than the md5-portable default, same
+    * key-derived determinism, not SQL-replayable.
+    */
+  val xxhUniform: (Column, Column) => Column = (key, salt) =>
+    shiftrightunsigned(xxhash64(key, salt), 11).cast("double") /
+      lit((1L << 53).toDouble)
+
   def poissonBootstrapCI(
       df: DataFrame, valueCol: String, keyCol: String,
       reps: Int = 40, seed: String = "boot",
-      alpha: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05,
+      uniform: (Column, Column) => Column =
+        graft.core.PortableHash.uniform01): DataFrame = {
     require(reps >= 4, s"need reps >= 4, got $reps")
     require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
     val spark = df.sparkSession
@@ -998,8 +1009,7 @@ object StatsOps {
       .select(col(keyCol).cast("string").as("__k"), v.as("__v"))
     def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
     def w(b: Int): Column = {
-      val u = graft.core.PortableHash.uniform01(
-        concat_ws("#", col("__k"), lit(b)), lit(seed))
+      val u = uniform(concat_ws("#", col("__k"), lit(b)), lit(seed))
       poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
         case ((t, k), rest) => when(u < t, k).otherwise(rest)
       }

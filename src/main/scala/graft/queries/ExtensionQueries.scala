@@ -8037,6 +8037,50 @@ object ExtensionQueries {
        |FROM t, st""".stripMargin
   }
 
+  // --------------------------------------------------------------- q233
+  /** Label-noise screen ([[graft.ops.EvalMetrics.labelDisagreement]]
+    * over brute top-5 cosine neighborhoods, queries `vec_id < 30`):
+    * per query the neighbor-label disagreement fraction and the
+    * suspect flag at 0.8. The oracle rebuilds the q24-exact ranking
+    * and counts disagreements as integers.
+    */
+  def q233(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val nn = SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 30), e, 5)
+    EvalMetrics.labelDisagreement(nn, e, "vec_id", "label", suspectAt = 0.8)
+  }
+
+  val q233Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings),
+      |c AS (
+      | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (a.nrm * b.nrm) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < 30 AND b.vec_id <> a.vec_id),
+      |r AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM c) WHERE rnk <= 5)
+      |SELECT r.query_id, ql.label,
+      | CAST(count(*) AS BIGINT) AS n_neighbors,
+      | CAST(SUM(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_disagree,
+      | CAST(SUM(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE) AS disagree_frac,
+      | (CAST(SUM(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+      |  / CAST(count(*) AS DOUBLE)) >= 0.8 AS suspect
+      |FROM r
+      |JOIN (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL) ql
+      | ON ql.vec_id = r.query_id
+      |JOIN (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL) nl
+      | ON nl.vec_id = r.neighbor_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8238,5 +8282,6 @@ object ExtensionQueries {
     "q229_truncated_recall" -> ((q229 _, q229Sql)),
     "q230_cdc_chunks" -> ((q230 _, q230Sql)),
     "q231_embargo_split" -> ((q231 _, q231Sql)),
-    "q232_poisson_bootstrap" -> ((q232 _, q232Sql)))
+    "q232_poisson_bootstrap" -> ((q232 _, q232Sql)),
+    "q233_label_noise" -> ((q233 _, q233Sql)))
 }

@@ -126,6 +126,27 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(math.abs(rt.values.sum - 1.0) < 1e-9, "sum-normalized")
   }
 
+  test("labelDisagreement: hand fractions, NULL-label contracts, " +
+      "suspect threshold inclusive") {
+    import org.apache.spark.sql.functions.col
+    val neighbors = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L),   // q1: labels B, B, NULL
+      (2L, 1L), (2L, 3L),             // q2: labels A, B
+      (5L, 1L), (5L, 2L)              // q5: NULL-label query -> absent
+    ).toDF("query_id", "neighbor_id")
+    val labels = Seq((1L, Some("A")), (2L, Some("B")), (3L, Some("B")),
+      (4L, None), (5L, None)).toDF("id", "label")
+    val got = EvalMetrics.labelDisagreement(
+        neighbors, labels, "id", "label", suspectAt = 1.0)
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "NULL-label query excluded")
+    // q1: neighbor 4 has NULL label -> denominator 2, both disagree
+    assert(got(1L) == ((1L, "A", 2L, 2L, 1.0, true)),
+      "threshold is inclusive and NULL neighbors leave the denominator")
+    assert(got(2L) == ((2L, "B", 2L, 1L, 0.5, false)))
+  }
+
   test("fairnessAudit: hand rates and gaps, degenerate groups NULL out") {
     import org.apache.spark.sql.functions.col
     // group g1: 4 rows, preds 1,1,0,0, labels 1,0,1,0 ->
