@@ -206,6 +206,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(w(10L) == ((10L, 1.0)) && w(11L) == ((11L, 1.0)))
   }
 
+  test("cdcChunks fused expression is bit-identical to the composable " +
+      "fold on random texts") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(97)
+    val alphabet = ('a' to 'z') ++ Seq(' ', ' ', ' ', '.', ',', 'é', '中')
+    val rows = (1L to 60L).map { i =>
+      val len = rnd.nextInt(400)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    }
+    val df = rows.toDF("id", "text")
+    val both = df.select(col("id"),
+        DedupOps.cdcChunks(col("text")).as("fused"),
+        DedupOps.cdcChunksComposable(col("text")).as("hof"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, f, h) =>
+      assert(f == h, s"row $id: fused $f vs composable $h")
+    }
+  }
+
   test("cdcChunks: chunks concatenate back; boundaries are " +
       "content-defined (prefix insertion re-syncs); empty/NULL contracts") {
     import org.apache.spark.sql.functions.{col, concat_ws}
