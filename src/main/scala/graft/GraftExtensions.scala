@@ -95,6 +95,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("strip_accents",
       "strip_accents(string) - NFD, drop combining marks, NFC recompose (DuckDB-parity)",
       exprs => StripAccents(exprs(0))))
+    ext.injectFunction(fn("cdc_chunks",
+      "cdc_chunks(string, maskBits, hashBits) - content-defined (gear-hash CDC) chunk array",
+      exprs => graft.functions.CdcChunks(exprs(0),
+        litInt(exprs(1), "cdc_chunks", "maskBits"),
+        litInt(exprs(2), "cdc_chunks", "hashBits"))))
   }
 
   /** Extract a literal double argument (SQL decimal literals arrive as

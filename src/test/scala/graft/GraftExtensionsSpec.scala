@@ -107,4 +107,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(String, String)].head()
     assert(r == (("cafe", "caf\u00e9")))
   }
+
+  test("cdc_chunks resolves from SQL and rejoins losslessly") {
+    val r = spark.sql(
+      "SELECT cdc_chunks('the quick brown fox jumps over the lazy dog', " +
+        "6, 20) AS c").as[Seq[String]].head()
+    assert(r.mkString == "the quick brown fox jumps over the lazy dog")
+  }
 }
