@@ -152,6 +152,37 @@ object MixOps {
       .select(col(idCol), col("domain"), col("copy"))
   }
 
+  /** DoReMi-STYLE domain reweighting step (Xie et al. 2023's
+    * exponentiated-gradient core): given one scalar loss per domain,
+    * the next mixture is `w'_d ∝ w_d · exp(η · loss_d)` — domains the
+    * proxy model finds hard (high excess loss) get more weight. One
+    * step from the uniform prior; iterate by feeding the output back
+    * as losses update. The normalizer folds over domains in SORTED
+    * domain order (the [[epochPlan]] total-weight convention), so the
+    * released mixture is bit-replayable; the domain frame is
+    * |domains| rows — constant-size work however big the corpus that
+    * produced the losses.
+    */
+  def doremiStep(
+      domainLoss: DataFrame, domainCol: String, lossCol: String,
+      eta: Double): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    val cnt = domainLoss.agg(count(lit(1)).as("__k"))
+    val scored = domainLoss.crossJoin(broadcast(cnt))
+      .withColumn("__w0", lit(1.0) / col("__k").cast("double"))
+      .withColumn("__raw",
+        col("__w0") * exp(lit(eta) * col(lossCol).cast("double")))
+    val tot = scored.agg(
+      aggregate(
+        array_sort(collect_list(struct(
+          col(domainCol).cast("string").as("s"), col("__raw").as("r")))),
+        lit(0.0), (a, e) => a + e.getField("r")).as("__t"))
+    scored.crossJoin(broadcast(tot))
+      .select(col(domainCol).as("domain"), col(lossCol).as("loss"),
+        col("__w0").as("weight_old"),
+        (col("__raw") / col("__t")).as("weight_new"))
+  }
+
   /** IMPORTANCE REWEIGHTING to a UNIFORM category target — the
     * mix-correction primitive when resampling is off the table
     * (training loss weights, estimator reweighting): per category the

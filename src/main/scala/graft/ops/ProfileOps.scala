@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling (the Deequ/data-quality shape): per-column
@@ -117,6 +117,45 @@ object ProfileOps {
         (col("__n").cast("double") -
           lit(1.0 / epsilon) * signum(u - 0.5) *
             log(lit(1.0) - lit(2.0) * abs(u - 0.5))).as("noisy_count"))
+  }
+
+  /** ε-DP CLIPPED MEAN per group — the second standard release after
+    * [[dpCounts]]: each contribution is CLIPPED to `[clipLo, clipHi]`
+    * (bounding the sum's sensitivity to `max(|lo|,|hi|)` — without the
+    * clip one outlier user re-identifies itself through the mean),
+    * then sum and count are released with Laplace noise under an
+    * ε/2 + ε/2 budget split and the mean is the post-processed ratio
+    * (post-processing is free under DP). Draws are key-derived over
+    * `group#salt#sum` / `group#salt#cnt` — idempotent re-release, no
+    * fresh ε spent on re-runs, engine-replayable.
+    *
+    * The clipped sum accumulates as round-then-DECIMAL(38,9) so the
+    * pre-noise statistic is bit-identical everywhere; one keyed agg,
+    * row-local noise.
+    */
+  def dpMean(
+      df: DataFrame, groupCol: String, valueCol: String, epsilon: Double,
+      clipLo: Double, clipHi: Double, salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(clipLo < clipHi, s"need clipLo < clipHi, got [$clipLo, $clipHi]")
+    val sensSum = math.max(math.abs(clipLo), math.abs(clipHi))
+    def lap(tag: String, b: Double): Column = {
+      val u = graft.core.PortableHash.uniform01(col(groupCol),
+        lit(s"$salt#$tag"))
+      lit(-b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    }
+    val v = greatest(lit(clipLo),
+      least(lit(clipHi), col(valueCol).cast("double")))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"),
+        sum(round(v, 9).cast("decimal(38,9)")).cast("double").as("__s"))
+      .select(col(groupCol),
+        (col("__s") + lap("sum", sensSum / (epsilon / 2.0))).as("noisy_sum"),
+        (col("__n").cast("double") + lap("cnt", 1.0 / (epsilon / 2.0)))
+          .as("noisy_count"))
+      .withColumn("noisy_mean",
+        col("noisy_sum") / greatest(lit(1.0), col("noisy_count")))
   }
 
   /** RFM SCORING (recency / frequency / monetary — the classic

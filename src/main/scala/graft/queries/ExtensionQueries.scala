@@ -8081,6 +8081,115 @@ object ExtensionQueries {
       | ON nl.vec_id = r.neighbor_id
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q234
+  /** ε-DP clipped mean per event type
+    * ([[graft.ops.ProfileOps.dpMean]], ε=0.5, clip [0,100], ε/2+ε/2
+    * budget): the oracle replays the clip, the exact DECIMAL sum, and
+    * both Laplace draws (`b_sum = 100/0.25 = 400`, `b_cnt = 4`).
+    */
+  def q234(spark: SparkSession, dir: String): DataFrame =
+    ProfileOps.dpMean(Tables.events(spark, dir), "event_type", "value",
+      epsilon = 0.5, clipLo = 0.0, clipHi = 100.0, salt = "dpm")
+
+  val q234Sql: String =
+    """WITH g AS (
+      | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(greatest(0.0, least(100.0, value)), 9)
+      |    AS DECIMAL(38,9))) AS DOUBLE) AS s
+      | FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |u AS (
+      | SELECT event_type, n, s,
+      |  CAST('0x' || substr(md5(event_type || '#' || 'dpm#sum'), 1, 15)
+      |    AS BIGINT) / 1152921504606846976.0 AS us,
+      |  CAST('0x' || substr(md5(event_type || '#' || 'dpm#cnt'), 1, 15)
+      |    AS BIGINT) / 1152921504606846976.0 AS uc
+      | FROM g),
+      |r AS (
+      | SELECT event_type,
+      |  s + (-400.0) * sign(us - 0.5) * ln(1.0 - 2.0 * abs(us - 0.5))
+      |   AS noisy_sum,
+      |  CAST(n AS DOUBLE)
+      |   + (-4.0) * sign(uc - 0.5) * ln(1.0 - 2.0 * abs(uc - 0.5))
+      |   AS noisy_count
+      | FROM u)
+      |SELECT event_type, noisy_sum, noisy_count,
+      | noisy_sum / greatest(1.0, noisy_count) AS noisy_mean
+      |FROM r""".stripMargin
+
+  // --------------------------------------------------------------- q235
+  /** Embedding-cluster MIX drift: q65's k-means assignment split into
+    * even/odd `vec_id` halves (the two-corpus-snapshots convention),
+    * PSI over the CLUSTER distribution via
+    * [[graft.ops.DriftOps.categoricalDrift]] — the semantic-space
+    * monitor that catches "the new crawl is topically different"
+    * before any per-feature drift gate fires. Oracle: q65's unrolled
+    * k-means prefix feeding q100's smoothed-PSI tail.
+    */
+  def q235(spark: SparkSession, dir: String): DataFrame = {
+    val assign = SimilarityOps.kmeansAssign(
+      Tables.embeddings(spark, dir), "embedding", "vec_id",
+      k = q65K, iters = q65Iters, dim = q65Dim)
+    DriftOps.categoricalDrift(
+      assign.filter(col("vec_id") % 2 === 0),
+      assign.filter(col("vec_id") % 2 === 1), "cluster")
+  }
+
+  val q235Sql: String =
+    s"""${kmeansPrefixSql("af")},
+      |co AS (SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_old
+      |       FROM af WHERE vec_id % 2 = 0 GROUP BY 1),
+      |cn AS (SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_new
+      |       FROM af WHERE vec_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT COALESCE(co.cluster, cn.cluster) AS cluster,
+      |  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old,
+      |  COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
+      | FROM co FULL JOIN cn ON co.cluster = cn.cluster),
+      |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, count(*) AS k
+      |      FROM j),
+      |w AS (SELECT cluster, n_old, n_new,
+      |  (CAST(n_old AS DOUBLE) + 1.0) / (CAST(t_old AS DOUBLE) + CAST(k AS DOUBLE)) AS p_old,
+      |  (CAST(n_new AS DOUBLE) + 1.0) / (CAST(t_new AS DOUBLE) + CAST(k AS DOUBLE)) AS p_new
+      | FROM j CROSS JOIN t),
+      |w2 AS (SELECT cluster, n_old, n_new, p_old, p_new,
+      |  (p_new - p_old) * ln(p_new / p_old) AS psi_term FROM w),
+      |tt AS (SELECT CAST(SUM(CAST(round(psi_term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |       AS psi_total FROM w2)
+      |SELECT * FROM w2 CROSS JOIN tt""".stripMargin
+
+  // --------------------------------------------------------------- q236
+  /** DoReMi reweighting step ([[graft.ops.MixOps.doremiStep]], η=0.1)
+    * from a per-source proxy loss (mean chars / 1000 — exact integer
+    * ratios): the oracle replays the loss, the exp tilt, and the
+    * sorted-domain normalizer fold.
+    */
+  def q236(spark: SparkSession, dir: String): DataFrame = {
+    val loss = Tables.documents(spark, dir)
+      .groupBy(col("source").as("domain"))
+      .agg(sum(col("n_chars")).as("__sc"), count(lit(1)).as("__c"))
+      .select(col("domain"),
+        (col("__sc").cast("double") / col("__c").cast("double") / 1000.0)
+          .as("loss"))
+    MixOps.doremiStep(loss, "domain", "loss", eta = 0.1)
+  }
+
+  val q236Sql: String =
+    """WITH per AS (
+      | SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS sc,
+      |  CAST(count(*) AS BIGINT) AS c
+      | FROM documents GROUP BY 1),
+      |l AS (
+      | SELECT domain,
+      |  CAST(sc AS DOUBLE) / CAST(c AS DOUBLE) / 1000.0 AS loss
+      | FROM per),
+      |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l),
+      |s AS (
+      | SELECT domain, loss, 1.0 / k AS w0,
+      |  (1.0 / k) * exp(0.1 * loss) AS raw
+      | FROM l, k),
+      |t AS (SELECT list_sum(list(raw ORDER BY domain)) AS tw FROM s)
+      |SELECT domain, loss, w0 AS weight_old, raw / tw AS weight_new
+      |FROM s, t""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8283,5 +8392,8 @@ object ExtensionQueries {
     "q230_cdc_chunks" -> ((q230 _, q230Sql)),
     "q231_embargo_split" -> ((q231 _, q231Sql)),
     "q232_poisson_bootstrap" -> ((q232 _, q232Sql)),
-    "q233_label_noise" -> ((q233 _, q233Sql)))
+    "q233_label_noise" -> ((q233 _, q233Sql)),
+    "q234_dp_mean" -> ((q234 _, q234Sql)),
+    "q235_cluster_drift" -> ((q235 _, q235Sql)),
+    "q236_doremi_step" -> ((q236 _, q236Sql)))
 }

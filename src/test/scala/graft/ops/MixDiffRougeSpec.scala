@@ -109,6 +109,25 @@ class MixDiffRougeSpec extends AnyFunSuite {
       frac.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("doremiStep: exp tilt toward high-loss domains, normalized, " +
+      "hand values") {
+    val loss = Seq(("a", 2.0), ("b", 1.0), ("c", 0.0)).toDF("d", "l")
+    val got = MixOps.doremiStep(loss, "d", "l", eta = 1.0)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val raw = Map("a" -> math.exp(2.0) / 3.0, "b" -> math.exp(1.0) / 3.0,
+      "c" -> 1.0 / 3.0)
+    val tot = raw("a") + raw("b") + raw("c") // sorted domain order a,b,c
+    Seq("a", "b", "c").foreach { d =>
+      assert(got(d)._3 == 1.0 / 3.0)
+      assert(math.abs(got(d)._4 - raw(d) / tot) < 1e-12,
+        s"$d: ${got(d)._4} vs ${raw(d) / tot}")
+    }
+    assert(got("a")._4 > got("b")._4 && got("b")._4 > got("c")._4,
+      "hard domains gain weight")
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-12, "normalized")
+  }
+
   // ------------------------------------------------------ snapshotDiff
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {

@@ -130,6 +130,36 @@ class ProfileOpsSpec extends AnyFunSuite {
       "NULL must count as a distinct sensitive value")
   }
 
+  test("dpMean: clipping bounds sensitivity, draws replay independently, " +
+      "mean is the post-processed ratio") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g", 5.0), ("g", 250.0), ("g", -10.0), ("h", 50.0))
+      .toDF("grp", "v")
+    val got = ProfileOps.dpMean(df, "grp", "v", epsilon = 0.5,
+        clipLo = 0.0, clipHi = 100.0, salt = "dm")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def u01(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16).toDouble /
+        1152921504606846976.0
+    }
+    def lap(s: String, b: Double): Double = {
+      val u = u01(s)
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    // g: clipped sum = 5 + 100 + 0 = 105, n = 3
+    val gs = 105.0 + lap("g#dm#sum", 100.0 / 0.25)
+    val gc = 3.0 + lap("g#dm#cnt", 1.0 / 0.25)
+    assert(math.abs(got("g")._2 - gs) < 1e-9, s"${got("g")._2} vs $gs")
+    assert(math.abs(got("g")._3 - gc) < 1e-9)
+    assert(math.abs(got("g")._4 - gs / math.max(1.0, gc)) < 1e-9)
+    val hs = 50.0 + lap("h#dm#sum", 400.0)
+    assert(math.abs(got("h")._2 - hs) < 1e-9)
+  }
+
   test("dpCounts: noise replays the independent inverse-CDF recompute; " +
       "deterministic under repartition; epsilon scales the noise") {
     import org.apache.spark.sql.functions.col
