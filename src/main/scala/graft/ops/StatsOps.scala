@@ -994,6 +994,72 @@ object StatsOps {
     shiftrightunsigned(xxhash64(key, salt), 11).cast("double") /
       lit((1L << 53).toDouble)
 
+  /** [[poissonBootstrapCI]] PER GROUP, fully distributed — the
+    * per-slice CI column a metrics dashboard actually wants (every
+    * segment's mean WITH its uncertainty, no driver loop over
+    * segments): the corpus expands to a narrow `(group, replicate,
+    * weight, value)` stream (B× row amplification of ~24-byte rows —
+    * the price of per-group resampling; map-side combine folds it to
+    * |groups|·B partial rows), replicate means reduce per (group, b),
+    * and the order-statistic CI + SE fold run INSIDE the engine over
+    * each group's sorted B-element mean array (`sort_array` +
+    * left-fold HOFs — 40 elements, constant work per group). Same
+    * determinism pins as the global form; empty replicates (possible
+    * on tiny groups) drop before the order statistics, mirroring it.
+    * Returns `(group, n, mean, boot_lo, boot_hi, boot_se)`.
+    */
+  def poissonBootstrapCIByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, keyCol: String,
+      reps: Int = 40, seed: String = "boot", alpha: Double = 0.05,
+      uniform: (Column, Column) => Column =
+        graft.core.PortableHash.uniform01): DataFrame = {
+    require(reps >= 4, s"need reps >= 4, got $reps")
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(groupCol).as("__g"), col(keyCol).cast("string").as("__k"),
+        v.as("__v"))
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    val point = base.groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        (d9(col("__v")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean"))
+    val u = uniform(concat_ws("#", col("__k"), col("__b")), lit(seed))
+    val w = poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
+      case ((t, k), rest) => when(u < t, k).otherwise(rest)
+    }
+    val rep = base
+      .select(col("__g"), col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__w", w)
+      .groupBy("__g", "__b")
+      .agg(d9(col("__w").cast("double") * col("__v")).as("__s"),
+        sum(col("__w").cast("long")).as("__c"))
+      .filter(col("__c") > 0)
+      .select(col("__g"),
+        (col("__s").cast("double") / col("__c").cast("double")).as("__m"))
+    val ms = rep.groupBy("__g")
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+      .withColumn("__nb", size(col("__ms")))
+      .withColumn("__kk",
+        floor(lit(alpha / 2.0) * (col("__nb") - 1).cast("double"))
+          .cast("int"))
+      .withColumn("__mb",
+        aggregate(col("__ms"), lit(0.0), (a, x) => a + x) /
+          col("__nb").cast("double"))
+      .select(col("__g"),
+        element_at(col("__ms"), col("__kk") + 1).as("boot_lo"),
+        element_at(col("__ms"), col("__nb") - col("__kk")).as("boot_hi"),
+        when(col("__nb") > 1,
+          sqrt(aggregate(col("__ms"), lit(0.0),
+            (a, x) => a + (x - col("__mb")) * (x - col("__mb"))) /
+            (col("__nb") - 1).cast("double")))
+          .otherwise(0.0).as("boot_se"))
+    point.join(ms, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("boot_lo"), col("boot_hi"), col("boot_se"))
+  }
+
   def poissonBootstrapCI(
       df: DataFrame, valueCol: String, keyCol: String,
       reps: Int = 40, seed: String = "boot",

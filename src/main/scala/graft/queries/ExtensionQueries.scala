@@ -8190,6 +8190,60 @@ object ExtensionQueries {
       |SELECT domain, loss, w0 AS weight_old, raw / tw AS weight_new
       |FROM s, t""".stripMargin
 
+  // --------------------------------------------------------------- q237
+  /** Per-event-type Poisson bootstrap CIs
+    * ([[graft.ops.StatsOps.poissonBootstrapCIByGroup]], B=40, α=0.05)
+    * — the fully-distributed per-slice form: CI + SE computed INSIDE
+    * the engine per group (sorted 40-mean arrays, left folds), no
+    * driver loop. Oracle replays draws, replicate means, order
+    * statistics and folds per group.
+    */
+  def q237(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.poissonBootstrapCIByGroup(Tables.events(spark, dir),
+      "event_type", "value", "event_id", reps = 40, seed = "boot",
+      alpha = 0.05)
+
+  val q237Sql: String = {
+    val caseW = StatsOps.poisson1Cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH e AS (
+       | SELECT event_type AS g, CAST(event_id AS VARCHAR) AS k, value AS v
+       | FROM events WHERE value IS NOT NULL),
+       |pt AS (
+       | SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS mean
+       | FROM e GROUP BY 1),
+       |d AS (
+       | SELECT g, v, b,
+       |  CAST('0x' || substr(md5(k || '#' || CAST(b AS VARCHAR)
+       |    || '#' || 'boot'), 1, 15) AS BIGINT)
+       |   / 1152921504606846976.0 AS u
+       | FROM e, range(0, 40) r(b)),
+       |w AS (SELECT g, b, v, $caseW AS w FROM d),
+       |m AS (
+       | SELECT g, b,
+       |  CAST(SUM(CAST(round(CAST(w AS DOUBLE) * v, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS s,
+       |  CAST(SUM(w) AS BIGINT) AS c
+       | FROM w GROUP BY 1, 2),
+       |ms AS (
+       | SELECT g, list(s / c ORDER BY s / c) AS ms
+       | FROM m WHERE c > 0 GROUP BY 1),
+       |st AS (
+       | SELECT g, ms, len(ms) AS nb,
+       |  CAST(floor(0.025 * (len(ms) - 1)) AS INT) AS kk,
+       |  list_sum(ms) / len(ms) AS mb
+       | FROM ms)
+       |SELECT pt.g AS event_type, pt.n, pt.mean,
+       | st.ms[st.kk + 1] AS boot_lo, st.ms[st.nb - st.kk] AS boot_hi,
+       | CASE WHEN st.nb > 1 THEN
+       |  sqrt(list_sum(list_transform(st.ms, x -> (x - st.mb) * (x - st.mb)))
+       |   / (st.nb - 1)) ELSE 0.0 END AS boot_se
+       |FROM pt JOIN st ON pt.g = st.g""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8395,5 +8449,6 @@ object ExtensionQueries {
     "q233_label_noise" -> ((q233 _, q233Sql)),
     "q234_dp_mean" -> ((q234 _, q234Sql)),
     "q235_cluster_drift" -> ((q235 _, q235Sql)),
-    "q236_doremi_step" -> ((q236 _, q236Sql)))
+    "q236_doremi_step" -> ((q236 _, q236Sql)),
+    "q237_group_bootstrap" -> ((q237 _, q237Sql)))
 }

@@ -469,6 +469,34 @@ class StatsOpsSpec extends AnyFunSuite {
       .select("n").as[Long].collect().head == 3L, "NULL values excluded")
   }
 
+  test("poissonBootstrapCIByGroup: single-group result equals the global " +
+      "form; multi-group independence; repartition-proof") {
+    val a = (1L to 150L).map(i => ("a", i, (i % 7).toDouble + 0.5))
+    val b = (151L to 260L).map(i => ("b", i, (i % 11).toDouble + 0.25))
+    val df = (a ++ b).toDF("g", "id", "v")
+    val grouped = StatsOps.poissonBootstrapCIByGroup(
+        df, "g", "v", "id", reps = 16, seed = "gb", alpha = 0.1)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // each group must equal the GLOBAL op run on that group alone
+    Seq("a" -> a, "b" -> b).foreach { case (g, rows) =>
+      val solo = StatsOps.poissonBootstrapCI(
+          rows.toDF("g", "id", "v"), "v", "id", reps = 16,
+          seed = "gb", alpha = 0.1)
+        .as[(Long, Double, Double, Double, Double)].head()
+      val got = grouped(g)
+      assert(got._2 == solo._1 && got._3 == solo._2, s"$g point: $got vs $solo")
+      assert(got._4 == solo._3 && got._5 == solo._4 && got._6 == solo._5,
+        s"$g CI/SE: $got vs $solo")
+    }
+    val re = StatsOps.poissonBootstrapCIByGroup(
+        df.repartition(9), "g", "v", "id", reps = 16, seed = "gb",
+        alpha = 0.1)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == grouped)
+  }
+
   test("poissonBootstrapCI: full plain-Scala replay of draws, replicate " +
       "means, trimmed CI and SE; repartition-proof") {
     // values exactly representable in binary, so the round-at-9 step
