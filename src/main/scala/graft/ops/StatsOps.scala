@@ -950,6 +950,45 @@ object StatsOps {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  /** QUANTILE NORMALIZATION across groups — the batch-effect
+    * correction (Bolstad et al. 2003's microarray standard, equally
+    * the cross-source feature alignment of mixed-corpus pipelines):
+    * every value is replaced by the POOLED distribution's value at
+    * its own within-group rank, so all groups end up with the same
+    * marginal distribution and only the ordering information each
+    * group contributes survives. Rank mapping is pure integer
+    * arithmetic — within-group `row_number` (value, id tiebreak:
+    * deterministic under ties), pooled position
+    * `k = ⌈rank·N / n_g⌉` via `(rank·N + n_g − 1) div n_g` — so any
+    * engine replays it exactly. `rank·N` stays in BIGINT up to
+    * N ≈ 3·10⁹ rows; swap the product to DECIMAL beyond that.
+    *
+    * Scale shape: one per-group window (partitioned — no global
+    * window), one range-partitioned global sort for the pooled index
+    * ([[graft.ops.JoinOps.withRowIndex]]), one index-keyed join back.
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(idCol), col(groupCol).as("__g"), v.as("__v"))
+    val ranked = base.withColumn("__r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("__g").orderBy(col("__v"), col(idCol))))
+    val counts = base.groupBy("__g").agg(count(lit(1)).as("__ng"))
+    val tot = base.agg(count(lit(1)).as("__nt"))
+    val pooled = graft.ops.JoinOps.withRowIndex(
+      base.orderBy(col("__v"), col(idCol)).select(col("__v").as("__pv")),
+      "__pi")
+    ranked.join(broadcast(counts), Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__k", expr("(__r * __nt + __ng - 1) div __ng"))
+      .join(pooled, col("__k") === col("__pi") + 1)
+      .select(col(idCol), col("__g").as(groupCol), col("__v").as("value"),
+        col("__pv").as("normalized"))
+  }
+
   /** Poisson(1) CDF F(0..5) — the resampling thresholds of
     * [[poissonBootstrapCI]], public so the oracle SQL is built from
     * the IDENTICAL doubles (shortest-round-trip literals re-parse

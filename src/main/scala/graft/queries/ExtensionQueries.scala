@@ -8244,6 +8244,34 @@ object ExtensionQueries {
        |FROM pt JOIN st ON pt.g = st.g""".stripMargin
   }
 
+  // --------------------------------------------------------------- q238
+  /** Quantile normalization ([[graft.ops.StatsOps.quantileNormalize]])
+    * of `n_chars` across sources: every doc's length replaced by the
+    * pooled length at its within-source rank — integer rank mapping
+    * `⌈rank·N / n_g⌉`, replayed exactly by the oracle's window ranks
+    * and integer division.
+    */
+  def q238(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.quantileNormalize(
+      Tables.documents(spark, dir), "source", "n_chars", "doc_id")
+
+  val q238Sql: String =
+    """WITH b AS (
+      | SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS v
+      | FROM documents WHERE n_chars IS NOT NULL),
+      |r AS (
+      | SELECT doc_id, g, v,
+      |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, doc_id) AS rk
+      | FROM b),
+      |c AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM b GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b),
+      |p AS (
+      | SELECT v AS pv, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS pi
+      | FROM b)
+      |SELECT r.doc_id, r.g AS source, r.v AS value, p.pv AS normalized
+      |FROM r JOIN c USING (g) CROSS JOIN t
+      |JOIN p ON p.pi = (r.rk * t.nt + c.ng - 1) // c.ng""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8450,5 +8478,6 @@ object ExtensionQueries {
     "q234_dp_mean" -> ((q234 _, q234Sql)),
     "q235_cluster_drift" -> ((q235 _, q235Sql)),
     "q236_doremi_step" -> ((q236 _, q236Sql)),
-    "q237_group_bootstrap" -> ((q237 _, q237Sql)))
+    "q237_group_bootstrap" -> ((q237 _, q237Sql)),
+    "q238_quantile_norm" -> ((q238 _, q238Sql)))
 }

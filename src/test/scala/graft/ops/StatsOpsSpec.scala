@@ -469,6 +469,33 @@ class StatsOpsSpec extends AnyFunSuite {
       .select("n").as[Long].collect().head == 3L, "NULL values excluded")
   }
 
+  test("quantileNormalize: groups end with identical marginals; order " +
+      "preserved within group; hand mapping on a 2-group fixture") {
+    // group a: 1, 2, 3, 4 (ranks 1..4); group b: 10, 20 (ranks 1, 2)
+    // pooled sorted: 1 2 3 4 10 20 (N = 6)
+    // a: k = ceil(r*6/4) -> 2, 3, 5, 6 -> 2.0, 3.0, 10.0, 20.0
+    // b: k = ceil(r*6/2) -> 3, 6 -> 3.0, 20.0
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "b", 10.0), (6L, "b", 20.0))
+      .toDF("id", "g", "x")
+    val got = StatsOps.quantileNormalize(df, "g", "x", "id")
+      .as[(Long, String, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 == 2.0 && got(2L)._4 == 3.0 &&
+      got(3L)._4 == 10.0 && got(4L)._4 == 20.0, s"group a: $got")
+    assert(got(5L)._4 == 3.0 && got(6L)._4 == 20.0, s"group b: $got")
+    // within-group order preserved
+    assert(got(1L)._4 <= got(2L)._4 && got(2L)._4 <= got(3L)._4)
+    // balanced groups get IDENTICAL normalized value sets
+    val bal = ((1L to 50L).map(i => (i, "p", i.toDouble * 3)) ++
+      (51L to 100L).map(i => (i, "q", 1000.0 - i))).toDF("id", "g", "x")
+    val n = StatsOps.quantileNormalize(bal, "g", "x", "id")
+      .as[(Long, String, Double, Double)].collect()
+    val p = n.filter(_._2 == "p").map(_._4).sorted.toSeq
+    val q = n.filter(_._2 == "q").map(_._4).sorted.toSeq
+    assert(p == q, "equal-size groups must share one marginal")
+  }
+
   test("poissonBootstrapCIByGroup: single-group result equals the global " +
       "form; multi-group independence; repartition-proof") {
     val a = (1L to 150L).map(i => ("a", i, (i % 7).toDouble + 0.5))
