@@ -40,6 +40,10 @@ object Bench {
     // sf0.1); its production representative is b_soft_dedup — the
     // star-edge softDedupWeightsFromReps (3.0 s)
     "q215_soft_dedup",
+    // q239 aggregates the SAME md5-portable pair list into the
+    // threshold curve; the banded-candidate scan it reports on is
+    // benched by b_minhash_lsh
+    "q239_dedup_curve",
     // q114/q115 are the UNCAPPED exact set-similarity validators —
     // quadratic pair output by contract on the dup-dense fixture
     // (76 s at sf0.1 for uncapped containment); their production

@@ -8272,6 +8272,40 @@ object ExtensionQueries {
       |FROM r JOIN c USING (g) CROSS JOIN t
       |JOIN p ON p.pi = (r.rk * t.nt + c.ng - 1) // c.ng""".stripMargin
 
+  // --------------------------------------------------------------- q239
+  /** Dedup threshold-tuning curve: ONE banded-candidate pass (q21's
+    * machinery at floor 0.5) feeding cumulative pairs-at-threshold
+    * counts for 0.5–0.9 — the table a dedup rollout is tuned from
+    * (how many pairs each threshold setting would merge) without
+    * re-running the pipeline per candidate setting. Jaccards are
+    * exact integer ratios, so the threshold buckets agree bit-for-bit.
+    */
+  def q239(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = DedupOps.minHashDedup(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.5,
+      bands = 4, rowsPerBand = 4,
+      hashFn = (t, i) => PortableHash.md5Long(t, lit(i)),
+      hashedVerify = false, portable = true)
+    val aggs = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"__n$i") }
+    val agg = pairs.agg(aggs.head, aggs.tail: _*)
+    agg.select(explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__n$i").as("n_pairs")) }: _*))
+      .as("r")).select("r.*")
+  }
+
+  val q239Sql: String = {
+    val curve = minhashPairCtes.replace(">= 0.6", ">= 0.5")
+    val rows = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(t =>
+      s"SELECT CAST($t AS DOUBLE) AS threshold, CAST(SUM(CASE WHEN" +
+        s" jaccard >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs" +
+        s" FROM vpairs")
+      .mkString("\n UNION ALL ")
+    s"""WITH $curve
+      |$rows""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8479,5 +8513,6 @@ object ExtensionQueries {
     "q235_cluster_drift" -> ((q235 _, q235Sql)),
     "q236_doremi_step" -> ((q236 _, q236Sql)),
     "q237_group_bootstrap" -> ((q237 _, q237Sql)),
-    "q238_quantile_norm" -> ((q238 _, q238Sql)))
+    "q238_quantile_norm" -> ((q238 _, q238Sql)),
+    "q239_dedup_curve" -> ((q239 _, q239Sql)))
 }
