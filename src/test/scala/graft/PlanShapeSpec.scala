@@ -198,7 +198,31 @@ class PlanShapeSpec extends AnyFunSuite {
     "q210_funnel_ab",
     // q211: 1-row report × broadcast(1-row median) — the q08 scalar
     // pattern
-    "q211_session_report")
+    "q211_session_report",
+    // q214: broadcast(query batch) theta-joined to the m-byte PQ code
+    // table — the q24 bounded-query-side contract
+    "q214_pq_adc",
+    // q219/q220: |domains|-row weight dim × broadcast(1-row total) —
+    // the q08 scalar pattern (q220 then equi-joins the plan back)
+    "q219_epoch_plan", "q220_epoch_apply",
+    // q225: 1-row totals × broadcast(1-row pe term) — scalar meet
+    "q225_cohens_kappa",
+    // q227: per-group frame × broadcast(1-row overall rates) — the
+    // q08 scalar pattern
+    "q227_fairness",
+    // q229/q233: brute rankings = broadcast(bounded query batch) ×
+    // corpus — the q24 contract; the recall/disagreement folds add
+    // only keyed joins
+    "q229_truncated_recall", "q233_label_noise",
+    // q235: rides q65's k-means (k-row centroid meets) + the PSI
+    // tail's 1-row totals broadcast — q100's pattern
+    "q235_cluster_drift",
+    // q236: |domains|-row frame × broadcast(1-row count, then 1-row
+    // normalizer) — the q08 scalar pattern
+    "q236_doremi_step",
+    // q238: ranked rows × broadcast(1-row corpus count) — the q08
+    // scalar pattern (the pooled lookup itself is an equi-join)
+    "q238_quantile_norm")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
@@ -328,7 +352,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // the minFrac threshold (the q08 scalar pattern);
         // b_item_neighbors rides q98's 1-row basket-total broadcast
         // b_kaplan_meier carries q166's 1-row max-ts broadcast
-        "b_heavy_hitters", "b_item_neighbors", "b_kaplan_meier")
+        "b_heavy_hitters", "b_item_neighbors", "b_kaplan_meier",
+        // b_pq_adc: broadcast(bounded query batch) theta-joined to
+        // the m-byte code table — the q24/q214 contract
+        "b_pq_adc")
         .contains(n._1))
       .flatMap { case (name, fn) =>
       val p = physical(fn(spark, sfDir))
