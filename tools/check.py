@@ -34,12 +34,36 @@ def h(df: pd.DataFrame) -> str:
     return hashlib.sha256(df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def fresh_con(sf_dir: str):
     con = duckdb.connect()
+    # the auto limit (80% of RAM = ~100 GiB here) lets the buffer pool
+    # grow unbounded across a 240-query sweep and trips allocator
+    # bad_allocs under sandboxed address-space caps; sf0.01 needs far
+    # less — cap it so long sweeps stay flat
+    con.sql("SET memory_limit='8GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def run_pair(sf_dir: str, spath: str, sql: str):
+    # ONE connection per query: duckdb-python 1.0 accumulates pinned
+    # buffer-pool blocks across queries on a shared connection (a
+    # 240-query sweep fills ANY memory_limit and dies with bad_alloc /
+    # "failed to pin block"); short-lived connections keep the pool
+    # flat and make each query independent
+    con = fresh_con(sf_dir)
+    try:
+        got = canon(con.sql(f"SELECT * FROM '{spath}/*.parquet'").df())
+        want = canon(con.sql(sql).df())
+        return got, want
+    finally:
+        con.close()
+
+
+def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     failures = 0
@@ -50,8 +74,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         try:
-            got = canon(con.sql(f"SELECT * FROM '{spath}/*.parquet'").df())
-            want = canon(con.sql(oracle[name]).df())
+            got, want = run_pair(sf_dir, spath, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
