@@ -1139,10 +1139,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val canaryDrift =
       if (canarySecs.size >= 2) canarySecs.max / canarySecs.min else 1.0
+    // the verdict flags SUSTAINED degradation, not a single burst: one
+    // 2x canary sample in a 30-minute run pollutes at most the rows in
+    // its window — and those are already exposed by their own spread
+    // column — while a polluted RUN shows a drifted median or repeated
+    // spikes. The full series and the max/min drift stay in the JSON,
+    // so a reader can always re-judge from the artifact alone.
+    val contended = canarySecs.size >= 2 && {
+      val sorted = canarySecs.sorted
+      val median = sorted(sorted.size / 2)
+      val spikes = canarySecs.count(_ > sorted.head * 1.5)
+      median / sorted.head > 1.5 || spikes >= 3
+    }
     val canary = "{\"secs\":[" +
       canarySecs.map(s => math.round(s * 1000.0) / 1000.0).mkString(",") +
       "],\"drift\":" + math.round(canaryDrift * 100.0) / 100.0 +
-      ",\"contended\":" + (canaryDrift > 1.5) + "}"
+      ",\"contended\":" + contended + "}"
     val total = allTimings.collect { case (_, v, None) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"spread":$spreads,"canary":$canary,"diag":$diag,"sf":"$sfDir"}"""
     println(json)
