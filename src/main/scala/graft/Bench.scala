@@ -138,7 +138,8 @@ object Bench {
     "b_bootstrap_xxh" -> ((s, dir) =>
       graft.ops.StatsOps.poissonBootstrapCI(
         Tables.events(s, dir), "value", "event_id", reps = 40,
-        uniform = graft.ops.StatsOps.xxhUniform)),
+        uniform = graft.ops.StatsOps.xxhUniform, exact = false,
+        parallelism = Some(32))),
     "b_exact_dedup" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")),
     // the exact-dedup DECISION form: kept rows via a broadcastable
@@ -1165,9 +1166,18 @@ object Bench {
     if (only.isEmpty) {
       val out = new java.io.File("bench_out")
       out.mkdirs()
+      // VERDICT r8 #3: latest.json is the repo's verifiable clean
+      // record — a contended run must never overwrite it. Contended
+      // full runs land in latest_contended.json (kept for forensic
+      // comparison, never committed as the record).
+      val target = if (contended) "latest_contended.json" else "latest.json"
       java.nio.file.Files.write(
-        new java.io.File(out, "latest.json").toPath,
+        new java.io.File(out, target).toPath,
         (json + "\n").getBytes("UTF-8"))
+      if (contended)
+        System.err.println(
+          "bench: canary verdict CONTENDED - wrote bench_out/" + target +
+            "; latest.json left untouched. Re-run on a quiet box.")
     }
     spark.stop()
   }

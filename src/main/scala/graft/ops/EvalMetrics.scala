@@ -452,26 +452,6 @@ object EvalMetrics {
       .withColumn("suspect", col("disagree_frac") >= suspectAt)
   }
 
-  /** COHEN'S KAPPA (Cohen 1960) — chance-corrected agreement between
-    * two categorical raters: `κ = (p_o − p_e)/(1 − p_e)` with observed
-    * agreement `p_o` and the chance agreement `p_e` implied by the two
-    * raters' marginal distributions. THE gate metric for labeling
-    * pipelines (are two annotators — or a heuristic and a model —
-    * actually agreeing beyond chance?). Rows where either rating is
-    * NULL are excluded (un-rated items carry no agreement evidence).
-    *
-    * Cross-engine parity by construction: everything up to the final
-    * two divisions is INTEGER — cell counts, the agreeing-cell sum,
-    * and `Σ_k rowA_k·rowB_k` stay BIGINT, so `p_o = agree/N` and
-    * `p_e = Σ/N²` are each one exact-integer-ratio double division.
-    * Perfect agreement with `p_e = 1` (both raters constant and equal)
-    * returns κ = NULL (undefined, 0/0).
-    *
-    * Scale shape: ONE keyed count down to the K×K contingency cells
-    * (map-side combined; K is the label alphabet, a constant), then
-    * all margins and sums fold on that constant-size frame. One row
-    * out: `(n, po, pe, kappa)`.
-    */
   /** PER-GROUP FAIRNESS AUDIT of a binary classifier (Hardt et al.
     * 2016's group metrics): per protected/slice group the selection
     * rate, TPR and FPR, plus the two headline gaps against the
@@ -519,6 +499,26 @@ object EvalMetrics {
         .as("eo_gap"))
   }
 
+  /** COHEN'S KAPPA (Cohen 1960) — chance-corrected agreement between
+    * two categorical raters: `κ = (p_o − p_e)/(1 − p_e)` with observed
+    * agreement `p_o` and the chance agreement `p_e` implied by the two
+    * raters' marginal distributions. THE gate metric for labeling
+    * pipelines (are two annotators — or a heuristic and a model —
+    * actually agreeing beyond chance?). Rows where either rating is
+    * NULL are excluded (un-rated items carry no agreement evidence).
+    *
+    * Cross-engine parity by construction: everything up to the final
+    * two divisions is INTEGER — cell counts, the agreeing-cell sum,
+    * and `Σ_k rowA_k·rowB_k` stay BIGINT, so `p_o = agree/N` and
+    * `p_e = Σ/N²` are each one exact-integer-ratio double division.
+    * Perfect agreement with `p_e = 1` (both raters constant and equal)
+    * returns κ = NULL (undefined, 0/0).
+    *
+    * Scale shape: ONE keyed count down to the K×K contingency cells
+    * (map-side combined; K is the label alphabet, a constant), then
+    * all margins and sums fold on that constant-size frame. One row
+    * out: `(n, po, pe, kappa)`.
+    */
   def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
     val cells = df
       .select(raterA.cast("string").as("__a"), raterB.cast("string").as("__b"))

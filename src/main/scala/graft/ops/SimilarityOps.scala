@@ -67,6 +67,26 @@ object SimilarityOps {
           .as("recall_at_k"))
   }
 
+  /** ANN RECALL WITH A CONFIDENCE INTERVAL — [[annRecall]]'s
+    * per-query recalls fed through the Poisson bootstrap
+    * ([[graft.ops.StatsOps.poissonBootstrapCI]], keyed by query_id):
+    * one row `(n, mean, boot_lo, boot_hi, boot_se)` that makes two
+    * ANN configurations COMPARABLE — "recall@k 0.91 vs 0.94" means
+    * nothing when the CIs overlap, and the eval query set is always
+    * small enough that they might. This is the acceptance row every
+    * LSH-bands / IVF-nprobe / PQ-m / dim-truncation decision should
+    * quote. Scale shape: the recall frame is query-set-sized (the
+    * expensive part was the searches that produced the rankings), so
+    * the bootstrap runs on a small frame; all heavy lifting stays in
+    * the upstream top-k operators.
+    */
+  def annRecallCI(
+      exactNN: DataFrame, approxNN: DataFrame, k: Int, reps: Int = 40,
+      seed: String = "annci", alpha: Double = 0.05): DataFrame =
+    graft.ops.StatsOps.poissonBootstrapCI(
+      annRecall(exactNN, approxNN, k), "recall_at_k", "query_id",
+      reps = reps, seed = seed, alpha = alpha)
+
   /** Symmetric int8 quantization of an embedding column — the ANN
     * corpus-storage story at 100 TB: a 4× smaller vector column (int8
     * vs float32) with cosine UNCHANGED up to rounding, because the

@@ -1004,26 +1004,6 @@ object StatsOps {
     }
   }
 
-  /** POISSON BOOTSTRAP confidence interval for the mean (Chamandy et
-    * al. 2012 — the bootstrap that works on data too big to resample):
-    * instead of drawing n rows with replacement per replicate (a full
-    * shuffle × B), every row gets an INDEPENDENT Poisson(1)
-    * multiplicity per replicate — for large n the replicate is
-    * distributionally indistinguishable from the classic bootstrap,
-    * and all `reps` replicates reduce in ONE corpus pass as 2·B
-    * map-side-combined aggregates. The multiplicity is the inverse
-    * Poisson CDF of the key-derived [[graft.core.PortableHash.uniform01]]
-    * draw over `key#replicate#seed` — partition-independent,
-    * idempotent, and replayable in any engine ([[poisson1Cdf]]).
-    *
-    * Exactness: replicate sums are round-then-DECIMAL(38,9); replicate
-    * means are exact-ratio doubles; the CI is order statistics of the
-    * B means (`floor(α/2·(B−1))` trimmed from each end) and the
-    * bootstrap SE folds over the ASCENDING means — every step
-    * bit-replayable. The only driver work is one row of 2·B+2
-    * aggregates. Returns one row:
-    * `(n, mean, boot_lo, boot_hi, boot_se)`.
-    */
   /** Production draw for [[poissonBootstrapCI]]: xxhash64 top-53-bit
     * uniform (the [[graft.ops.MaskingOps]] Xxh-family convention) —
     * ~20× cheaper per draw than the md5-portable default, same
@@ -1051,25 +1031,42 @@ object StatsOps {
       df: DataFrame, groupCol: String, valueCol: String, keyCol: String,
       reps: Int = 40, seed: String = "boot", alpha: Double = 0.05,
       uniform: (Column, Column) => Column =
-        graft.core.PortableHash.uniform01): DataFrame = {
+        graft.core.PortableHash.uniform01,
+      exact: Boolean = true,
+      parallelism: Option[Int] = None): DataFrame = {
     require(reps >= 4, s"need reps >= 4, got $reps")
     require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
     val v = col(valueCol).cast("double")
-    val base = df.filter(v.isNotNull)
+    val base0 = df.filter(v.isNotNull)
       .select(col(groupCol).as("__g"), col(keyCol).cast("string").as("__k"),
         v.as("__v"))
-    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    // narrow-projection fan-out for unsplittable local fixtures — see
+    // [[poissonBootstrapCI]]; production sources split at the scan
+    val base = parallelism.map(base0.repartition(_)).getOrElse(base0)
+    // exact=true: round-then-DECIMAL(38,9) replicate sums — the
+    // bit-replayable oracle contract (q237). exact=false: plain double
+    // sums — the production form (VERDICT r8 #2); replicate means
+    // agree with the exact form to ~1e-12 relative (differential spec
+    // pins CI bounds to 6 decimals), and the hash-agg buffers stay in
+    // codegen instead of the DECIMAL sort-based path.
+    def d9(c: Column) =
+      if (exact) sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+      else sum(c)
     val point = base.groupBy("__g")
       .agg(count(lit(1)).as("n"),
-        (d9(col("__v")).cast("double") / count(lit(1)).cast("double"))
+        (d9(col("__v")) / count(lit(1)).cast("double"))
           .as("mean"))
-    val u = uniform(concat_ws("#", col("__k"), col("__b")), lit(seed))
+    // draw staged as its own column before the when-chain — CSE skips
+    // conditional branches, so an inlined draw re-hashes per branch
+    // (see [[poissonBootstrapCI]])
     val w = poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
-      case ((t, k), rest) => when(u < t, k).otherwise(rest)
+      case ((t, k), rest) => when(col("__u") < t, k).otherwise(rest)
     }
     val rep = base
       .select(col("__g"), col("__k"), col("__v"),
         explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__u",
+        uniform(concat_ws("#", col("__k"), col("__b")), lit(seed)))
       .withColumn("__w", w)
       .groupBy("__g", "__b")
       .agg(d9(col("__w").cast("double") * col("__v")).as("__s"),
@@ -1099,30 +1096,73 @@ object StatsOps {
         col("boot_lo"), col("boot_hi"), col("boot_se"))
   }
 
+  /** POISSON BOOTSTRAP confidence interval for the mean (Chamandy et
+    * al. 2012 — the bootstrap that works on data too big to resample):
+    * instead of drawing n rows with replacement per replicate (a full
+    * shuffle × B), every row gets an INDEPENDENT Poisson(1)
+    * multiplicity per replicate — for large n the replicate is
+    * distributionally indistinguishable from the classic bootstrap,
+    * and all `reps` replicates reduce in ONE corpus pass as 2·B
+    * map-side-combined aggregates. The multiplicity is the inverse
+    * Poisson CDF of the key-derived [[graft.core.PortableHash.uniform01]]
+    * draw over `key#replicate#seed` — partition-independent,
+    * idempotent, and replayable in any engine ([[poisson1Cdf]]).
+    *
+    * Exactness (`exact = true`, the q232 oracle contract): replicate
+    * sums are round-then-DECIMAL(38,9); replicate means are
+    * exact-ratio doubles; the CI is order statistics of the B means
+    * (`floor(α/2·(B−1))` trimmed from each end) and the bootstrap SE
+    * folds over the ASCENDING means — every step bit-replayable.
+    * `exact = false` keeps the SAME draws but accumulates plain double
+    * sums (the production form — differential-spec'd to agree with
+    * the exact CI to 6 decimals). The only driver work is one row of
+    * 2·B+2 aggregates. Returns one row:
+    * `(n, mean, boot_lo, boot_hi, boot_se)`.
+    */
   def poissonBootstrapCI(
       df: DataFrame, valueCol: String, keyCol: String,
       reps: Int = 40, seed: String = "boot",
       alpha: Double = 0.05,
       uniform: (Column, Column) => Column =
-        graft.core.PortableHash.uniform01): DataFrame = {
+        graft.core.PortableHash.uniform01,
+      exact: Boolean = true,
+      parallelism: Option[Int] = None): DataFrame = {
     require(reps >= 4, s"need reps >= 4, got $reps")
     require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("double")
-    val base = df.filter(v.isNotNull)
+    val base0 = df.filter(v.isNotNull)
       .select(col(keyCol).cast("string").as("__k"), v.as("__v"))
-    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
-    def w(b: Int): Column = {
-      val u = uniform(concat_ws("#", col("__k"), lit(b)), lit(seed))
+    // the draw work is CPU-bound per row; when the source can't split
+    // (a single parquet row group — the local bench fixture), an
+    // explicit repartition of the NARROW (key, value) projection buys
+    // full-core fan-out for a ~25-byte/row shuffle. On a real corpus
+    // the scan supplies thousands of splits — leave None (no shuffle).
+    val base = parallelism.map(base0.repartition(_)).getOrElse(base0)
+    // exact accumulation vs production doubles: see
+    // [[poissonBootstrapCIByGroup]] — same draws either way, only the
+    // replicate-sum buffer type changes.
+    def d9(c: Column) =
+      if (exact) sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+      else sum(c)
+    // stage the draws, THEN the weights, as two projections: the
+    // inverse-CDF when-chain references its uniform in every branch,
+    // and Spark's subexpression elimination skips conditionally
+    // evaluated branches — inlining `u` in the chain re-hashed each
+    // draw up to 6× (measured: the whole row 9.7 s at sf0.1; staged
+    // draws land it at ~1 s with bit-identical output). Same reason
+    // the weights are staged before the aggregates (r7: 14.7 s when
+    // every weight fed two agg buffers and paid its hash twice).
+    val us = base.select(
+      col("__v") +: (0 until reps).map(b =>
+        uniform(concat_ws("#", col("__k"), lit(b)), lit(seed))
+          .as(s"__u$b")): _*)
+    def w(b: Int): Column =
       poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
-        case ((t, k), rest) => when(u < t, k).otherwise(rest)
+        case ((t, k), rest) => when(col(s"__u$b") < t, k).otherwise(rest)
       }
-    }
-    // stage the weights as a projection so each draw hashes ONCE per
-    // row (inlined in the aggregates, every weight fed two agg buffers
-    // and paid the hash twice — measured 14.7 s at sf0.1, halved here)
-    val weighted = base.select(
+    val weighted = us.select(
       col("__v") +: (0 until reps).map(b => w(b).as(s"__w$b")): _*)
     val aggs =
       Seq(count(lit(1)).as("__n"), d9(col("__v")).as("__sv")) ++
@@ -1132,11 +1172,11 @@ object StatsOps {
     val r = weighted.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getLong(0)
     require(n > 0, "poissonBootstrapCI: no non-null values")
-    val mean = r.getDecimal(1).doubleValue() / n.toDouble
+    val mean = r.getDouble(1) / n.toDouble
     val means = (0 until reps).flatMap { b =>
       val c = r.getLong(2 + 2 * b + 1)
       if (c == 0) None
-      else Some(r.getDecimal(2 + 2 * b).doubleValue() / c.toDouble)
+      else Some(r.getDouble(2 + 2 * b) / c.toDouble)
     }.sorted
     val b = means.length
     val k = math.floor(alpha / 2.0 * (b - 1)).toInt

@@ -621,4 +621,86 @@ object VectorOps {
     (0 until dim).map(j => (j, w(j), lam, lam / tv))
       .toDF("i", "loading", "eigenvalue", "var_share")
   }
+
+  /** FIRST k PRINCIPAL COMPONENTS by power iteration with HOTELLING
+    * DEFLATION — the k≥2 extension of [[powerComponent]] (same
+    * matrix-free scale shape: never materializes dim², one corpus
+    * pass per iteration, a dim-decimal driver collect per pass).
+    * Component c power-iterates against the deflated operator
+    * `C' = C − Σ_{p<c} λ_p·w_p·w_pᵀ`: the corpus pass still
+    * re-accumulates `u = C·w` exactly as [[powerComponent]] does, and
+    * the deflation `u −= (λ_p·(w_p·w))·w_p` is pure driver arithmetic
+    * over the ≤k prior (dim-vector, λ) pairs — no extra corpus work,
+    * so k components cost exactly k× the single-component passes.
+    *
+    * Determinism pins are [[powerComponent]]'s, applied per
+    * component: uniform `w₀ = round6(1/√dim)` restart, round-6 HALF_UP
+    * direction resync after every normalize, λ = pre-rounding ‖u‖₂ of
+    * the final pass. Deflation arithmetic is pinned left-to-right:
+    * `dot = Σ_j w_p,j·w_j` (ascending j) and the subtraction
+    * `u_j − (λ_p·dot)·w_p,j` — so the whole k·iters chain replays in
+    * SQL (q240 unrolls it stage-for-stage with MATERIALIZED direction
+    * CTEs). Because directions are re-normalized from round-6
+    * literals, deflation is approximate to ~1e-6 per prior component
+    * — the documented price of cross-engine replay, immaterial for
+    * the drift/visualization uses this feeds. Returns k·dim rows:
+    * `(component ∈ 1..k, i, loading, eigenvalue, var_share)`.
+    */
+  def powerComponents(
+      df: DataFrame, vecCol: String, dim: Int, k: Int = 2,
+      iters: Int = 3): DataFrame = {
+    require(dim > 0, s"powerComponents: dim must be positive, got $dim")
+    require(k >= 1 && k <= dim, s"powerComponents: need 1 <= k <= dim, got $k")
+    require(iters >= 1, s"powerComponents: need iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), _.isNull))
+    def x(j: Int) = col("v").getItem(j).cast("double")
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    val base = v.agg(count(lit(1)).as("n"),
+      (0 until dim).map(j => d9(x(j)).as(s"s$j")) ++
+        (0 until dim).map(j => d9(x(j) * x(j)).as(s"q$j")): _*).head()
+    val n = base.getLong(0).toDouble
+    require(n > 0, "powerComponents: no valid vectors")
+    val mu = Array.tabulate(dim)(j => base.getDecimal(1 + j).doubleValue() / n)
+    val totVar = (0 until dim)
+      .map(j => base.getDecimal(1 + dim + j).doubleValue() / n - mu(j) * mu(j))
+      .reduceLeft(_ + _)
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    var c = 0
+    while (c < k) {
+      var w = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+      var lambda = 0.0
+      var r = 0
+      while (r < iters && (r == 0 || lambda > 0)) {
+        val t = (0 until dim)
+          .map(j => (x(j) - lit(mu(j))) * lit(w(j)))
+          .reduceLeft(_ + _)
+        val proj = v.withColumn("__t", t)
+        val row = proj.agg(
+          d9((x(0) - lit(mu(0))) * col("__t")).as("u0"),
+          (1 until dim).map(j =>
+            d9((x(j) - lit(mu(j))) * col("__t")).as(s"u$j")): _*).head()
+        val cw = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue() / n)
+        val wNow = w
+        val u = comps.foldLeft(cw) { case (acc, (wp, lp)) =>
+          val dot = (0 until dim).map(j => wp(j) * wNow(j)).reduceLeft(_ + _)
+          Array.tabulate(dim)(j => acc(j) - (lp * dot) * wp(j))
+        }
+        lambda = math.sqrt(u.map(e => e * e).reduceLeft(_ + _))
+        if (lambda > 0) w = u.map(e => round6(e / lambda))
+        r += 1
+      }
+      comps += ((w, lambda))
+      c += 1
+    }
+    val tv = totVar
+    comps.toSeq.zipWithIndex.flatMap { case ((wc, lam), ci) =>
+      (0 until dim).map(j => (ci + 1, j, wc(j), lam, lam / tv))
+    }.toDF("component", "i", "loading", "eigenvalue", "var_share")
+  }
 }

@@ -6176,7 +6176,13 @@ object ExtensionQueries {
     * q190 head-to-head outcomes: the arena-leaderboard model. Integer
     * half-win credits, round-then-DECIMAL denominators and
     * normalizers; the oracle unrolls all five passes stage-for-stage
-    * (the q118 convention).
+    * (the q118 convention). The unrolled chain's strength CTEs are
+    * MATERIALIZED: each pass references the previous strengths twice
+    * (si/sj) and DuckDB inlines CTEs by default, so the un-hinted
+    * expression tree doubles per pass (2^5 copies of the m⋈m
+    * self-join) — that made the round-8 gate run borderline at the
+    * 8 GB cap. Materialization is a pure evaluation hint; results are
+    * bit-identical (round-9 fix, fits in <1 GB).
     */
   def q192(spark: SparkSession, dir: String): DataFrame =
     EvalMetrics.bradleyTerry(
@@ -6194,16 +6200,16 @@ object ExtensionQueries {
         | GROUP BY 1),
         |p$k AS (SELECT d$k.i, wi.W / d$k.den AS raw
         |        FROM d$k JOIN wi ON wi.i = d$k.i),
-        |s$k AS (
+        |s$k AS MATERIALIZED (
         | SELECT i, raw / t.tot AS s FROM p$k CROSS JOIN
         |  (SELECT CAST(sum(CAST(round(raw, 9) AS DECIMAL(38, 9)))
         |    AS DOUBLE) AS tot FROM p$k) t)"""
-    s"""WITH m AS (
+    s"""WITH m AS MATERIALIZED (
       | SELECT user_id AS u, event_type AS sys,
       |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
       |   AS DECIMAL(38, 6))) AS DOUBLE) AS m
       | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-      |sym AS (
+      |sym AS MATERIALIZED (
       | SELECT a.sys AS i, b.sys AS j, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(CASE WHEN a.m > b.m THEN 2 WHEN a.m = b.m THEN 1
       |   ELSE 0 END) AS BIGINT) AS w2
@@ -8123,7 +8129,14 @@ object ExtensionQueries {
     * [[graft.ops.DriftOps.categoricalDrift]] — the semantic-space
     * monitor that catches "the new crawl is topically different"
     * before any per-feature drift gate fires. Oracle: q65's unrolled
-    * k-means prefix feeding q100's smoothed-PSI tail.
+    * k-means prefix feeding q100's smoothed-PSI tail; both halves'
+    * counts come from ONE scan of the assignment CTE (FILTER
+    * aggregates) — a second reference would make DuckDB inline and
+    * re-evaluate the whole unrolled k-means, which is what blew the
+    * gate's 8 GB memory cap in the round-8 artifact (fits in 2 GB
+    * single-scan). FULL JOIN vs single-scan is equivalence, not
+    * approximation: every `af` row has an even or odd vec_id, so the
+    * joined cluster set equals the grouped one.
     */
   def q235(spark: SparkSession, dir: String): DataFrame = {
     val assign = SimilarityOps.kmeansAssign(
@@ -8136,14 +8149,10 @@ object ExtensionQueries {
 
   val q235Sql: String =
     s"""${kmeansPrefixSql("af")},
-      |co AS (SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_old
-      |       FROM af WHERE vec_id % 2 = 0 GROUP BY 1),
-      |cn AS (SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_new
-      |       FROM af WHERE vec_id % 2 = 1 GROUP BY 1),
-      |j AS (SELECT COALESCE(co.cluster, cn.cluster) AS cluster,
-      |  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old,
-      |  COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
-      | FROM co FULL JOIN cn ON co.cluster = cn.cluster),
+      |j AS (SELECT cl AS cluster,
+      |  CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_old,
+      |  CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new
+      | FROM af GROUP BY 1),
       |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, count(*) AS k
       |      FROM j),
       |w AS (SELECT cluster, n_old, n_new,
@@ -8304,6 +8313,199 @@ object ExtensionQueries {
       .mkString("\n UNION ALL ")
     s"""WITH $curve
       |$rows""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q240
+  /** Top-2 principal components by deflated power iteration
+    * ([[graft.ops.VectorOps.powerComponents]], k=2, 3 passes each,
+    * dim 64): q223's matrix-free chain extended with Hotelling
+    * deflation — component 2 re-iterates against
+    * `C − λ₁·w₁·w₁ᵀ`, where the deflation correction
+    * `u −= (λ₁·(w₁·w))·w₁` is small driver/CTE arithmetic on the
+    * final component-1 direction. The oracle unrolls all 6 passes;
+    * every direction CTE is MATERIALIZED (each later pass references
+    * earlier directions more than once, and DuckDB's default CTE
+    * inlining would re-evaluate the whole upstream chain per
+    * reference — the q192 lesson), and the deflation dot/subtract
+    * use explicit left-to-right chains matching the driver fold.
+    */
+  def q240(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.powerComponents(
+      Tables.embeddings(spark, dir), "embedding", dim = 64, k = 2,
+      iters = 3)
+
+  val q240Sql: String = {
+    val dim = 64
+    def xj(j: Int) = s"CAST(v[${j + 1}] AS DOUBLE)"
+    // one power pass: per-row projection t onto wExpr, exact per-dim
+    // re-accumulation, optional Hotelling deflation against the
+    // MATERIALIZED final component-1 direction, L2 normalize +
+    // round-6 resync
+    def pass(k: Int, wExpr: Int => String, wFrom: String,
+        deflate: Option[String]): String = {
+      val tChain = (0 until dim)
+        .map(j => s"(${xj(j)} - m.mu[${j + 1}]) * ${wExpr(j)}")
+        .mkString(" + ")
+      val core =
+        s"""t$k AS (
+           | SELECT v, $tChain AS t FROM e, m$wFrom),
+           |u$k AS (
+           | SELECT i, CAST(SUM(CAST(round(
+           |   (CAST(v[i + 1] AS DOUBLE) - m.mu[i + 1]) * t, 9)
+           |   AS DECIMAL(38,9))) AS DOUBLE) AS u
+           | FROM (SELECT v, t, unnest(generate_series(0, ${dim - 1})) AS i
+           |       FROM t$k), m
+           | GROUP BY i)"""
+      deflate match {
+        case None =>
+          s"""$core,
+             |w$k AS MATERIALIZED (
+             | SELECT list_transform(ul, x -> round(x / lam, 6)) AS w, lam
+             | FROM (SELECT list(u / nn.n ORDER BY i) AS ul,
+             |        sqrt(list_sum(list((u / nn.n) * (u / nn.n) ORDER BY i)))
+             |         AS lam
+             |       FROM u$k, nn))""".stripMargin
+        case Some(wd) =>
+          // dot as an explicit left-to-right chain (driver parity)
+          val dotChain = (0 until dim)
+            .map(j => s"$wd.w[${j + 1}] * ${wExpr(j)}")
+            .mkString(" + ")
+          s"""$core,
+             |d$k AS MATERIALIZED (
+             | SELECT $dotChain AS dot FROM $wd$wFrom),
+             |w$k AS MATERIALIZED (
+             | SELECT list_transform(ul, x -> round(x / lam, 6)) AS w, lam
+             | FROM (SELECT list(ud ORDER BY i) AS ul,
+             |        sqrt(list_sum(list(ud * ud ORDER BY i))) AS lam
+             |       FROM (SELECT i,
+             |              u / nn.n - ($wd.lam * d$k.dot) * $wd.w[i + 1]
+             |               AS ud
+             |             FROM u$k, nn, $wd, d$k)))""".stripMargin
+      }
+    }
+    def outRow(c: Int, wk: String): String =
+      s"""SELECT CAST($c AS INT) AS component, CAST(i AS INT) AS i,
+         | $wk.w[i + 1] AS loading, $wk.lam AS eigenvalue,
+         | $wk.lam / m.tv AS var_share
+         |FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS i), $wk, m"""
+        .stripMargin
+    s"""WITH e AS (
+       | SELECT embedding AS v FROM embeddings
+       | WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |b AS (
+       | SELECT i,
+       |  CAST(SUM(CAST(round(CAST(v[i + 1] AS DOUBLE), 9)
+       |    AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(round(
+       |    CAST(v[i + 1] AS DOUBLE) * CAST(v[i + 1] AS DOUBLE), 9)
+       |    AS DECIMAL(38,9))) AS DOUBLE) AS sq
+       | FROM (SELECT v, unnest(generate_series(0, ${dim - 1})) AS i FROM e)
+       | GROUP BY i),
+       |m AS MATERIALIZED (
+       | SELECT list(sx / nn.n ORDER BY i) AS mu,
+       |  list_sum(list(sq / nn.n - (sx / nn.n) * (sx / nn.n) ORDER BY i))
+       |   AS tv
+       | FROM b, nn),
+       |${pass(1, _ => "0.125", "", None)},
+       |${pass(2, j => s"w1.w[${j + 1}]", ", w1", None)},
+       |${pass(3, j => s"w2.w[${j + 1}]", ", w2", None)},
+       |${pass(4, _ => "0.125", "", Some("w3"))},
+       |${pass(5, j => s"w4.w[${j + 1}]", ", w4", Some("w3"))},
+       |${pass(6, j => s"w5.w[${j + 1}]", ", w5", Some("w3"))}
+       |${outRow(1, "w3")}
+       |UNION ALL
+       |${outRow(2, "w6")}""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q241
+  /** ANN recall@5 with a bootstrap CI
+    * ([[graft.ops.SimilarityOps.annRecallCI]], B=40, α=0.05) for the
+    * q229 truncated-dimension retrieval: the uncertainty-aware form
+    * of the acceptance metric — with 20 eval queries the point recall
+    * alone can't separate two ANN configurations. The oracle chains
+    * q229's exact-cosine double ranking into q232's replayed
+    * bootstrap tail (md5 draws over `query_id#b#annci`, exact DECIMAL
+    * replicate sums, ascending-means order statistics).
+    */
+  def q241(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val full = SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 20), e, 5)
+    val t = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc =
+      SimilarityOps.bruteCosineTopK(t.filter(col("vec_id") < 20), t, 5)
+    SimilarityOps.annRecallCI(full, trunc, k = 5, reps = 40,
+      seed = "annci", alpha = 0.05)
+  }
+
+  val q241Sql: String = {
+    val cdf = StatsOps.poisson1Cdf
+    val caseW = cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    def ranking(src: String, out: String): String =
+      s"""${out}c AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, len(a.emb)),
+         |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+         |   / (a.nrm * b.nrm) AS cosine
+         | FROM $src a JOIN $src b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         |$out AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM ${out}c) WHERE rnk <= 5)""".stripMargin
+    s"""WITH ef AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |et AS (
+       | SELECT vec_id, embedding[1:16] AS emb,
+       |  sqrt(list_sum(list_transform(embedding[1:16],
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |${ranking("ef", "f")},
+       |${ranking("et", "t")},
+       |ov AS (
+       | SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_kept
+       | FROM f JOIN t USING (query_id, neighbor_id) GROUP BY 1),
+       |e AS (
+       | SELECT CAST(q.query_id AS VARCHAR) AS k,
+       |  CAST(coalesce(ov.n_kept, 0) AS DOUBLE) / 5.0 AS v
+       | FROM (SELECT DISTINCT query_id FROM f) q
+       | LEFT JOIN ov USING (query_id)),
+       |tt AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sv
+       | FROM e),
+       |d AS (
+       | SELECT b, v,
+       |  CAST('0x' || substr(md5(k || '#' || CAST(b AS VARCHAR)
+       |    || '#' || 'annci'), 1, 15) AS BIGINT)
+       |   / 1152921504606846976.0 AS u
+       | FROM e, range(0, 40) r(b)),
+       |w AS (SELECT b, v, $caseW AS w FROM d),
+       |m AS (
+       | SELECT b,
+       |  CAST(SUM(CAST(round(CAST(w AS DOUBLE) * v, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS s,
+       |  CAST(SUM(w) AS BIGINT) AS c
+       | FROM w GROUP BY b),
+       |mm AS (SELECT list(s / c ORDER BY s / c) AS ms FROM m WHERE c > 0),
+       |st AS (
+       | SELECT ms, len(ms) AS nb,
+       |  CAST(floor(0.025 * (len(ms) - 1)) AS INT) AS kk,
+       |  list_sum(ms) / len(ms) AS mb
+       | FROM mm)
+       |SELECT tt.n, tt.sv / tt.n AS mean,
+       | st.ms[st.kk + 1] AS boot_lo,
+       | st.ms[st.nb - st.kk] AS boot_hi,
+       | CASE WHEN st.nb > 1 THEN
+       |  sqrt(list_sum(list_transform(st.ms, x -> (x - st.mb) * (x - st.mb)))
+       |   / (st.nb - 1)) ELSE 0.0 END AS boot_se
+       |FROM tt, st""".stripMargin
   }
 
   /** name → (spark impl, oracle sql). */
@@ -8514,5 +8716,7 @@ object ExtensionQueries {
     "q236_doremi_step" -> ((q236 _, q236Sql)),
     "q237_group_bootstrap" -> ((q237 _, q237Sql)),
     "q238_quantile_norm" -> ((q238 _, q238Sql)),
-    "q239_dedup_curve" -> ((q239 _, q239Sql)))
+    "q239_dedup_curve" -> ((q239 _, q239Sql)),
+    "q240_pca_deflate" -> ((q240 _, q240Sql)),
+    "q241_ann_recall_ci" -> ((q241 _, q241Sql)))
 }

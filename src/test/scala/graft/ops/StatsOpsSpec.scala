@@ -573,4 +573,50 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(Long, Double, Double, Double, Double)].head()
     assert(re == got, "exact decimal sums make the CI order-free")
   }
+
+  test("poissonBootstrapCI production form (plain double sums, xxh draws, " +
+      "fan-out repartition) matches the exact DECIMAL form to 6 decimals") {
+    // values NOT exactly representable so the two accumulation paths
+    // genuinely differ in ulps — the differential must absorb that
+    val vals = (1L to 500L).map(i => (i, math.sin(i.toDouble) * 10.0 + 15.0))
+    val df = vals.toDF("id", "v")
+    def run(exact: Boolean, par: Option[Int]) =
+      StatsOps.poissonBootstrapCI(df, "v", "id", reps = 24, seed = "pd",
+          alpha = 0.1, uniform = StatsOps.xxhUniform, exact = exact,
+          parallelism = par)
+        .as[(Long, Double, Double, Double, Double)].head()
+    val ex = run(exact = true, None)
+    val fast = run(exact = false, Some(8))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(fast._1 == ex._1)
+    assert(r6(fast._2) == r6(ex._2), s"mean ${fast._2} vs ${ex._2}")
+    assert(r6(fast._3) == r6(ex._3), s"boot_lo ${fast._3} vs ${ex._3}")
+    assert(r6(fast._4) == r6(ex._4), s"boot_hi ${fast._4} vs ${ex._4}")
+    assert(r6(fast._5) == r6(ex._5), s"boot_se ${fast._5} vs ${ex._5}")
+  }
+
+  test("poissonBootstrapCIByGroup production form matches exact per group " +
+      "to 6 decimals") {
+    val rows = (1L to 400L).map(i =>
+      (s"g${i % 3}", i, math.cos(i.toDouble) * 5.0 + 7.0))
+    val df = rows.toDF("g", "id", "v")
+    def run(exact: Boolean, par: Option[Int]) =
+      StatsOps.poissonBootstrapCIByGroup(df, "g", "v", "id", reps = 24,
+          seed = "pg", alpha = 0.1, uniform = StatsOps.xxhUniform,
+          exact = exact, parallelism = par)
+        .as[(String, Long, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val ex = run(exact = true, None)
+    val fast = run(exact = false, Some(8))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(fast.keySet == ex.keySet)
+    ex.foreach { case (g, e) =>
+      val f = fast(g)
+      assert(f._2 == e._2, s"$g n")
+      Seq((f._3, e._3, "mean"), (f._4, e._4, "lo"), (f._5, e._5, "hi"),
+        (f._6, e._6, "se")).foreach { case (a, b, what) =>
+        assert(r6(a) == r6(b), s"$g $what: $a vs $b")
+      }
+    }
+  }
 }

@@ -270,6 +270,55 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(cleaned.toSeq == got.toSeq)
   }
 
+  test("powerComponents: k=1 equals powerComponent; deflated second " +
+      "component matches Jacobi and is orthogonal to the first") {
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    // two planted orthogonal axes with well-separated variances
+    val u1 = Array.tabulate(dim)(i => if (i % 2 == 0) 0.5 else -0.5)
+    val u2 = Array.tabulate(dim)(i => if (i < dim / 2) 0.5 else -0.5)
+    val rows = (0 until 400).map { _ =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.5
+      Tuple1(Seq.tabulate(dim)(i =>
+        (a * u1(i) + b * u2(i) + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("v")
+    val got = VectorOps.powerComponents(df, "v", dim, k = 2, iters = 5)
+      .as[(Int, Int, Double, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got.keySet == Set(1, 2))
+    // component 1 of the k=2 run is bit-identical to powerComponent
+    val solo = VectorOps.powerComponent(df, "v", dim, iters = 5)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got(1).map(r => (r._2, r._3, r._4, r._5)).toSeq == solo.toSeq)
+    // both components match the Jacobi reference directions
+    val jac = VectorOps.pcaTrain(df, "v", dim, k = 2)
+    def absDot(w: Seq[Double], ref: Array[Double]) =
+      math.abs(w.zip(ref).map { case (a, b) => a * b }.sum)
+    assert(absDot(got(1).map(_._3).toSeq, jac.components(0)) > 0.999)
+    assert(absDot(got(2).map(_._3).toSeq, jac.components(1)) > 0.99,
+      "deflated second direction must align with Jacobi's second")
+    assert(math.abs(got(2).head._4 - jac.eigenvalues(1))
+      < 0.02 * jac.eigenvalues(1),
+      s"lambda2 ${got(2).head._4} vs Jacobi ${jac.eigenvalues(1)}")
+    // deflation makes the two power directions near-orthogonal; the
+    // round-6 resync leaves residual component-1 content that later
+    // passes re-amplify by ~lambda1/lambda2, so a few 1e-3 remain
+    val cross = got(1).map(_._3).zip(got(2).map(_._3))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(cross) < 5e-3, s"components must be orthogonal: $cross")
+    // eigenvalues strictly ordered, var_shares consistent
+    assert(got(1).head._4 > got(2).head._4)
+    assert(got(1).head._5 > got(2).head._5 && got(2).head._5 > 0)
+    // repartition-proof (exact decimal sufficient sums)
+    val re = VectorOps.powerComponents(df.repartition(7), "v", dim,
+        k = 2, iters = 5)
+      .as[(Int, Int, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(re.toSeq ==
+      (got(1) ++ got(2)).sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("dimStats: hand mean/std, outlier census, zero-variance NULL") {
     // dim 0: nine 0s and one 9 -> mean 0.9, var 7.29, std 2.7,
     // z(9) = 3 -> flags at z > 2; dim 1: constant -> std 0 -> NULL

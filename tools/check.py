@@ -34,13 +34,19 @@ def h(df: pd.DataFrame) -> str:
     return hashlib.sha256(df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()[:16]
 
 
+MEM_LIMIT = os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "8GB")
+
+
 def fresh_con(sf_dir: str):
     con = duckdb.connect()
     # the auto limit (80% of RAM = ~100 GiB here) lets the buffer pool
     # grow unbounded across a 240-query sweep and trips allocator
     # bad_allocs under sandboxed address-space caps; sf0.01 needs far
-    # less — cap it so long sweeps stay flat
-    con.sql("SET memory_limit='8GB'")
+    # less — cap it so long sweeps stay flat. Override the cap with
+    # GRAFT_DUCKDB_MEMLIMIT (e.g. '40GB') to mirror a bigger-gate
+    # harness; every registry oracle is required to fit the 8GB
+    # default solo (round-9 audit: the heaviest, q235, fits in 2GB).
+    con.sql(f"SET memory_limit='{MEM_LIMIT}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
