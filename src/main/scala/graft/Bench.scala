@@ -1273,6 +1273,14 @@ object Bench {
       // state rows = live keys, never input size)
       run("s_twap",
         StreamingOps.streamingTwap(src, "user_id", "ts", "value"), "append"),
+      // running mean + bootstrap CI per event_type: O(B)-per-group
+      // state (2B+2 sums), the per-row replicate draws staged upstream
+      // in codegen (xxh production hashes; one gauge per group per
+      // micro-batch)
+      run("s_bootstrap_gauge",
+        StreamingOps.streamingBootstrapGauge(src, "event_type", "ts",
+          "value", "event_id", reps = 40, seed = "boot",
+          uniform = graft.ops.StatsOps.xxhUniform), "append"),
       // live funnel tracker: depth + chain ts per key (two fields),
       // hits emitted the moment a level completes
       run("s_funnel",

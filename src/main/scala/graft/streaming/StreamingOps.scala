@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -443,6 +443,126 @@ object StreamingOps {
         }
       }
       .toDF(keyCol, "ts_us", "twap", "n_obs")
+  }
+
+  /** Input/output/state rows for [[streamingBootstrapGauge]]. */
+  case class BootEvent(key: String, ord: Long, k: String, value: Double,
+      w: Seq[Int], wm: java.sql.Timestamp)
+  case class BootGauge(key: String, n: Long, mean: Double, boot_lo: Double,
+      boot_hi: Double, boot_se: Double)
+  case class BootState(n: Long, sv: Double, s: Seq[Double], c: Seq[Long])
+
+  /** STREAMING POISSON-BOOTSTRAP GAUGE via `flatMapGroupsWithState` —
+    * the live-monitoring twin of
+    * [[graft.ops.StatsOps.poissonBootstrapCIByGroup]]: per group a
+    * RUNNING mean with a bootstrap CI, re-emitted every micro-batch
+    * the group receives data. The metric an experiment dashboard
+    * actually wants — "is the lift real yet?" needs the uncertainty,
+    * not just the point estimate, and the Poisson bootstrap is the
+    * only bootstrap whose state is streamable: each row contributes
+    * independently to every replicate, so per group the FULL
+    * bootstrap collapses to `O(B)` running sums — `(Σ w_b·v, Σ w_b)`
+    * per replicate plus `(n, Σv)` — never the data.
+    *
+    * The per-row replicate weights are staged UPSTREAM as stateless
+    * projection columns using the exact batch machinery (key-derived
+    * [[graft.core.PortableHash.uniform01]] draw over
+    * `rowKey#replicate#seed`, the shared
+    * [[graft.ops.StatsOps.poisson1Cdf]] inverse-CDF when-chain, draws
+    * staged before the chain — the CSE lesson), so the draws are
+    * BIT-IDENTICAL to the batch operator's and stay in codegen; the
+    * stateful operator only accumulates. State per key is `2B+2`
+    * numbers — O(1) in stream length, hash-partitioned by group at
+    * 1000 executors; optional event-time TTL evicts idle groups like
+    * [[streamingEma]].
+    *
+    * Accumulation contract (the [[streamingTwap]] honesty pattern):
+    * replicate sums fold in DOUBLE in arrival order — monitoring
+    * path; the batch operator's round-then-DECIMAL form is the oracle
+    * path (q237). With the same rows the final emitted gauge matches
+    * batch `exact=false` to double-fold tolerance, which the spec
+    * pins. CI algebra mirrors the batch driver exactly: means of the
+    * `c_b > 0` replicates, ascending; `floor(α/2·(B−1))` trimmed from
+    * each end; SE over the ascending means.
+    */
+  def streamingBootstrapGauge(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      rowKeyCol: String, reps: Int = 40, seed: String = "boot",
+      alpha: Double = 0.05,
+      uniform: (Column, Column) => Column =
+        graft.core.PortableHash.uniform01,
+      watermarkDelay: String = null, idleTtlMs: Long = -1L): DataFrame = {
+    require(reps >= 4, s"need reps >= 4, got $reps")
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttl = ttlActive(events, tsCol, watermarkDelay, idleTtlMs)
+    val src = if (ttl) events.withWatermark(tsCol, watermarkDelay) else events
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val v = col(valueCol).cast("double")
+    val base = src.filter(v.isNotNull).select(
+      col(keyCol).cast("string").as("key"),
+      unix_micros(col(tsCol)).as("ord"),
+      col(rowKeyCol).cast("string").as("k"),
+      v.as("value"),
+      (if (ttl) col(tsCol) else lit(null).cast("timestamp")).as("wm"))
+    val us = base.select(
+      col("key") +: col("ord") +: col("k") +: col("value") +: col("wm") +:
+        (0 until reps).map(b =>
+          uniform(concat_ws("#", col("k"), lit(b)), lit(seed))
+            .as(s"__u$b")): _*)
+    def wCol(b: Int): Column =
+      graft.ops.StatsOps.poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
+        case ((t, k), rest) => when(col(s"__u$b") < t, k).otherwise(rest)
+      }
+    val ds = us.select(col("key"), col("ord"), col("k"), col("value"),
+        array((0 until reps).map(b => wCol(b).cast("int")): _*).as("w"),
+        col("wm")).as[BootEvent]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[BootState, BootGauge](
+        OutputMode.Append, timeout) { (key, rows, state) =>
+        if (ttl && state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val prev = state.getOption.getOrElse(
+            BootState(0L, 0.0, Seq.fill(reps)(0.0), Seq.fill(reps)(0L)))
+          var n = prev.n
+          var sv = prev.sv
+          val s = prev.s.toArray
+          val c = prev.c.toArray
+          rows.toArray.sortBy(e => (e.ord, e.k)).foreach { e =>
+            n += 1
+            sv += e.value
+            var b = 0
+            while (b < reps) {
+              val wb = e.w(b)
+              if (wb > 0) { s(b) += wb * e.value; c(b) += wb }
+              b += 1
+            }
+          }
+          state.update(BootState(n, sv, s.toIndexedSeq, c.toIndexedSeq))
+          if (ttl)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+          val means = (0 until reps)
+            .flatMap(b => if (c(b) == 0L) None else Some(s(b) / c(b))).sorted
+          if (n == 0 || means.isEmpty) Iterator.empty
+          else {
+            val bl = means.length
+            val kk = math.floor(alpha / 2.0 * (bl - 1)).toInt
+            val mm = means.reduceLeft(_ + _) / bl
+            val se =
+              if (bl > 1)
+                math.sqrt(means.map(m => (m - mm) * (m - mm))
+                  .reduceLeft(_ + _) / (bl - 1))
+              else 0.0
+            Iterator.single(
+              BootGauge(key, n, sv / n, means(kk), means(bl - 1 - kk), se))
+          }
+        }
+      }
+      .toDF(keyCol, "n", "mean", "boot_lo", "boot_hi", "boot_se")
   }
 
   /** STREAM-STREAM interval self-join: attribute each `convType`

@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic ≥10× scale-point generator for the documents/embeddings
+  * fixture (VERDICT r8 task #4): writes `factor`× replicas of
+  * `srcDir`'s documents and embeddings to `outDir` so the headline
+  * text-pipeline bench rows (dedup keepers, curation chain, ETL) can
+  * be measured one decade apart — the cheapest strong evidence that
+  * the linear-scaling claims argued from plan shape actually hold.
+  *
+  * Replication must not distort the WORKLOAD, only its size:
+  * - documents: replica 0 is the original corpus; replica r > 0 keeps
+  *   every row's word MULTISET (so length, vocabulary, token-count
+  *   and quality-score distributions are unchanged) but applies a
+  *   deterministic per-(doc, replica) Fisher–Yates shuffle to the
+  *   word order — shingle/MinHash signatures decorrelate across
+  *   replicas, so the near-dup rate per doc stays the base corpus's
+  *   instead of every doc gaining 9 planted near-duplicates (naive
+  *   text replication would turn the dedup benches into a measure of
+  *   a 10-way-clique graph that real 10× data doesn't have).
+  * - embeddings: replica r > 0 flips each component's sign by a
+  *   deterministic per-(replica, dim) pattern — norms and per-dim
+  *   magnitude stats are preserved, cosine structure across replicas
+  *   decorrelates.
+  * - ids: `id + r·10_000_000` — disjoint per replica, and
+  *   `pmod(doc_id, k)`-style bucket joins keep their distribution
+  *   because the offset is a multiple of every modulus the bench uses.
+  * All other tables are copied verbatim (they only feed the bench's
+  * untimed warmup at this dir). Determinism end-to-end: re-running
+  * produces byte-identical rows (seeded per-row shuffles, no
+  * partition-dependent randomness).
+  *
+  * Usage: ScaleGen <srcDir> <outDir> [factor=10]
+  */
+object ScaleGen {
+
+  /** Deterministic word-order shuffle: Fisher–Yates seeded by
+    * (docId, replica). Word multiset invariant.
+    */
+  def shuffleWords(text: String, docId: Long, replica: Int): String = {
+    if (text == null || text.isEmpty) return text
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val rnd = new scala.util.Random(docId * 1000003L + replica * 7919L)
+    var i = words.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = words(i); words(i) = words(j); words(j) = t
+      i -= 1
+    }
+    words.mkString(" ")
+  }
+
+  /** Deterministic ±1 per (replica, dim). */
+  def signFlip(replica: Int, dim: Int): Float = {
+    val h = replica.toLong * 1315423911L + dim.toLong * 2654435761L
+    if (((h >>> 7) & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [factor]")
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    new java.io.File(outDir).mkdirs()
+    val offset = 10000000L
+
+    // documents ----------------------------------------------------
+    val docs = graft.core.Tables.documents(spark, srcDir)
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)]
+    val scaledDocs = docs.mapPartitions { it =>
+      it.flatMap { case (id, text, lang, source) =>
+        (0 until factor).iterator.map { r =>
+          val t = if (r == 0) text else shuffleWords(text, id, r)
+          (id + r * offset, t, lang, source,
+            if (t == null) 0L else t.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      // spread replicas across files so downstream scans parallelize
+      .repartition(32, col("doc_id"))
+    scaledDocs.write.mode("overwrite")
+      .parquet(new java.io.File(outDir, "documents.parquet").toString)
+
+    // embeddings ---------------------------------------------------
+    val embs = graft.core.Tables.embeddings(spark, srcDir)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)]
+    val scaledEmbs = embs.mapPartitions { it =>
+      it.flatMap { case (id, v, label) =>
+        (0 until factor).iterator.map { r =>
+          val vv =
+            if (r == 0 || v == null) v
+            else v.zipWithIndex.map { case (x, j) => x * signFlip(r, j) }
+          (id + r * offset, vv, label)
+        }
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(16, col("vec_id"))
+    scaledEmbs.write.mode("overwrite")
+      .parquet(new java.io.File(outDir, "embeddings.parquet").toString)
+
+    // everything else verbatim (bench warmup reads lineitem/events) -
+    val copied = new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
+    copied.foreach { f =>
+      val dst = new java.io.File(outDir, f.getName)
+      if (f.isDirectory) {
+        dst.mkdirs()
+        f.listFiles().foreach(p => java.nio.file.Files.copy(p.toPath,
+          new java.io.File(dst, p.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      } else {
+        java.nio.file.Files.copy(f.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val nd = spark.read.parquet(
+      new java.io.File(outDir, "documents.parquet").toString).count()
+    val ne = spark.read.parquet(
+      new java.io.File(outDir, "embeddings.parquet").toString).count()
+    println(s"""{"scaled":"$outDir","factor":$factor,"documents":$nd,"embeddings":$ne}""")
+    spark.stop()
+  }
+}

@@ -613,6 +613,102 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamingBootstrapGauge: state is O(B) per group across batches; " +
+      "final gauge matches the batch bootstrap") {
+    import org.apache.spark.sql.types._
+    import graft.ops.StatsOps
+    val streamDir = Files.createTempDirectory("boot-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("boot-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def rows(lo: Long): Seq[(String, Long, java.sql.Timestamp, Double)] =
+      for (k <- Seq("a", "b"); i <- lo until (lo + 30))
+        yield (k, i, ts(i), math.sin(i.toDouble) * 4.0 +
+          (if (k == "a") 10.0 else 20.0))
+    writeBatch(rows(0).toDF("key", "event_id", "ts", "value"), "b1.parquet", 1000000L)
+    writeBatch(rows(30).toDF("key", "event_id", "ts", "value"), "b2.parquet", 2000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val reps = 16
+    val (out, maxState) = StreamingOps.runToMemoryMaxState(
+      StreamingOps.streamingBootstrapGauge(stream, "key", "ts", "value",
+        "event_id", reps = reps, seed = "sg", alpha = 0.1),
+      "boot_gauge_test", "append")
+    val got = out.as[(String, Long, Double, Double, Double, Double)].collect()
+    // one gauge per group per micro-batch; running n crossed the file
+    // boundary (state carried)
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "b") == 2)
+    assert(got.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(30L, 60L))
+    // state rows == |groups|, not input size (each holds the 2B+2 sums)
+    assert(maxState == 2L, s"state must be one row per group, got $maxState")
+
+    // final emitted gauge per group == batch production bootstrap
+    // (same draws by construction; double-fold order tolerance only)
+    val batch = StatsOps.poissonBootstrapCIByGroup(
+        spark.read.schema(schema).parquet(streamDir), "key", "value",
+        "event_id", reps = reps, seed = "sg", alpha = 0.1, exact = false)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (k <- Seq("a", "b")) {
+      val last = got.filter(_._1 == k).maxBy(_._2)
+      val b = batch(k)
+      assert(last._2 == b._2, s"$k n")
+      Seq((last._3, b._3, "mean"), (last._4, b._4, "boot_lo"),
+        (last._5, b._5, "boot_hi"), (last._6, b._6, "boot_se")).foreach {
+        case (s, e, what) =>
+          assert(math.abs(s - e) < 1e-9, s"$k $what: $s vs $e")
+      }
+    }
+  }
+
+  test("streamingBootstrapGauge idle-group TTL bounds state") {
+    import org.apache.spark.sql.types._
+    val streamDir = Files.createTempDirectory("boot-ttl").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("boot-ttl-b").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+    // offset from 100 min: the initial watermark is 0 and the late
+    // filter drops rows AT or below it (the streamingEma TTL note)
+    def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+    // group "old" appears only in file 1; the watermark from file 2's
+    // much-later events pushes past old's TTL and evicts it
+    writeBatch(Seq(("old", 1L, ts(0), 1.0), ("live", 2L, ts(1), 2.0))
+      .toDF("key", "event_id", "ts", "value"), "b1.parquet", 1000000L)
+    writeBatch((3L to 6L).map(i => ("live", i, ts(10000 + i), 2.0 + i))
+      .toDF("key", "event_id", "ts", "value"), "b2.parquet", 2000000L)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val (out, maxState) = StreamingOps.runToMemoryMaxState(
+      StreamingOps.streamingBootstrapGauge(stream, "key", "ts", "value",
+        "event_id", reps = 8, seed = "sg", alpha = 0.1,
+        watermarkDelay = "1 minute", idleTtlMs = 60L * 60L * 1000L),
+      "boot_ttl_test", "append")
+    val got = out.as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(got.exists(_._1 == "old") && got.exists(_._1 == "live"))
+    assert(maxState <= 2L, s"TTL must keep state at live groups, got $maxState")
+  }
+
   test("streamingEma idle-key TTL: expired keys leave the state store") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.Trigger
