@@ -107,6 +107,14 @@ object Bench {
       SimilarityOps.lshCosineTopK(Tables.embeddings(s, dir), k = 10)),
     "b_ivf_cosine_topk" -> ((s, dir) =>
       SimilarityOps.ivfCosineTopK(Tables.embeddings(s, dir), k = 10, nlist = 32, nprobe = 4)),
+    // post-retrieval MMR diversification of the production LSH top-10
+    // pools (greedy O(pool²) per query inside one flatMapGroups; the
+    // corpus-scale work is the LSH search itself)
+    "b_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.mmrRerank(
+        SimilarityOps.lshCosineTopK(e, k = 10), e, k = 5, lambdaRel = 0.5)
+    }),
     // the compressed-index ANN leg: PQ train (1 Lloyd round) + fused
     // encode + per-query LUT + O(m) ADC table walk per candidate
     "b_pq_adc" -> ((s, dir) => {
@@ -790,6 +798,11 @@ object Bench {
     "b_gopher_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.ops.TextAnalysis.gopherQualityFlags(col("text")).as("g"))),
+    // per-doc character entropy (the gibberish gate): per-char explode
+    // with a map-side-combined (doc, char) count — text never shuffles
+    "b_char_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.docCharEntropy(
+        Tables.documents(s, dir), "text", "doc_id")),
     // classifier-based quality filtering: multinomial NB train+predict
     // (model broadcasts; text hashes map-side; id-keyed numeric shuffles)
     "b_nb_classifier" -> ((s, dir) =>

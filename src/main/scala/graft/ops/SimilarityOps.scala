@@ -87,6 +87,151 @@ object SimilarityOps {
       annRecall(exactNN, approxNN, k), "recall_at_k", "query_id",
       reps = reps, seed = seed, alpha = alpha)
 
+  /** CONTRASTIVE PAIR MINING — per anchor the top-k most-similar
+    * corpus rows with a DIFFERENT label (`negatives = true`: hard
+    * negatives — the pairs a contrastive/metric-learning fine-tune
+    * learns most from, since they sit close in embedding space but
+    * must be pushed apart) or with the SAME label (`negatives =
+    * false`: hard-ish positives for the anchor's class, self
+    * excluded). The mining step behind every embedding fine-tune /
+    * reranker-distillation dataset build.
+    *
+    * Shape is [[bruteCosineTopK]]'s exact-eval contract: anchors are
+    * a bounded query set broadcast against the corpus, cosine via the
+    * fused generated expression, per-anchor rank window with the
+    * (cosine DESC, id) tiebreak — the label predicate rides the SAME
+    * join, so no second pass. NULL-label rows can't be judged
+    * same/different and are excluded from both sides. For the
+    * 100 TB-corpus production path, run any ANN search first and
+    * label-filter/re-rank its candidate pool instead (the pool is
+    * per-query-bounded, so that's a broadcast label join + window) —
+    * this form is the oracle-checkable acceptance twin, like q24 for
+    * top-k.
+    */
+  def contrastivePairs(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      negatives: Boolean = true, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"contrastivePairs: k must be >= 1, got $k")
+    val q = queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_label"))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("n_label"))
+    val labelPred =
+      if (negatives) col("n_label") =!= col("q_label")
+      else col("n_label") === col("q_label")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id") && labelPred)
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("cosine"), col("rank"))
+  }
+
+  /** MMR DIVERSIFIED RERANKING (Carbonell & Goldstein 1998's maximal
+    * marginal relevance) — select k of each query's candidates
+    * balancing relevance against redundancy:
+    * `argmax_d λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`, greedily.
+    * THE post-retrieval step of a RAG/curation pipeline: a plain
+    * top-k returns five near-copies of the best hit; MMR returns the
+    * best hit plus four that ADD something. λ=1 degenerates to the
+    * input ranking, λ=0 to pure diversity.
+    *
+    * Contract: `candidates` is a bounded per-query pool
+    * `(query_id, neighbor_id, cosine)` from any top-m operator
+    * (brute/LSH/IVF/PQ) — the greedy is O(m²) per query and runs in
+    * one `flatMapGroups` over the pool, so the bound is the
+    * [[annRecall]] family's eval-set contract, not a scale hole; the
+    * corpus-sized work stays in the upstream search. Candidate↔
+    * candidate similarity is the [[graft.functions.CosineSimilarity]]
+    * algebra exactly (per-element float→double, ascending-index
+    * accumulation, `dot/(√na·√nb)`), and ties in the MMR score break
+    * on ascending neighbor_id — both pinned so the whole greedy
+    * replays value-level in SQL (q242 unrolls the k steps with
+    * materialized selected-set CTEs). First pick scores
+    * `λ·rel − (1−λ)·0` (empty selected set ⇒ zero redundancy).
+    * Returns `(query_id, neighbor_id, mmr_rank ∈ 1..k, relevance,
+    * mmr_score)`; queries with fewer than k candidates emit what
+    * they have.
+    */
+  def mmrRerank(
+      candidates: DataFrame, vectors: DataFrame, k: Int, lambdaRel: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    require(lambdaRel >= 0.0 && lambdaRel <= 1.0,
+      s"mmrRerank: need 0 <= lambda <= 1, got $lambdaRel")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambdaRel
+    val oneMinus = 1.0 - lambdaRel
+    val pool = candidates
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine").cast("double"))
+      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__v").cast("array<float>").as("__v"))
+      .as[(Long, Long, Double, Seq[Float])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        // ascending neighbor_id: a deterministic base order for ties
+        val cand = it.toArray.sortBy(_._2)
+        val n = cand.length
+        val vecs = cand.map(_._4.toArray)
+        def sim(i: Int, j: Int): Double = {
+          val a = vecs(i); val b = vecs(j)
+          val m = math.min(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var t = 0
+          while (t < m) {
+            val x = a(t).toDouble; val y = b(t).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            t += 1
+          }
+          val d = math.sqrt(na) * math.sqrt(nb)
+          if (d == 0.0) 0.0 else dot / d
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Double, Double)]
+        var r = 0
+        while (r < k && selected.length < n) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              // true max over selected (can be negative — SQL max())
+              var msim = Double.NegativeInfinity
+              var s = 0
+              while (s < selected.length) {
+                val sv = sim(i, selected(s))
+                if (sv > msim) msim = sv
+                s += 1
+              }
+              val score =
+                if (selected.isEmpty) lam * cand(i)._3
+                else lam * cand(i)._3 - oneMinus * msim
+              // strict >: ascending-id scan makes ties keep the lowest id
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((q, cand(best)._2, r + 1, cand(best)._3, bestScore))
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_rank", "relevance", "mmr_score")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the ANN
     * corpus-storage story at 100 TB: a 4× smaller vector column (int8
     * vs float32) with cosine UNCHANGED up to rounding, because the

@@ -145,6 +145,45 @@ object TextAnalysis {
     struct(dupFrac.as("dup_token_frac"), topFrac.as("top_bigram_frac"))
   }
 
+  /** PER-DOCUMENT CHARACTER ENTROPY (bits) — the gibberish/binary-
+    * spill quality gate: natural prose sits ~4–4.5 bits/char, base64
+    * or hex dumps near the top of their alphabet's range, and
+    * repeated-character spam near 0 — a one-number screen that
+    * catches inputs the word-level Gopher flags can't see (they need
+    * word boundaries; a 2 MB minified-JS line has none). Returns
+    * `(id, n_chars, entropy_bits)`; empty/NULL text scores NULL.
+    *
+    * Engine parity: per-(doc, char) counts are INTEGER; each term
+    * `−p·log2(p)` is one double expression from two integer casts,
+    * summed round-then-DECIMAL(38,9) — order-free, so the groupBy can
+    * map-side combine freely and DuckDB replays it value-level (the
+    * q107 corpus-entropy convention, per doc).
+    *
+    * Scale shape: explode to (id, char) rows, ONE keyed count that
+    * map-side combines to ≤ |alphabet| rows per doc, one id-keyed
+    * term sum. The corpus shuffles only (id, char, partial-count) —
+    * never text. (The single-pass fused alternative is a per-char
+    * HOF fold — the measured-30×-interpreted trap; this shape stays
+    * in codegen end to end.)
+    */
+  def docCharEntropy(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val cells = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), "")).as("__ch"))
+      .groupBy("__id", "__ch").agg(count(lit(1)).as("__n"))
+    val tot = cells.groupBy("__id")
+      .agg(sum(col("__n")).as("__tot"))
+    cells.join(tot, Seq("__id"))
+      .withColumn("__p", col("__n").cast("double") / col("__tot").cast("double"))
+      .groupBy(col("__id"))
+      .agg(first(col("__tot")).as("n_chars"),
+        d9(-col("__p") * log(2.0, col("__p"))).as("entropy_bits"))
+      .select(col("__id").as(idCol), col("n_chars"), col("entropy_bits"))
+  }
+
   /** BPE-ish subword count: alpha runs, digit runs, and single other
     * glyphs each count as one token — a deterministic proxy for subword
     * tokenizer cost, as a codegen'd regex count.

@@ -8419,6 +8419,157 @@ object ExtensionQueries {
        |${outRow(2, "w6")}""".stripMargin
   }
 
+  // --------------------------------------------------------------- q242
+  /** MMR diversified reranking
+    * ([[graft.ops.SimilarityOps.mmrRerank]], k=5 from a top-10 pool,
+    * λ=0.5): the post-retrieval diversity step — greedy
+    * `argmax λ·rel − (1−λ)·max-sim-to-selected` over each query's
+    * candidate pool. λ=0.5 keeps `1−λ` exactly representable so both
+    * engines score with the identical double. The oracle unrolls all
+    * 5 greedy steps: pool ranking with the q24 cosine algebra,
+    * pairwise pool sims, per-step argmax windows with the
+    * (score DESC, neighbor_id) tiebreak, MATERIALIZED selected-set
+    * CTEs (the q192 inlining lesson).
+    */
+  def q242(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cands = SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 20), e, 10)
+    SimilarityOps.mmrRerank(cands, e, k = 5, lambdaRel = 0.5)
+  }
+
+  val q242Sql: String = {
+    def step(i: Int): String =
+      s"""m$i AS (
+         | SELECT p.query_id, p.neighbor_id, p.cosine, max(ps.sim) AS msim
+         | FROM pool p
+         | JOIN ps ON ps.query_id = p.query_id AND ps.a = p.neighbor_id
+         | JOIN sU${i - 1} s ON s.query_id = ps.query_id
+         |  AND s.neighbor_id = ps.b
+         | WHERE NOT EXISTS (SELECT 1 FROM sU${i - 1} x
+         |   WHERE x.query_id = p.query_id
+         |    AND x.neighbor_id = p.neighbor_id)
+         | GROUP BY 1, 2, 3),
+         |sel$i AS MATERIALIZED (
+         | SELECT query_id, neighbor_id, $i AS mmr_rank,
+         |  cosine AS relevance,
+         |  0.5 * cosine - 0.5 * msim AS mmr_score
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY 0.5 * cosine - 0.5 * msim DESC, neighbor_id) AS rnk
+         |  FROM m$i) WHERE rnk = 1),
+         |sU$i AS MATERIALIZED (
+         | SELECT * FROM sU${i - 1}
+         | UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin
+    s"""WITH ef AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |fc AS (
+       | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, len(a.emb)),
+       |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+       |   / (a.nrm * b.nrm) AS cosine
+       | FROM ef a JOIN ef b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+       |pool AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM fc) WHERE rnk <= 10),
+       |ps AS MATERIALIZED (
+       | SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+       |  list_sum(list_transform(generate_series(1, len(ea.emb)),
+       |    i -> CAST(ea.emb[i] AS DOUBLE) * CAST(eb.emb[i] AS DOUBLE)))
+       |   / (ea.nrm * eb.nrm) AS sim
+       | FROM pool p1 JOIN pool p2 ON p2.query_id = p1.query_id
+       |  AND p2.neighbor_id <> p1.neighbor_id
+       | JOIN ef ea ON ea.vec_id = p1.neighbor_id
+       | JOIN ef eb ON eb.vec_id = p2.neighbor_id),
+       |sel1 AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, 1 AS mmr_rank, cosine AS relevance,
+       |  0.5 * cosine AS mmr_score
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY 0.5 * cosine DESC, neighbor_id) AS rnk
+       |  FROM pool) WHERE rnk = 1),
+       |sU1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       | relevance, mmr_score
+       |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+       | UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+       | UNION ALL SELECT * FROM sel5)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q243
+  /** Hard-negative mining
+    * ([[graft.ops.SimilarityOps.contrastivePairs]], anchors
+    * `vec_id < 30`, top-5 different-label neighbors): the
+    * contrastive-fine-tune dataset build. The oracle rebuilds the
+    * q24-exact cosine ranking with the label-mismatch predicate on
+    * the same join.
+    */
+  def q243(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    SimilarityOps.contrastivePairs(
+      e.filter(col("vec_id") < 30), e, k = 5, negatives = true)
+  }
+
+  val q243Sql: String =
+    """WITH e AS (
+      | SELECT vec_id, label, embedding AS emb,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      | FROM embeddings WHERE label IS NOT NULL),
+      |c AS (
+      | SELECT a.vec_id AS query_id, a.label AS q_label,
+      |  b.vec_id AS neighbor_id, b.label AS n_label,
+      |  list_sum(list_transform(generate_series(1, len(a.emb)),
+      |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+      |   / (a.nrm * b.nrm) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < 30 AND b.vec_id <> a.vec_id
+      |  AND b.label <> a.label)
+      |SELECT query_id, q_label, neighbor_id, n_label, cosine, rank
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM c)
+      |WHERE rank <= 5""".stripMargin
+
+  // --------------------------------------------------------------- q244
+  /** Per-document character entropy
+    * ([[graft.ops.TextAnalysis.docCharEntropy]]): the gibberish /
+    * binary-spill / repeated-char-spam quality gate. The oracle
+    * replays the per-(doc, char) integer counts (q230's
+    * substr-by-position convention), the `−p·log₂p` terms from the
+    * same integer ratios (`ln(p)/ln(2)` — the algebra Spark's
+    * `log(2, ·)` evaluates), and the order-free round-then-DECIMAL
+    * term sum (the q107 entropy convention, per doc).
+    */
+  def q244(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docCharEntropy(
+      Tables.documents(spark, dir), "text", "doc_id")
+
+  val q244Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, text FROM documents
+      | WHERE text IS NOT NULL AND len(text) > 0),
+      |ci AS (
+      | SELECT doc_id, text,
+      |  unnest(generate_series(1, length(text))) AS i
+      | FROM d),
+      |cnt AS (
+      | SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM ci GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot
+      |       FROM cnt GROUP BY 1),
+      |s AS (
+      | SELECT cnt.doc_id, tot,
+      |  -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+      |   * (ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) / ln(2.0)) AS term
+      | FROM cnt JOIN tt USING (doc_id))
+      |SELECT doc_id, CAST(min(tot) AS BIGINT) AS n_chars,
+      | CAST(SUM(CAST(round(term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |  AS entropy_bits
+      |FROM s GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------------- q241
   /** ANN recall@5 with a bootstrap CI
     * ([[graft.ops.SimilarityOps.annRecallCI]], B=40, α=0.05) for the
@@ -8718,5 +8869,8 @@ object ExtensionQueries {
     "q238_quantile_norm" -> ((q238 _, q238Sql)),
     "q239_dedup_curve" -> ((q239 _, q239Sql)),
     "q240_pca_deflate" -> ((q240 _, q240Sql)),
-    "q241_ann_recall_ci" -> ((q241 _, q241Sql)))
+    "q241_ann_recall_ci" -> ((q241 _, q241Sql)),
+    "q242_mmr_rerank" -> ((q242 _, q242Sql)),
+    "q243_hard_negatives" -> ((q243 _, q243Sql)),
+    "q244_char_entropy" -> ((q244 _, q244Sql)))
 }

@@ -205,6 +205,60 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 0L && got(2L)._3 == 0.0,
       "a query the approx search missed entirely scores 0, not absent")
   }
+
+  test("contrastivePairs: hard negatives are the nearest DIFFERENT-label " +
+      "rows; positives the nearest same-label; NULL labels excluded") {
+    // anchor 1 (label A) at x-axis; 2 (A) and 3 (B) near it; 4 (B)
+    // orthogonal; 5 has NULL label and must never appear
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(0.99f, 0.1f), "A"),
+      (3L, Seq(0.98f, 0.2f), "B"), (4L, Seq(0.0f, 1.0f), "B"),
+      (5L, Seq(1.0f, 0.01f), null)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = vecs.filter(col("vec_id") === 1L)
+    val neg = SimilarityOps.contrastivePairs(anchors, vecs, k = 2)
+      .orderBy("rank")
+      .as[(Long, String, Long, String, Double, Int)].collect().toSeq
+    assert(neg.map(_._3) == Seq(3L, 4L), s"nearest B rows in order: $neg")
+    assert(neg.forall(r => r._2 == "A" && r._4 == "B"))
+    assert(neg.head._5 > neg(1)._5, "ranked by cosine desc")
+    val pos = SimilarityOps.contrastivePairs(anchors, vecs, k = 2,
+        negatives = false)
+      .as[(Long, String, Long, String, Double, Int)].collect().toSeq
+    assert(pos.map(_._3) == Seq(2L), "self excluded, NULL-label 5 excluded")
+  }
+
+  test("mmrRerank: lambda=1 reproduces the relevance order; diversity " +
+      "demotes a near-copy; short pools emit what they have") {
+    // candidate vectors for query 100: ids 1 and 2 are near-copies on
+    // the x-axis (1 most relevant), id 3 orthogonal, id 4 diagonal
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (100L, 1L, 0.99), (100L, 2L, 0.98), (100L, 3L, 0.50), (100L, 4L, 0.80)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    // pure relevance: exactly the input ranking
+    val rel = SimilarityOps.mmrRerank(cands, vecs, k = 3, lambdaRel = 1.0)
+      .orderBy("mmr_rank").select("neighbor_id")
+      .as[Long].collect().toSeq
+    assert(rel == Seq(1L, 2L, 4L))
+    // balanced: pick 1; then 2 is a near-copy of 1 (sim ~1) so its
+    // score 0.5*0.98-0.5*~1 ~ -0.01 loses to 3 (0.5*0.5-0.5*0 = 0.25)
+    // and 4 (0.5*0.8-0.5*~0.7 ~ 0.05); 3 then 4 (4 vs {1,3}: max sim
+    // ~0.707 -> 0.046 beats 2's ~ -0.01)
+    val div = SimilarityOps.mmrRerank(cands, vecs, k = 3, lambdaRel = 0.5)
+      .orderBy("mmr_rank").select("neighbor_id")
+      .as[Long].collect().toSeq
+    assert(div == Seq(1L, 3L, 4L),
+      s"the near-copy must be demoted out of the top-3, got $div")
+    // short pool: k larger than the pool emits the whole pool
+    val short = SimilarityOps.mmrRerank(
+        cands.filter(col("neighbor_id") <= 2), vecs, k = 5, lambdaRel = 0.5)
+      .as[(Long, Long, Int, Double, Double)].collect()
+    assert(short.length == 2 && short.map(_._3).sorted.toSeq == Seq(1, 2))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -227,6 +281,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2) == ((1.0 - 2.0 / 5, 0.5)))
     assert(got(3) == ((0.0, 0.0)))
     assert(got(4) == ((0.0, 0.0)))
+  }
+
+  test("docCharEntropy: hand bit values, uniform/degenerate alphabets, " +
+      "empty and NULL text excluded") {
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol -> 0 bits
+      (2L, "abab"),      // two equiprobable -> 1 bit
+      (3L, "abcd"),      // four equiprobable -> 2 bits
+      (4L, "aab"),       // h = -(2/3)log2(2/3) - (1/3)log2(1/3)
+      (5L, ""),          // excluded
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docCharEntropy(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._2 == 4L && got(1L)._3 == 0.0)
+    assert(math.abs(got(2L)._3 - 1.0) < 1e-9)
+    assert(math.abs(got(3L)._3 - 2.0) < 1e-9)
+    val h4 = -(2.0 / 3) * math.log(2.0 / 3) / math.log(2.0) -
+      (1.0 / 3) * math.log(1.0 / 3) / math.log(2.0)
+    assert(math.abs(got(4L)._3 - h4) < 1e-8 && got(4L)._2 == 3L)
   }
 
   test("langId picks the profile with most stopword hits; ties broken by declaration order") {
