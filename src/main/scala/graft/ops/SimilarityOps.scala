@@ -67,6 +67,57 @@ object SimilarityOps {
           .as("recall_at_k"))
   }
 
+  /** RETRIEVAL RANKING METRICS — per query the ORDER-AWARE quality of
+    * an approximate ranking against an exact relevance set: recall@k
+    * ([[annRecall]]'s number), MRR (1/rank of the first relevant
+    * hit — the "how fast does the user see something right" metric)
+    * and binary-relevance nDCG@k (log2-discounted gain, normalized by
+    * the ideal ordering) — recall alone can't tell "right items, top
+    * of the list" from "right items, bottom of the list", and every
+    * ANN/reranker decision (LSH bands, IVF nprobe, PQ m, MMR λ)
+    * changes ORDER as well as membership. `approxNN` must carry the
+    * ranking's `rank` column (any top-k operator here emits it);
+    * relevance is membership of the exact set (the q229 convention).
+    *
+    * Engine parity: hit ranks are integers, MRR is one exact integer
+    * ratio, DCG/IDCG terms `1/log2(rank+1)` are doubles from integer
+    * casts summed round-then-DECIMAL(38,9) — order-free. IDCG uses
+    * `min(k, |exact set|)` ideal positions. Queries the approx search
+    * returned nothing for score 0 across the board, not absent. Both
+    * frames are query-set-sized — all small-side work.
+    */
+  def retrievalMetrics(
+      exactNN: DataFrame, approxNN: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    def gain(pos: Column) =
+      lit(1.0) / (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val ex = exactNN.select("query_id", "neighbor_id")
+    val nRel = ex.groupBy("query_id")
+      .agg(count(lit(1)).as("__n_rel"))
+    val hits = approxNN.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("__r"))
+      .join(ex, Seq("query_id", "neighbor_id"), "left_semi")
+    val perQ = hits.groupBy("query_id").agg(
+      count(lit(1)).as("__n_kept"),
+      min(col("__r")).as("__first"),
+      d9(gain(col("__r"))).as("__dcg"))
+    val ideal = nRel
+      .select(col("query_id"),
+        explode(sequence(lit(1L), least(col("__n_rel"), lit(k.toLong))))
+          .as("__i"))
+      .groupBy("query_id").agg(d9(gain(col("__i"))).as("__idcg"))
+    nRel.join(ideal, Seq("query_id"))
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_kept"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
+          .as("mrr"),
+        (coalesce(col("__dcg"), lit(0.0)) / col("__idcg")).as("ndcg"))
+  }
+
   /** ANN RECALL WITH A CONFIDENCE INTERVAL — [[annRecall]]'s
     * per-query recalls fed through the Poisson bootstrap
     * ([[graft.ops.StatsOps.poissonBootstrapCI]], keyed by query_id):
@@ -103,10 +154,14 @@ object SimilarityOps {
     * join, so no second pass. NULL-label rows can't be judged
     * same/different and are excluded from both sides. For the
     * 100 TB-corpus production path, run any ANN search first and
-    * label-filter/re-rank its candidate pool instead (the pool is
-    * per-query-bounded, so that's a broadcast label join + window) —
-    * this form is the oracle-checkable acceptance twin, like q24 for
-    * top-k.
+    * label-filter/re-rank its candidate pool instead — for negatives
+    * that path already exists as [[hardNegativesLsh]] (label rejected
+    * AT the bucket join; q79/b_hard_negatives), of which this is the
+    * generalization: one join definition serving both polarities,
+    * with [[hardNegativesBrute]] as the negatives special case. The
+    * positives mode is the new surface — same-class nearest pairs
+    * are the anchor/positive sets contrastive objectives (SimCSE-
+    * style, triplet loss) mine alongside the negatives.
     */
   def contrastivePairs(
       queries: DataFrame, corpus: DataFrame, k: Int,
@@ -654,26 +709,17 @@ object SimilarityOps {
   /** Brute-force twin of [[hardNegativesLsh]] for a bounded query set —
     * the oracle/recall baseline ([[bruteCosineTopK]]'s contract: all
     * (query, corpus) pairs, label-filtered; quadratic by design, so
-    * fixture-scale validation only).
+    * fixture-scale validation only). The negatives special case of
+    * [[contrastivePairs]] (one join definition — this just drops the
+    * label columns q79's oracle shape predates).
     */
   def hardNegativesBrute(
       queries: DataFrame, corpus: DataFrame, k: Int,
       labelCol: String = "label",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      col(labelCol).as("q_lbl"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      col(labelCol).as("c_lbl"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(q).join(c,
-        col("query_id") =!= col("neighbor_id") && col("q_lbl") =!= col("c_lbl"))
-      .withColumn("cosine",
-        graft.functions.CosineSimilarity.cosineFused(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    contrastivePairs(queries, corpus, k, negatives = true,
+      idCol = idCol, vecCol = vecCol, labelCol = labelCol)
       .select("query_id", "neighbor_id", "cosine", "rank")
-  }
 
   /** Two-frame IVF search: centroids are picked from (and the inverted
     * lists built over) `corpus`; `queries` probe their `nprobe` nearest

@@ -8500,17 +8500,18 @@ object ExtensionQueries {
   }
 
   // --------------------------------------------------------------- q243
-  /** Hard-negative mining
-    * ([[graft.ops.SimilarityOps.contrastivePairs]], anchors
-    * `vec_id < 30`, top-5 different-label neighbors): the
-    * contrastive-fine-tune dataset build. The oracle rebuilds the
-    * q24-exact cosine ranking with the label-mismatch predicate on
-    * the same join.
+  /** Positive-pair mining
+    * ([[graft.ops.SimilarityOps.contrastivePairs]] with
+    * `negatives = false`, anchors `vec_id < 30`, top-5 SAME-label
+    * neighbors, self excluded): the anchor/positive sets a
+    * contrastive fine-tune mines alongside q79's hard negatives. The
+    * oracle rebuilds the q24-exact cosine ranking with the
+    * label-match predicate on the same join.
     */
   def q243(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     SimilarityOps.contrastivePairs(
-      e.filter(col("vec_id") < 30), e, k = 5, negatives = true)
+      e.filter(col("vec_id") < 30), e, k = 5, negatives = false)
   }
 
   val q243Sql: String =
@@ -8526,7 +8527,7 @@ object ExtensionQueries {
       |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
       |   / (a.nrm * b.nrm) AS cosine
       | FROM e a JOIN e b ON a.vec_id < 30 AND b.vec_id <> a.vec_id
-      |  AND b.label <> a.label)
+      |  AND b.label = a.label)
       |SELECT query_id, q_label, neighbor_id, n_label, cosine, rank
       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM c)
@@ -8569,6 +8570,79 @@ object ExtensionQueries {
       | CAST(SUM(CAST(round(term, 9) AS DECIMAL(38,9))) AS DOUBLE)
       |  AS entropy_bits
       |FROM s GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q245
+  /** Retrieval ranking metrics
+    * ([[graft.ops.SimilarityOps.retrievalMetrics]]) for the q229
+    * truncated-dimension search: per query recall@5, MRR and
+    * binary-relevance nDCG@5 of the 16-dim ranking against the
+    * full-dim top-5 — the order-aware half of the ANN acceptance
+    * story (q229/q241 cover membership; this covers position). The
+    * oracle rebuilds both rankings with the q24 cosine algebra and
+    * replays the integer hit ranks, the exact-ratio MRR and the
+    * round-then-DECIMAL log2-discount sums.
+    */
+  def q245(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val full = SimilarityOps.bruteCosineTopK(e.filter(col("vec_id") < 20), e, 5)
+    val t = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc =
+      SimilarityOps.bruteCosineTopK(t.filter(col("vec_id") < 20), t, 5)
+    SimilarityOps.retrievalMetrics(full, trunc, k = 5)
+  }
+
+  val q245Sql: String = {
+    def ranking(src: String, out: String): String =
+      s"""${out}c AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  list_sum(list_transform(generate_series(1, len(a.emb)),
+         |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+         |   / (a.nrm * b.nrm) AS cosine
+         | FROM $src a JOIN $src b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         |$out AS (
+         | SELECT query_id, neighbor_id, rnk FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM ${out}c) WHERE rnk <= 5)""".stripMargin
+    val gain = (x: String) =>
+      s"1.0 / (ln(CAST($x AS DOUBLE) + 1.0) / ln(2.0))"
+    s"""WITH ef AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |et AS (
+       | SELECT vec_id, embedding[1:16] AS emb,
+       |  sqrt(list_sum(list_transform(embedding[1:16],
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |${ranking("ef", "f")},
+       |${ranking("et", "t")},
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM f GROUP BY 1),
+       |hits AS (
+       | SELECT t.query_id, t.rnk AS r
+       | FROM t JOIN f USING (query_id, neighbor_id)),
+       |perq AS (
+       | SELECT query_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  min(r) AS fr,
+       |  CAST(SUM(CAST(round(${gain("r")}, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS dcg
+       | FROM hits GROUP BY 1),
+       |ideal AS (
+       | SELECT query_id,
+       |  CAST(SUM(CAST(round(${gain("i")}, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS idcg
+       | FROM (SELECT query_id,
+       |        unnest(generate_series(1, least(n_rel, 5))) AS i
+       |       FROM nrel) GROUP BY 1)
+       |SELECT n.query_id, coalesce(p.n_kept, 0) AS n_kept,
+       | CAST(coalesce(p.n_kept, 0) AS DOUBLE) / 5.0 AS recall_at_k,
+       | coalesce(1.0 / CAST(p.fr AS DOUBLE), 0.0) AS mrr,
+       | coalesce(p.dcg, 0.0) / i.idcg AS ndcg
+       |FROM nrel n JOIN ideal i USING (query_id)
+       |LEFT JOIN perq p USING (query_id)""".stripMargin
+  }
 
   // --------------------------------------------------------------- q241
   /** ANN recall@5 with a bootstrap CI
@@ -8871,6 +8945,7 @@ object ExtensionQueries {
     "q240_pca_deflate" -> ((q240 _, q240Sql)),
     "q241_ann_recall_ci" -> ((q241 _, q241Sql)),
     "q242_mmr_rerank" -> ((q242 _, q242Sql)),
-    "q243_hard_negatives" -> ((q243 _, q243Sql)),
-    "q244_char_entropy" -> ((q244 _, q244Sql)))
+    "q243_positive_pairs" -> ((q243 _, q243Sql)),
+    "q244_char_entropy" -> ((q244 _, q244Sql)),
+    "q245_retrieval_metrics" -> ((q245 _, q245Sql)))
 }

@@ -206,6 +206,32 @@ class SimilarityOpsSpec extends AnyFunSuite {
       "a query the approx search missed entirely scores 0, not absent")
   }
 
+  test("retrievalMetrics: perfect ranking scores 1s; late hit discounts " +
+      "nDCG; missed query scores zeros") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      // q1: both relevant, in the ideal positions
+      (1L, 10L, 1), (1L, 11L, 2),
+      // q2: first relevant only at rank 2 (rank-1 hit is junk)
+      (2L, 99L, 1), (2L, 20L, 2),
+      // q3: nothing relevant returned
+      (3L, 98L, 1), (3L, 97L, 2)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = SimilarityOps.retrievalMetrics(exact, approx, k = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, 2L, 1.0, 1.0, 1.0)))
+    // q2: recall 1/2, mrr 1/2, dcg = 1/log2(3), idcg = 1 + 1/log2(3)
+    val ndcg2 = (1.0 / log2(3.0)) / (1.0 + 1.0 / log2(3.0))
+    assert(got(2L)._2 == 1L && got(2L)._3 == 0.5 && got(2L)._4 == 0.5)
+    assert(math.abs(got(2L)._5 - ndcg2) < 1e-8, s"ndcg ${got(2L)._5}")
+    assert(got(3L) == ((3L, 0L, 0.0, 0.0, 0.0)),
+      "a fully-missed query scores zeros, not absent")
+  }
+
   test("contrastivePairs: hard negatives are the nearest DIFFERENT-label " +
       "rows; positives the nearest same-label; NULL labels excluded") {
     // anchor 1 (label A) at x-axis; 2 (A) and 3 (B) near it; 4 (B)
