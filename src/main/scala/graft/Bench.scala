@@ -122,6 +122,13 @@ object Bench {
       PqOps.pqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 10,
         m = 8, ksub = 16, iters = 1, dim = 64)
     }),
+    // the full IVF-PQ deployment shape: coarse-quantizer pruning to
+    // nprobe lists + residual-encoded ADC within them
+    "b_ivf_pq_adc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      PqOps.ivfPqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 10,
+        nlist = 32, nprobe = 4, m = 8, ksub = 16, iters = 1, dim = 64)
+    }),
     // perceptual-hash near-dup over the 8×8 thumbs: aHash vs DCT hash
     // through the same 4-band pigeonhole candidates
     "b_image_neardup_ahash" -> ((s, dir) =>

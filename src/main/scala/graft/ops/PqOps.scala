@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,109 @@ object PqOps {
     * candidate sets. Compose with an IVF/LSH blocking stage upstream
     * when |Q|·|C| pairs are too many even at O(m) each.
     */
+  /** IVF-PQ ADC search (Jégou et al. 2011's full construction) — the
+    * 100 TB ANN deployment shape: an IVF coarse quantizer prunes the
+    * corpus to `nprobe` inverted lists per query, and within the
+    * probed lists candidates are ranked by the O(m) PQ table walk
+    * over their `m`-byte codes. Composes [[SimilarityOps.ivfCosineSearch]]'s
+    * deterministic index (md5-ordered centroid pick, fused
+    * [[graft.functions.TopCentroids]] assignment) with this object's
+    * PQ train/encode/ADC.
+    *
+    * `byResidual = true` (the FAISS IVFPQ default) encodes each
+    * vector's RESIDUAL against its assigned centroid — residuals
+    * cluster far tighter than raw vectors, so the same `m·ksub`
+    * codebook budget buys a finer quantization; each (query, probe)
+    * pair then gets its own LUT from the query's residual against
+    * THAT centroid. `byResidual = false` is the cheaper gated form
+    * (one LUT per query, computed before the probe explode) and with
+    * `nprobe = nlist` is exactly [[pqSearchADC]] — the differential
+    * the spec pins.
+    *
+    * Scale shape: two narrow corpus passes (assign + encode/train
+    * pass per Lloyd round), then the search join keys on the centroid
+    * id — probe rows carry an `m·ksub`-double LUT, list rows carry
+    * `m` ints; neither side ever shuffles a raw vector. Residual
+    * arithmetic is float IEEE (`x − c` per element) on both engines.
+    * Returns `(query_id, neighbor_id, adc6, rank)`.
+    */
+  def ivfPqSearchADC(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 4, ksub: Int = 8, iters: Int = 1, dim: Int = 64,
+      byResidual: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"ivfPqSearchADC: need k,nlist,nprobe >= 1 and nprobe <= nlist")
+    // deterministic centroid pick — the ivfCosineSearch contract
+    val picked = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .orderBy(graft.core.PortableHash.md5Long(col("c_id"), lit("ivf")),
+        col("c_id"))
+      .limit(nlist)
+      .orderBy("c_id")
+      .collect()
+    require(picked.nonEmpty, "ivfPqSearchADC: empty corpus")
+    val mat = new Array[Float](picked.length * dim)
+    picked.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](1)
+      require(v.length == dim,
+        s"ivfPqSearchADC: centroid ${r.get(0)} has dim ${v.length}, expected $dim")
+      var j = 0
+      while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
+    }
+    // the centroid VECTOR is staged once per row (element_at on the
+    // nested literal inside a transform lambda would re-extract it per
+    // ELEMENT — measured 4× on the whole search); zip_with then walks
+    // both arrays once
+    val centLit = typedLit(picked.map(_.getSeq[Float](1)).toSeq)
+    def residual(vec: Column, centroid: Column): Column =
+      zip_with(vec, element_at(centLit, centroid + 1),
+        (x, c) => (x - c).cast("float"))
+    def top(vec: Column, n: Int): Column =
+      graft.functions.TopCentroids.topCentroids(vec, mat, dim, n)
+
+    val assigned = validVecs(corpus, vecCol, idCol, dim)
+      .select(col("id").as("neighbor_id"), col("vec"),
+        element_at(top(col("vec"), 1), 1).as("centroid"))
+      .withColumn("enc_vec",
+        if (byResidual) residual(col("vec"), col("centroid"))
+        else col("vec"))
+    val cb = trainCodebooks(assigned, "enc_vec", "neighbor_id",
+      m, ksub, iters, dim)
+    val enc = assigned.select(col("centroid"), col("neighbor_id"),
+      graft.functions.Pq.pqCodes(col("enc_vec"), cb, m, ksub, dim)
+        .as("codes"))
+
+    val qv = validVecs(queries, vecCol, idCol, dim)
+    val probes =
+      if (byResidual)
+        qv.select(col("id").as("query_id"), col("vec"),
+            explode(slice(top(col("vec"), nprobe), 1, nprobe)).as("centroid"))
+          .select(col("query_id"), col("centroid"),
+            graft.functions.Pq.pqLutCol(
+              residual(col("vec"), col("centroid")), cb, m, ksub, dim)
+              .as("lut"))
+      else
+        qv.select(col("id").as("query_id"),
+            graft.functions.Pq.pqLutCol(col("vec"), cb, m, ksub, dim)
+              .as("lut"),
+            explode(slice(top(col("vec"), nprobe), 1, nprobe)).as("centroid"))
+          .select(col("query_id"), col("centroid"), col("lut"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    probes.join(enc, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.functions.Pq.adcLookup(col("lut"), col("codes"), ksub))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc6"), col("rank"))
+  }
+
   def pqSearchADC(
       queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 8, iters: Int = 1, dim: Int = 64,

@@ -158,4 +158,42 @@ class PqSpec extends AnyFunSuite {
       assert(q % 4 == n % 4, s"query $q matched cross-cluster neighbor $n")
     }
   }
+
+  test("ivfPqSearchADC: gated form with nprobe = nlist IS pqSearchADC; " +
+      "residual form keeps planted-cluster neighbors; repartition-proof") {
+    val r = new scala.util.Random(11)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    val pts = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    // differential: probing every list with raw-vector encoding is the
+    // flat PQ search exactly (same seeds, codebooks, LUTs, candidates)
+    val flat = graft.ops.PqOps.pqSearchADC(queries, df, k = 3,
+        m = m, ksub = ksub, iters = 1, dim = dim)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4))
+    val gatedAll = graft.ops.PqOps.ivfPqSearchADC(queries, df, k = 3,
+        nlist = 4, nprobe = 4, m = m, ksub = ksub, iters = 1, dim = dim,
+        byResidual = false)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4))
+    assert(gatedAll.toSeq == flat.toSeq,
+      "nprobe = nlist, byResidual = false must equal the flat PQ search")
+    // residual IVFPQ: every query's top-1 stays in its planted cluster
+    // even probing a single list
+    val res = graft.ops.PqOps.ivfPqSearchADC(queries, df, k = 1,
+        nlist = 4, nprobe = 1, m = m, ksub = ksub, iters = 1, dim = dim)
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(res.length == 8)
+    res.foreach { case (q, n) =>
+      assert(q % 4 == n % 4, s"query $q matched cross-cluster neighbor $n")
+    }
+    // deterministic under repartitioning (seeded pick, fused assigns)
+    val re = graft.ops.PqOps.ivfPqSearchADC(queries.repartition(5),
+        df.repartition(7), k = 1, nlist = 4, nprobe = 1,
+        m = m, ksub = ksub, iters = 1, dim = dim)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+    assert(re.toSeq == res.sortBy(_._1).toSeq)
+  }
 }
