@@ -554,6 +554,46 @@ object VectorOps {
         when(col("std") > 0, col("__no")).as("n_outliers"))
   }
 
+  /** PER-DIMENSION STANDARDIZATION (z-scoring) of an embedding
+    * corpus — the prep step before distance work when dimensions
+    * carry wildly different scales (mixed-feature vectors, un-normed
+    * model outputs): `z_j = (x_j − μ_j)/σ_j` with the population
+    * μ/σ from [[dimStats]]'s exact round-then-DECIMAL sufficient
+    * sums. Zero-variance dimensions standardize to NULL (the
+    * [[dimStats]] undefined-z convention) so a dead feature is
+    * VISIBLE downstream rather than silently zeroed.
+    *
+    * Scale shape: one posexplode pass to per-dim sufficient sums
+    * (map-side combined, ≤ dim rows), the ≤ dim-row stats frame
+    * broadcast back over a second cell pass, and one id-keyed
+    * regroup to rebuild the vector — the corpus shuffles (id, dim,
+    * z) cells once; no driver collect at any size. Returns
+    * `(idCol, zvec array<double>)` with elements in dimension order.
+    */
+  def standardizeVectors(
+      df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val cells = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("__id"), col("dim"), col("__x").cast("double").as("__x"))
+    val nD = col("n").cast("double")
+    val m = cells.groupBy("dim")
+      .agg(count(lit(1)).as("n"), d9(col("__x")).as("__sx"),
+        d9(col("__x") * col("__x")).as("__sxx"))
+      .select(col("dim"), (col("__sx") / nD).as("mean"),
+        sqrt((col("__sxx") - col("__sx") * col("__sx") / nD) / nD).as("std"))
+    cells.join(broadcast(m), Seq("dim"))
+      .select(col("__id"), col("dim"),
+        when(col("std") > 0, (col("__x") - col("mean")) / col("std"))
+          .as("__z"))
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim").as("d"), col("__z").as("z")))),
+        s => s.getField("z")).as("zvec"))
+      .select(col("__id").as(idCol), col("zvec"))
+  }
+
   /** TOP PRINCIPAL COMPONENT by distributed POWER ITERATION — the
     * MATRIX-FREE PCA path: never materializes the dim² covariance
     * ([[pcaTrain]]'s route), so it survives dims where dim² is no

@@ -8644,6 +8644,39 @@ object ExtensionQueries {
        |LEFT JOIN perq p USING (query_id)""".stripMargin
   }
 
+  // --------------------------------------------------------------- q246
+  /** Per-dimension standardization
+    * ([[graft.ops.VectorOps.standardizeVectors]]) of the embeddings
+    * corpus, flattened to (vec_id, i, z) cells for hashing: exact
+    * q178 sufficient-sum μ/σ per dimension, `z = (x−μ)/σ` doubles,
+    * zero-variance dims NULL.
+    */
+  def q246(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.standardizeVectors(
+      Tables.embeddings(spark, dir), "embedding", "vec_id")
+      .select(col("vec_id"), posexplode(col("zvec")).as(Seq("i", "z")))
+
+  val q246Sql: String =
+    """WITH cells AS (
+      | SELECT vec_id, CAST(u.i - 1 AS INT) AS i, CAST(u.x AS DOUBLE) AS x
+      | FROM embeddings t, LATERAL (
+      |  SELECT unnest(generate_series(1, len(embedding))) AS i,
+      |   unnest(embedding) AS x) u),
+      |st AS (
+      | SELECT i, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(x, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38, 9))) AS DOUBLE)
+      |   AS sxx
+      | FROM cells GROUP BY 1),
+      |m AS (
+      | SELECT i, sx / CAST(n AS DOUBLE) AS mean,
+      |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      |   AS std
+      | FROM st)
+      |SELECT c.vec_id, c.i,
+      | CASE WHEN m.std > 0 THEN (c.x - m.mean) / m.std END AS z
+      |FROM cells c JOIN m USING (i)""".stripMargin
+
   // --------------------------------------------------------------- q241
   /** ANN recall@5 with a bootstrap CI
     * ([[graft.ops.SimilarityOps.annRecallCI]], B=40, α=0.05) for the
@@ -8947,5 +8980,6 @@ object ExtensionQueries {
     "q242_mmr_rerank" -> ((q242 _, q242Sql)),
     "q243_positive_pairs" -> ((q243 _, q243Sql)),
     "q244_char_entropy" -> ((q244 _, q244Sql)),
-    "q245_retrieval_metrics" -> ((q245 _, q245Sql)))
+    "q245_retrieval_metrics" -> ((q245 _, q245Sql)),
+    "q246_standardize" -> ((q246 _, q246Sql)))
 }

@@ -222,7 +222,13 @@ class PlanShapeSpec extends AnyFunSuite {
     "q236_doremi_step",
     // q238: ranked rows × broadcast(1-row corpus count) — the q08
     // scalar pattern (the pooled lookup itself is an equi-join)
-    "q238_quantile_norm")
+    "q238_quantile_norm",
+    // q242/q245: the q24 bounded-query brute contract again — MMR
+    // pools and the retrieval-metrics rankings come from
+    // bruteCosineTopK (broadcast(20-anchor batch) × corpus); the MMR
+    // greedy and the metrics tails themselves add only keyed
+    // joins/groups
+    "q242_mmr_rerank", "q245_retrieval_metrics")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

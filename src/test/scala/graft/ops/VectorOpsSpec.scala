@@ -319,6 +319,22 @@ class VectorOpsSpec extends AnyFunSuite {
       (got(1) ++ got(2)).sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("standardizeVectors: hand z-scores, zero-variance dim NULL, " +
+      "dimension order preserved") {
+    // dim0 constant -> NULL z; dim1: mean 15, std 5 -> z = -1 / +1
+    val df = Seq((1L, Seq(3.0f, 10.0f)), (2L, Seq(3.0f, 20.0f)))
+      .toDF("vec_id", "v")
+    val got = VectorOps.standardizeVectors(df, "v", "vec_id")
+      .as[(Long, Seq[Option[Double]])].collect().toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == Seq(None, Some(-1.0)))
+    assert(got(2L) == Seq(None, Some(1.0)))
+    // repartition-proof (decimal sufficient sums)
+    val re = VectorOps.standardizeVectors(df.repartition(5), "v", "vec_id")
+      .as[(Long, Seq[Option[Double]])].collect().toMap
+    assert(re == got)
+  }
+
   test("dimStats: hand mean/std, outlier census, zero-variance NULL") {
     // dim 0: nine 0s and one 9 -> mean 0.9, var 7.29, std 2.7,
     // z(9) = 3 -> flags at z > 2; dim 1: constant -> std 0 -> NULL
