@@ -1301,6 +1301,11 @@ object Bench {
         StreamingOps.streamingBootstrapGauge(src, "event_type", "ts",
           "value", "event_id", reps = 40, seed = "boot",
           uniform = graft.ops.StatsOps.xxhUniform), "append"),
+      // live per-slice Misra-Gries top-k gauge: <= k (value, count)
+      // pairs per group, re-emitted per micro-batch
+      run("s_heavy_hitters",
+        StreamingOps.streamingHeavyHitters(src, "event_type", "user_id",
+          k = 16), "append"),
       // live funnel tracker: depth + chain ts per key (two fields),
       // hits emitted the moment a level completes
       run("s_funnel",

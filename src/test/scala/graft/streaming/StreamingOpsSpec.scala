@@ -673,6 +673,63 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingHeavyHitters: k-bounded state across micro-batches; " +
+      "batch-qualifying values present within the MG error band") {
+    import org.apache.spark.sql.types._
+    import graft.ops.SketchOps
+    val streamDir = Files.createTempDirectory("hh-stream").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("event_id", LongType),
+      StructField("value", StringType)))
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("hh-batch").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    }
+    // per file: 30 "hot" + 4 distractor values x 5 each; two groups
+    def rows(lo: Long): Seq[(String, Long, String)] =
+      (for (g <- Seq("a", "b"); i <- 0 until 50) yield {
+        val v = if (i < 30) "hot" else s"d${(i - 30) / 5}"
+        (g, lo + i, v)
+      })
+    writeBatch(rows(0).toDF("key", "event_id", "value"), "b1.parquet", 1000000L)
+    writeBatch(rows(100).toDF("key", "event_id", "value"), "b2.parquet", 2000000L)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val k = 4
+    val (out, maxState) = StreamingOps.runToMemoryMaxState(
+      StreamingOps.streamingHeavyHitters(stream, "key", "value", k),
+      "hh_gauge_test", "append")
+    val got = out.as[(String, String, Long, Long)].collect()
+    // state rows = |groups| (each holds the k-bounded buffer struct)
+    assert(maxState == 2L, s"state must be one row per group, got $maxState")
+    // final emission per group = rows at the max n_seen
+    for (g <- Seq("a", "b")) {
+      val fin = got.filter(r => r._1 == g && r._4 == 100L)
+      assert(fin.nonEmpty && fin.length <= k,
+        s"$g: buffer must stay k-bounded, got ${fin.length}")
+      // every batch-qualifying value (true freq > n/(k+1) = 20) is
+      // present with its count inside [true - n/(k+1), true]
+      val hot = fin.find(_._2 == "hot")
+      assert(hot.isDefined, s"$g: the 60-count value must survive: $fin")
+      assert(hot.get._3 >= 40L && hot.get._3 <= 60L,
+        s"$g: mg_count ${hot.get._3} outside the MG band [40, 60]")
+    }
+    // exact-path agreement: the batch two-pass heavy hitters on the
+    // same rows qualifies exactly {hot}, which the gauge surfaced
+    val batchHH = SketchOps.heavyHitters(
+        spark.read.schema(schema).parquet(streamDir)
+          .filter(col("key") === "a"),
+        "value", k = k, minFrac = 0.25)
+      .as[(String, Long)].collect().toMap
+    assert(batchHH.keySet == Set("hot") && batchHH("hot") == 60L)
+  }
+
   test("streamingBootstrapGauge idle-group TTL bounds state") {
     import org.apache.spark.sql.types._
     val streamDir = Files.createTempDirectory("boot-ttl").toFile.getAbsolutePath
