@@ -95,8 +95,12 @@ object SimilarityOps {
     val ex = exactNN.select("query_id", "neighbor_id")
     val nRel = ex.groupBy("query_id")
       .agg(count(lit(1)).as("__n_rel"))
+    // truncate the ranking AT k — an approx frame deeper than k (an
+    // LSH top-m pool, say) must not credit hits beyond position k or
+    // recall@k exceeds 1 and nDCG@k gains positions it shouldn't
     val hits = approxNN.select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("__r"))
+      .filter(col("__r") <= k)
       .join(ex, Seq("query_id", "neighbor_id"), "left_semi")
     val perQ = hits.groupBy("query_id").agg(
       count(lit(1)).as("__n_kept"),
@@ -213,7 +217,11 @@ object SimilarityOps {
     * `λ·rel − (1−λ)·0` (empty selected set ⇒ zero redundancy).
     * Returns `(query_id, neighbor_id, mmr_rank ∈ 1..k, relevance,
     * mmr_score)`; queries with fewer than k candidates emit what
-    * they have.
+    * they have. `vectors` must cover every candidate neighbor_id
+    * (the operator joins the pool to its vectors INNER — a candidate
+    * from a corpus `vectors` doesn't cover cannot be
+    * redundancy-scored and is dropped from the pool; pass the same
+    * corpus the search ran over).
     */
   def mmrRerank(
       candidates: DataFrame, vectors: DataFrame, k: Int, lambdaRel: Double,
@@ -259,6 +267,9 @@ object SimilarityOps {
         while (r < k && selected.length < n) {
           var best = -1
           var bestScore = Double.NegativeInfinity
+          // NaN scores (a NaN embedding element propagates through the
+          // cosine) compare false against everything: if nothing ranks,
+          // stop emitting for this query instead of dereferencing -1
           var i = 0
           while (i < n) {
             if (!selected.contains(i)) {
@@ -278,9 +289,13 @@ object SimilarityOps {
             }
             i += 1
           }
-          selected += best
-          out += ((q, cand(best)._2, r + 1, cand(best)._3, bestScore))
-          r += 1
+          if (best < 0) {
+            r = k // nothing rankable remains (all-NaN scores) — stop
+          } else {
+            selected += best
+            out += ((q, cand(best)._2, r + 1, cand(best)._3, bestScore))
+            r += 1
+          }
         }
         out.iterator
       }

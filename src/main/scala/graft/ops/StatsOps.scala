@@ -1004,6 +1004,29 @@ object StatsOps {
     }
   }
 
+  /** Key-derived uniform for replicate `b` — THE bootstrap draw-key
+    * format (`rowKey#replicate`, salted by `seed`), shared by the
+    * global/per-group batch operators and the streaming gauge so
+    * their draws stay bit-identical by construction.
+    */
+  def bootstrapDraw(
+      rowKey: Column, b: Column, seed: String,
+      uniform: (Column, Column) => Column): Column =
+    uniform(concat_ws("#", rowKey, b), lit(seed))
+
+  /** Inverse Poisson(1) CDF of a STAGED uniform column — the
+    * replicate-multiplicity when-chain, kept in one place because
+    * three operators (both batch bootstraps and the streaming gauge)
+    * must fold the SAME [[poisson1Cdf]] thresholds in the same order.
+    * The input must be a staged column, never an inlined draw: CSE
+    * skips conditional branches, so an inlined draw re-hashes once
+    * per branch (measured ~6×).
+    */
+  def poissonWeight(u: Column): Column =
+    poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
+      case ((t, k), rest) => when(u < t, k).otherwise(rest)
+    }
+
   /** Production draw for [[poissonBootstrapCI]]: xxhash64 top-53-bit
     * uniform (the [[graft.ops.MaskingOps]] Xxh-family convention) —
     * ~20× cheaper per draw than the md5-portable default, same
@@ -1056,18 +1079,11 @@ object StatsOps {
       .agg(count(lit(1)).as("n"),
         (d9(col("__v")) / count(lit(1)).cast("double"))
           .as("mean"))
-    // draw staged as its own column before the when-chain — CSE skips
-    // conditional branches, so an inlined draw re-hashes per branch
-    // (see [[poissonBootstrapCI]])
-    val w = poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
-      case ((t, k), rest) => when(col("__u") < t, k).otherwise(rest)
-    }
     val rep = base
       .select(col("__g"), col("__k"), col("__v"),
         explode(sequence(lit(0), lit(reps - 1))).as("__b"))
-      .withColumn("__u",
-        uniform(concat_ws("#", col("__k"), col("__b")), lit(seed)))
-      .withColumn("__w", w)
+      .withColumn("__u", bootstrapDraw(col("__k"), col("__b"), seed, uniform))
+      .withColumn("__w", poissonWeight(col("__u")))
       .groupBy("__g", "__b")
       .agg(d9(col("__w").cast("double") * col("__v")).as("__s"),
         sum(col("__w").cast("long")).as("__c"))
@@ -1156,14 +1172,10 @@ object StatsOps {
     // every weight fed two agg buffers and paid its hash twice).
     val us = base.select(
       col("__v") +: (0 until reps).map(b =>
-        uniform(concat_ws("#", col("__k"), lit(b)), lit(seed))
-          .as(s"__u$b")): _*)
-    def w(b: Int): Column =
-      poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
-        case ((t, k), rest) => when(col(s"__u$b") < t, k).otherwise(rest)
-      }
+        bootstrapDraw(col("__k"), lit(b), seed, uniform).as(s"__u$b")): _*)
     val weighted = us.select(
-      col("__v") +: (0 until reps).map(b => w(b).as(s"__w$b")): _*)
+      col("__v") +: (0 until reps).map(b =>
+        poissonWeight(col(s"__u$b")).as(s"__w$b")): _*)
     val aggs =
       Seq(count(lit(1)).as("__n"), d9(col("__v")).as("__sv")) ++
         (0 until reps).flatMap(b => Seq(

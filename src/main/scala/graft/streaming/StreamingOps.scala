@@ -510,14 +510,12 @@ object StreamingOps {
     val us = base.select(
       col("key") +: col("ord") +: col("k") +: col("value") +: col("wm") +:
         (0 until reps).map(b =>
-          uniform(concat_ws("#", col("k"), lit(b)), lit(seed))
+          graft.ops.StatsOps.bootstrapDraw(col("k"), lit(b), seed, uniform)
             .as(s"__u$b")): _*)
-    def wCol(b: Int): Column =
-      graft.ops.StatsOps.poisson1Cdf.zipWithIndex.foldRight(lit(6): Column) {
-        case ((t, k), rest) => when(col(s"__u$b") < t, k).otherwise(rest)
-      }
     val ds = us.select(col("key"), col("ord"), col("k"), col("value"),
-        array((0 until reps).map(b => wCol(b).cast("int")): _*).as("w"),
+        array((0 until reps).map(b =>
+          graft.ops.StatsOps.poissonWeight(col(s"__u$b")).cast("int")): _*)
+          .as("w"),
         col("wm")).as[BootEvent]
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[BootState, BootGauge](

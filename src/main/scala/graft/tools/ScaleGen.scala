@@ -37,11 +37,20 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   /** Deterministic word-order shuffle: Fisher–Yates seeded by
-    * (docId, replica). Word multiset invariant.
+    * (docId, replica). The text splits into alternating word /
+    * whitespace RUNS and only the words are permuted — whitespace
+    * stays in place, so length, n_chars and the full CHARACTER
+    * multiset are invariant, not just the word multiset (a
+    * single-space rejoin would silently collapse tabs/newlines/runs
+    * and shift the char-level distributions the scale benches
+    * compare). On strictly single-spaced text this reduces to the
+    * plain word shuffle, same draws, byte-identical output.
     */
   def shuffleWords(text: String, docId: Long, replica: Int): String = {
     if (text == null || text.isEmpty) return text
-    val words = text.split("\\s+").filter(_.nonEmpty)
+    val runs = text.split("(?<=\\s)(?=\\S)|(?<=\\S)(?=\\s)")
+    val wordIdx = runs.indices.filter(i => !runs(i).charAt(0).isWhitespace)
+    val words = wordIdx.map(runs).toArray
     val rnd = new scala.util.Random(docId * 1000003L + replica * 7919L)
     var i = words.length - 1
     while (i > 0) {
@@ -49,7 +58,9 @@ object ScaleGen {
       val t = words(i); words(i) = words(j); words(j) = t
       i -= 1
     }
-    words.mkString(" ")
+    val out = runs.clone()
+    wordIdx.zipWithIndex.foreach { case (ri, wi) => out(ri) = words(wi) }
+    out.mkString
   }
 
   /** Deterministic ±1 per (replica, dim). */

@@ -230,6 +230,16 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._5 - ndcg2) < 1e-8, s"ndcg ${got(2L)._5}")
     assert(got(3L) == ((3L, 0L, 0.0, 0.0, 0.0)),
       "a fully-missed query scores zeros, not absent")
+    // an approx frame DEEPER than k must not credit hits beyond
+    // position k: q4's only relevant hit sits at rank 3 of a top-4
+    // pool, so at k=2 everything is zero
+    val deep = Seq((4L, 99L, 1), (4L, 98L, 2), (4L, 40L, 3), (4L, 97L, 4))
+      .toDF("query_id", "neighbor_id", "rank")
+    val ex4 = Seq((4L, 40L), (4L, 41L)).toDF("query_id", "neighbor_id")
+    val g4 = SimilarityOps.retrievalMetrics(ex4, deep, k = 2)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(g4 == ((4L, 0L, 0.0, 0.0, 0.0)),
+      s"hits past rank k must not count: $g4")
   }
 
   test("contrastivePairs: hard negatives are the nearest DIFFERENT-label " +

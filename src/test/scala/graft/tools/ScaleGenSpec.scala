@@ -23,13 +23,20 @@ class ScaleGenSpec extends AnyFunSuite {
       "different replicas/docs must land different orders on an 11-word doc")
   }
 
-  test("shuffleWords edge cases: null, empty, single word, repeated runs " +
-      "of whitespace collapse") {
+  test("shuffleWords edge cases: null, empty, single word; whitespace " +
+      "runs stay in place so the CHAR multiset is invariant") {
     assert(ScaleGen.shuffleWords(null, 1L, 1) == null)
     assert(ScaleGen.shuffleWords("", 1L, 1) == "")
     assert(ScaleGen.shuffleWords("solo", 1L, 3) == "solo")
-    val got = ScaleGen.shuffleWords("a  b\tc", 7L, 1)
-    assert(got.split(" ").sorted.toSeq == Seq("a", "b", "c"))
+    val in = " a  b\tcc\n"
+    val got = ScaleGen.shuffleWords(in, 7L, 1)
+    assert(got.length == in.length, "length must be preserved")
+    assert(got.toSeq.sorted == in.toSeq.sorted,
+      s"char multiset must be invariant: '$got'")
+    assert(got.split("\\s+").filter(_.nonEmpty).sorted.toSeq ==
+      Seq("a", "b", "cc"))
+    // whitespace runs are positionally fixed
+    assert(got.startsWith(" ") && got.endsWith("\n") && got.contains("  "))
   }
 
   test("signFlip is ±1, deterministic, and non-constant across dims and " +
