@@ -51,6 +51,13 @@ object SimilarityOps {
     * Integer overlap counts over a left-semi join on the (query,
     * neighbor) pair — exact-ratio recall, engine-portable; the frames
     * are query-set-sized, so every join here is small-side work.
+    *
+    * Convention: `recall_at_k = hits / k`, NOT `hits / |relevant|` —
+    * the exact set is assumed to be itself a top-k (|relevant| = k for
+    * every query), the shape every ANN acceptance row here feeds it.
+    * For general relevance sets where a query may have fewer than k
+    * relevant items, use [[retrievalMetrics]] with
+    * `capRecallDenom = true`.
     */
   def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"annRecall: k must be >= 1, got $k")
@@ -85,9 +92,20 @@ object SimilarityOps {
     * `min(k, |exact set|)` ideal positions. Queries the approx search
     * returned nothing for score 0 across the board, not absent. Both
     * frames are query-set-sized — all small-side work.
+    *
+    * Recall denominator: the default (`capRecallDenom = false`) is
+    * [[annRecall]]'s `hits / k` — correct when the relevance set is
+    * itself a top-k (|relevant| = k). When the relevance set is
+    * GENERAL (e.g. [[contrastivePairs]] output, where a rare class may
+    * yield fewer than k relevant items), `hits / k` caps recall below
+    * 1.0 for such queries while nDCG's ideal already uses
+    * `min(k, |relevant|)`; `capRecallDenom = true` makes recall use
+    * the same `min(k, |relevant|)` denominator, so a query that keeps
+    * everything relevant scores exactly 1.0.
     */
   def retrievalMetrics(
-      exactNN: DataFrame, approxNN: DataFrame, k: Int): DataFrame = {
+      exactNN: DataFrame, approxNN: DataFrame, k: Int,
+      capRecallDenom: Boolean = false): DataFrame = {
     require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
     def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)")).cast("double")
     def gain(pos: Column) =
@@ -111,11 +129,14 @@ object SimilarityOps {
         explode(sequence(lit(1L), least(col("__n_rel"), lit(k.toLong))))
           .as("__i"))
       .groupBy("query_id").agg(d9(gain(col("__i"))).as("__idcg"))
+    val recallDenom =
+      if (capRecallDenom) least(col("__n_rel"), lit(k.toLong)).cast("double")
+      else lit(k.toDouble)
     nRel.join(ideal, Seq("query_id"))
       .join(perQ, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
-        (coalesce(col("__n_kept"), lit(0L)).cast("double") / lit(k.toDouble))
+        (coalesce(col("__n_kept"), lit(0L)).cast("double") / recallDenom)
           .as("recall_at_k"),
         coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
           .as("mrr"),
@@ -229,24 +250,51 @@ object SimilarityOps {
     require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
     require(lambdaRel >= 0.0 && lambdaRel <= 1.0,
       s"mmrRerank: need 0 <= lambda <= 1, got $lambdaRel")
-    val spark = candidates.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val lam = lambdaRel
     val oneMinus = 1.0 - lambdaRel
+    // ids stay OPAQUE (no numeric cast): every other operator in this
+    // file keeps string/long/int ids alike, and a cast would silently
+    // drop non-numeric candidates at the inner join (ANSI: throw)
     val pool = candidates
-      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
-        col("cosine").cast("double"))
-      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("__v")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("__v").cast("array<float>").as("__v"))
-      .as[(Long, Long, Double, Seq[Float])]
-    pool.groupByKey(_._1)
-      .flatMapGroups { (q, it) =>
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").cast("double").as("cosine"))
+      .join(vectors.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<float>").as("__v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__v"))
+    val qType = pool.schema("query_id").dataType
+    val nType = pool.schema("neighbor_id").dataType
+    // the ascending-neighbor_id tie base order must follow SQL ORDER BY
+    // semantics for the id's actual type (numeric ids numerically — a
+    // string sort would put "10" before "9" and break oracle parity)
+    def idOrdering(dt: DataType): Ordering[Any] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((v: Any) => v.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue)
+      case _: DecimalType =>
+        Ordering.by((v: Any) => v.asInstanceOf[java.math.BigDecimal])
+      case _ => Ordering.by((v: Any) => String.valueOf(v))
+    }
+    val nOrd = idOrdering(nType)
+    val outSchema = StructType(Seq(
+      StructField("query_id", qType),
+      StructField("neighbor_id", nType),
+      StructField("mmr_rank", IntegerType, nullable = false),
+      StructField("relevance", DoubleType),
+      StructField("mmr_score", DoubleType)))
+    pool.groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+      .flatMapGroups { (_, it) =>
         // ascending neighbor_id: a deterministic base order for ties
-        val cand = it.toArray.sortBy(_._2)
+        val cand = it.toArray.sortBy(_.get(1))(nOrd)
         val n = cand.length
-        val vecs = cand.map(_._4.toArray)
+        val q = if (n > 0) cand(0).get(0) else null
+        val vecs = cand.map(r =>
+          if (r.isNullAt(3)) Array.empty[Float]
+          else r.getSeq[Float](3).toArray)
+        val rel = cand.map(r =>
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
         def sim(i: Int, j: Int): Double = {
           val a = vecs(i); val b = vecs(j)
           val m = math.min(a.length, b.length)
@@ -261,8 +309,7 @@ object SimilarityOps {
           if (d == 0.0) 0.0 else dot / d
         }
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Int, Double, Double)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         var r = 0
         while (r < k && selected.length < n) {
           var best = -1
@@ -282,8 +329,8 @@ object SimilarityOps {
                 s += 1
               }
               val score =
-                if (selected.isEmpty) lam * cand(i)._3
-                else lam * cand(i)._3 - oneMinus * msim
+                if (selected.isEmpty) lam * rel(i)
+                else lam * rel(i) - oneMinus * msim
               // strict >: ascending-id scan makes ties keep the lowest id
               if (score > bestScore) { bestScore = score; best = i }
             }
@@ -293,13 +340,13 @@ object SimilarityOps {
             r = k // nothing rankable remains (all-NaN scores) — stop
           } else {
             selected += best
-            out += ((q, cand(best)._2, r + 1, cand(best)._3, bestScore))
+            out += Row(q, cand(best).get(1), r + 1, rel(best), bestScore)
             r += 1
           }
         }
         out.iterator
-      }
-      .toDF("query_id", "neighbor_id", "mmr_rank", "relevance", "mmr_score")
+      }(Encoders.row(outSchema))
+      .toDF()
   }
 
   /** Symmetric int8 quantization of an embedding column — the ANN

@@ -173,6 +173,10 @@ object TextAnalysis {
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("__id"),
         explode(split(col(textCol), "")).as("__ch"))
+      // split(text, "") with no trailing empty element is SPARK-40194
+      // semantics (Spark >= 3.4); the guard keeps n_chars/entropy exact
+      // if this is ever built against older jars, and is free at runtime
+      .filter(col("__ch") =!= "")
       .groupBy("__id", "__ch").agg(count(lit(1)).as("__n"))
     val tot = cells.groupBy("__id")
       .agg(sum(col("__n")).as("__tot"))

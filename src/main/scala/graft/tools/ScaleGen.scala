@@ -89,8 +89,19 @@ object ScaleGen {
     new java.io.File(outDir).mkdirs()
     val offset = 10000000L
 
+    // replica ids are id + r*offset: disjointness REQUIRES every source
+    // id below the offset (a larger fixture would silently collide
+    // replica r with replica r+1 of a smaller id)
+    def requireIdsBelowOffset(df: DataFrame, idCol: String, table: String): Unit = {
+      val mx = df.agg(max(col(idCol))).head.getLong(0)
+      require(mx < offset,
+        s"ScaleGen: max $table.$idCol = $mx >= replica offset $offset - ids would collide across replicas")
+    }
+
     // documents ----------------------------------------------------
-    val docs = graft.core.Tables.documents(spark, srcDir)
+    val docsDf = graft.core.Tables.documents(spark, srcDir)
+    requireIdsBelowOffset(docsDf, "doc_id", "documents")
+    val docs = docsDf
       .select("doc_id", "text", "lang", "source")
       .as[(Long, String, String, String)]
     val scaledDocs = docs.mapPartitions { it =>
@@ -108,9 +119,14 @@ object ScaleGen {
       .parquet(new java.io.File(outDir, "documents.parquet").toString)
 
     // embeddings ---------------------------------------------------
-    val embs = graft.core.Tables.embeddings(spark, srcDir)
+    val embsDf = graft.core.Tables.embeddings(spark, srcDir)
+    requireIdsBelowOffset(embsDf, "vec_id", "embeddings")
+    // label decoded nullable: the schema (and q243's NULL-label
+    // exclusion contract) allows NULL labels, and a non-nullable Int
+    // decode would throw at runtime on the first one
+    val embs = embsDf
       .select("vec_id", "embedding", "label")
-      .as[(Long, Seq[Float], Int)]
+      .as[(Long, Seq[Float], Option[Int])]
     val scaledEmbs = embs.mapPartitions { it =>
       it.flatMap { case (id, v, label) =>
         (0 until factor).iterator.map { r =>

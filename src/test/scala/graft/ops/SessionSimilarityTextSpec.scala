@@ -242,6 +242,23 @@ class SimilarityOpsSpec extends AnyFunSuite {
       s"hits past rank k must not count: $g4")
   }
 
+  test("retrievalMetrics: capRecallDenom lets a query with fewer than k " +
+      "relevant items reach recall 1.0") {
+    // q1 has ONE relevant item, kept at rank 1 of a k=3 ranking
+    val exact = Seq((1L, 10L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L, 1), (1L, 98L, 2), (1L, 97L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val dflt = SimilarityOps.retrievalMetrics(exact, approx, k = 3)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(dflt._3 == 1.0 / 3.0, "default convention: hits / k")
+    val capped = SimilarityOps.retrievalMetrics(exact, approx, k = 3,
+        capRecallDenom = true)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(capped._3 == 1.0, s"capped: hits / min(k, n_rel) = 1/1: $capped")
+    assert(capped._4 == 1.0 && capped._5 == 1.0,
+      "mrr/ndcg unchanged by the recall denominator")
+  }
+
   test("contrastivePairs: hard negatives are the nearest DIFFERENT-label " +
       "rows; positives the nearest same-label; NULL labels excluded") {
     // anchor 1 (label A) at x-axis; 2 (A) and 3 (B) near it; 4 (B)
@@ -294,6 +311,32 @@ class SimilarityOpsSpec extends AnyFunSuite {
         cands.filter(col("neighbor_id") <= 2), vecs, k = 5, lambdaRel = 0.5)
       .as[(Long, Long, Int, Double, Double)].collect()
     assert(short.length == 2 && short.map(_._3).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("mmrRerank: ids stay opaque (string ids never cast) and numeric " +
+      "tie-breaks stay numeric, not lexicographic") {
+    // STRING ids: the r9 long-cast would have nulled these out (or
+    // thrown under ANSI) at the vectors join
+    val svecs = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val scands = Seq(("Q", "a", 0.9), ("Q", "b", 0.8))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val sgot = SimilarityOps.mmrRerank(scands, svecs, k = 2, lambdaRel = 0.5)
+      .orderBy("mmr_rank")
+      .as[(String, String, Int, Double, Double)].collect().toSeq
+    assert(sgot.map(_._2) == Seq("a", "b"), s"string-id pool reranks: $sgot")
+    assert(sgot.head._1 == "Q", "query id emitted verbatim")
+    // numeric tie at ids 9 vs 10: identical vectors and relevance, so
+    // the lowest-id tiebreak must pick 9 (a string sort says "10" < "9")
+    val tvecs = Seq(
+      (9L, Seq(1.0f, 0.0f)), (10L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val tcands = Seq((1L, 9L, 0.5), (1L, 10L, 0.5))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val first = SimilarityOps.mmrRerank(tcands, tvecs, k = 1, lambdaRel = 0.5)
+      .as[(Long, Long, Int, Double, Double)].head()
+    assert(first._2 == 9L, s"numeric lowest-id tiebreak: $first")
   }
 }
 
