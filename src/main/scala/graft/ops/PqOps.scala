@@ -153,7 +153,22 @@ object PqOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"ivfPqSearchADC: need k,nlist,nprobe >= 1 and nprobe <= nlist")
-    // deterministic centroid pick — the ivfCosineSearch contract
+    val centVecs = ivfCentroidVecs(corpus, nlist, dim, idCol, vecCol)
+    val (cb, enc) =
+      ivfTrainEncode(corpus, centVecs, m, ksub, iters, dim, byResidual,
+        idCol, vecCol)
+    ivfPqProbeSearch(queries, centVecs, cb, enc, k, nprobe, m, ksub, dim,
+      byResidual, idCol, vecCol)
+  }
+
+  /** Deterministic IVF coarse-centroid pick — the ivfCosineSearch
+    * contract (md5-ordered candidate scan, ascending-id final order).
+    * Returns the centroid VECTORS in index order (index = the
+    * `centroid` id everywhere downstream).
+    */
+  private def ivfCentroidVecs(
+      corpus: DataFrame, nlist: Int, dim: Int,
+      idCol: String, vecCol: String): Array[Seq[Float]] = {
     val picked = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
@@ -162,38 +177,71 @@ object PqOps {
       .limit(nlist)
       .orderBy("c_id")
       .collect()
-    require(picked.nonEmpty, "ivfPqSearchADC: empty corpus")
-    val mat = new Array[Float](picked.length * dim)
-    picked.zipWithIndex.foreach { case (r, c) =>
+    require(picked.nonEmpty, "ivfPq: empty corpus")
+    picked.map { r =>
       val v = r.getSeq[Float](1)
       require(v.length == dim,
-        s"ivfPqSearchADC: centroid ${r.get(0)} has dim ${v.length}, expected $dim")
+        s"ivfPq: centroid ${r.get(0)} has dim ${v.length}, expected $dim")
+      v
+    }
+  }
+
+  private def flatMat(centVecs: Array[Seq[Float]], dim: Int): Array[Float] = {
+    val mat = new Array[Float](centVecs.length * dim)
+    centVecs.zipWithIndex.foreach { case (v, c) =>
       var j = 0
       while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
     }
-    // the centroid VECTOR is staged once per row (element_at on the
-    // nested literal inside a transform lambda would re-extract it per
-    // ELEMENT — measured 4× on the whole search); zip_with then walks
-    // both arrays once
-    val centLit = typedLit(picked.map(_.getSeq[Float](1)).toSeq)
-    def residual(vec: Column, centroid: Column): Column =
-      zip_with(vec, element_at(centLit, centroid + 1),
-        (x, c) => (x - c).cast("float"))
-    def top(vec: Column, n: Int): Column =
-      graft.functions.TopCentroids.topCentroids(vec, mat, dim, n)
+    mat
+  }
 
+  /** The centroid VECTOR is staged once per row (element_at on the
+    * nested literal inside a transform lambda would re-extract it per
+    * ELEMENT — measured 4× on the whole search); zip_with then walks
+    * both arrays once.
+    */
+  private def residualOf(
+      centVecs: Array[Seq[Float]], vec: Column, centroid: Column): Column =
+    zip_with(vec, element_at(typedLit(centVecs.toSeq), centroid + 1),
+      (x, c) => (x - c).cast("float"))
+
+  /** Coarse-assign + PQ-train + encode the corpus: returns the trained
+    * codebooks and the encoded corpus `(centroid, neighbor_id, codes)` —
+    * the at-rest form a standing index persists. Two narrow corpus
+    * passes plus one per Lloyd round; raw vectors never shuffle.
+    */
+  private def ivfTrainEncode(
+      corpus: DataFrame, centVecs: Array[Seq[Float]],
+      m: Int, ksub: Int, iters: Int, dim: Int, byResidual: Boolean,
+      idCol: String, vecCol: String): (Array[Float], DataFrame) = {
+    val mat = flatMat(centVecs, dim)
     val assigned = validVecs(corpus, vecCol, idCol, dim)
       .select(col("id").as("neighbor_id"), col("vec"),
-        element_at(top(col("vec"), 1), 1).as("centroid"))
+        element_at(
+          graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, 1),
+          1).as("centroid"))
       .withColumn("enc_vec",
-        if (byResidual) residual(col("vec"), col("centroid"))
+        if (byResidual) residualOf(centVecs, col("vec"), col("centroid"))
         else col("vec"))
     val cb = trainCodebooks(assigned, "enc_vec", "neighbor_id",
       m, ksub, iters, dim)
     val enc = assigned.select(col("centroid"), col("neighbor_id"),
       graft.functions.Pq.pqCodes(col("enc_vec"), cb, m, ksub, dim)
         .as("codes"))
+    (cb, enc)
+  }
 
+  /** The query side of the IVF-PQ search against an encoded corpus:
+    * probe rows carry the `m·ksub`-double LUT, list rows carry `m`
+    * small ints; the join keys on the centroid id.
+    */
+  private def ivfPqProbeSearch(
+      queries: DataFrame, centVecs: Array[Seq[Float]], cb: Array[Float],
+      enc: DataFrame, k: Int, nprobe: Int, m: Int, ksub: Int, dim: Int,
+      byResidual: Boolean, idCol: String, vecCol: String): DataFrame = {
+    val mat = flatMat(centVecs, dim)
+    def top(vec: Column, n: Int): Column =
+      graft.functions.TopCentroids.topCentroids(vec, mat, dim, n)
     val qv = validVecs(queries, vecCol, idCol, dim)
     val probes =
       if (byResidual)
@@ -201,7 +249,7 @@ object PqOps {
             explode(slice(top(col("vec"), nprobe), 1, nprobe)).as("centroid"))
           .select(col("query_id"), col("centroid"),
             graft.functions.Pq.pqLutCol(
-              residual(col("vec"), col("centroid")), cb, m, ksub, dim)
+              residualOf(centVecs, col("vec"), col("centroid")), cb, m, ksub, dim)
               .as("lut"))
       else
         qv.select(col("id").as("query_id"),
@@ -220,6 +268,108 @@ object PqOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adc"), 6).as("adc6"), col("rank"))
+  }
+
+  /** TRAIN ONCE, PERSIST, SERVE FOREVER — the standing-index form of
+    * [[ivfPqSearchADC]] (the [[SimilarityOps.writeLshIndex]] /
+    * [[DedupOps.corpusBucketReps]] deployment pattern): all training
+    * work (centroid pick, coarse assignment, Lloyd rounds, encode)
+    * runs once per corpus version and lands as parquet under
+    * `indexDir`:
+    *  - `centroids` — (centroid, c_vec): `nlist` rows, the coarse
+    *    quantizer in index order
+    *  - `codebooks` — (s, code, c): `m·ksub` subspace codewords
+    *  - `codes` — (centroid, neighbor_id, codes): the corpus at rest,
+    *    `m` small ints per vector, range-laid by centroid so parquet
+    *    min/max stats prune unprobed lists at scan time
+    *  - `meta` — one row pinning (nlist, m, ksub, dim, by_residual)
+    * A query batch then costs O(nprobe·m) per candidate with ZERO
+    * training work — [[ivfPqSearchIndexed]] reads `meta` so the
+    * caller can't search with mismatched parameters. This is the
+    * 100 TB shape: the index is built by the ingest pipeline, and the
+    * serving path never touches raw vectors at all.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, indexDir: String,
+      nlist: Int = 16, m: Int = 4, ksub: Int = 8, iters: Int = 1,
+      dim: Int = 64, byResidual: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(nlist >= 1, "ivfPqIndex: need nlist >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centVecs = ivfCentroidVecs(corpus, nlist, dim, idCol, vecCol)
+    val (cb, enc) =
+      ivfTrainEncode(corpus, centVecs, m, ksub, iters, dim, byResidual,
+        idCol, vecCol)
+    val subdim = dim / m
+    def p(name: String) = new java.io.File(indexDir, name).toString
+    centVecs.zipWithIndex
+      .map { case (v, c) => (c, v) }.toSeq
+      .toDF("centroid", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(p("centroids"))
+    (for (s <- 0 until m; c <- 0 until ksub) yield
+      (s, c, (0 until subdim).map(j => cb((s * ksub + c) * subdim + j)).toSeq))
+      .toDF("s", "code", "c")
+      .coalesce(1).write.mode("overwrite").parquet(p("codebooks"))
+    // range-lay by centroid: a search probing nprobe of nlist lists
+    // reads ~nprobe/nlist of the row groups, not the whole index
+    enc.repartitionByRange(col("centroid"))
+      .sortWithinPartitions("centroid")
+      .write.mode("overwrite").parquet(p("codes"))
+    Seq((nlist, m, ksub, dim, byResidual))
+      .toDF("nlist", "m", "ksub", "dim", "by_residual")
+      .coalesce(1).write.mode("overwrite").parquet(p("meta"))
+  }
+
+  /** ADC top-`k` against a persisted [[ivfPqIndex]]: per batch, load
+    * the (constant-size) coarse centroids and codebooks, build each
+    * query's LUTs, and join the probed lists off the stored codes —
+    * no training, no raw-vector pass. The probed-centroid set (known
+    * and tiny: queries are the eval-set contract) is pushed into the
+    * codes scan as an `isin` filter, so the range-laid parquet prunes
+    * unprobed lists at the row-group level. Differentially pinned
+    * equal to [[ivfPqSearchADC]] on the same corpus/parameters.
+    */
+  def ivfPqSearchIndexed(
+      queries: DataFrame, indexDir: String, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "ivfPqSearchIndexed: need k,nprobe >= 1")
+    val spark = queries.sparkSession
+    def p(name: String) = new java.io.File(indexDir, name).toString
+    val meta = spark.read.parquet(p("meta")).head()
+    val nlist = meta.getAs[Int]("nlist")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val dim = meta.getAs[Int]("dim")
+    val byResidual = meta.getAs[Boolean]("by_residual")
+    require(nprobe <= nlist,
+      s"ivfPqSearchIndexed: nprobe $nprobe > stored nlist $nlist")
+    val subdim = dim / m
+    val centVecs: Array[Seq[Float]] = spark.read.parquet(p("centroids"))
+      .orderBy("centroid").collect()
+      .map(_.getSeq[Float](1))
+    require(centVecs.length == nlist,
+      s"ivfPqSearchIndexed: ${centVecs.length} centroids, meta says $nlist")
+    val cb = new Array[Float](m * ksub * subdim)
+    spark.read.parquet(p("codebooks")).collect().foreach { r =>
+      val s = r.getInt(0); val c = r.getInt(1)
+      val v = r.getSeq[Float](2)
+      var j = 0
+      while (j < subdim) { cb((s * ksub + c) * subdim + j) = v(j); j += 1 }
+    }
+    // prune the codes scan to the probed lists: the probe set is a
+    // pure function of the (bounded) query batch and the centroids,
+    // both already driver-side
+    val mat = flatMat(centVecs, dim)
+    val probedCentroids = validVecs(queries, vecCol, idCol, dim)
+      .select(explode(slice(
+        graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, nprobe),
+        1, nprobe)).as("centroid"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val enc = spark.read.parquet(p("codes"))
+      .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
+    ivfPqProbeSearch(queries, centVecs, cb, enc, k, nprobe, m, ksub, dim,
+      byResidual, idCol, vecCol)
   }
 
   def pqSearchADC(

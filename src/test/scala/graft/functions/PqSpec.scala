@@ -196,4 +196,39 @@ class PqSpec extends AnyFunSuite {
       .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
     assert(re.toSeq == res.sortBy(_._1).toSeq)
   }
+
+  test("ivfPqIndex + ivfPqSearchIndexed: the persisted index serves the " +
+      "exact one-shot ivfPqSearchADC results, residual and gated forms") {
+    val r = new scala.util.Random(13)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    val pts = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    for (byRes <- Seq(true, false)) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft_ivfpq_idx_$byRes").toString
+      graft.ops.PqOps.ivfPqIndex(df, idx, nlist = 4, m = m, ksub = ksub,
+        iters = 1, dim = dim, byResidual = byRes)
+      val oneShot = sorted(graft.ops.PqOps.ivfPqSearchADC(queries, df,
+        k = 3, nlist = 4, nprobe = 2, m = m, ksub = ksub, iters = 1,
+        dim = dim, byResidual = byRes))
+      val served = sorted(
+        graft.ops.PqOps.ivfPqSearchIndexed(queries, idx, k = 3, nprobe = 2))
+      assert(served == oneShot,
+        s"byResidual=$byRes: indexed search must equal one-shot search")
+      assert(served.nonEmpty)
+    }
+    // parameter guard: probing more lists than the index holds fails loudly
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_g").toString
+    graft.ops.PqOps.ivfPqIndex(df, idx2, nlist = 4, m = m, ksub = ksub,
+      iters = 1, dim = dim)
+    intercept[IllegalArgumentException] {
+      graft.ops.PqOps.ivfPqSearchIndexed(queries, idx2, k = 1, nprobe = 9)
+    }
+  }
 }
