@@ -8766,6 +8766,223 @@ object ExtensionQueries {
        |FROM tt, st""".stripMargin
   }
 
+  // --------------------------------------------------------------- q247
+  /** END-TO-END RETRIEVAL-STACK ACCEPTANCE ROW — the composed pipeline
+    * every RAG/curation deployment actually ships, validated as ONE
+    * number instead of stage-by-stage (q214 pins the ADC search, q242
+    * the MMR greedy, q245 the metrics, q241 the CI — this row pins
+    * their COMPOSITION): PQ-ADC candidate search (q214's m=4/ksub=8/
+    * 1-Lloyd configuration, top-10 pools, relevance = −adc6) →
+    * [[graft.ops.SimilarityOps.mmrRerank]] (λ=0.5, k=5, redundancy
+    * over the full-dim vectors) → [[graft.ops.SimilarityOps.retrievalMetrics]]
+    * against the exact full-dim top-5 → one acceptance row: bootstrap
+    * CI on recall@5 (B=40, the q241 tail, seed `stackci`) plus
+    * exact-decimal mean MRR and nDCG. The oracle replays the whole
+    * chain value-level: PQ training/encode/ADC CTEs, the 5-step MMR
+    * greedy with MATERIALIZED selected sets, the q245 metric algebra,
+    * and the q232 bootstrap tail.
+    *
+    * Scale shape: corpus-scale work is confined to the search stage
+    * (PQ codes, O(m) per candidate); everything downstream operates on
+    * query-set-bounded frames (pools of 10, metric rows of 20), so the
+    * acceptance row costs one ANN search plus noise.
+    */
+  def q247(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = SimilarityOps.bruteCosineTopK(q, e, 5)
+    val cands = PqOps.pqSearchADC(q, e, k = 10,
+        m = q214M, ksub = q214Ksub, iters = 1, dim = q214M * q214Sub)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("adc6")).as("cosine"))
+    val reranked = SimilarityOps.mmrRerank(cands, e, k = 5, lambdaRel = 0.5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("mmr_rank").as("rank"))
+    val metrics = SimilarityOps.retrievalMetrics(exact, reranked, k = 5)
+    val ci = StatsOps.poissonBootstrapCI(metrics, "recall_at_k", "query_id",
+        reps = 40, seed = "stackci", alpha = 0.05)
+      .select(col("n"), col("mean").as("recall_mean"),
+        col("boot_lo").as("recall_lo"), col("boot_hi").as("recall_hi"),
+        col("boot_se").as("recall_se"))
+    def d9(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val means = metrics.agg(
+      (d9(col("mrr")) / count(lit(1))).as("mrr_mean"),
+      (d9(col("ndcg")) / count(lit(1))).as("ndcg_mean"))
+    ci.crossJoin(means)
+  }
+
+  val q247Sql: String = {
+    val avgList = (1 to q214Sub).map(j =>
+      s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
+    val cdf = StatsOps.poisson1Cdf
+    val caseW = cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    val gain = (x: String) =>
+      s"1.0 / (ln(CAST($x AS DOUBLE) + 1.0) / ln(2.0))"
+    // q242's greedy step over THIS pool (relevance = -adc6)
+    def step(i: Int): String =
+      s"""m$i AS (
+         | SELECT p.query_id, p.neighbor_id, p.cosine, max(ps.sim) AS msim
+         | FROM pool p
+         | JOIN ps ON ps.query_id = p.query_id AND ps.a = p.neighbor_id
+         | JOIN sU${i - 1} s ON s.query_id = ps.query_id
+         |  AND s.neighbor_id = ps.b
+         | WHERE NOT EXISTS (SELECT 1 FROM sU${i - 1} x
+         |   WHERE x.query_id = p.query_id
+         |    AND x.neighbor_id = p.neighbor_id)
+         | GROUP BY 1, 2, 3),
+         |sel$i AS MATERIALIZED (
+         | SELECT query_id, neighbor_id, $i AS mmr_rank
+         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY 0.5 * cosine - 0.5 * msim DESC, neighbor_id) AS rnk
+         |  FROM m$i) WHERE rnk = 1),
+         |sU$i AS MATERIALIZED (
+         | SELECT * FROM sU${i - 1}
+         | UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin
+    s"""WITH e AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | WHERE embedding IS NOT NULL AND len(embedding) = ${q214M * q214Sub}
+       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |sub AS (
+       | SELECT e.vec_id, sp.s,
+       |  e.embedding[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
+       | FROM e CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+       |seed AS (
+       | SELECT s, CAST(code AS INT) AS code, v AS c FROM (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+       |    AS code, v
+       |  FROM sub) WHERE code < $q214Ksub),
+       |${q214AssignSql("seed", "a1")},
+       |cb1m AS (
+       | SELECT s, code, [$avgList] AS c FROM a1 GROUP BY s, code),
+       |cb1 AS (
+       | SELECT sd.s, sd.code, coalesce(m.c, sd.c) AS c
+       | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
+       |${q214AssignSql("cb1", "enc")},
+       |lut AS (
+       | SELECT q.vec_id AS query_id, cb.s, cb.code,
+       |  (${q214D2("q.v", "0", "cb.c")}) AS d2
+       | FROM (SELECT * FROM sub WHERE vec_id < 20) q
+       | JOIN cb1 cb ON cb.s = q.s),
+       |padd AS (
+       | SELECT l.query_id, en.vec_id AS neighbor_id,
+       |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
+       |  max(CASE WHEN l.s = 1 THEN l.d2 END) AS db,
+       |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
+       |  max(CASE WHEN l.s = 3 THEN l.d2 END) AS dd
+       | FROM enc en JOIN lut l ON l.s = en.s AND l.code = en.code
+       | WHERE l.query_id <> en.vec_id
+       | GROUP BY 1, 2),
+       |pool AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, -round(adc, 6) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, ((da + db) + dc) + dd AS adc,
+       |   row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ((da + db) + dc) + dd ASC, neighbor_id) AS rank
+       |  FROM padd) WHERE rank <= 10),
+       |ef AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |ps AS MATERIALIZED (
+       | SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+       |  list_sum(list_transform(generate_series(1, len(ea.emb)),
+       |    i -> CAST(ea.emb[i] AS DOUBLE) * CAST(eb.emb[i] AS DOUBLE)))
+       |   / (ea.nrm * eb.nrm) AS sim
+       | FROM pool p1 JOIN pool p2 ON p2.query_id = p1.query_id
+       |  AND p2.neighbor_id <> p1.neighbor_id
+       | JOIN ef ea ON ea.vec_id = p1.neighbor_id
+       | JOIN ef eb ON eb.vec_id = p2.neighbor_id),
+       |sel1 AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, 1 AS mmr_rank
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY 0.5 * cosine DESC, neighbor_id) AS rnk
+       |  FROM pool) WHERE rnk = 1),
+       |sU1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1),
+       |${(2 to 5).map(step).mkString(",\n")},
+       |rr AS (
+       | SELECT query_id, neighbor_id, mmr_rank AS r FROM (
+       |  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+       |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+       |  UNION ALL SELECT * FROM sel5)),
+       |fc AS (
+       | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, len(a.emb)),
+       |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+       |   / (a.nrm * b.nrm) AS cosine
+       | FROM ef a JOIN ef b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+       |f AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM fc) WHERE rnk <= 5),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM f GROUP BY 1),
+       |hits AS (
+       | SELECT rr.query_id, rr.r
+       | FROM rr JOIN f USING (query_id, neighbor_id) WHERE rr.r <= 5),
+       |perq AS (
+       | SELECT query_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  min(r) AS fr,
+       |  CAST(SUM(CAST(round(${gain("r")}, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS dcg
+       | FROM hits GROUP BY 1),
+       |ideal AS (
+       | SELECT query_id,
+       |  CAST(SUM(CAST(round(${gain("i")}, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS idcg
+       | FROM (SELECT query_id,
+       |        unnest(generate_series(1, least(n_rel, 5))) AS i
+       |       FROM nrel) GROUP BY 1),
+       |met AS (
+       | SELECT n.query_id,
+       |  CAST(coalesce(p.n_kept, 0) AS DOUBLE) / 5.0 AS recall,
+       |  coalesce(1.0 / CAST(p.fr AS DOUBLE), 0.0) AS mrr,
+       |  coalesce(p.dcg, 0.0) / i.idcg AS ndcg
+       | FROM nrel n JOIN ideal i USING (query_id)
+       | LEFT JOIN perq p USING (query_id)),
+       |eb2 AS (SELECT CAST(query_id AS VARCHAR) AS k, recall AS v FROM met),
+       |tt AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sv
+       | FROM eb2),
+       |d AS (
+       | SELECT b, v,
+       |  CAST('0x' || substr(md5(k || '#' || CAST(b AS VARCHAR)
+       |    || '#' || 'stackci'), 1, 15) AS BIGINT)
+       |   / 1152921504606846976.0 AS u
+       | FROM eb2, range(0, 40) r(b)),
+       |w AS (SELECT b, v, $caseW AS w FROM d),
+       |m AS (
+       | SELECT b,
+       |  CAST(SUM(CAST(round(CAST(w AS DOUBLE) * v, 9) AS DECIMAL(38,9)))
+       |   AS DOUBLE) AS s,
+       |  CAST(SUM(w) AS BIGINT) AS c
+       | FROM w GROUP BY b),
+       |mm AS (SELECT list(s / c ORDER BY s / c) AS ms FROM m WHERE c > 0),
+       |st AS (
+       | SELECT ms, len(ms) AS nb,
+       |  CAST(floor(0.025 * (len(ms) - 1)) AS INT) AS kk,
+       |  list_sum(ms) / len(ms) AS mb
+       | FROM mm),
+       |mz AS (
+       | SELECT CAST(count(*) AS BIGINT) AS nq,
+       |  CAST(SUM(CAST(round(mrr, 9) AS DECIMAL(38,9))) AS DOUBLE) AS smrr,
+       |  CAST(SUM(CAST(round(ndcg, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sndcg
+       | FROM met)
+       |SELECT tt.n, tt.sv / tt.n AS recall_mean,
+       | st.ms[st.kk + 1] AS recall_lo,
+       | st.ms[st.nb - st.kk] AS recall_hi,
+       | CASE WHEN st.nb > 1 THEN
+       |  sqrt(list_sum(list_transform(st.ms, x -> (x - st.mb) * (x - st.mb)))
+       |   / (st.nb - 1)) ELSE 0.0 END AS recall_se,
+       | mz.smrr / mz.nq AS mrr_mean,
+       | mz.sndcg / mz.nq AS ndcg_mean
+       |FROM tt, st, mz""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -8981,5 +9198,6 @@ object ExtensionQueries {
     "q243_positive_pairs" -> ((q243 _, q243Sql)),
     "q244_char_entropy" -> ((q244 _, q244Sql)),
     "q245_retrieval_metrics" -> ((q245 _, q245Sql)),
-    "q246_standardize" -> ((q246 _, q246Sql)))
+    "q246_standardize" -> ((q246 _, q246Sql)),
+    "q247_retrieval_stack" -> ((q247 _, q247Sql)))
 }

@@ -228,7 +228,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // bruteCosineTopK (broadcast(20-anchor batch) × corpus); the MMR
     // greedy and the metrics tails themselves add only keyed
     // joins/groups
-    "q242_mmr_rerank", "q245_retrieval_metrics")
+    "q242_mmr_rerank", "q245_retrieval_metrics",
+    // q247: the composed stack — the exact top-5 baseline is q24's
+    // bounded-query brute contract, the PQ stage broadcasts the
+    // 20-query LUT batch, and the CI/means tails cross-join two
+    // 1-row aggregates (the q08 scalar pattern)
+    "q247_retrieval_stack")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq
