@@ -216,6 +216,36 @@ object Bench {
           mfm.getField("labelIdx").as("mfm_label_idx"),
           col("fmask"))
     }),
+    // the decade-measurable ETL: identical masking/tokenize work, but
+    // the join is a plain doc_id = vec_id equi-join so BOTH sides (and
+    // the join output) scale with the corpus — b_pipeline_etl's
+    // pmod(doc_id, 2000) bridge caps its embeddings side at 2000 keys,
+    // which made its round-9 decade ratio the most optimistic of the
+    // five (BASELINE.md caveat); this row closes that caveat
+    "b_pipeline_etl_full" -> ((s, dir) => {
+      import graft.ops.{TextOps, VectorOps}
+      val ids = graft.functions.WordPieceTokenize.wordpiece(col("text"), syntheticVocab)
+      val textSide = Tables.documents(s, dir)
+        .select(col("doc_id"), ids.as("ids0"))
+        .withColumn("ids_t", TextOps.padTo(slice(col("ids0"), 1, 256), 256))
+        .withColumn("att", TextOps.attentionMask(col("ids0"), 256))
+      val mlm = MaskingOps.mlmMaskXxhFused(col("ids_t"), col("doc_id"),
+        maskProb = 0.25, maskToken = 999999, vocabSize = syntheticVocab.size)
+      val frames = transform(sequence(lit(0), lit(15)),
+        f => slice(col("embedding"), f * 4 + 1, lit(4)))
+      val frameSide = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorOps.padFrames(frames, 16, 4).as("frames"),
+        VectorOps.frameMask(frames, 16).as("fmask"))
+      val mfm = MaskingOps.mfmMask(col("frames"), col("vec_id"),
+        maskProb = 0.25, rng = MaskingOps.Xxh)
+      textSide.join(frameSide, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          mlm.getField("ids").as("mlm_ids"), mlm.getField("labels").as("mlm_labels"),
+          col("att"),
+          mfm.getField("frames").as("mfm_frames"),
+          mfm.getField("labelIdx").as("mfm_label_idx"),
+          col("fmask"))
+    }),
     "b_mfm_mask_xxh" -> ((s, dir) => {
       val frames = transform(sequence(lit(0), lit(15)),
         f => slice(col("embedding"), f * 4 + 1, lit(4)))
@@ -991,6 +1021,32 @@ object Bench {
       out
     })
 
+  /** Per-row readings of the committed clean record, for the sweep-end
+    * burst re-check: a reading >1.5× its committed predecessor with no
+    * code change is far more likely a contention burst than a real
+    * regression — re-measure before recording it. Absent/unparseable
+    * file → empty map (first run, or a fresh checkout).
+    */
+  private def priorRecord(): Map[String, Double] = {
+    val f = new java.io.File("bench_out", "latest.json")
+    if (!f.isFile) Map.empty
+    else try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val q = root.get("queries")
+      if (q == null) Map.empty
+      else {
+        val b = Map.newBuilder[String, Double]
+        val it = q.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber && e.getValue.asDouble() > 0)
+            b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** The b_minhash_incremental shape over an arbitrary doc set. */
   private def incrementalOn(docs: DataFrame): DataFrame = {
     val part = pmod(xxhash64(col("doc_id")), lit(5))
@@ -1122,7 +1178,7 @@ object Bench {
     // (name, min seconds, spread max/min, error, diag passes of the min
     // attempt): failures are REPORTED, never silently recorded as a
     // plausible timing.
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i % canaryEvery == 0 && only.isEmpty) runCanary()
       // warm this row's plan family, then drop whatever it cached and
       // any pass diagnostics the warm run emitted; warm failures are
@@ -1140,36 +1196,70 @@ object Bench {
       val ok = attempts.filter(_._2.isEmpty)
       if (ok.isEmpty) {
         val (sec, err, passes) = attempts.head
-        (name, sec, 1.0, err, passes)
+        (name, fn, sec, 1.0, err, passes)
       } else {
         val best = ok.minBy(_._1)
         val spread = ok.map(_._1).max / best._1
-        (name, best._1, spread, None, best._3)
+        (name, fn, best._1, spread, None, best._3)
+      }
+    }
+    // BURST RE-CHECK (VERDICT r9 #1): a noise burst long enough to span
+    // a row's back-to-back attempts defeats min-of-N taken at one point
+    // in time — the r9 record carried b_minhash_converged at 2.7× and
+    // q157_rfm at 2.6× their real cost with zero code change. At sweep
+    // end (minutes later, outside any burst window that polluted the
+    // row) re-run any row whose attempts disagreed by >2× OR whose
+    // reading exceeds the prior committed record by >1.5×, and keep the
+    // min of ALL attempts. Subset runs skip this (they never write the
+    // record).
+    val prior = priorRecord()
+    val results = firstPass.map { case row @ (name, fn, sec, spread, err, passes) =>
+      val suspect = err.isEmpty && !singleRun.contains(name) && only.isEmpty &&
+        (spread > 2.0 ||
+          prior.get(name).exists(p => p > 0.05 && sec > p * 1.5))
+      if (!suspect) (name, sec, spread, err, passes)
+      else {
+        System.err.println(
+          f"[bench] burst re-check: $name%s read $sec%.2f s " +
+            f"(spread $spread%.2f, prior ${prior.getOrElse(name, -1.0)}%.2f) - re-running")
+        warmDir.foreach { wd =>
+          try force(fn(spark, wd)) catch { case _: Throwable => () }
+          spark.sharedState.cacheManager.clearCache()
+        }
+        val extra = Seq(timeOnce(name, fn), timeOnce(name, fn))
+          .filter(_._2.isEmpty)
+        if (extra.isEmpty) (name, sec, spread, err, passes)
+        else {
+          val all = (sec, passes) +: extra.map(t => (t._1, t._3))
+          val best = all.minBy(_._1)
+          val hi = math.max(sec * spread, extra.map(_._1).max)
+          (name, best._1, hi / best._1, err, best._2)
+        }
       }
     }
     if (only.isEmpty) runCanary()
-    // streaming rows stay single-run: a second start() with the same
-    // memory-sink queryName is not re-entrant, and none of the r7
-    // phantoms were s_ rows — the canary series covers run validity.
     val streaming =
       if (only.exists(names => !names.exists(_.startsWith("s_")))) Nil
       else streamingBenches(spark, sfDir).filter(t => wanted(t._1))
     val allTimings = results.map { case (k, v, _, e, _) => (k, v, e) } ++
-      streaming.map { case (k, v, _, e) => (k, v, e) }
+      streaming.map { case (k, v, _, e, _) => (k, v, e) }
     val qs = allTimings.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
     }.mkString("{", ",", "}")
     val errs = allTimings.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
-    val stateRows = streaming.map { case (k, _, st, _) =>
+    val stateRows = streaming.map { case (k, _, st, _, _) =>
       "\"" + k + "\":" + st
     }.mkString("{", ",", "}")
     // per-row max/min across timed attempts (1.0 = attempts agreed or
-    // single-run row) — the from-the-JSON contention witness
-    val spreads = results.map { case (k, _, sp, _, _) =>
-      "\"" + k + "\":" + math.round(sp * 100.0) / 100.0
-    }.mkString("{", ",", "}")
+    // single-run row) — the from-the-JSON contention witness; streaming
+    // rows carry one too (min-of-2 replays since round 10)
+    val spreads = (results.map { case (k, _, sp, _, _) => (k, sp) } ++
+      streaming.map { case (k, _, _, _, sp) => (k, sp) })
+      .map { case (k, sp) =>
+        "\"" + k + "\":" + math.round(sp * 100.0) / 100.0
+      }.mkString("{", ",", "}")
     val diag = results.collect { case (name, rowSec, _, _, ps) if ps.nonEmpty =>
       // pass 0 is the prep stage (tokenize + band-hash + persist);
       // result_sec is the remainder of the row — the final keeper
@@ -1231,13 +1321,13 @@ object Bench {
     * re-laid as an 8-file directory in /tmp and driven through the
     * streaming operators as a REAL file stream — 4 micro-batches
     * (maxFilesPerTrigger=2, AvailableNow), memory sink. Each row
-    * records (name, wall-clock s, max state rows across progress
-    * reports, error) — state staying bounded (≈ distinct keys / open
-    * windows, NOT input rows) is the scale claim, recorded in
-    * BASELINE.md alongside the timings.
+    * records (name, min-of-2 wall-clock s, max state rows across the
+    * min try's progress reports, error, spread) — state staying
+    * bounded (≈ distinct keys / open windows, NOT input rows) is the
+    * scale claim, recorded in BASELINE.md alongside the timings.
     */
   private def streamingBenches(
-      spark: SparkSession, sfDir: String): Seq[(String, Double, Long, Option[String])] = {
+      spark: SparkSession, sfDir: String): Seq[(String, Double, Long, Option[String], Double)] = {
     // per-run directory: two concurrent bench invocations on one box
     // must never overwrite each other's stream input mid-run
     val streamDir =
@@ -1269,22 +1359,46 @@ object Bench {
       .parquet(dir)
     def src: DataFrame = srcFrom(streamDir)
 
-    def run(name: String, df: DataFrame, mode: String): (String, Double, Long, Option[String]) = {
+    def runOnce(name: String, tryIdx: Int, df: DataFrame, mode: String)
+        : (Double, Long, Option[String]) = {
+      // a fresh memory-sink queryName per try: a second start() with
+      // the same name is not re-entrant (and the first try's sink
+      // table would otherwise ride as memory pressure into the second)
+      val sink = s"${name}__t$tryIdx"
       val t0 = System.nanoTime()
       try {
-        val q = df.writeStream.format("memory").queryName(name)
+        val q = df.writeStream.format("memory").queryName(sink)
           .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val maxState = q.recentProgress.iterator
           .flatMap(p => Option(p.stateOperators).iterator.flatten.map(_.numRowsTotal))
           .foldLeft(0L)(math.max)
         // force the sink so the timing covers materialization
-        spark.table(name).count()
-        (name, (System.nanoTime() - t0) / 1e9, maxState, None)
+        spark.table(sink).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.dropTempView(sink)
+        (sec, maxState, None)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          (name, -1.0, -1L, Some(e.getClass.getSimpleName))
+          (-1.0, -1L, Some(e.getClass.getSimpleName))
+      }
+    }
+    // min-of-2 with a recorded spread, like the batch rows (VERDICT r9
+    // #3: the only unexplained r9 deltas were streaming rows with no
+    // spread column to adjudicate them). Each try replays the stream
+    // from scratch (AvailableNow + a throwaway checkpoint), so the
+    // second try is a true independent observation; `df` is by-name so
+    // each try builds a fresh plan.
+    def run(name: String, df: => DataFrame, mode: String)
+        : (String, Double, Long, Option[String], Double) = {
+      val a = runOnce(name, 1, df, mode)
+      if (a._3.isDefined) (name, a._1, a._2, a._3, 1.0)
+      else {
+        val b = runOnce(name, 2, df, mode)
+        val ok = Seq(a, b).filter(_._3.isEmpty)
+        val best = ok.minBy(_._1)
+        (name, best._1, best._2, None, ok.map(_._1).max / best._1)
       }
     }
 
