@@ -8983,6 +8983,131 @@ object ExtensionQueries {
        |FROM tt, st, mz""".stripMargin
   }
 
+  // --------------------------------------------------------------- q248
+  /** RESIDUAL IVF-PQ search, value-level
+    * ([[graft.ops.PqOps.ivfPqSearchADC]] with `byResidual = true`,
+    * nlist=4, nprobe=2, k=3, the q214 PQ configuration): q214 pins the
+    * flat-PQ machinery and a differential spec pins the gated form
+    * (`nprobe=nlist, byResidual=false` ≡ pqSearchADC), but the
+    * RESIDUAL form — the FAISS IVFPQ default and the 100 TB deployment
+    * shape — previously had no value-level oracle. This replays the
+    * whole construction in SQL: the md5-ordered deterministic centroid
+    * pick (engine index = position in ascending-id order of the
+    * picked set), coarse assignment by the [[graft.functions.TopCentroids]]
+    * cosine (q24 algebra; sim DESC, centroid ASC ties), float-IEEE
+    * residuals (double subtraction of two floats rounded to REAL is
+    * exactly float subtraction — binary64's 53 bits ≥ 2·24+2, so the
+    * double rounding is innocuous), PQ training/encode on the residual
+    * frame (q214's CTEs verbatim), per-(query, probe) residual LUTs,
+    * and the pivoted ADC sum with the (adc ASC, neighbor_id) rank.
+    */
+  def q248(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    PqOps.ivfPqSearchADC(e.filter(col("vec_id") % 50 === 0), e, k = 3,
+      nlist = 4, nprobe = 2, m = q214M, ksub = q214Ksub, iters = 1,
+      dim = q214M * q214Sub, byResidual = true)
+  }
+
+  val q248Sql: String = {
+    val dim = q214M * q214Sub
+    val avgList = (1 to q214Sub).map(j =>
+      s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
+    // residual slice of a 64-float vector against its centroid: double
+    // subtraction rounded to REAL == the engine's float `x - c`
+    def resVec(vecFrom: String): String =
+      s"""list_transform(generate_series(1, $dim),
+         |   i -> CAST(CAST($vecFrom[i] AS DOUBLE)
+         |         - CAST(c.c_vec[i] AS DOUBLE) AS REAL))""".stripMargin
+    s"""WITH e AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |cpick AS MATERIALIZED (
+       | SELECT vec_id, embedding FROM embeddings
+       | WHERE embedding IS NOT NULL
+       | ORDER BY ${dk(s"CAST(vec_id AS VARCHAR) || '#' || 'ivf'")}, vec_id
+       | LIMIT 4),
+       |cent AS MATERIALIZED (
+       | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid,
+       |  embedding AS c_vec,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+       | FROM cpick),
+       |en AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM e),
+       |sims AS MATERIALIZED (
+       | SELECT en.vec_id, c.centroid,
+       |  list_sum(list_transform(generate_series(1, $dim),
+       |    i -> CAST(en.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)))
+       |   / (en.nrm * c.cnrm) AS sim
+       | FROM en CROSS JOIN cent c),
+       |asn AS MATERIALIZED (
+       | SELECT vec_id, centroid FROM (
+       |  SELECT vec_id, centroid,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, centroid) AS rn
+       |  FROM sims) WHERE rn = 1),
+       |rese AS MATERIALIZED (
+       | SELECT e.vec_id, a.centroid,
+       |  ${resVec("e.embedding")} AS rvec
+       | FROM e JOIN asn a USING (vec_id) JOIN cent c USING (centroid)),
+       |sub AS (
+       | SELECT r.vec_id, sp.s,
+       |  r.rvec[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
+       | FROM rese r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+       |seed AS (
+       | SELECT s, CAST(code AS INT) AS code, v AS c FROM (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+       |    AS code, v
+       |  FROM sub) WHERE code < $q214Ksub),
+       |${q214AssignSql("seed", "a1")},
+       |cb1m AS (
+       | SELECT s, code, [$avgList] AS c FROM a1 GROUP BY s, code),
+       |cb1 AS (
+       | SELECT sd.s, sd.code, coalesce(m.c, sd.c) AS c
+       | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
+       |${q214AssignSql("cb1", "enc")},
+       |qprobe AS (
+       | SELECT vec_id AS query_id, centroid FROM (
+       |  SELECT vec_id, centroid,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, centroid) AS rn
+       |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 2),
+       |qres AS (
+       | SELECT q.query_id, q.centroid,
+       |  ${resVec("e.embedding")} AS rvec
+       | FROM qprobe q JOIN e ON e.vec_id = q.query_id
+       | JOIN cent c USING (centroid)),
+       |qsub AS (
+       | SELECT r.query_id, r.centroid, sp.s,
+       |  r.rvec[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
+       | FROM qres r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+       |lut AS (
+       | SELECT q.query_id, q.centroid, cb.s, cb.code,
+       |  (${q214D2("q.v", "0", "cb.c")}) AS d2
+       | FROM qsub q JOIN cb1 cb ON cb.s = q.s),
+       |padd AS (
+       | SELECT l.query_id, en2.vec_id AS neighbor_id,
+       |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
+       |  max(CASE WHEN l.s = 1 THEN l.d2 END) AS db,
+       |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
+       |  max(CASE WHEN l.s = 3 THEN l.d2 END) AS dd
+       | FROM (SELECT en0.vec_id, en0.s, en0.code, a.centroid
+       |       FROM enc en0 JOIN asn a USING (vec_id)) en2
+       | JOIN lut l ON l.centroid = en2.centroid AND l.s = en2.s
+       |  AND l.code = en2.code
+       | WHERE l.query_id <> en2.vec_id
+       | GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc6, rank FROM (
+       | SELECT query_id, neighbor_id, ((da + db) + dc) + dd AS adc,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY ((da + db) + dc) + dd ASC, neighbor_id) AS INT) AS rank
+       | FROM padd) WHERE rank <= 3""".stripMargin
+  }
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -9199,5 +9324,6 @@ object ExtensionQueries {
     "q244_char_entropy" -> ((q244 _, q244Sql)),
     "q245_retrieval_metrics" -> ((q245 _, q245Sql)),
     "q246_standardize" -> ((q246 _, q246Sql)),
-    "q247_retrieval_stack" -> ((q247 _, q247Sql)))
+    "q247_retrieval_stack" -> ((q247 _, q247Sql)),
+    "q248_ivf_pq_residual" -> ((q248 _, q248Sql)))
 }
