@@ -321,6 +321,84 @@ object PqOps {
       .coalesce(1).write.mode("overwrite").parquet(p("meta"))
   }
 
+  /** The stored index's constant-size artifacts, loaded driver-side:
+    * (nlist, m, ksub, dim, byResidual, centroid vectors in index
+    * order, flat codebook array).
+    */
+  private def loadIndexArtifacts(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : (Int, Int, Int, Int, Boolean, Array[Seq[Float]], Array[Float]) = {
+    def p(name: String) = new java.io.File(indexDir, name).toString
+    val meta = spark.read.parquet(p("meta")).head()
+    val nlist = meta.getAs[Int]("nlist")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val dim = meta.getAs[Int]("dim")
+    val byResidual = meta.getAs[Boolean]("by_residual")
+    val subdim = dim / m
+    val centVecs: Array[Seq[Float]] = spark.read.parquet(p("centroids"))
+      .orderBy("centroid").collect()
+      .map(_.getSeq[Float](1))
+    require(centVecs.length == nlist,
+      s"ivfPq index at $indexDir: ${centVecs.length} centroids, meta says $nlist")
+    val cb = new Array[Float](m * ksub * subdim)
+    spark.read.parquet(p("codebooks")).collect().foreach { r =>
+      val s = r.getInt(0); val c = r.getInt(1)
+      val v = r.getSeq[Float](2)
+      var j = 0
+      while (j < subdim) { cb((s * ksub + c) * subdim + j) = v(j); j += 1 }
+    }
+    (nlist, m, ksub, dim, byResidual, centVecs, cb)
+  }
+
+  /** Coarse-assign + encode a batch with FROZEN artifacts (no
+    * training) — the shared shape of [[ivfPqAppend]] and the corpus
+    * side of the one-shot search after training.
+    */
+  private def encodeWith(
+      batch: DataFrame, centVecs: Array[Seq[Float]], cb: Array[Float],
+      m: Int, ksub: Int, dim: Int, byResidual: Boolean,
+      idCol: String, vecCol: String): DataFrame = {
+    val mat = flatMat(centVecs, dim)
+    validVecs(batch, vecCol, idCol, dim)
+      .select(col("id").as("neighbor_id"), col("vec"),
+        element_at(
+          graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, 1),
+          1).as("centroid"))
+      .withColumn("enc_vec",
+        if (byResidual) residualOf(centVecs, col("vec"), col("centroid"))
+        else col("vec"))
+      .select(col("centroid"), col("neighbor_id"),
+        graft.functions.Pq.pqCodes(col("enc_vec"), cb, m, ksub, dim)
+          .as("codes"))
+  }
+
+  /** APPEND a new corpus batch to a standing [[ivfPqIndex]] — the
+    * FAISS `add()` half of the daily-ingest ANN loop (the
+    * [[SimilarityOps.appendLshIndex]] /
+    * [[DedupOps.mergedBucketReps]] pattern for the compressed leg).
+    * The coarse quantizer and the codebooks are FROZEN at build time —
+    * quantizer drift is a rebuild decision, never a side effect of
+    * ingest — so the batch is assigned and (residual-)encoded with the
+    * STORED artifacts and its codes land as new parquet files in the
+    * same centroid-range layout. Cost is O(batch): the existing codes
+    * are never read, and because the encode is a pure per-row function
+    * of (vector, stored artifacts), appending a corpus in any batch
+    * split yields byte-identical search results (spec-pinned).
+    */
+  def ivfPqAppend(
+      batch: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val (_, m, ksub, dim, byResidual, centVecs, cb) =
+      loadIndexArtifacts(spark, indexDir)
+    encodeWith(batch, centVecs, cb, m, ksub, dim, byResidual, idCol, vecCol)
+      .repartitionByRange(col("centroid"))
+      .sortWithinPartitions("centroid")
+      .write.mode("append")
+      .parquet(new java.io.File(indexDir, "codes").toString)
+  }
+
   /** ADC top-`k` against a persisted [[ivfPqIndex]]: per batch, load
     * the (constant-size) coarse centroids and codebooks, build each
     * query's LUTs, and join the probed lists off the stored codes —
@@ -335,28 +413,10 @@ object PqOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobe >= 1, "ivfPqSearchIndexed: need k,nprobe >= 1")
     val spark = queries.sparkSession
-    def p(name: String) = new java.io.File(indexDir, name).toString
-    val meta = spark.read.parquet(p("meta")).head()
-    val nlist = meta.getAs[Int]("nlist")
-    val m = meta.getAs[Int]("m")
-    val ksub = meta.getAs[Int]("ksub")
-    val dim = meta.getAs[Int]("dim")
-    val byResidual = meta.getAs[Boolean]("by_residual")
+    val (nlist, m, ksub, dim, byResidual, centVecs, cb) =
+      loadIndexArtifacts(spark, indexDir)
     require(nprobe <= nlist,
       s"ivfPqSearchIndexed: nprobe $nprobe > stored nlist $nlist")
-    val subdim = dim / m
-    val centVecs: Array[Seq[Float]] = spark.read.parquet(p("centroids"))
-      .orderBy("centroid").collect()
-      .map(_.getSeq[Float](1))
-    require(centVecs.length == nlist,
-      s"ivfPqSearchIndexed: ${centVecs.length} centroids, meta says $nlist")
-    val cb = new Array[Float](m * ksub * subdim)
-    spark.read.parquet(p("codebooks")).collect().foreach { r =>
-      val s = r.getInt(0); val c = r.getInt(1)
-      val v = r.getSeq[Float](2)
-      var j = 0
-      while (j < subdim) { cb((s * ksub + c) * subdim + j) = v(j); j += 1 }
-    }
     // prune the codes scan to the probed lists: the probe set is a
     // pure function of the (bounded) query batch and the centroids,
     // both already driver-side
@@ -366,7 +426,8 @@ object PqOps {
         graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, nprobe),
         1, nprobe)).as("centroid"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val enc = spark.read.parquet(p("codes"))
+    val enc = spark.read
+      .parquet(new java.io.File(indexDir, "codes").toString)
       .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
     ivfPqProbeSearch(queries, centVecs, cb, enc, k, nprobe, m, ksub, dim,
       byResidual, idCol, vecCol)

@@ -231,4 +231,53 @@ class PqSpec extends AnyFunSuite {
       graft.ops.PqOps.ivfPqSearchIndexed(queries, idx2, k = 1, nprobe = 9)
     }
   }
+
+  test("ivfPqAppend: frozen-quantizer add() — batch-split invariant, " +
+      "appended rows retrievable, existing codes never retrained") {
+    val r = new scala.util.Random(17)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val base = (0 until 60).map(mk)
+    val batch = (60 until 100).map(mk)
+    val baseDf = base.toDF("vec_id", "embedding")
+    val queries = baseDf.filter(col("vec_id") < 8)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    // one append vs the same rows in two appends: encode is a pure
+    // per-row function of (vector, stored artifacts), so the search
+    // results must be byte-identical
+    val d1 = java.nio.file.Files.createTempDirectory("graft_ivfpq_a1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_a2").toString
+    for (d <- Seq(d1, d2))
+      graft.ops.PqOps.ivfPqIndex(baseDf, d, nlist = 4, m = m, ksub = ksub,
+        iters = 1, dim = dim)
+    graft.ops.PqOps.ivfPqAppend(batch.toDF("vec_id", "embedding"), d1)
+    graft.ops.PqOps.ivfPqAppend(
+      batch.filter(_._1 < 80).toDF("vec_id", "embedding"), d2)
+    graft.ops.PqOps.ivfPqAppend(
+      batch.filter(_._1 >= 80).toDF("vec_id", "embedding"), d2)
+    val s1 = sorted(graft.ops.PqOps.ivfPqSearchIndexed(queries, d1, k = 5, nprobe = 2))
+    val s2 = sorted(graft.ops.PqOps.ivfPqSearchIndexed(queries, d2, k = 5, nprobe = 2))
+    assert(s1 == s2, "append must be batch-split invariant")
+    // appended rows are retrievable: batch ids share the base clusters,
+    // so they must appear among the top-5 of same-cluster queries
+    val appendedSeen = s1.map(_._2).toSet.exists(_ >= 60L)
+    assert(appendedSeen, s"no appended row ever retrieved: $s1")
+    // the quantizer stayed frozen: searching only base-era queries on
+    // the pre-append index gives the same codes for base rows (the
+    // append touched nothing it shouldn't)
+    val d0 = java.nio.file.Files.createTempDirectory("graft_ivfpq_a0").toString
+    graft.ops.PqOps.ivfPqIndex(baseDf, d0, nlist = 4, m = m, ksub = ksub,
+      iters = 1, dim = dim)
+    val preCodes = spark.read.parquet(s"$d0/codes")
+      .as[(Int, Long, Seq[Int])].collect().sortBy(_._2).toSeq
+    val postCodes = spark.read.parquet(s"$d1/codes")
+      .filter(col("neighbor_id") < 60)
+      .as[(Int, Long, Seq[Int])].collect().sortBy(_._2).toSeq
+    assert(preCodes == postCodes,
+      "append must not touch existing rows' codes or assignments")
+  }
 }
