@@ -385,6 +385,14 @@ object PqOps {
     * are never read, and because the encode is a pure per-row function
     * of (vector, stored artifacts), appending a corpus in any batch
     * split yields byte-identical search results (spec-pinned).
+    *
+    * UNIQUENESS IS THE CALLER'S (the FAISS `add()` contract): there is
+    * no duplicate-id guard — appending a batch containing already-
+    * indexed ids stores a second codes row for them, and a later
+    * [[ivfPqSearchIndexed]] returns the id twice (shifting ranks).
+    * Checking would require reading the existing codes, forfeiting
+    * O(batch); deduplicate upstream (the engine's dedup operators, or
+    * an anti-join against `codes`' id column) when ingest can replay.
     */
   def ivfPqAppend(
       batch: DataFrame, indexDir: String,

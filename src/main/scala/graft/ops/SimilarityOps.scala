@@ -267,7 +267,11 @@ object SimilarityOps {
     val nType = pool.schema("neighbor_id").dataType
     // the ascending-neighbor_id tie base order must follow SQL ORDER BY
     // semantics for the id's actual type (numeric ids numerically — a
-    // string sort would put "10" before "9" and break oracle parity)
+    // string sort would put "10" before "9" and break oracle parity;
+    // strings compare as UTF-8 BYTES, Spark's binary collation — Java's
+    // UTF-16 compareTo diverges on supplementary characters). A null
+    // neighbor_id cannot reach here: the pool is an INNER join on
+    // neighbor_id, so the orderings never see null.
     def idOrdering(dt: DataType): Ordering[Any] = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Ordering.by((v: Any) => v.asInstanceOf[Number].longValue)
@@ -275,7 +279,9 @@ object SimilarityOps {
         Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue)
       case _: DecimalType =>
         Ordering.by((v: Any) => v.asInstanceOf[java.math.BigDecimal])
-      case _ => Ordering.by((v: Any) => String.valueOf(v))
+      case _ =>
+        Ordering.by((v: Any) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(v)))
     }
     val nOrd = idOrdering(nType)
     val outSchema = StructType(Seq(
@@ -284,7 +290,12 @@ object SimilarityOps {
       StructField("mmr_rank", IntegerType, nullable = false),
       StructField("relevance", DoubleType),
       StructField("mmr_score", DoubleType)))
-    pool.groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+    // null-TAGGED group key: String.valueOf(null) is the 4-char string
+    // "null", which would merge a NULL query_id's pool with a string-id
+    // pool whose id is literally "null" — two queries MMR'd as one
+    pool.groupByKey(r =>
+      if (r.isNullAt(0)) " " else "v" + String.valueOf(r.get(0)))(
+      Encoders.STRING)
       .flatMapGroups { (_, it) =>
         // ascending neighbor_id: a deterministic base order for ties
         val cand = it.toArray.sortBy(_.get(1))(nOrd)

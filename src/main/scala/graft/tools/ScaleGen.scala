@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Synthetic ≥10× scale-point generator for the documents/embeddings
-  * fixture (VERDICT r8 task #4): writes `factor`× replicas of
-  * `srcDir`'s documents and embeddings to `outDir` so the headline
-  * text-pipeline bench rows (dedup keepers, curation chain, ETL) can
+/** Synthetic ≥10× scale-point generator for the documents/embeddings/
+  * events fixture (VERDICT r8 task #4, extended to events by r10 #3):
+  * writes `factor`× replicas of `srcDir`'s documents, embeddings and
+  * events to `outDir` so the headline bench rows (dedup keepers,
+  * curation chain, ETL, ANN search, streaming state/throughput) can
   * be measured one decade apart — the cheapest strong evidence that
   * the linear-scaling claims argued from plan shape actually hold.
   *
@@ -24,6 +25,10 @@ import org.apache.spark.sql.functions._
   *   deterministic per-(replica, dim) pattern — norms and per-dim
   *   magnitude stats are preserved, cosine structure across replicas
   *   decorrelates.
+  * - events: replica r > 0 is a fresh user population carrying the
+  *   SAME per-user event-time histories (ts byte-identical, ids
+  *   offset) — sessions/windows per user, type mix and value
+  *   distribution preserved; keys and rows grow by `factor`.
   * - ids: `id + r·10_000_000` — disjoint per replica, and
   *   `pmod(doc_id, k)`-style bucket joins keep their distribution
   *   because the offset is a multiple of every modulus the bench uses.
@@ -93,7 +98,12 @@ object ScaleGen {
     // id below the offset (a larger fixture would silently collide
     // replica r with replica r+1 of a smaller id)
     def requireIdsBelowOffset(df: DataFrame, idCol: String, table: String): Unit = {
-      val mx = df.agg(max(col(idCol))).head.getLong(0)
+      // max over an empty table is NULL: read it as an Option so the
+      // failure is this guard's message, not a bare NPE from getLong
+      val row = df.agg(max(col(idCol))).head
+      require(!row.isNullAt(0),
+        s"ScaleGen: source table $table is empty - nothing to scale")
+      val mx = row.getLong(0)
       require(mx < offset,
         s"ScaleGen: max $table.$idCol = $mx >= replica offset $offset - ids would collide across replicas")
     }
@@ -141,10 +151,37 @@ object ScaleGen {
     scaledEmbs.write.mode("overwrite")
       .parquet(new java.io.File(outDir, "embeddings.parquet").toString)
 
-    // everything else verbatim (bench warmup reads lineitem/events) -
+    // events (VERDICT r10 #3: the streaming decade) -----------------
+    // Workload-preserving: replicas are NEW USERS carrying the original
+    // users' exact event-time histories (event_id/user_id offset by
+    // r·10M, ts byte-identical). Per-user session structure, window
+    // membership, event_type mix and value distribution are all
+    // invariant — only the key population grows — so a streaming decade
+    // measures "10× keys, 10× input rows" against the state claim
+    // (state ∝ keys/open windows for keyed ops; ∝ windows×types —
+    // UNCHANGED — for the tumbling aggs), never a distorted workload.
+    val eventsDf = graft.core.Tables.events(spark, srcDir)
+    requireIdsBelowOffset(eventsDf, "event_id", "events")
+    requireIdsBelowOffset(eventsDf, "user_id", "events")
+    val events = eventsDf
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, java.sql.Timestamp, Long, String, Option[Double], String)]
+    val scaledEvents = events.mapPartitions { it =>
+      it.flatMap { case (id, ts, uid, typ, v, props) =>
+        (0 until factor).iterator.map { r =>
+          (id + r * offset, ts, uid + r * offset, typ, v, props)
+        }
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(32, col("event_id"))
+    scaledEvents.write.mode("overwrite")
+      .parquet(new java.io.File(outDir, "events.parquet").toString)
+
+    // everything else verbatim (bench warmup reads lineitem) ---------
     val copied = new java.io.File(srcDir).listFiles()
       .filter(f => f.getName.endsWith(".parquet") &&
-        f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
+        f.getName != "documents.parquet" && f.getName != "embeddings.parquet" &&
+        f.getName != "events.parquet")
     copied.foreach { f =>
       val dst = new java.io.File(outDir, f.getName)
       if (f.isDirectory) {
@@ -161,7 +198,9 @@ object ScaleGen {
       new java.io.File(outDir, "documents.parquet").toString).count()
     val ne = spark.read.parquet(
       new java.io.File(outDir, "embeddings.parquet").toString).count()
-    println(s"""{"scaled":"$outDir","factor":$factor,"documents":$nd,"embeddings":$ne}""")
+    val nv = spark.read.parquet(
+      new java.io.File(outDir, "events.parquet").toString).count()
+    println(s"""{"scaled":"$outDir","factor":$factor,"documents":$nd,"embeddings":$ne,"events":$nv}""")
     spark.stop()
   }
 }

@@ -338,6 +338,25 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double, Double)].head()
     assert(first._2 == 9L, s"numeric lowest-id tiebreak: $first")
   }
+
+  test("mmrRerank: a NULL query_id and the literal string id \"null\" " +
+      "stay separate pools (null-tagged group key)") {
+    val vecs = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // two queries: one with query_id = NULL, one with query_id = "null";
+    // String.valueOf would have merged them into ONE 2-candidate pool
+    // (k=1 would emit a single row); the tagged key keeps two pools
+    val cands = Seq(
+      (Option.empty[String], "a", 0.9),
+      (Some("null"), "b", 0.8)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    val got = SimilarityOps.mmrRerank(cands, vecs, k = 1, lambdaRel = 1.0)
+      .as[(Option[String], String, Int, Double, Double)].collect().toSeq
+    assert(got.length == 2, s"two pools, one pick each: $got")
+    assert(got.toSet ==
+      Set((None, "a", 1, 0.9, 0.9), (Some("null"), "b", 1, 0.8, 0.8)))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
