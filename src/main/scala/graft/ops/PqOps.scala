@@ -441,6 +441,172 @@ object PqOps {
       byResidual, idCol, vecCol)
   }
 
+  /** REBUILD-OR-KEEP decision for a standing [[ivfPqIndex]] — the
+    * gauge that closes [[ivfPqAppend]]'s "quantizer drift is a rebuild
+    * decision, not an ingest side effect" loop with an actual decision
+    * procedure (reference evaluate.py's gate-then-act shape; the drift
+    * algebra is [[DriftOps.categoricalDrift]]'s q100/q235-pinned
+    * smoothed PSI, applied to the COARSE-LIST occupancy distribution):
+    * the base side is the stored codes' centroid column (the index's
+    * own record of where its corpus lives — no raw vectors touched),
+    * the incoming side is the batch frozen-assigned with the STORED
+    * centroids (exactly the assignment [[ivfPqAppend]] would write).
+    * A batch that lands in the lists the way the corpus does keeps the
+    * quantizer; one that piles into few lists (the distribution the
+    * centroids were never trained for — search quality and list
+    * balance both degrade) trips the threshold.
+    *
+    * Returns [[DriftOps.categoricalDrift]]'s per-centroid frame
+    * (centroid, n_old, n_new, p_old, p_new, psi_term, psi_total) plus
+    * a `verdict` column: `rebuild` iff psi_total > psiThreshold (0.25
+    * — the standard industry PSI action line) else `keep`.
+    *
+    * Scale shape: the base side scans only the codes' centroid ints
+    * (parquet prunes the other columns), the batch side is one fused
+    * assignment pass; both collapse map-side to ≤ nlist rows.
+    */
+  def ivfPqRebuildGauge(
+      batch: DataFrame, indexDir: String, psiThreshold: Double = 0.25,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val (_, _, _, dim, _, centVecs, _) = loadIndexArtifacts(spark, indexDir)
+    val mat = flatMat(centVecs, dim)
+    val base = spark.read
+      .parquet(new java.io.File(indexDir, "codes").toString)
+      .select(col("centroid"))
+    val incoming = validVecs(batch, vecCol, idCol, dim)
+      .select(element_at(
+        graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, 1),
+        1).as("centroid"))
+    DriftOps.categoricalDrift(base, incoming, "centroid")
+      .withColumn("verdict",
+        when(col("psi_total") > psiThreshold, lit("rebuild"))
+          .otherwise(lit("keep")))
+  }
+
+  /** RECALL-vs-nprobe TUNING CURVE from ONE pass over a standing
+    * [[ivfPqIndex]] (the q239 threshold-curve pattern applied to ANN):
+    * instead of re-running the search once per candidate nprobe, the
+    * index is searched ONCE at `nprobes.max` with each candidate's
+    * PROBE RANK retained (the position of its list in the query's
+    * centroid ordering — a corpus vector lives in exactly one list, so
+    * the rank is unique per (query, neighbor)), and every curve point
+    * is then a filter `probe_rank <= p` + re-rank over the SAME
+    * bounded candidate frame. One row per requested nprobe:
+    * `(nprobe, n_queries, mean_candidates, recall_mean,
+    * self_recall_mean)` — `recall_mean` is recall@k against the exact
+    * full-precision top-k ([[SimilarityOps.bruteCosineTopK]], the
+    * [[SimilarityOps.annRecall]] convention; it folds in PQ
+    * quantization loss, so a coarse codebook can pin it near zero at
+    * every nprobe), `self_recall_mean` is recall@k against the
+    * UNPRUNED (nprobe = max requested) ADC ranking — the pruning cost
+    * in isolation, exactly the quantity the nprobe knob trades against
+    * `mean_candidates`, the per-query probed-candidate count (the cost
+    * axis; 1.0 at the max point by construction — the curve's own
+    * sanity witness). Recall means use the exact round-to-DECIMAL sum
+    * so the row replays engine-free.
+    *
+    * Scale shape: the corpus-bytes term is the single max-nprobe
+    * probed-list scan (the [[ivfPqSearchIndexed]] isin pushdown); the
+    * curve explode multiplies only the query-bounded candidate frame
+    * by |nprobes|. The exact baseline is the eval-set contract's
+    * |Q|·|C| brute pass — the same oracle every recall gauge pays.
+    */
+  def ivfPqNprobeCurve(
+      queries: DataFrame, corpus: DataFrame, indexDir: String, k: Int,
+      nprobes: Seq[Int],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      "ivfPqNprobeCurve: need k >= 1 and a non-empty list of nprobe >= 1")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (nlist, m, ksub, dim, byResidual, centVecs, cb) =
+      loadIndexArtifacts(spark, indexDir)
+    val maxP = nprobes.max
+    require(maxP <= nlist,
+      s"ivfPqNprobeCurve: max nprobe $maxP > stored nlist $nlist")
+    val mat = flatMat(centVecs, dim)
+    def top(vec: Column, n: Int): Column =
+      graft.functions.TopCentroids.topCentroids(vec, mat, dim, n)
+    val qv = validVecs(queries, vecCol, idCol, dim)
+    // (query_id, centroid, probe_rank 1..maxP, lut) — ivfPqProbeSearch's
+    // probe frame with the ordinal kept via posexplode
+    val probes = {
+      val exploded = qv
+        .select(col("id").as("query_id"), col("vec"),
+          posexplode(slice(top(col("vec"), maxP), 1, maxP)))
+        .select(col("query_id"), col("vec"),
+          (col("pos") + 1).as("probe_rank"), col("col").as("centroid"))
+      if (byResidual)
+        exploded.select(col("query_id"), col("centroid"), col("probe_rank"),
+          graft.functions.Pq.pqLutCol(
+            residualOf(centVecs, col("vec"), col("centroid")), cb, m, ksub, dim)
+            .as("lut"))
+      else
+        exploded.select(col("query_id"), col("centroid"), col("probe_rank"),
+          graft.functions.Pq.pqLutCol(col("vec"), cb, m, ksub, dim).as("lut"))
+    }
+    val probedCentroids = probes.select("centroid")
+      .distinct().collect().map(_.getInt(0)).sorted
+    val enc = spark.read
+      .parquet(new java.io.File(indexDir, "codes").toString)
+      .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
+    val cand = probes.join(enc, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        graft.functions.Pq.adcLookup(col("lut"), col("codes"), ksub)
+          .as("adc"))
+    val pts = nprobes.distinct.sorted.toDF("nprobe")
+    // every curve point re-ranks the shared candidate frame under its
+    // own probe_rank cut; candidates are query-bounded by contract
+    val curve = cand.join(broadcast(pts),
+      col("probe_rank") <= col("nprobe"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val topk = curve
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    val exact = SimilarityOps
+      .bruteCosineTopK(queries, corpus, k, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe", "query_id").agg(count(lit(1)).as("__hits"))
+    // the unpruned baseline: the same ADC ranking with no probe cut —
+    // self-recall against it is the pruning loss in isolation
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val fullTopk = cand
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val selfHits = topk.join(fullTopk, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe", "query_id").agg(count(lit(1)).as("__shits"))
+    // the (query × nprobe) grid: queries with zero candidates at a
+    // small cut still contribute recall 0 to that point's mean
+    val grid = qv.select(col("id").as("query_id"))
+      .crossJoin(broadcast(pts))
+    val perq = grid
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .join(selfHits, Seq("nprobe", "query_id"), "left")
+      .join(curve.groupBy("nprobe", "query_id")
+          .agg(count(lit(1)).as("__cand")),
+        Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / k).as("recall"),
+        (coalesce(col("__shits"), lit(0L)).cast("double") / k)
+          .as("self_recall"),
+        coalesce(col("__cand"), lit(0L)).as("n_cand"))
+    def meanD9(c: Column) =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double") / count(lit(1))
+    perq.groupBy("nprobe").agg(
+      count(lit(1)).as("n_queries"),
+      (sum(col("n_cand")).cast("double") / count(lit(1)))
+        .as("mean_candidates"),
+      meanD9(col("recall")).as("recall_mean"),
+      meanD9(col("self_recall")).as("self_recall_mean"))
+  }
+
   def pqSearchADC(
       queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, ksub: Int = 8, iters: Int = 1, dim: Int = 64,

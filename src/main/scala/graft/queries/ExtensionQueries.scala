@@ -8790,12 +8790,22 @@ object ExtensionQueries {
   def q247(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
-    val exact = SimilarityOps.bruteCosineTopK(q, e, 5)
     val cands = PqOps.pqSearchADC(q, e, k = 10,
         m = q214M, ksub = q214Ksub, iters = 1, dim = q214M * q214Sub)
       .select(col("query_id"), col("neighbor_id"),
         (-col("adc6")).as("cosine"))
-    val reranked = SimilarityOps.mmrRerank(cands, e, k = 5, lambdaRel = 0.5)
+    retrievalStackRow(cands, e, q)
+  }
+
+  /** The stack's shared Spark tail (MMR λ=0.5 k=5 → metrics vs the
+    * exact full-dim top-5 → bootstrap recall CI + exact-decimal
+    * MRR/nDCG means) over a candidate pool — q247 feeds it flat-PQ
+    * candidates, q249 the standing residual IVF-PQ index's.
+    */
+  private def retrievalStackRow(
+      cands: DataFrame, corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val exact = SimilarityOps.bruteCosineTopK(queries, corpus, 5)
+    val reranked = SimilarityOps.mmrRerank(cands, corpus, k = 5, lambdaRel = 0.5)
       .select(col("query_id"), col("neighbor_id"),
         col("mmr_rank").as("rank"))
     val metrics = SimilarityOps.retrievalMetrics(exact, reranked, k = 5)
@@ -8812,9 +8822,17 @@ object ExtensionQueries {
     ci.crossJoin(means)
   }
 
-  val q247Sql: String = {
-    val avgList = (1 to q214Sub).map(j =>
-      s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
+  /** The retrieval-stack oracle's shared TAIL — everything downstream
+    * of the candidate `pool` CTE (full-dim candidate↔candidate
+    * cosines, the 5-step MATERIALIZED-selected-set MMR greedy at
+    * λ=0.5, the exact full-dim top-5 baseline over the `vec_id < 20`
+    * query set, the q245 metric algebra and the q232 bootstrap tail at
+    * seed `stackci`) — verbatim-shared by q247 (flat-PQ candidates)
+    * and q249 (standing residual IVF-PQ candidates), so the two
+    * acceptance rows differ ONLY in the candidate stage, exactly like
+    * the deployments they model.
+    */
+  private def retrievalStackTailSql: String = {
     val cdf = StatsOps.poisson1Cdf
     val caseW = cdf.zipWithIndex
       .map { case (t, k) => s"WHEN u < $t THEN $k" }
@@ -8841,47 +8859,7 @@ object ExtensionQueries {
          |sU$i AS MATERIALIZED (
          | SELECT * FROM sU${i - 1}
          | UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin
-    s"""WITH e AS (
-       | SELECT vec_id, embedding FROM embeddings
-       | WHERE embedding IS NOT NULL AND len(embedding) = ${q214M * q214Sub}
-       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-       |sub AS (
-       | SELECT e.vec_id, sp.s,
-       |  e.embedding[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
-       | FROM e CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
-       |seed AS (
-       | SELECT s, CAST(code AS INT) AS code, v AS c FROM (
-       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
-       |    AS code, v
-       |  FROM sub) WHERE code < $q214Ksub),
-       |${q214AssignSql("seed", "a1")},
-       |cb1m AS (
-       | SELECT s, code, [$avgList] AS c FROM a1 GROUP BY s, code),
-       |cb1 AS (
-       | SELECT sd.s, sd.code, coalesce(m.c, sd.c) AS c
-       | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
-       |${q214AssignSql("cb1", "enc")},
-       |lut AS (
-       | SELECT q.vec_id AS query_id, cb.s, cb.code,
-       |  (${q214D2("q.v", "0", "cb.c")}) AS d2
-       | FROM (SELECT * FROM sub WHERE vec_id < 20) q
-       | JOIN cb1 cb ON cb.s = q.s),
-       |padd AS (
-       | SELECT l.query_id, en.vec_id AS neighbor_id,
-       |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
-       |  max(CASE WHEN l.s = 1 THEN l.d2 END) AS db,
-       |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
-       |  max(CASE WHEN l.s = 3 THEN l.d2 END) AS dd
-       | FROM enc en JOIN lut l ON l.s = en.s AND l.code = en.code
-       | WHERE l.query_id <> en.vec_id
-       | GROUP BY 1, 2),
-       |pool AS MATERIALIZED (
-       | SELECT query_id, neighbor_id, -round(adc, 6) AS cosine FROM (
-       |  SELECT query_id, neighbor_id, ((da + db) + dc) + dd AS adc,
-       |   row_number() OVER (PARTITION BY query_id
-       |    ORDER BY ((da + db) + dc) + dd ASC, neighbor_id) AS rank
-       |  FROM padd) WHERE rank <= 10),
-       |ef AS (
+    s"""ef AS (
        | SELECT vec_id, embedding AS emb,
        |  sqrt(list_sum(list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -8983,6 +8961,52 @@ object ExtensionQueries {
        |FROM tt, st, mz""".stripMargin
   }
 
+  val q247Sql: String = {
+    val avgList = (1 to q214Sub).map(j =>
+      s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
+    s"""WITH e AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | WHERE embedding IS NOT NULL AND len(embedding) = ${q214M * q214Sub}
+       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |sub AS (
+       | SELECT e.vec_id, sp.s,
+       |  e.embedding[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
+       | FROM e CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+       |seed AS (
+       | SELECT s, CAST(code AS INT) AS code, v AS c FROM (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+       |    AS code, v
+       |  FROM sub) WHERE code < $q214Ksub),
+       |${q214AssignSql("seed", "a1")},
+       |cb1m AS (
+       | SELECT s, code, [$avgList] AS c FROM a1 GROUP BY s, code),
+       |cb1 AS (
+       | SELECT sd.s, sd.code, coalesce(m.c, sd.c) AS c
+       | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
+       |${q214AssignSql("cb1", "enc")},
+       |lut AS (
+       | SELECT q.vec_id AS query_id, cb.s, cb.code,
+       |  (${q214D2("q.v", "0", "cb.c")}) AS d2
+       | FROM (SELECT * FROM sub WHERE vec_id < 20) q
+       | JOIN cb1 cb ON cb.s = q.s),
+       |padd AS (
+       | SELECT l.query_id, en.vec_id AS neighbor_id,
+       |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
+       |  max(CASE WHEN l.s = 1 THEN l.d2 END) AS db,
+       |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
+       |  max(CASE WHEN l.s = 3 THEN l.d2 END) AS dd
+       | FROM enc en JOIN lut l ON l.s = en.s AND l.code = en.code
+       | WHERE l.query_id <> en.vec_id
+       | GROUP BY 1, 2),
+       |pool AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, -round(adc, 6) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, ((da + db) + dc) + dd AS adc,
+       |   row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ((da + db) + dc) + dd ASC, neighbor_id) AS rank
+       |  FROM padd) WHERE rank <= 10)""".stripMargin +
+      ",\n" + retrievalStackTailSql
+  }
+
   // --------------------------------------------------------------- q248
   /** RESIDUAL IVF-PQ search, value-level
     * ([[graft.ops.PqOps.ivfPqSearchADC]] with `byResidual = true`,
@@ -9008,7 +9032,20 @@ object ExtensionQueries {
       dim = q214M * q214Sub, byResidual = true)
   }
 
-  val q248Sql: String = {
+  /** q248's residual IVF-PQ construction as a REUSABLE CTE chain —
+    * deterministic md5-ordered centroid pick (nlist=4), cosine coarse
+    * assignment, float-IEEE residuals, residual-frame PQ training
+    * (q214's CTEs), per-(query, probe) residual LUTs and the pivoted
+    * ADC sum — ending in `cand(query_id, neighbor_id, probe_rank,
+    * adc)`, where `probe_rank` is the position of the neighbor's list
+    * in the query's centroid ordering (unique per pair: a corpus
+    * vector lives in exactly one list; an optional `basePred` narrows
+    * the corpus/training side). q248 ranks it to the top-3 value-level
+    * oracle, q249 pools the top-10 for the standing-index acceptance
+    * stack, q251 sweeps probe_rank cuts into the recall-vs-nprobe
+    * curve.
+    */
+  private def ivfPqCandSql(queryPred: String, nprobe: Int): String = {
     val dim = q214M * q214Sub
     val avgList = (1 to q214Sub).map(j =>
       s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
@@ -9018,7 +9055,7 @@ object ExtensionQueries {
       s"""list_transform(generate_series(1, $dim),
          |   i -> CAST(CAST($vecFrom[i] AS DOUBLE)
          |         - CAST(c.c_vec[i] AS DOUBLE) AS REAL))""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        | SELECT vec_id, embedding FROM embeddings
        | WHERE embedding IS NOT NULL AND len(embedding) = $dim
        |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
@@ -9071,26 +9108,27 @@ object ExtensionQueries {
        | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
        |${q214AssignSql("cb1", "enc")},
        |qprobe AS (
-       | SELECT vec_id AS query_id, centroid FROM (
+       | SELECT vec_id AS query_id, centroid, rn AS probe_rank FROM (
        |  SELECT vec_id, centroid,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, centroid) AS rn
-       |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 2),
+       |  FROM sims WHERE $queryPred) WHERE rn <= $nprobe),
        |qres AS (
-       | SELECT q.query_id, q.centroid,
+       | SELECT q.query_id, q.centroid, q.probe_rank,
        |  ${resVec("e.embedding")} AS rvec
        | FROM qprobe q JOIN e ON e.vec_id = q.query_id
        | JOIN cent c USING (centroid)),
        |qsub AS (
-       | SELECT r.query_id, r.centroid, sp.s,
+       | SELECT r.query_id, r.centroid, r.probe_rank, sp.s,
        |  r.rvec[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
        | FROM qres r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
        |lut AS (
-       | SELECT q.query_id, q.centroid, cb.s, cb.code,
+       | SELECT q.query_id, q.centroid, q.probe_rank, cb.s, cb.code,
        |  (${q214D2("q.v", "0", "cb.c")}) AS d2
        | FROM qsub q JOIN cb1 cb ON cb.s = q.s),
        |padd AS (
        | SELECT l.query_id, en2.vec_id AS neighbor_id,
+       |  min(l.probe_rank) AS probe_rank,
        |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
        |  max(CASE WHEN l.s = 1 THEN l.d2 END) AS db,
        |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
@@ -9100,13 +9138,262 @@ object ExtensionQueries {
        | JOIN lut l ON l.centroid = en2.centroid AND l.s = en2.s
        |  AND l.code = en2.code
        | WHERE l.query_id <> en2.vec_id
-       | GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, round(adc, 6) AS adc6, rank FROM (
-       | SELECT query_id, neighbor_id, ((da + db) + dc) + dd AS adc,
-       |  CAST(row_number() OVER (PARTITION BY query_id
-       |   ORDER BY ((da + db) + dc) + dd ASC, neighbor_id) AS INT) AS rank
-       | FROM padd) WHERE rank <= 3""".stripMargin
+       | GROUP BY 1, 2),
+       |cand AS (
+       | SELECT query_id, neighbor_id, probe_rank,
+       |  ((da + db) + dc) + dd AS adc
+       | FROM padd)""".stripMargin
   }
+
+  val q248Sql: String =
+    s"""WITH ${ivfPqCandSql("vec_id % 50 = 0", 2)}
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc6, rank FROM (
+       | SELECT query_id, neighbor_id, adc,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc ASC, neighbor_id) AS INT) AS rank
+       | FROM cand) WHERE rank <= 3""".stripMargin
+
+  // --------------------------------------------------------------- q249
+  /** Once-per-(dir) standing IVF-PQ index builds for the q249/q250/
+    * q251 rows — the deployment shape where training is the INGEST
+    * pipeline's cost and the registry rows verify/time the SERVED
+    * stack ([[graft.ops.PqOps.ivfPqIndex]]: nlist=4, the q214 PQ
+    * configuration, residual encoding — the FAISS default). Temp-dir
+    * parquet, process-lifetime cached; the index content is a pure
+    * deterministic function of the corpus, so Verify's dumps are
+    * identical whatever the cache state. `full` = the whole embeddings
+    * table (q249's search corpus, q251's curve corpus); `base` = the
+    * `vec_id % 5 <> 0` key split (the standing corpus q250's incoming
+    * batch is gauged against).
+    */
+  private val stackIdxCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def q249Index(spark: SparkSession, dir: String): String =
+    stackIdxCache.getOrElseUpdate("full:" + dir, {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_q249_idx_").toString
+      PqOps.ivfPqIndex(Tables.embeddings(spark, dir), out,
+        nlist = 4, m = q214M, ksub = q214Ksub, iters = 1,
+        dim = q214M * q214Sub, byResidual = true)
+      out
+    })
+  private def q250Index(spark: SparkSession, dir: String): String =
+    stackIdxCache.getOrElseUpdate("base:" + dir, {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_q250_idx_").toString
+      PqOps.ivfPqIndex(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 5 =!= 0), out,
+        nlist = 4, m = q214M, ksub = q214Ksub, iters = 1,
+        dim = q214M * q214Sub, byResidual = true)
+      out
+    })
+
+  /** The SERVED retrieval stack, acceptance-rowed (VERDICT r10 #4):
+    * q247 pins the stack over flat-PQ candidates, but the candidate
+    * stage a 100 TB deployment actually runs is
+    * [[graft.ops.PqOps.ivfPqSearchIndexed]] against the PERSISTED
+    * residual IVF-PQ index ([[graft.ops.PqOps.ivfPqIndex]], built once
+    * per corpus version — here at Verify warmup, cached per dir). This
+    * row replays THAT stack end-to-end: standing-index search (nlist=4,
+    * nprobe=2, top-10 pools, relevance = −adc6) → MMR λ=0.5 k=5 →
+    * metrics vs the exact full-dim top-5 → bootstrap recall CI +
+    * exact-decimal MRR/nDCG means. The oracle chains q248's
+    * residual-IVF-PQ construction (the value-level twin of the stored
+    * index + indexed search, which a differential spec pins equal to
+    * the one-shot form) into q247's MMR/metrics/CI tail — shared
+    * VERBATIM, so the only delta between the two acceptance rows is
+    * the candidate stage, exactly like the deployments they model.
+    * Recall here is measured against exact search, so the row also
+    * witnesses what nprobe=2-of-4 pruning costs in quality (q251 makes
+    * that trade-off a queryable curve).
+    */
+  def q249(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    val cands = PqOps.ivfPqSearchIndexed(q, q249Index(spark, dir),
+        k = 10, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("adc6")).as("cosine"))
+    retrievalStackRow(cands, e, q)
+  }
+
+  val q249Sql: String =
+    s"""WITH ${ivfPqCandSql("vec_id < 20", 2)},
+       |pool AS MATERIALIZED (
+       | SELECT query_id, neighbor_id, -round(adc, 6) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |   row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= 10)""".stripMargin +
+      ",\n" + retrievalStackTailSql
+
+  // --------------------------------------------------------------- q250
+  /** Standing-index REBUILD-OR-KEEP gauge
+    * ([[graft.ops.PqOps.ivfPqRebuildGauge]], PSI threshold 0.25, over
+    * the base index on the `vec_id % 5 <> 0` split gauging the
+    * `vec_id % 5 = 0` incoming batch): the decision procedure that
+    * closes ivfPqAppend's "quantizer drift is a rebuild decision"
+    * loop — q235's smoothed-PSI drift algebra applied to the coarse-
+    * list occupancy distribution, base side read from the stored
+    * codes' centroid column (no raw vectors), incoming side frozen-
+    * assigned with the stored centroids. The oracle replays the
+    * md5-ordered centroid pick over the base split, the cosine coarse
+    * assignment of BOTH sides from one scan (q235's FILTER trick), the
+    * q100 smoothed-PSI tail and the thresholded verdict. On the
+    * key-split fixture the batch is corpus-like, so the committed
+    * verdict is `keep`; the spec drives a drifted batch to `rebuild`.
+    */
+  def q250(spark: SparkSession, dir: String): DataFrame =
+    PqOps.ivfPqRebuildGauge(
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 0),
+      q250Index(spark, dir), psiThreshold = 0.25)
+
+  val q250Sql: String = {
+    val dim = q214M * q214Sub
+    s"""WITH e AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |cpick AS MATERIALIZED (
+       | SELECT vec_id, embedding FROM embeddings
+       | WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+       | ORDER BY ${dk(s"CAST(vec_id AS VARCHAR) || '#' || 'ivf'")}, vec_id
+       | LIMIT 4),
+       |cent AS MATERIALIZED (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |   AS centroid,
+       |  embedding AS c_vec,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+       | FROM cpick),
+       |en AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM e),
+       |sims AS (
+       | SELECT en.vec_id, c.centroid,
+       |  list_sum(list_transform(generate_series(1, $dim),
+       |    i -> CAST(en.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)))
+       |   / (en.nrm * c.cnrm) AS sim
+       | FROM en CROSS JOIN cent c),
+       |asn AS MATERIALIZED (
+       | SELECT vec_id, centroid FROM (
+       |  SELECT vec_id, centroid,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, centroid) AS rn
+       |  FROM sims) WHERE rn = 1),
+       |j AS (
+       | SELECT centroid,
+       |  CAST(count(*) FILTER (WHERE vec_id % 5 <> 0) AS BIGINT) AS n_old,
+       |  CAST(count(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT) AS n_new
+       | FROM asn GROUP BY 1),
+       |t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, count(*) AS k
+       |      FROM j),
+       |w AS (SELECT centroid, n_old, n_new,
+       |  (CAST(n_old AS DOUBLE) + 1.0)
+       |   / (CAST(t_old AS DOUBLE) + CAST(k AS DOUBLE)) AS p_old,
+       |  (CAST(n_new AS DOUBLE) + 1.0)
+       |   / (CAST(t_new AS DOUBLE) + CAST(k AS DOUBLE)) AS p_new
+       | FROM j CROSS JOIN t),
+       |w2 AS (SELECT centroid, n_old, n_new, p_old, p_new,
+       |  (p_new - p_old) * ln(p_new / p_old) AS psi_term FROM w),
+       |tt AS (SELECT
+       |  CAST(SUM(CAST(round(psi_term, 9) AS DECIMAL(38,9))) AS DOUBLE)
+       |   AS psi_total FROM w2)
+       |SELECT centroid, n_old, n_new, p_old, p_new, psi_term, psi_total,
+       | CASE WHEN psi_total > 0.25 THEN 'rebuild' ELSE 'keep' END AS verdict
+       |FROM w2 CROSS JOIN tt""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q251
+  /** RECALL-vs-nprobe tuning curve
+    * ([[graft.ops.PqOps.ivfPqNprobeCurve]] over q249's standing index:
+    * k=3, nprobe ∈ {1, 2, 4}, queries `vec_id % 50 = 0`): the ANN
+    * operating point as a QUERYABLE TABLE — recall@3 against the exact
+    * full-dim top-3 (quantization + pruning loss; the coarse q214
+    * codebook pins it at 0 on this fixture), self-recall@3 against the
+    * unpruned ADC ranking (the PRUNING loss alone — what the nprobe
+    * knob actually trades; 1.0 at nprobe=nlist by construction), and
+    * the mean probed-candidate count (the cost axis), all from ONE
+    * search pass at nprobe=nlist with probe-rank cuts (the q239
+    * threshold-curve pattern). The oracle extends
+    * q248's construction with the probe rank threaded through the LUT
+    * CTEs, sweeps the cuts against q241's exact-ranking recall
+    * machinery, and replays the exact-decimal recall means.
+    */
+  def q251(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    PqOps.ivfPqNprobeCurve(e.filter(col("vec_id") % 50 === 0), e,
+      q249Index(spark, dir), k = 3, nprobes = Seq(1, 2, 4))
+  }
+
+  val q251Sql: String =
+    s"""WITH ${ivfPqCandSql("vec_id % 50 = 0", 4)},
+       |pts AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe),
+       |curve AS (
+       | SELECT c.query_id, c.neighbor_id, c.adc, p.nprobe
+       | FROM cand c JOIN pts p ON c.probe_rank <= p.nprobe),
+       |topk AS (
+       | SELECT nprobe, query_id, neighbor_id FROM (
+       |  SELECT nprobe, query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY nprobe, query_id
+       |    ORDER BY adc ASC, neighbor_id) AS rnk
+       |  FROM curve) WHERE rnk <= 3),
+       |ef2 AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM embeddings),
+       |fc2 AS (
+       | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, len(a.emb)),
+       |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+       |   / (a.nrm * b.nrm) AS cosine
+       | FROM ef2 a JOIN ef2 b
+       |  ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+       |f2 AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM fc2) WHERE rnk <= 3),
+       |hits AS (
+       | SELECT c.nprobe, c.query_id, CAST(count(*) AS BIGINT) AS h
+       | FROM topk c JOIN f2 USING (query_id, neighbor_id) GROUP BY 1, 2),
+       |fullk AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, neighbor_id) AS rnk
+       |  FROM cand) WHERE rnk <= 3),
+       |shits AS (
+       | SELECT c.nprobe, c.query_id, CAST(count(*) AS BIGINT) AS h
+       | FROM topk c JOIN fullk USING (query_id, neighbor_id)
+       | GROUP BY 1, 2),
+       |cq AS (
+       | SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS nc
+       | FROM curve GROUP BY 1, 2),
+       |grid AS (
+       | SELECT q.query_id, p.nprobe
+       | FROM (SELECT vec_id AS query_id FROM e WHERE vec_id % 50 = 0) q
+       | CROSS JOIN pts p),
+       |perq AS (
+       | SELECT g.nprobe, g.query_id,
+       |  CAST(coalesce(h.h, 0) AS DOUBLE) / 3.0 AS recall,
+       |  CAST(coalesce(s.h, 0) AS DOUBLE) / 3.0 AS self_recall,
+       |  coalesce(cq.nc, 0) AS n_cand
+       | FROM grid g
+       | LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.query_id = g.query_id
+       | LEFT JOIN shits s ON s.nprobe = g.nprobe AND s.query_id = g.query_id
+       | LEFT JOIN cq ON cq.nprobe = g.nprobe AND cq.query_id = g.query_id)
+       |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+       | CAST(sum(n_cand) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |  AS mean_candidates,
+       | CAST(SUM(CAST(round(recall, 9) AS DECIMAL(38,9))) AS DOUBLE)
+       |  / CAST(count(*) AS DOUBLE) AS recall_mean,
+       | CAST(SUM(CAST(round(self_recall, 9) AS DECIMAL(38,9))) AS DOUBLE)
+       |  / CAST(count(*) AS DOUBLE) AS self_recall_mean
+       |FROM perq GROUP BY 1""".stripMargin
 
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
@@ -9325,5 +9612,8 @@ object ExtensionQueries {
     "q245_retrieval_metrics" -> ((q245 _, q245Sql)),
     "q246_standardize" -> ((q246 _, q246Sql)),
     "q247_retrieval_stack" -> ((q247 _, q247Sql)),
-    "q248_ivf_pq_residual" -> ((q248 _, q248Sql)))
+    "q248_ivf_pq_residual" -> ((q248 _, q248Sql)),
+    "q249_indexed_stack" -> ((q249 _, q249Sql)),
+    "q250_index_rebuild" -> ((q250 _, q250Sql)),
+    "q251_nprobe_curve" -> ((q251 _, q251Sql)))
 }

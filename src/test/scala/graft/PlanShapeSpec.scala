@@ -233,7 +233,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded-query brute contract, the PQ stage broadcasts the
     // 20-query LUT batch, and the CI/means tails cross-join two
     // 1-row aggregates (the q08 scalar pattern)
-    "q247_retrieval_stack")
+    "q247_retrieval_stack",
+    // q249: q247's stack with the candidate stage served from the
+    // standing index — same bounded-query brute baseline + 1-row
+    // CI/means cross-joins; the indexed search itself is a keyed
+    // centroid join over the pruned codes scan
+    "q249_indexed_stack",
+    // q250: categoricalDrift's ≤nlist-row term frame × broadcast(1-row
+    // totals) twice — q100's scalar pattern over the coarse-list dim
+    "q250_index_rebuild",
+    // q251: the recall curve — the exact baseline is q24's
+    // bounded-query brute contract, the query-bounded candidate frame
+    // crosses the |nprobes|-row cut dim (broadcast), and the grid is
+    // queries × |nprobes| (both evaluation dims, never corpus-sized)
+    "q251_nprobe_curve")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

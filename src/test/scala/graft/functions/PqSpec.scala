@@ -280,4 +280,65 @@ class PqSpec extends AnyFunSuite {
     assert(preCodes == postCodes,
       "append must not touch existing rows' codes or assignments")
   }
+
+  test("ivfPqRebuildGauge: a corpus-like batch keeps the quantizer, a " +
+      "drifted batch (one-cluster pileup) flips the verdict to rebuild") {
+    val r = new scala.util.Random(23)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int, c: Int): (Long, Seq[Float]) =
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    val base = (0 until 80).map(i => mk(i, i % 4))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rg").toString
+    graft.ops.PqOps.ivfPqIndex(base.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    // same cluster mix as the corpus: occupancy distributions align
+    val like = (100 until 140).map(i => mk(i, i % 4))
+    val keep = graft.ops.PqOps.ivfPqRebuildGauge(
+      like.toDF("vec_id", "embedding"), idx)
+    val keepRows = keep.select("centroid", "psi_total", "verdict")
+      .as[(Int, Double, String)].collect().toSeq
+    assert(keepRows.map(_._1).sorted == Seq(0, 1, 2, 3))
+    assert(keepRows.forall(_._3 == "keep"),
+      s"corpus-like batch must keep: $keepRows")
+    // drifted: every incoming vector lands in ONE list — the
+    // distribution the quantizer was never trained for
+    val drifted = (100 until 140).map(i => mk(i, 0))
+    val rebuild = graft.ops.PqOps.ivfPqRebuildGauge(
+      drifted.toDF("vec_id", "embedding"), idx)
+      .select("psi_total", "verdict")
+      .as[(Double, String)].collect().toSeq
+    assert(rebuild.forall(_._2 == "rebuild"),
+      s"one-list pileup must trip the 0.25 PSI line: $rebuild")
+    assert(rebuild.head._1 > keepRows.head._2,
+      "drifted PSI must exceed the corpus-like PSI")
+  }
+
+  test("ivfPqNprobeCurve: self-recall is monotone in nprobe and exactly " +
+      "1.0 at the unpruned point; the candidate count is the cost axis") {
+    val r = new scala.util.Random(29)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    val pts = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_nc").toString
+    graft.ops.PqOps.ivfPqIndex(df, idx, nlist = 4, m = m, ksub = ksub,
+      iters = 1, dim = dim)
+    val curve = graft.ops.PqOps.ivfPqNprobeCurve(
+        df.filter(col("vec_id") < 8), df, idx, k = 3, nprobes = Seq(1, 2, 4))
+      .orderBy("nprobe")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1, 2, 4))
+    assert(curve.forall(_._2 == 8L), s"8 queries per point: $curve")
+    // hits(p) = |full-topk ∩ probed lists|, so self-recall can only grow
+    val selfR = curve.map(_._5)
+    assert(selfR == selfR.sorted, s"self-recall must be monotone: $curve")
+    assert(selfR.last == 1.0,
+      s"nprobe = nlist is the unpruned search itself: $curve")
+    val cands = curve.map(_._3)
+    assert(cands == cands.sorted && cands.distinct == cands,
+      s"probing more lists must cost more candidates: $curve")
+    assert(curve.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+  }
 }
