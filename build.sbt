@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen compiles hundreds of classes over a long run;
+  // the JVM default 240 MB reserved code cache fills, the sweeper
+  // flushes C2-compiled methods, and whole query executions fall back
+  // to interpreted mode (~7x CPU on the same plan — measured with
+  // graft.tools.PlanProbe at the 100x fixture: identical SMJ plan,
+  // task CPU 86 s vs 659 s, zero spill/full-GC; BASELINE.md round 11).
+  // Sizing the cache makes compiled code stick — the standard JVM
+  // setting for codegen-heavy Spark (spark-submit sets it via
+  // spark.driver.extraJavaOptions in the same situation).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1225,8 +1225,17 @@ object Bench {
     // the canary is min-of-2 like every gated row: a single-sample
     // gauge can itself catch a one-off spike (or the run-start JIT
     // warmup) and mark a quiet run contended — the gauge must be less
-    // noisy than what it gauges
+    // noisy than what it gauges. The FIRST canary additionally gets an
+    // untimed warm pass: in an 11-row subset run the gauge has only
+    // two samples, and a run-start sample that pays q01's cold
+    // scan/codegen at a fresh fixture dir reads ~2× and flips the
+    // 2-sample median/min verdict to contended on a quiet box (three
+    // round-11 subset runs tripped exactly this way).
     def runCanary(): Unit = canaryFn.foreach { fn =>
+      if (canarySecs.isEmpty) {
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
+      }
       val ok = Seq(timeOnce("canary_q01", fn), timeOnce("canary_q01", fn))
         .filter(_._2.isEmpty)
       if (ok.nonEmpty) canarySecs += ok.map(_._1).min
