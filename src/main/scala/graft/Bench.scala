@@ -155,6 +155,18 @@ object Bench {
       import s.implicits._
       Seq(1L).toDF("appended")
     }),
+    // the MAINTENANCE half of the ingest loop: one O(codes-bytes) pass
+    // rewriting the standing index's codes into a single range-laid
+    // file set (appends scatter batches across file sets, eroding the
+    // probed-list row-group pruning; compaction restores the freshly-
+    // built shape — search results byte-identical by spec). Timed on
+    // the main standing index: the full-rewrite cost at corpus size,
+    // i.e. the nightly compaction ceiling.
+    "b_ivf_pq_compact" -> ((s, dir) => {
+      PqOps.ivfPqCompact(s, precomputedIvfPqIndex(s, dir))
+      import s.implicits._
+      Seq(1L).toDF("compacted")
+    }),
     // perceptual-hash near-dup over the 8×8 thumbs: aHash vs DCT hash
     // through the same 4-band pigeonhole candidates
     "b_image_neardup_ahash" -> ((s, dir) =>

@@ -407,6 +407,51 @@ object PqOps {
       .parquet(new java.io.File(indexDir, "codes").toString)
   }
 
+  /** COMPACT a standing [[ivfPqIndex]]'s codes after a run of
+    * [[ivfPqAppend]] batches — the MAINTENANCE half of the ingest loop
+    * (FAISS rebuilds; a parquet-backed index can do better). Each
+    * append lands its batch as NEW files in centroid-range layout, so
+    * after N appends a probed list's rows are scattered across up to
+    * N+1 file sets: per-file min/max stats still prune, but the scan
+    * opens up to N+1 row groups per probed list, and a SMALL batch's
+    * files each span a wide centroid range (few rows stretched over
+    * the whole range partitioning), eroding the pruning that makes
+    * [[ivfPqSearchIndexed]] read ~nprobe/nlist of the index.
+    * Compaction rewrites `codes` as ONE range-laid file set — the
+    * codes ROWS are untouched, only file layout changes, so search
+    * results are byte-identical (spec-pinned) and pruning returns to
+    * the freshly-built shape.
+    *
+    * Cost is O(index codes bytes) — `m` small ints per vector, the
+    * cheapest full pass the index supports — and it runs on the
+    * ingest cadence (nightly after the day's appends), never in the
+    * query path. The rewrite goes through a sibling temp directory
+    * and two renames, so a crashed compaction leaves either the old
+    * or the new layout, never a truncated `codes`. (Directory rename
+    * is atomic on POSIX/HDFS; on object stores run compaction under
+    * the ingest pipeline's single-writer lock, same as append.)
+    */
+  def ivfPqCompact(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val codes = new java.io.File(indexDir, "codes")
+    val tmp = new java.io.File(indexDir, "codes__compacting")
+    val old = new java.io.File(indexDir, "codes__old")
+    require(codes.isDirectory, s"ivfPqCompact: no codes at $indexDir")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    if (tmp.exists()) rmTree(tmp) // a previous crash mid-write
+    if (old.exists()) rmTree(old) // a previous crash mid-swap (new layout live)
+    spark.read.parquet(codes.toString)
+      .repartitionByRange(col("centroid"))
+      .sortWithinPartitions("centroid")
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(codes.renameTo(old) && tmp.renameTo(codes),
+      s"ivfPqCompact: swap failed at $indexDir")
+    rmTree(old)
+  }
+
   /** ADC top-`k` against a persisted [[ivfPqIndex]]: per batch, load
     * the (constant-size) coarse centroids and codebooks, build each
     * query's LUTs, and join the probed lists off the stored codes —

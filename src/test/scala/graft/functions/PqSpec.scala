@@ -281,6 +281,45 @@ class PqSpec extends AnyFunSuite {
       "append must not touch existing rows' codes or assignments")
   }
 
+  test("ivfPqCompact: byte-identical search results, codes rows untouched, " +
+      "file count restored after a run of appends") {
+    val r = new scala.util.Random(31)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val base = (0 until 60).map(mk)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_cp").toString
+    graft.ops.PqOps.ivfPqIndex(base.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    for (b <- 0 until 3)
+      graft.ops.PqOps.ivfPqAppend(
+        (60 + b * 10 until 70 + b * 10).map(mk).toDF("vec_id", "embedding"),
+        idx)
+    def files() = new java.io.File(idx, "codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    def codesRows() = spark.read.parquet(s"$idx/codes")
+      .as[(Int, Long, Seq[Int])].collect().sortBy(_._2).toSeq
+    def search() = graft.ops.PqOps
+      .ivfPqSearchIndexed(base.take(8).toDF("vec_id", "embedding"), idx,
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val filesBefore = files()
+    val rowsBefore = codesRows()
+    val resBefore = search()
+    graft.ops.PqOps.ivfPqCompact(spark, idx)
+    assert(codesRows() == rowsBefore,
+      "compaction must not touch a single codes row")
+    assert(search() == resBefore,
+      "search must be byte-identical across compaction")
+    assert(files() < filesBefore,
+      s"3 appends scattered $filesBefore files; compaction must consolidate")
+    assert(!new java.io.File(idx, "codes__compacting").exists() &&
+      !new java.io.File(idx, "codes__old").exists(),
+      "no temp directories may survive a clean compaction")
+  }
+
   test("ivfPqRebuildGauge: a corpus-like batch keeps the quantizer, a " +
       "drifted batch (one-cluster pileup) flips the verdict to rebuild") {
     val r = new scala.util.Random(23)
