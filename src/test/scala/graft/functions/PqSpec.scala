@@ -380,4 +380,104 @@ class PqSpec extends AnyFunSuite {
       s"probing more lists must cost more candidates: $curve")
     assert(curve.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
   }
+
+  test("ivfPqCompact crash recovery: a crash between the two swap renames " +
+      "(codes renamed away, new layout not yet live) self-heals; a crash " +
+      "after the swap discards the stale codes__old") {
+    val r = new scala.util.Random(37)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_cr").toString
+    graft.ops.PqOps.ivfPqIndex((0 until 60).map(mk).toDF("vec_id", "embedding"),
+      idx, nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    def codesRows() = spark.read.parquet(s"$idx/codes")
+      .as[(Int, Long, Seq[Int])].collect().sortBy(_._2).toSeq
+    val rowsBefore = codesRows()
+    // stage the mid-swap crash state: codes__old holds the ONLY copy,
+    // codes is gone, and a leftover partial rewrite sits in the temp dir
+    // (java.io.File is fine HERE — the spec stages a local fixture; the
+    // operator under test goes through the Hadoop FileSystem API)
+    assert(new java.io.File(idx, "codes")
+      .renameTo(new java.io.File(idx, "codes__old")))
+    assert(new java.io.File(idx, "codes__compacting").mkdirs())
+    graft.ops.PqOps.ivfPqCompact(spark, idx)
+    assert(codesRows() == rowsBefore,
+      "mid-swap recovery must roll the old layout back and compact it")
+    assert(!new java.io.File(idx, "codes__compacting").exists() &&
+      !new java.io.File(idx, "codes__old").exists(),
+      "no temp directories may survive a recovered compaction")
+    // stage the post-swap crash state: codes live, a stale codes__old
+    val oldDir = new java.io.File(idx, "codes__old")
+    assert(oldDir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(oldDir, "stale").toPath, Array[Byte](1))
+    graft.ops.PqOps.ivfPqCompact(spark, idx)
+    assert(codesRows() == rowsBefore)
+    assert(!oldDir.exists(), "post-swap recovery must discard codes__old")
+  }
+
+  test("rebuild loop end-to-end: a drifted append trips ivfPqRebuildGauge, " +
+      "and REBUILDING recovers recall at fixed nprobe vs the stale index") {
+    val r = new scala.util.Random(41)
+    // base clusters live on coordinate blocks 0..2 (coarse assignment is
+    // by cosine, so clusters are DIRECTIONS); the drifted cluster points
+    // midway between blocks 0 and 1 — equidistant in angle from both
+    // stale centroids, so its rows split between those two lists on noise
+    val nBlocks = m // dim 16 = 4 blocks of 4
+    def mkVec(blocks: Set[Int]): Seq[Float] =
+      (0 until dim).map(j =>
+        (if (blocks(j / (dim / nBlocks))) 5f else 0.3f) + r.nextFloat() * 0.4f)
+    val base = (0 until 90).map(i => (i.toLong, mkVec(Set(i % 3))))
+    val stale = java.nio.file.Files.createTempDirectory("graft_ivfpq_rl_s").toString
+    graft.ops.PqOps.ivfPqIndex(base.toDF("vec_id", "embedding"), stale,
+      nlist = 3, m = m, ksub = ksub, iters = 1, dim = dim)
+    // the drifted batch, with a 6-row near-duplicate sub-blob planted ON
+    // the stale quantizer's decision midline (the midpoint of two stored
+    // centroids): the blob is a DISTINCT exact top-5 set for each of its
+    // members (recall measures whether the index can reach it, not PQ
+    // resolution inside an undifferentiated blob where any top-5 is as
+    // exact as any other), and the frozen quantizer — trained before this
+    // region existed — splits it across two lists on member jitter, the
+    // structural leak the gauge's rebuild verdict exists to catch
+    val cents = spark.read.parquet(s"$stale/centroids")
+      .orderBy("centroid").as[(Int, Seq[Float])].collect().map(_._2)
+    val hotCenter = (0 until dim).map(j => (cents(0)(j) + cents(1)(j)) / 2f)
+    val hot = (100 until 106).map(i =>
+      (i.toLong, hotCenter.map(_ + r.nextFloat() * 0.04f)))
+    val drift = hot ++ (106 until 160).map(i => (i.toLong, mkVec(Set(0, 1))))
+    // 1. the gauge sees the drifted batch and says rebuild
+    val verdicts = graft.ops.PqOps.ivfPqRebuildGauge(
+        drift.toDF("vec_id", "embedding"), stale)
+      .select("verdict").distinct().as[String].collect().toSeq
+    assert(verdicts == Seq("rebuild"),
+      s"drifted batch must trip the gauge: $verdicts")
+    // 2. ingest it anyway (the stale-index path the gauge warns against)
+    graft.ops.PqOps.ivfPqAppend(drift.toDF("vec_id", "embedding"), stale)
+    val corpus = (base ++ drift).toDF("vec_id", "embedding")
+    val queries = hot.toDF("vec_id", "embedding")
+    def recallAt1(idx: String): Double =
+      graft.ops.PqOps.ivfPqNprobeCurve(queries, corpus, idx, k = 5,
+          nprobes = Seq(1, 3))
+        .filter(col("nprobe") === 1)
+        .select("recall_mean").as[Double].head()
+    val staleRecall = recallAt1(stale)
+    // 3. the rebuild the gauge asked for: retrain quantizer + codebooks
+    //    on the post-drift corpus
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivfpq_rl_r").toString
+    graft.ops.PqOps.ivfPqIndex(corpus, rebuilt,
+      nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    val rebuiltRecall = recallAt1(rebuilt)
+    // the measured consequence behind the gauge's 0.25 line: the stale
+    // quantizer scatters the drifted cluster across two lists (and its
+    // codebooks never trained on drift residuals), so nprobe=1 search
+    // leaks true neighbors; the rebuilt index holds the cluster in the
+    // probed list
+    assert(staleRecall <= 0.7,
+      s"stale index should leak drifted neighbors at nprobe=1: $staleRecall")
+    assert(rebuiltRecall >= staleRecall + 0.2,
+      s"rebuild must recover recall: stale $staleRecall, rebuilt $rebuiltRecall")
+  }
 }
