@@ -1231,6 +1231,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet stores ts as TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated-class cache sized to the sweep's ~600 plans (default
+      // 100): eviction re-Janinos whole plan families mid-sweep and
+      // restarts their JIT tiering — the round-12 residual-bimodality
+      // mechanism (see GraftSession for the PlanProbe numbers).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay the one-time session/codegen/scan setup outside the

@@ -19,6 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet stores ts as TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ~600-plan run; the 100-entry default evicts and re-Janinos
+      // plan families mid-run (see GraftSession).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,6 +39,15 @@ object GraftSession {
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
       // nanosecond timestamp type — see Tables.events for the decode.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated-class cache sized to the engine's plan count (default
+      // 100 entries): a many-plan single JVM (bench sweep, long verify
+      // run) otherwise evicts and re-Janinos whole plan families, and
+      // every re-load restarts JIT tiering from zero — measured at the
+      // 100x fixture (round-12 PlanProbe): with the default cache 4 of
+      // 8 identical-plan attempts ran 3-20x task-CPU in tier-down
+      // windows; at 2000 entries 1 of 8. Classes are small; the cache
+      // is bounded by plan count, not data.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

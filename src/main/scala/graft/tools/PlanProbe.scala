@@ -76,9 +76,41 @@ object PlanProbe {
       // (listenerBus.waitUntilEmpty is private[spark]; a beat suffices
       // for a diagnostic tool)
       Thread.sleep(500)
+      // JIT witness (round-12: modes BOUNCE between attempts under the
+      // sized code cache, so distinguish "cache full" from
+      // "recompilation churn"): per-attempt code-heap occupancy and the
+      // JIT's own accumulated compile-time delta. A slow attempt with a
+      // big compile delta is re-JITing evicted/fresh classes; a slow
+      // attempt with NO compile activity is running interpreted.
+      import scala.jdk.CollectionConverters._
+      val codeMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+        .map(p => p.getUsage.getUsed).sum / 1048576
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val compMs = jit.getTotalCompilationTime
+      // machine canary: a fixed pure-CPU workload (32 threads x a tight
+      // arithmetic loop, compiled once at probe start) — if ITS rate
+      // varies with the slow attempts, the variance is the BOX (cpu
+      // frequency / hypervisor steal / SMT contention), not the JVM or
+      // the engine; if it stays flat while attempts swing, the JVM is
+      // the suspect.
+      val spinSecs = {
+        val t = System.nanoTime()
+        val threads = (0 until 32).map { s =>
+          new Thread(() => {
+            var x = s.toLong; var i = 0L
+            while (i < 200000000L) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+            if (x == 42L) println("") // keep the loop alive
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        (System.nanoTime() - t) / 1e9
+      }
       println(f"%n== attempt $i%d: $sec%.2f s | tasks ${sink.tasks}%d " +
         f"run ${sink.runMs / 1000.0}%.1f s cpu ${sink.cpuMs / 1000.0}%.1f s " +
-        f"gc ${sink.gcMs / 1000.0}%.1f s spill ${sink.spillBytes / 1048576}%d MB")
+        f"gc ${sink.gcMs / 1000.0}%.1f s spill ${sink.spillBytes / 1048576}%d MB " +
+        f"| codeheap ${codeMb}%d MB jitTotal ${compMs / 1000.0}%.1f s " +
+        f"spin32 ${spinSecs}%.2f s")
       println(skeleton)
       spark.sharedState.cacheManager.clearCache()
     }
