@@ -7158,13 +7158,14 @@ object ExtensionQueries {
     * displacing on strictly smaller distance, replayed as a
     * row_number over (d2 ASC, code ASC).
     */
-  private def q214AssignSql(cbFrom: String, out: String): String =
+  private def q214AssignSql(
+      cbFrom: String, out: String, subFrom: String = "sub"): String =
     s"""$out AS (
       | SELECT vec_id, s, v, code FROM (
       |  SELECT sub.vec_id, sub.s, sub.v, cb.code,
       |   row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
       |    (${q214D2("sub.v", "0", "cb.c")}) ASC, cb.code) AS rn
-      |  FROM sub JOIN $cbFrom cb ON cb.s = sub.s) WHERE rn = 1)""".stripMargin
+      |  FROM $subFrom sub JOIN $cbFrom cb ON cb.s = sub.s) WHERE rn = 1)""".stripMargin
 
   /** Product-quantization ADC top-3
     * ([[graft.ops.PqOps.pqSearchADC]], m=4, ksub=8, 1 Lloyd round,
@@ -9046,7 +9047,11 @@ object ExtensionQueries {
     * acceptance stack, q251 sweeps probe_rank cuts into the
     * recall-vs-nprobe curve.
     */
-  private def ivfPqCandSql(queryPred: String, nprobe: Int): String = {
+  private def ivfPqCandSql(
+      queryPred: String, nprobe: Int,
+      prefix: String = "", corpusFrom: String = "embeddings",
+      trainPred: String = "TRUE"): String = {
+    val P = prefix
     val dim = q214M * q214Sub
     val avgList = (1 to q214Sub).map(j =>
       s"CAST(round(avg(CAST(v[$j] AS DOUBLE)), 6) AS REAL)").mkString(", ")
@@ -9056,78 +9061,82 @@ object ExtensionQueries {
       s"""list_transform(generate_series(1, $dim),
          |   i -> CAST(CAST($vecFrom[i] AS DOUBLE)
          |         - CAST(c.c_vec[i] AS DOUBLE) AS REAL))""".stripMargin
-    s"""e AS (
-       | SELECT vec_id, embedding FROM embeddings
+    s"""${P}e AS (
+       | SELECT vec_id, embedding FROM $corpusFrom
        | WHERE embedding IS NOT NULL AND len(embedding) = $dim
        |  AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-       |cpick AS MATERIALIZED (
-       | SELECT vec_id, embedding FROM embeddings
-       | WHERE embedding IS NOT NULL
+       |${P}cpick AS MATERIALIZED (
+       | SELECT vec_id, embedding FROM $corpusFrom
+       | WHERE embedding IS NOT NULL AND ($trainPred)
        | ORDER BY ${dk(s"CAST(vec_id AS VARCHAR) || '#' || 'ivf'")}, vec_id
        | LIMIT 4),
-       |cent AS MATERIALIZED (
+       |${P}cent AS MATERIALIZED (
        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid,
        |  embedding AS c_vec,
        |  sqrt(list_sum(list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
-       | FROM cpick),
-       |en AS (
+       | FROM ${P}cpick),
+       |${P}en AS (
        | SELECT vec_id, embedding,
        |  sqrt(list_sum(list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-       | FROM e),
-       |sims AS MATERIALIZED (
+       | FROM ${P}e),
+       |${P}sims AS MATERIALIZED (
        | SELECT en.vec_id, c.centroid,
        |  list_sum(list_transform(generate_series(1, $dim),
        |    i -> CAST(en.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)))
        |   / (en.nrm * c.cnrm) AS sim
-       | FROM en CROSS JOIN cent c),
-       |asn AS MATERIALIZED (
+       | FROM ${P}en en CROSS JOIN ${P}cent c),
+       |${P}asn AS MATERIALIZED (
        | SELECT vec_id, centroid FROM (
        |  SELECT vec_id, centroid,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, centroid) AS rn
-       |  FROM sims) WHERE rn = 1),
-       |rese AS MATERIALIZED (
+       |  FROM ${P}sims) WHERE rn = 1),
+       |${P}rese AS MATERIALIZED (
        | SELECT e.vec_id, a.centroid,
        |  ${resVec("e.embedding")} AS rvec
-       | FROM e JOIN asn a USING (vec_id) JOIN cent c USING (centroid)),
-       |sub AS (
+       | FROM ${P}e e JOIN ${P}asn a USING (vec_id)
+       | JOIN ${P}cent c USING (centroid)),
+       |${P}sub AS (
        | SELECT r.vec_id, sp.s,
        |  r.rvec[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
-       | FROM rese r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
-       |seed AS (
+       | FROM ${P}rese r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+       |${P}tsub AS (
+       | SELECT vec_id, s, v FROM ${P}sub WHERE ($trainPred)),
+       |${P}seed AS (
        | SELECT s, CAST(code AS INT) AS code, v AS c FROM (
        |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
        |    AS code, v
-       |  FROM sub) WHERE code < $q214Ksub),
-       |${q214AssignSql("seed", "a1")},
-       |cb1m AS (
-       | SELECT s, code, [$avgList] AS c FROM a1 GROUP BY s, code),
-       |cb1 AS (
+       |  FROM ${P}tsub) WHERE code < $q214Ksub),
+       |${q214AssignSql(s"${P}seed", s"${P}a1", s"${P}tsub")},
+       |${P}cb1m AS (
+       | SELECT s, code, [$avgList] AS c FROM ${P}a1 GROUP BY s, code),
+       |${P}cb1 AS (
        | SELECT sd.s, sd.code, coalesce(m.c, sd.c) AS c
-       | FROM seed sd LEFT JOIN cb1m m ON m.s = sd.s AND m.code = sd.code),
-       |${q214AssignSql("cb1", "enc")},
-       |qprobe AS (
+       | FROM ${P}seed sd LEFT JOIN ${P}cb1m m
+       |  ON m.s = sd.s AND m.code = sd.code),
+       |${q214AssignSql(s"${P}cb1", s"${P}enc", s"${P}sub")},
+       |${P}qprobe AS (
        | SELECT vec_id AS query_id, centroid, rn AS probe_rank FROM (
        |  SELECT vec_id, centroid,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, centroid) AS rn
-       |  FROM sims WHERE $queryPred) WHERE rn <= $nprobe),
-       |qres AS (
+       |  FROM ${P}sims WHERE $queryPred) WHERE rn <= $nprobe),
+       |${P}qres AS (
        | SELECT q.query_id, q.centroid, q.probe_rank,
        |  ${resVec("e.embedding")} AS rvec
-       | FROM qprobe q JOIN e ON e.vec_id = q.query_id
-       | JOIN cent c USING (centroid)),
-       |qsub AS (
+       | FROM ${P}qprobe q JOIN ${P}e e ON e.vec_id = q.query_id
+       | JOIN ${P}cent c USING (centroid)),
+       |${P}qsub AS (
        | SELECT r.query_id, r.centroid, r.probe_rank, sp.s,
        |  r.rvec[(sp.s * $q214Sub + 1):(sp.s * $q214Sub + $q214Sub)] AS v
-       | FROM qres r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
-       |lut AS (
+       | FROM ${P}qres r CROSS JOIN (SELECT unnest(range($q214M)) AS s) sp),
+       |${P}lut AS (
        | SELECT q.query_id, q.centroid, q.probe_rank, cb.s, cb.code,
        |  (${q214D2("q.v", "0", "cb.c")}) AS d2
-       | FROM qsub q JOIN cb1 cb ON cb.s = q.s),
-       |padd AS (
+       | FROM ${P}qsub q JOIN ${P}cb1 cb ON cb.s = q.s),
+       |${P}padd AS (
        | SELECT l.query_id, en2.vec_id AS neighbor_id,
        |  min(l.probe_rank) AS probe_rank,
        |  max(CASE WHEN l.s = 0 THEN l.d2 END) AS da,
@@ -9135,15 +9144,15 @@ object ExtensionQueries {
        |  max(CASE WHEN l.s = 2 THEN l.d2 END) AS dc,
        |  max(CASE WHEN l.s = 3 THEN l.d2 END) AS dd
        | FROM (SELECT en0.vec_id, en0.s, en0.code, a.centroid
-       |       FROM enc en0 JOIN asn a USING (vec_id)) en2
-       | JOIN lut l ON l.centroid = en2.centroid AND l.s = en2.s
+       |       FROM ${P}enc en0 JOIN ${P}asn a USING (vec_id)) en2
+       | JOIN ${P}lut l ON l.centroid = en2.centroid AND l.s = en2.s
        |  AND l.code = en2.code
        | WHERE l.query_id <> en2.vec_id
        | GROUP BY 1, 2),
-       |cand AS (
+       |${P}cand AS (
        | SELECT query_id, neighbor_id, probe_rank,
        |  ((da + db) + dc) + dd AS adc
-       | FROM padd)""".stripMargin
+       | FROM ${P}padd)""".stripMargin
   }
 
   val q248Sql: String =
@@ -9188,6 +9197,78 @@ object ExtensionQueries {
         dim = q214M * q214Sub, byResidual = true)
       out
     })
+
+  /** q252's drifted corpus: the raw embeddings plus a REVERSED-vector
+    * replica (ids offset by 1e6). Reversal is the cheapest both-engine
+    * drift transform with the right geometry: cosine is permutation-
+    * equivariant, so the replica's INTERNAL neighbor structure mirrors
+    * the corpus's exactly, while reversed-vs-raw similarities
+    * decorrelate — a novel direction family the stale quantizer was
+    * never trained for.
+    */
+  private def q252Drift(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+  private def q252Corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .unionByName(q252Drift(spark, dir))
+  private def q252StaleIndex(spark: SparkSession, dir: String): String =
+    stackIdxCache.getOrElseUpdate("stale:" + dir, {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_q252_idx_").toString
+      // train on the pre-drift corpus, then ingest the drifted batch
+      // through the frozen quantizer — the stale-index path the gauge
+      // warns against
+      PqOps.ivfPqIndex(Tables.embeddings(spark, dir), out,
+        nlist = 4, m = q214M, ksub = q214Ksub, iters = 1,
+        dim = q214M * q214Sub, byResidual = true)
+      PqOps.ivfPqAppend(q252Drift(spark, dir), out)
+      out
+    })
+  private def q252RebuiltIndex(spark: SparkSession, dir: String): String =
+    stackIdxCache.getOrElseUpdate("rebuilt:" + dir, {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_q252r_idx_").toString
+      PqOps.ivfPqIndex(q252Corpus(spark, dir), out,
+        nlist = 4, m = q214M, ksub = q214Ksub, iters = 1,
+        dim = q214M * q214Sub, byResidual = true)
+      out
+    })
+
+  /** STALE-vs-REBUILT serving parity — the VALUE-LEVEL oracle replay
+    * of [[PqOps.ivfPqAppend]]'s frozen-quantizer contract (no prior
+    * row replays a train ⊂ encode population split end-to-end; q250
+    * gauges occupancy only): the drifted batch ([[q252Drift]]) is
+    * ingested two ways — appended
+    * through the STALE index's frozen quantizer vs a full REBUILD on
+    * the post-drift corpus — and both standing indexes serve the same
+    * drifted queries at nprobe=1 through [[PqOps.ivfPqNprobeCurve]].
+    * One row per config: (config, n_queries, mean_candidates,
+    * recall_mean vs the exact full-precision top-3). The oracle
+    * replays BOTH chains via the [[ivfPqCandSql]] builder, with the
+    * training side narrowed to the pre-drift ids for the stale leg —
+    * the training-vs-encode population split is exactly what the
+    * frozen-quantizer contract means, and a hash match here pins
+    * centroid pick, coarse assignment, residual PQ training, frozen
+    * encode and the served ranking for both index generations at
+    * once. (The recall-RECOVERY consequence lives in PqSpec's
+    * rebuild-loop differential on planted drift: the fixture
+    * embeddings are unclustered noise — top cosine ≈ 0.33 — so
+    * recall-vs-exact here is a parity pin, not a quality claim;
+    * mean_candidates does carry signal, the drift-skewed stale list
+    * occupancy.)
+    */
+  def q252(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = q252Corpus(spark, dir)
+    val queries = q252Drift(spark, dir).filter(col("vec_id") < 1000010L)
+    def leg(config: String, idx: String): DataFrame =
+      PqOps.ivfPqNprobeCurve(queries, corpus, idx, k = 3, nprobes = Seq(1))
+        .select(lit(config).as("config"), col("n_queries"),
+          col("mean_candidates"), col("recall_mean"))
+    leg("stale", q252StaleIndex(spark, dir))
+      .unionByName(leg("rebuilt", q252RebuiltIndex(spark, dir)))
+  }
 
   /** The SERVED retrieval stack, acceptance-rowed (VERDICT r10 #4):
     * q247 pins the stack over flat-PQ candidates, but the candidate
@@ -9395,6 +9476,76 @@ object ExtensionQueries {
        | CAST(SUM(CAST(round(self_recall, 9) AS DECIMAL(38,9))) AS DOUBLE)
        |  / CAST(count(*) AS DOUBLE) AS self_recall_mean
        |FROM perq GROUP BY 1""".stripMargin
+
+  val q252Sql: String = {
+    val qpred = "vec_id >= 1000000 AND vec_id < 1000010"
+    def leg(p: String, trainPred: String) =
+      ivfPqCandSql(qpred, 1, prefix = p, corpusFrom = "corpus252",
+        trainPred = trainPred)
+    // per-leg recall tail (q251's tail without the nprobe dimension —
+    // one cut at nprobe=1, recall vs the SHARED exact frame f2)
+    def tail(p: String) =
+      s"""${p}topk AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc ASC, neighbor_id) AS rnk
+         |  FROM ${p}cand) WHERE rnk <= 3),
+         |${p}hits AS (
+         | SELECT t.query_id, CAST(count(*) AS BIGINT) AS h
+         | FROM ${p}topk t JOIN f2 USING (query_id, neighbor_id)
+         | GROUP BY 1),
+         |${p}cq AS (
+         | SELECT query_id, CAST(count(*) AS BIGINT) AS nc
+         | FROM ${p}cand GROUP BY 1),
+         |${p}perq AS (
+         | SELECT q.query_id,
+         |  CAST(coalesce(h.h, 0) AS DOUBLE) / 3.0 AS recall,
+         |  coalesce(c.nc, 0) AS n_cand
+         | FROM qv q
+         | LEFT JOIN ${p}hits h USING (query_id)
+         | LEFT JOIN ${p}cq c USING (query_id))""".stripMargin
+    def sel(p: String, config: String) =
+      s"""SELECT '$config' AS config,
+         | CAST(count(*) AS BIGINT) AS n_queries,
+         | CAST(sum(n_cand) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  AS mean_candidates,
+         | CAST(SUM(CAST(round(recall, 9) AS DECIMAL(38,9))) AS DOUBLE)
+         |  / CAST(count(*) AS DOUBLE) AS recall_mean
+         |FROM ${p}perq""".stripMargin
+    s"""WITH corpus252 AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + 1000000 AS vec_id,
+       |  list_reverse(embedding) AS embedding
+       | FROM embeddings),
+       |${leg("s2", "vec_id < 1000000")},
+       |${leg("r2", "TRUE")},
+       |qv AS (SELECT vec_id AS query_id FROM s2e WHERE $qpred),
+       |ef2 AS (
+       | SELECT vec_id, embedding AS emb,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       | FROM corpus252),
+       |fc2 AS (
+       | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  list_sum(list_transform(generate_series(1, len(a.emb)),
+       |    i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE)))
+       |   / (a.nrm * b.nrm) AS cosine
+       | FROM ef2 a JOIN ef2 b
+       |  ON a.vec_id >= 1000000 AND a.vec_id < 1000010
+       |   AND b.vec_id <> a.vec_id),
+       |f2 AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM fc2) WHERE rnk <= 3),
+       |${tail("s2")},
+       |${tail("r2")}
+       |${sel("s2", "stale")}
+       |UNION ALL
+       |${sel("r2", "rebuilt")}""".stripMargin
+  }
 
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
@@ -9616,5 +9767,6 @@ object ExtensionQueries {
     "q248_ivf_pq_residual" -> ((q248 _, q248Sql)),
     "q249_indexed_stack" -> ((q249 _, q249Sql)),
     "q250_index_rebuild" -> ((q250 _, q250Sql)),
-    "q251_nprobe_curve" -> ((q251 _, q251Sql)))
+    "q251_nprobe_curve" -> ((q251 _, q251Sql)),
+    "q252_stale_vs_rebuilt" -> ((q252 _, q252Sql)))
 }

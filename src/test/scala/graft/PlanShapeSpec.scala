@@ -246,7 +246,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded-query brute contract, the query-bounded candidate frame
     // crosses the |nprobes|-row cut dim (broadcast), and the grid is
     // queries × |nprobes| (both evaluation dims, never corpus-sized)
-    "q251_nprobe_curve")
+    "q251_nprobe_curve",
+    // q252: q251's curve run twice (stale vs rebuilt standing index)
+    // over the drift-augmented corpus — same bounded contracts: the
+    // 10-query brute baseline, the broadcast 1-row nprobe cut dim,
+    // and the queries × 1 grid
+    "q252_stale_vs_rebuilt")
 
   test("no cross-product family joins outside the documented contracts") {
     val offenders = SparkEntry.queries.toSeq

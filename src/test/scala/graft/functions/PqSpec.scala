@@ -419,6 +419,38 @@ class PqSpec extends AnyFunSuite {
     assert(!oldDir.exists(), "post-swap recovery must discard codes__old")
   }
 
+  test("standing-index I/O is scheme-agnostic: the full build/append/" +
+      "compact/search loop against an explicit file:// URI equals the " +
+      "plain-path index byte for byte") {
+    val r = new scala.util.Random(43)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val rows = (0 until 60).map(mk)
+    val batch = (60 until 80).map(mk)
+    val plain = java.nio.file.Files.createTempDirectory("graft_ivfpq_fs_p").toString
+    val uriDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_fs_u")
+    val uri = "file://" + uriDir.toString
+    for (d <- Seq(plain, uri)) {
+      graft.ops.PqOps.ivfPqIndex(rows.toDF("vec_id", "embedding"), d,
+        nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+      graft.ops.PqOps.ivfPqAppend(batch.toDF("vec_id", "embedding"), d)
+      graft.ops.PqOps.ivfPqCompact(spark, d)
+    }
+    def search(d: String) = graft.ops.PqOps
+      .ivfPqSearchIndexed(rows.take(8).toDF("vec_id", "embedding"), d,
+        k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    assert(search(uri) == search(plain),
+      "a file:// URI index must serve identical results to a plain path")
+    assert(new java.io.File(uriDir.toFile, "codes").isDirectory,
+      "the URI index must land where the URI points")
+    assert(!new java.io.File(uriDir.toFile, "codes__old").exists() &&
+      !new java.io.File(uriDir.toFile, "codes__compacting").exists())
+  }
+
   test("rebuild loop end-to-end: a drifted append trips ivfPqRebuildGauge, " +
       "and REBUILDING recovers recall at fixed nprobe vs the stale index") {
     val r = new scala.util.Random(41)
