@@ -30,6 +30,13 @@ object PqOps {
     * cluster's `FileSystem` at deployment), and a `java.io.File` join
     * would silently bind the whole index layer to the local
     * filesystem (VERDICT r11 #3).
+    *
+    * Constraint inherited from Hadoop `Path(String)`: `indexDir` is
+    * parsed as a URI, so a LOCAL directory whose name contains a colon
+    * or percent-escapes (legal to POSIX, never produced by ingest
+    * pipelines) mis-resolves or throws — unlike the previous
+    * `java.io.File` join. Callers with such paths must pass the
+    * escaped `file://` URI form (r12 advice).
     */
   private def idxPath(indexDir: String, name: String): String =
     new org.apache.hadoop.fs.Path(indexDir, name).toString
@@ -417,6 +424,70 @@ object PqOps {
       .parquet(idxPath(indexDir, "codes"))
   }
 
+  /** DELETE ids from a standing [[ivfPqIndex]] — the lifecycle verb
+    * opt-out / contamination / licensing removal needs at 100 TB
+    * (reference evaluate.py:12-22's strict id-membership gate is the
+    * nearest analog: an id the contract says is gone must never
+    * surface), where "rebuild the index without them" is a full
+    * training pass the removal SLA can't wait for. The FAISS
+    * `remove_ids()` shape, parquet-native: the ids land as a TOMBSTONE
+    * table under the index dir (one small file per delete call,
+    * in-batch deduplicated), the serving paths ([[ivfPqSearchIndexed]],
+    * [[ivfPqNprobeCurve]], [[ivfPqRebuildGauge]]'s base side)
+    * anti-join it, and the next [[ivfPqCompact]] physically drops the
+    * tombstoned codes rows and clears the tombstones — removal's full
+    * pass rides the nightly rewrite the maintenance loop already pays,
+    * so `ivfPqDelete` itself is O(ids) and takes effect at the NEXT
+    * query, not the next rebuild.
+    *
+    * Contracts: deleting an id that is not in the index is a no-op
+    * (the anti-join finds nothing); repeated deletes accumulate
+    * (idempotent at serve time). The tombstone set is bounded by the
+    * opt-out stream between compactions — orders of magnitude below
+    * the corpus — which is what licenses the serving paths to
+    * BROADCAST it; a removal backlog large enough to strain a
+    * broadcast is a compaction overdue by definition. Re-ingesting a
+    * previously deleted id is suppressed until the compaction that
+    * retires its tombstone — ordering removal vs re-ingest is the
+    * caller's, the same ownership line as [[ivfPqAppend]]'s
+    * uniqueness contract.
+    */
+  def ivfPqDelete(
+      ids: DataFrame, indexDir: String, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(idxPath(indexDir, "tombstones"))
+
+  /** The index's pending tombstones, if any delete has run since the
+    * last compaction.
+    */
+  private def tombstoneDf(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Serve AROUND pending tombstones: anti-join the (broadcast-bounded
+    * by the [[ivfPqDelete]] contract) tombstone set — a no-op plan
+    * when no delete is pending, so the tombstone-free fast path keeps
+    * its exact shape.
+    */
+  private def dropTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, enc: DataFrame): DataFrame =
+    tombstoneDf(spark, indexDir) match {
+      case Some(t) =>
+        // re-select the input's column order: a USING anti-join fronts
+        // the key, and the compaction rewrite must keep the codes
+        // table's (centroid, neighbor_id, codes) schema stable
+        enc.join(broadcast(t.select("neighbor_id")), Seq("neighbor_id"),
+            "left_anti")
+          .select(enc.columns.map(col).toIndexedSeq: _*)
+      case None => enc
+    }
+
   /** COMPACT a standing [[ivfPqIndex]]'s codes after a run of
     * [[ivfPqAppend]] batches — the MAINTENANCE half of the ingest loop
     * (FAISS rebuilds; a parquet-backed index can do better). Each
@@ -428,9 +499,12 @@ object PqOps {
     * the whole range partitioning), eroding the pruning that makes
     * [[ivfPqSearchIndexed]] read ~nprobe/nlist of the index.
     * Compaction rewrites `codes` as ONE range-laid file set — the
-    * codes ROWS are untouched, only file layout changes, so search
-    * results are byte-identical (spec-pinned) and pruning returns to
-    * the freshly-built shape.
+    * surviving codes ROWS are untouched, only file layout changes, so
+    * search results are byte-identical (spec-pinned) and pruning
+    * returns to the freshly-built shape. Pending [[ivfPqDelete]]
+    * tombstones are applied PHYSICALLY here (the rewrite anti-joins
+    * them out, then the tombstone table is cleared) — removal's full
+    * pass rides the rewrite the maintenance loop already pays.
     *
     * Cost is O(index codes bytes) — `m` small ints per vector, the
     * cheapest full pass the index supports — and it runs on the
@@ -448,6 +522,12 @@ object PqOps {
     * present is a crash between the two swap renames, rolled back to
     * the old layout; `codes__old` present alongside `codes` is a
     * crash after the swap, and the new layout is already live.
+    * Tombstones are cleared strictly AFTER the swap: a crash anywhere
+    * earlier leaves them pending (still served-around, applied by the
+    * next compaction); a crash between the swap and the clear leaves
+    * ALREADY-APPLIED tombstones, which are serving no-ops (the rows
+    * they name are physically gone) retired by the next compaction —
+    * at no crash point can a deleted id resurface.
     */
   def ivfPqCompact(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
@@ -455,6 +535,7 @@ object PqOps {
     val codes = new Path(indexDir, "codes")
     val tmp = new Path(indexDir, "codes__compacting")
     val old = new Path(indexDir, "codes__old")
+    val tomb = new Path(indexDir, "tombstones")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true) // crash mid-write: partial rewrite
     if (!fs.exists(codes) && fs.exists(old))
@@ -467,7 +548,7 @@ object PqOps {
     else if (fs.exists(old)) fs.delete(old, true) // crash post-swap: new layout live
     require(fs.exists(codes) && fs.getFileStatus(codes).isDirectory,
       s"ivfPqCompact: no codes at $indexDir")
-    spark.read.parquet(codes.toString)
+    dropTombstoned(spark, indexDir, spark.read.parquet(codes.toString))
       .repartitionByRange(col("centroid"))
       .sortWithinPartitions("centroid")
       .write.mode("overwrite").parquet(tmp.toString)
@@ -478,7 +559,11 @@ object PqOps {
       s"ivfPqCompact: swap rename codes -> codes__old failed at $indexDir")
     require(fs.rename(tmp, codes),
       s"ivfPqCompact: swap rename codes__compacting -> codes failed at $indexDir (old layout preserved in codes__old)")
-    fs.delete(old, true); ()
+    fs.delete(old, true)
+    // the rewrite above applied these physically; clearing them LAST
+    // keeps every crash state correct (see the crash-point contract)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    ()
   }
 
   /** ADC top-`k` against a persisted [[ivfPqIndex]]: per batch, load
@@ -487,8 +572,11 @@ object PqOps {
     * no training, no raw-vector pass. The probed-centroid set (known
     * and tiny: queries are the eval-set contract) is pushed into the
     * codes scan as an `isin` filter, so the range-laid parquet prunes
-    * unprobed lists at the row-group level. Differentially pinned
-    * equal to [[ivfPqSearchADC]] on the same corpus/parameters.
+    * unprobed lists at the row-group level. Pending [[ivfPqDelete]]
+    * tombstones are anti-joined out BEFORE ranking — a deleted id is
+    * never served and never displaces a survivor's rank.
+    * Differentially pinned equal to [[ivfPqSearchADC]] on the same
+    * corpus/parameters.
     */
   def ivfPqSearchIndexed(
       queries: DataFrame, indexDir: String, k: Int, nprobe: Int = 4,
@@ -508,9 +596,9 @@ object PqOps {
         graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, nprobe),
         1, nprobe)).as("centroid"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val enc = spark.read
+    val enc = dropTombstoned(spark, indexDir, spark.read
       .parquet(idxPath(indexDir, "codes"))
-      .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
+      .filter(col("centroid").isin(probedCentroids.map(Int.box): _*)))
     ivfPqProbeSearch(queries, centVecs, cb, enc, k, nprobe, m, ksub, dim,
       byResidual, idCol, vecCol)
   }
@@ -545,9 +633,20 @@ object PqOps {
     val spark = batch.sparkSession
     val (_, _, _, dim, _, centVecs, _) = loadIndexArtifacts(spark, indexDir)
     val mat = flatMat(centVecs, dim)
-    val base = spark.read
-      .parquet(idxPath(indexDir, "codes"))
-      .select(col("centroid"))
+    // the base occupancy must describe the SERVED corpus: tombstoned
+    // rows are out. Tombstone-free (the common case), the scan stays
+    // its narrow centroid-only self; pending deletes widen it by the
+    // id column for the anti-join.
+    val base = tombstoneDf(spark, indexDir) match {
+      case None =>
+        spark.read.parquet(idxPath(indexDir, "codes"))
+          .select(col("centroid"))
+      case Some(_) =>
+        dropTombstoned(spark, indexDir,
+          spark.read.parquet(idxPath(indexDir, "codes"))
+            .select(col("centroid"), col("neighbor_id")))
+          .select(col("centroid"))
+    }
     val incoming = validVecs(batch, vecCol, idCol, dim)
       .select(element_at(
         graft.functions.TopCentroids.topCentroids(col("vec"), mat, dim, 1),
@@ -622,9 +721,9 @@ object PqOps {
     }
     val probedCentroids = probes.select("centroid")
       .distinct().collect().map(_.getInt(0)).sorted
-    val enc = spark.read
+    val enc = dropTombstoned(spark, indexDir, spark.read
       .parquet(idxPath(indexDir, "codes"))
-      .filter(col("centroid").isin(probedCentroids.map(Int.box): _*))
+      .filter(col("centroid").isin(probedCentroids.map(Int.box): _*)))
     val cand = probes.join(enc, Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("probe_rank"),

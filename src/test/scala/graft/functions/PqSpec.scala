@@ -512,4 +512,149 @@ class PqSpec extends AnyFunSuite {
     assert(rebuiltRecall >= staleRecall + 0.2,
       s"rebuild must recover recall: stale $staleRecall, rebuilt $rebuiltRecall")
   }
+
+  test("ivfPqDelete: deleted ids are never served (pre- and post-compact), " +
+      "ranks re-close over survivors, compaction physically removes the " +
+      "rows and clears the tombstones, untouched rows stay byte-identical") {
+    val r = new scala.util.Random(47)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val rows = (0 until 80).map(mk)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    graft.ops.PqOps.ivfPqIndex(rows.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    val queries = rows.take(8).toDF("vec_id", "embedding")
+    def search() = graft.ops.PqOps
+      .ivfPqSearchIndexed(queries, idx, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val before = search()
+    val deadIds = (20 until 40 by 2).map(_.toLong)
+    assert(before.exists(t => deadIds.contains(t._2)),
+      "fixture must serve at least one soon-deleted id pre-delete")
+    graft.ops.PqOps.ivfPqDelete(
+      deadIds.toDF("vec_id"), idx)
+    val after = search()
+    assert(after.forall(t => !deadIds.contains(t._2)),
+      s"deleted ids served: ${after.filter(t => deadIds.contains(t._2))}")
+    // the tombstone anti-join runs BEFORE ranking: the served frame is
+    // exactly the pre-delete candidates minus the dead ids, re-ranked —
+    // survivors' relative ADC order is untouched, ranks close the gaps
+    val expect = before.filter(t => !deadIds.contains(t._2))
+      .groupBy(_._1).toSeq.flatMap { case (q, ts) =>
+        ts.sortBy(_._4).zipWithIndex.map { case ((_, n, a, _), i) =>
+          (q, n, a, i + 1)
+        }
+      }.sortBy(t => (t._1, t._4))
+    // pre-delete k=5 may not retain enough survivors to refill 5 ranks,
+    // so compare on the prefix both sides can see
+    expect.groupBy(_._1).foreach { case (q, exp) =>
+      val got = after.filter(_._1 == q)
+      assert(got.take(exp.length) == exp.sortBy(_._4),
+        s"query $q: survivor re-rank mismatch")
+    }
+    // compaction physically applies: rows gone from the parquet itself,
+    // tombstone table cleared, served results byte-identical
+    graft.ops.PqOps.ivfPqCompact(spark, idx)
+    assert(!new java.io.File(idx, "tombstones").exists(),
+      "compaction must clear applied tombstones")
+    val physical = spark.read.parquet(s"$idx/codes")
+      .as[(Int, Long, Seq[Int])].collect()
+    assert(physical.forall(t => !deadIds.contains(t._2)),
+      "compaction must physically drop tombstoned codes rows")
+    assert(physical.length == 80 - deadIds.length)
+    assert(search() == after,
+      "search must be byte-identical across the tombstone-applying compaction")
+  }
+
+  test("ivfPqDelete: absent ids are a no-op, deletes accumulate across " +
+      "calls, and the nprobe curve and rebuild gauge serve around " +
+      "tombstones") {
+    val r = new scala.util.Random(53)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val rows = (0 until 80).map(mk)
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_dl2").toString
+    graft.ops.PqOps.ivfPqIndex(df, idx, nlist = 4, m = m, ksub = ksub,
+      iters = 1, dim = dim)
+    val queries = rows.take(8).toDF("vec_id", "embedding")
+    def search() = graft.ops.PqOps
+      .ivfPqSearchIndexed(queries, idx, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val before = search()
+    // absent ids: tombstones exist but hit nothing
+    graft.ops.PqOps.ivfPqDelete(Seq(9999L, 10000L).toDF("vec_id"), idx)
+    assert(search() == before, "deleting absent ids must change nothing")
+    // two calls accumulate like one
+    graft.ops.PqOps.ivfPqDelete(Seq(20L).toDF("vec_id"), idx)
+    graft.ops.PqOps.ivfPqDelete(Seq(21L, 20L).toDF("vec_id"), idx)
+    val served = search().map(_._2).toSet
+    assert(!served.contains(20L) && !served.contains(21L))
+    // the tuning curve serves around the same tombstones
+    val curveIds = graft.ops.PqOps.ivfPqNprobeCurve(queries, df, idx,
+        k = 5, nprobes = Seq(4))
+      .select("n_queries").as[Long].head()
+    assert(curveIds == 8L)
+    // direct witness on the curve's candidate frame: a full-probe search
+    // at k = corpus size can return every non-deleted id and no deleted one
+    val all = graft.ops.PqOps
+      .ivfPqSearchIndexed(queries, idx, k = 80, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().map(_._2).toSet
+    assert(!all.contains(20L) && !all.contains(21L))
+    // gauge base side excludes tombstoned rows: deleting every row of
+    // one list shifts the base occupancy the gauge reports
+    val gaugeBefore = graft.ops.PqOps.ivfPqRebuildGauge(df, idx)
+      .select("n_old").as[Long].collect().sum
+    assert(gaugeBefore == 80L - 2L,
+      s"gauge base must already exclude the 2 tombstoned rows: $gaugeBefore")
+  }
+
+  test("ivfPqDelete + compaction crash states: pending tombstones survive " +
+      "a mid-swap crash rollback (still served-around), and stale " +
+      "already-applied tombstones after a post-swap crash stay harmless") {
+    val r = new scala.util.Random(59)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val rows = (0 until 80).map(mk)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_dcr").toString
+    graft.ops.PqOps.ivfPqIndex(rows.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    val queries = rows.take(8).toDF("vec_id", "embedding")
+    def search() = graft.ops.PqOps
+      .ivfPqSearchIndexed(queries, idx, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    graft.ops.PqOps.ivfPqDelete(Seq(4L, 5L).toDF("vec_id"), idx)
+    val suppressed = search()
+    assert(suppressed.forall(t => t._2 != 4L && t._2 != 5L))
+    // stage the mid-swap crash WITH pending tombstones: codes renamed
+    // away, rollback must restore the old layout and the tombstones
+    // must still suppress at serve time, then compact applies them
+    assert(new java.io.File(idx, "codes")
+      .renameTo(new java.io.File(idx, "codes__old")))
+    graft.ops.PqOps.ivfPqCompact(spark, idx)
+    assert(search() == suppressed,
+      "mid-swap recovery must keep deleted ids suppressed")
+    assert(!new java.io.File(idx, "tombstones").exists())
+    val physical = spark.read.parquet(s"$idx/codes")
+      .as[(Int, Long, Seq[Int])].collect().map(_._2).toSet
+    assert(!physical.contains(4L) && !physical.contains(5L),
+      "recovered compaction must still apply the pending tombstones")
+    // stage the post-swap crash state: rows already physically gone,
+    // the tombstone table survived the crash (clear is last) — a
+    // serving no-op, and the NEXT compaction retires it
+    graft.ops.PqOps.ivfPqDelete(Seq(4L, 5L).toDF("vec_id"), idx)
+    assert(search() == suppressed, "already-applied tombstones are no-ops")
+    graft.ops.PqOps.ivfPqCompact(spark, idx)
+    assert(!new java.io.File(idx, "tombstones").exists())
+    assert(search() == suppressed)
+  }
 }
