@@ -9206,10 +9206,30 @@ object ExtensionQueries {
     * decorrelate — a novel direction family the stale quantizer was
     * never trained for.
     */
-  private def q252Drift(spark: SparkSession, dir: String): DataFrame =
+  /** Once-per-dir guard (r12 advice): the drift replica offsets ids by
+    * a fixed +1e6 in BOTH engines, so a fixture whose ids reach 1e6
+    * would silently collide replica ids with real corpus ids and
+    * corrupt both legs and the exact frame — fail loudly instead.
+    */
+  private val q252GuardOk = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def q252Guard(spark: SparkSession, dir: String): Unit = {
+    q252GuardOk.getOrElseUpdate(dir, {
+      val maxId = Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id"))).head.getLong(0)
+      require(maxId < 1000000L,
+        s"q252: fixture max vec_id $maxId >= 1000000 collides with the " +
+          "drift-replica id offset; regenerate with smaller ids or raise " +
+          "the offset in q252Drift AND q252Sql together")
+      true
+    })
+    ()
+  }
+  private def q252Drift(spark: SparkSession, dir: String): DataFrame = {
+    q252Guard(spark, dir)
     Tables.embeddings(spark, dir)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         reverse(col("embedding")).as("embedding"))
+  }
   private def q252Corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .unionByName(q252Drift(spark, dir))
@@ -9547,6 +9567,53 @@ object ExtensionQueries {
        |${sel("r2", "rebuilt")}""".stripMargin
   }
 
+  // --------------------------------------------------------------- q253
+  /** DELETE-AWARE served search — the VALUE-LEVEL oracle row for
+    * [[PqOps.ivfPqDelete]]'s tombstone contract (the q252
+    * parameterization pattern: same [[ivfPqCandSql]] builder, the
+    * delete expressed as a predicate on the ENCODE/serving side): the
+    * standing index is built on the FULL corpus — training saw the
+    * soon-deleted rows, exactly the standing-index reality where
+    * removal arrives after build — then `vec_id % 10 = 3` is
+    * tombstoned and the drifted-free query batch (`vec_id % 50 = 0`,
+    * never in the deleted set) is served at nprobe=2, k=3. The oracle
+    * replays q248's full residual IVF-PQ construction UNCHANGED
+    * (centroid pick, training and encode all keep the deleted rows —
+    * delete must NOT perturb frozen artifacts) and excludes the
+    * deleted ids from the candidate frame BEFORE ranking, so a hash
+    * match pins all three tombstone semantics at the value level:
+    * deleted ids never served, survivor order untouched, ranks
+    * re-closed over survivors. PqSpec carries the physical-removal
+    * and crash-state halves; this row is the SERVING contract.
+    */
+  private def q253Index(spark: SparkSession, dir: String): String =
+    stackIdxCache.getOrElseUpdate("del:" + dir, {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_q253_idx_").toString
+      PqOps.ivfPqIndex(Tables.embeddings(spark, dir), out,
+        nlist = 4, m = q214M, ksub = q214Ksub, iters = 1,
+        dim = q214M * q214Sub, byResidual = true)
+      PqOps.ivfPqDelete(
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 10 === 3).select("vec_id"),
+        out)
+      out
+    })
+
+  def q253(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    PqOps.ivfPqSearchIndexed(e.filter(col("vec_id") % 50 === 0),
+      q253Index(spark, dir), k = 3, nprobe = 2)
+  }
+
+  val q253Sql: String =
+    s"""WITH ${ivfPqCandSql("vec_id % 50 = 0", 2)}
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc6, rank FROM (
+       | SELECT query_id, neighbor_id, adc,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc ASC, neighbor_id) AS INT) AS rank
+       | FROM cand WHERE neighbor_id % 10 <> 3) WHERE rank <= 3""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -9768,5 +9835,6 @@ object ExtensionQueries {
     "q249_indexed_stack" -> ((q249 _, q249Sql)),
     "q250_index_rebuild" -> ((q250 _, q250Sql)),
     "q251_nprobe_curve" -> ((q251 _, q251Sql)),
-    "q252_stale_vs_rebuilt" -> ((q252 _, q252Sql)))
+    "q252_stale_vs_rebuilt" -> ((q252 _, q252Sql)),
+    "q253_delete_served" -> ((q253 _, q253Sql)))
 }
