@@ -184,6 +184,24 @@ object Bench {
       import s.implicits._
       Seq(1L).toDF("compacted")
     }),
+    // the REMOVAL verb of the standing index (opt-out/contamination/
+    // licensing): tombstone-write of a 10% id set (O(ids), the whole
+    // point — no rebuild, no codes read) + one served search on the
+    // tombstoned index, so the row times delete-to-effect latency
+    // INCLUDING the serving anti-join overhead (comparable to
+    // b_ivf_pq_indexed = the same search tombstone-free). The setup
+    // hook clears the tombstone table before every attempt so each
+    // measures the same one-batch state, on a DEDICATED index so no
+    // tombstones ever leak into the rows other searches time.
+    "b_ivf_pq_delete" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = precomputedIvfPqDeleteBase(s, dir)
+      PqOps.ivfPqDelete(
+        e.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 3)
+          .select("vec_id"), idx)
+      PqOps.ivfPqSearchIndexed(e.filter(col("vec_id") % 50 === 0), idx,
+        k = 10, nprobe = 4)
+    }),
     // perceptual-hash near-dup over the 8×8 thumbs: aHash vs DCT hash
     // through the same 4-band pigeonhole candidates
     "b_image_neardup_ahash" -> ((s, dir) =>
@@ -1114,6 +1132,19 @@ object Bench {
       out
     })
 
+  /** A dedicated full-corpus index for `b_ivf_pq_delete` — separate so
+    * its tombstones can never suppress rows in the searches other
+    * bench rows time ([[precomputedIvfPqIndex]] stays tombstone-free).
+    */
+  private val ivfPqDeleteBaseCache = scala.collection.mutable.Map[String, String]()
+  private[graft] def precomputedIvfPqDeleteBase(s: SparkSession, dir: String): String =
+    ivfPqDeleteBaseCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_db_").toString
+      PqOps.ivfPqIndex(Tables.embeddings(s, dir), out,
+        nlist = ivfPqNlist, m = 8, ksub = 16, iters = 1, dim = 64)
+      out
+    })
+
   /** A dedicated compaction target in its genuinely-scattered shape
     * (VERDICT r11 advice): index over the 80% split + 3 appended
     * batches (the 20% split in thirds) = 4 codes file sets, then the
@@ -1168,6 +1199,12 @@ object Bench {
       val codes = new java.io.File(idx, "codes")
       rmTree(codes)
       copyTree(new java.io.File(snap, "codes"), codes)
+    }),
+    // b_ivf_pq_delete restores the tombstone-free state so every
+    // attempt times the same one-batch delete, not an accumulation
+    "b_ivf_pq_delete" -> ((s, dir) => {
+      val t = new java.io.File(precomputedIvfPqDeleteBase(s, dir), "tombstones")
+      if (t.exists()) rmTree(t)
     }))
 
   /** Per-row readings of the committed clean record, for the sweep-end
@@ -1253,6 +1290,7 @@ object Bench {
     precomputedIvfPqIndex(spark, sfDir)
     precomputedIvfPqAppendBase(spark, sfDir)
     precomputedIvfPqSqrtIndex(spark, sfDir)
+    precomputedIvfPqDeleteBase(spark, sfDir)
     // per-row plan-family warmup dir: each timed row first runs once at
     // the 10× smaller fixture (see the loop below) so Janino compilation
     // of its generated classes and C2 JIT of its hot decode/agg loops
@@ -1308,8 +1346,17 @@ object Bench {
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame)
         : (Double, Option[String], List[(Int, Long, Double)]) = {
       // untimed precondition restore (e.g. re-scatter the compaction
-      // target) — setup cost is the fixture's, never the operator's
-      benchSetups.get(name).foreach(su => su(spark, sfDir))
+      // target) — setup cost is the fixture's, never the operator's.
+      // Guarded like the fn call (r12 advice): a setup failure (disk
+      // full mid-copyTree, a vanished fixture) is THAT ROW's error,
+      // recorded and reported — not an exception that aborts the sweep
+      // and loses every other row's reading.
+      try benchSetups.get(name).foreach(su => su(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] $name SETUP FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          return (0.0, Some("setup:" + e.getClass.getSimpleName), Nil)
+      }
       convergedPasses.clear()
       val t0 = System.nanoTime()
       val err = try { force(fn(spark, sfDir)); None } catch {

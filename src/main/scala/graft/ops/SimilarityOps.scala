@@ -294,7 +294,7 @@ object SimilarityOps {
     // "null", which would merge a NULL query_id's pool with a string-id
     // pool whose id is literally "null" — two queries MMR'd as one
     pool.groupByKey(r =>
-      if (r.isNullAt(0)) " " else "v" + String.valueOf(r.get(0)))(
+      if (r.isNullAt(0)) "\u0000" else "v" + String.valueOf(r.get(0)))(
       Encoders.STRING)
       .flatMapGroups { (_, it) =>
         // ascending neighbor_id: a deterministic base order for ties

@@ -9215,7 +9215,7 @@ object ExtensionQueries {
   private def q252Guard(spark: SparkSession, dir: String): Unit = {
     q252GuardOk.getOrElseUpdate(dir, {
       val maxId = Tables.embeddings(spark, dir)
-        .agg(max(col("vec_id"))).head.getLong(0)
+        .agg(max(col("vec_id"))).head().getLong(0)
       require(maxId < 1000000L,
         s"q252: fixture max vec_id $maxId >= 1000000 collides with the " +
           "drift-replica id offset; regenerate with smaller ids or raise " +
