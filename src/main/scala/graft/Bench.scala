@@ -1524,7 +1524,12 @@ object Bench {
       "],\"drift\":" + math.round(canaryDrift * 100.0) / 100.0 +
       ",\"contended\":" + contended + "}"
     val total = allTimings.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"spread":$spreads,"canary":$canary,"diag":$diag,"sf":"$sfDir"}"""
+    // the gate-exclusion list rides in the artifact so tools/doccheck.py
+    // can verify "every registry key has a bench row" without a
+    // hand-mirrored copy of this set (r12 advice)
+    val excl = excluded.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming_state_rows":$stateRows,"spread":$spreads,"canary":$canary,"diag":$diag,"excluded":$excl,"sf":"$sfDir"}"""
     println(json)
     // VERDICT r6 #5: the driver's stdout capture truncates long runs
     // (BENCH_r06.json lost the whole q-family to a 2 KB tail), so the
