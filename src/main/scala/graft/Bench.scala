@@ -1655,10 +1655,20 @@ object Bench {
     // from scratch (AvailableNow + a throwaway checkpoint), so the
     // second try is a true independent observation; `df` is by-name so
     // each try builds a fresh plan.
+    // SPARK_GRAFT_STREAM_MIN1=1: one replay per row instead of two —
+    // the disclosed budget form for the heaviest scale fixtures
+    // (VERDICT r12 #6: the 100× s_attribution replay is the state
+    // contract's second decade point; min-of-2 there costs more than
+    // the reading is worth). Spread is recorded as 0.0, a sentinel
+    // distinct from 1.0 = "attempts agreed" and -1.0 = "second try
+    // errored", so the artifact itself discloses the single-attempt
+    // provenance.
+    val streamMin1 = sys.env.get("SPARK_GRAFT_STREAM_MIN1").contains("1")
     def run(name: String, df: => DataFrame, mode: String)
         : (String, Double, Long, Option[String], Double) = {
       val a = runOnce(name, 1, df, mode)
       if (a._3.isDefined) (name, a._1, a._2, a._3, 1.0)
+      else if (streamMin1) (name, a._1, a._2, None, 0.0)
       else {
         val b = runOnce(name, 2, df, mode)
         if (b._3.isDefined)
