@@ -1295,7 +1295,12 @@ object Bench {
       // 100): eviction re-Janinos whole plan families mid-sweep and
       // restarts their JIT tiering — the round-12 residual-bimodality
       // mechanism (see GraftSession for the PlanProbe numbers).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // 2000 → 4000 (r13): at 362 rows the sweep crossed the 2000-entry
+      // line and the evictions landed on the LAST-run phase — every
+      // streaming row read 2-9× its committed value in the aged JVM
+      // while a fresh-JVM isolated re-run reproduced the r12 walls
+      // exactly; headroom restores the sized-to-the-sweep contract.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay the one-time session/codegen/scan setup outside the
