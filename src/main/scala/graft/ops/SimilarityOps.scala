@@ -684,12 +684,98 @@ object SimilarityOps {
     capBucketSide(banded, "id", maxBucket)
   }
 
+  /** DELETE ids from a standing [[writeLshIndex]] table —
+    * [[graft.ops.PqOps.ivfPqDelete]]'s removal verb for the LSH leg
+    * (opt-out/contamination/licensing without a rebuild): the ids land
+    * as a sibling TOMBSTONE table `<table>__tombstones` (append mode,
+    * in-batch deduplicated, O(ids)); [[lshSearchIndexed]] anti-joins it
+    * when present (broadcast — bounded by the between-compactions
+    * opt-out stream, same contract as the IVF-PQ leg), and
+    * [[compactLshIndex]] physically drops the tombstoned rows and
+    * retires the tombstones. Deleting an absent id is a no-op; repeat
+    * deletes accumulate; a deleted id takes effect at the NEXT query.
+    *
+    * Tombstoning removes a row from the SERVED candidate set — it does
+    * not re-run the `maxBucket` occupancy cap, so rows the deleted ones
+    * capped out at write time stay out until a full [[writeLshIndex]]
+    * rebuild (the same rows-untouched contract as compaction; the cap
+    * is a write-time property, never a serve-time one).
+    */
+  def deleteFromLshIndex(
+      ids: DataFrame, table: String, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${table}__tombstones")
+
+  /** The table's pending tombstones, if a delete has run since the
+    * last compaction.
+    */
+  private def lshTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(s"${table}__tombstones"))
+      Some(spark.table(s"${table}__tombstones"))
+    else None
+
+  /** COMPACT a standing [[writeLshIndex]] table: physically apply
+    * pending [[deleteFromLshIndex]] tombstones (and consolidate
+    * [[appendLshIndex]]'s per-append file sets) by rewriting the index
+    * as one bucketed table — rows otherwise untouched, so served
+    * results are identical by construction and the rewrite costs one
+    * O(index-rows) pass on the maintenance cadence. The rewrite goes
+    * through a staging table and a rename swap (the
+    * [[graft.ops.PqOps.ivfPqCompact]] discipline on catalog tables):
+    * a surviving `__compacting` table is a discarded partial rewrite;
+    * the index missing with `__old` present is a crash between the two
+    * swap renames, rolled back; `__old` beside the index is a crash
+    * after the swap, discarded. Tombstones are dropped strictly LAST —
+    * at no crash point can a deleted id resurface (an already-applied
+    * tombstone left by a post-swap crash is a serving no-op retired by
+    * the next compaction).
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      numFileBuckets: Int = 32): Unit = {
+    val tmp = s"${table}__compacting"
+    val old = s"${table}__old"
+    val tomb = s"${table}__tombstones"
+    if (spark.catalog.tableExists(tmp))
+      spark.sql(s"DROP TABLE $tmp")
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    else if (spark.catalog.tableExists(old))
+      spark.sql(s"DROP TABLE $old")
+    require(spark.catalog.tableExists(table),
+      s"compactLshIndex: no index table $table")
+    val src = lshTombstones(spark, table) match {
+      case Some(t) =>
+        spark.table(table)
+          .join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+          // a USING anti-join fronts the key; the stored schema must
+          // stay (band, bucket, id, vec, buckets)-stable
+          .select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+      case None => spark.table(table)
+    }
+    graft.io.Sources.writeBucketed(src, tmp, numFileBuckets,
+      Seq("band", "bucket"))
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+    if (spark.catalog.tableExists(tomb)) spark.sql(s"DROP TABLE $tomb")
+    ()
+  }
+
   /** Search a [[writeLshIndex]] table: bands/planes/dim must match the
     * write (signatures are deterministic, so matching parameters mean
     * matching buckets). Same candidate semantics as a capped
     * [[lshCosineSearch]] over the same corpus — the spec pins the
     * results equal — but the corpus side comes off the bucketed scan
-    * with zero exchanges.
+    * with zero exchanges. Pending [[deleteFromLshIndex]] tombstones are
+    * anti-joined out BEFORE the ranking window (broadcast probe above
+    * the bucketed scan — output partitioning is preserved, so the
+    * corpus side keeps its zero-exchange property, spec-asserted), and
+    * a deleted id never displaces a survivor's rank.
     */
   def lshSearchIndexed(
       queries: DataFrame, table: String, k: Int,
@@ -705,7 +791,13 @@ object SimilarityOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select(col("band"), col("bucket"),
         col("id").as("query_id"), col("vec").as("q_vec"))
-    val r = spark.table(table).select(col("band"), col("bucket"),
+    val stored = lshTombstones(spark, table) match {
+      case Some(t) =>
+        spark.table(table)
+          .join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => spark.table(table)
+    }
+    val r = stored.select(col("band"), col("bucket"),
       col("id").as("neighbor_id"), col("vec").as("c_vec"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     dedupAdjacentPairs(
