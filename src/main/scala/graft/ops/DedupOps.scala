@@ -756,6 +756,70 @@ object DedupOps {
         col("r.rep").as("rep"), col("r.rep_toks").as("rep_toks"),
         col("r.rep_n").as("rep_n"))
 
+  /** REMOVE ids from a standing [[corpusBucketReps]] frame — the
+    * removal verb for the dedup leg (completing the engine-wide
+    * opt-out/contamination story next to [[graft.ops.PqOps.ivfPqDelete]]
+    * and [[SimilarityOps.deleteFromLshIndex]]), with the semantics
+    * removal actually needs here: a near-dup of REMOVED content must
+    * stop being suppressed (the content is gone, so tomorrow's batch
+    * may legitimately re-introduce it), while dups of surviving docs
+    * keep being dropped.
+    *
+    * Unlike the index tombstones, the reps frame is LOSSY — it stores
+    * only each bucket's min-id member — so a tombstone can't express
+    * "promote the bucket's next member": buckets whose rep is removed
+    * must be RE-DERIVED from the remaining corpus.
+    *  - rep NOT removed: the row is untouched (the rep is the min id
+    *    over members; removing a non-rep member cannot change it).
+    *  - rep removed: the bucket is recomputed over the remaining
+    *    corpus — the smallest surviving member takes over, or the
+    *    bucket disappears if the rep was its only member.
+    * Exactly equal to `corpusBucketReps(corpus minus ids)` —
+    * spec-pinned — at a fraction of the cost: the untouched side is a
+    * broadcast anti-join over the reps frame (bounded by occupied
+    * buckets), and the recompute side is ONE NARROW banded pass over
+    * the remaining corpus (fused band hashes; only (id, band, hash)
+    * longs shuffle) semi-joined down to the affected buckets before
+    * any token arrays are built — verify-array work is proportional
+    * to PROMOTED reps, not the corpus, and when no removed id was a
+    * rep (scattered opt-outs, the common case) the recompute side is
+    * empty. The banded pass itself is the price of the minimal reps
+    * layout: bucket membership is not stored, so it must be re-derived
+    * (storing full membership would cost bands × corpus rows forever
+    * to make removal cheaper once — the wrong trade).
+    *
+    * `corpus` is the standing corpus (pre- or post-removal both work:
+    * removed ids are anti-joined out here). Removing an absent id is
+    * a no-op; the result is a plain persistable frame — wrap in
+    * [[CorpusReps]] with the same banding to keep serving.
+    */
+  def removedBucketReps(
+      reps: CorpusReps, corpus: DataFrame, removedIds: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val rem = removedIds.select(col(idCol).as("__rid")).distinct()
+    val keep = reps.df.join(broadcast(rem),
+      col("rep") === col("__rid"), "left_anti")
+    val affected = reps.df.join(broadcast(rem),
+      col("rep") === col("__rid"), "left_semi")
+      .select("band", "band_hash")
+    val remaining = corpus.join(broadcast(rem),
+      col(idCol) === col("__rid"), "left_anti")
+    val newReps = bandedIds(remaining, textCol, idCol,
+        reps.bands, reps.rowsPerBand)
+      .join(broadcast(affected), Seq("band", "band_hash"), "left_semi")
+      .groupBy("band", "band_hash").agg(min("id").as("rep"))
+    val repDocs = remaining.join(
+      newReps.select(col("rep").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val rebuilt = newReps.join(
+      tokArrays(repDocs, textCol, idCol)
+        .select(col("id").as("rep"), col("toks").as("rep_toks"),
+          col("n").as("rep_n")),
+      Seq("rep"))
+      .select("band", "band_hash", "rep", "rep_toks", "rep_n")
+    keep.select("band", "band_hash", "rep", "rep_toks", "rep_n")
+      .unionByName(rebuilt)
+  }
+
   /** [[dedupIncremental]] against a PRECOMPUTED [[corpusBucketReps]]
     * frame — the standing-deployment form: per-batch cost is O(batch ×
     * bands) banding + ≤ `bands` rep verifications per batch doc + the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -118,6 +119,60 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(buckets50.nonEmpty)
     assert(canon(mergedNextDay).filter(r => buckets50((r._1, r._2)))
       .forall(_._3 == 10L))
+  }
+
+  test("removedBucketReps == corpusBucketReps over the shrunk corpus: " +
+      "rep promotion, sole-member bucket removal, non-rep no-op, absent-id " +
+      "no-op — all against the full recompute") {
+    // a 4-doc corpus with a planted near-dup PAIR (110 dups 100, so they
+    // share buckets and 100 is those buckets' rep) plus two singletons
+    val corpus4 = corpus.unionByName(Seq(
+      (110L, "alpha beta gamma delta epsilon zeta eta THETA"), // near-dup of 100
+      (120L, "standalone material unlike anything else here")
+    ).toDF("doc_id", "text"))
+    def canon(df: DataFrame): Set[(Int, Long, Long, Seq[Long], Int)] =
+      df.select("band", "band_hash", "rep", "rep_toks", "rep_n")
+        .as[(Int, Long, Long, Seq[Long], Int)].collect().toSet
+    val reps4 = DedupOps.CorpusReps(
+      DedupOps.corpusBucketReps(corpus4, "text", "doc_id"))
+    // doc 100 is the rep of every bucket it shares with 110 (min id)
+    assert(canon(reps4.df).exists(_._3 == 100L))
+    for (removed <- Seq(
+        Seq(100L),        // rep removed, 110 must take over shared buckets
+        Seq(120L),        // sole-member buckets vanish
+        Seq(110L),        // non-rep member: reps frame unchanged
+        Seq(9999L),       // absent id: no-op
+        Seq(100L, 120L))) // mixed
+    {
+      val got = DedupOps.removedBucketReps(reps4,
+        corpus4, removed.toDF("doc_id"), "text", "doc_id")
+      val want = DedupOps.corpusBucketReps(
+        corpus4.filter(!col("doc_id").isin(removed.map(Long.box): _*)),
+        "text", "doc_id")
+      assert(canon(got) == canon(want),
+        s"removedBucketReps(removed=$removed) must equal the full recompute")
+    }
+    // the non-rep and absent cases leave the frame literally identical
+    assert(canon(DedupOps.removedBucketReps(reps4, corpus4,
+      Seq(9999L).toDF("doc_id"), "text", "doc_id")) == canon(reps4.df))
+  }
+
+  test("removal frees the content: a batch near-dup of a REMOVED doc is " +
+      "kept, while dups of surviving docs keep being dropped") {
+    val removed = Seq(101L).toDF("doc_id")
+    val shrunk = DedupOps.CorpusReps(DedupOps.removedBucketReps(
+      DedupOps.CorpusReps(DedupOps.corpusBucketReps(corpus, "text", "doc_id")),
+      corpus, removed, "text", "doc_id"))
+    val batch = Seq(
+      (1L, "one two three four five six seven eight"),        // dup of REMOVED 101
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of surviving 100
+      (3L, "fresh material with no overlap anywhere")
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.dedupIncremental(shrunk, batch, "text", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L),
+      s"removed content must stop suppressing (got $kept): the opt-out's " +
+        "whole point is that tomorrow's ingest may re-introduce it")
   }
 
   test("deterministic under repartitioning (key-derived, no order dependence)") {
