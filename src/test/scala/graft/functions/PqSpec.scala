@@ -615,6 +615,36 @@ class PqSpec extends AnyFunSuite {
       s"gauge base must already exclude the 2 tombstoned rows: $gaugeBefore")
   }
 
+  test("ivfPqDelete plan shape: the probed-centroid isin pushdown survives " +
+      "a pending tombstone anti-join, and the anti-join is a broadcast") {
+    val r = new scala.util.Random(61)
+    val centers = Array.tabulate(4, dim)((c, j) => c * 5f + (j % 3) * 0.5f)
+    def mk(i: Int): (Long, Seq[Float]) = {
+      val c = i % 4
+      (i.toLong, (0 until dim).map(j => centers(c)(j) + r.nextFloat() * 0.2f))
+    }
+    val rows = (0 until 80).map(mk)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_pp").toString
+    graft.ops.PqOps.ivfPqIndex(rows.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = m, ksub = ksub, iters = 1, dim = dim)
+    graft.ops.PqOps.ivfPqDelete(Seq(7L, 9L).toDF("vec_id"), idx)
+    val queries = rows.take(4).toDF("vec_id", "embedding")
+    val plan = graft.ops.PqOps
+      .ivfPqSearchIndexed(queries, idx, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the codes scan must still be pruned to the probed lists: the
+    // serving contract is reading ~nprobe/nlist of the index, and a
+    // tombstone anti-join placed wrong (below the filter, or forcing a
+    // plain filter post-scan) would silently widen every served read
+    assert(plan.contains("PushedFilters") && plan.contains("In(centroid"),
+      s"probed-centroid isin no longer reaches the codes scan:\n$plan")
+    // the tombstone set is broadcast by contract (bounded by the
+    // between-compactions opt-out stream) — a sort-merge anti-join here
+    // would shuffle the whole probed candidate frame by id
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone anti-join is not a broadcast:\n$plan")
+  }
+
   test("ivfPqDelete + compaction crash states: pending tombstones survive " +
       "a mid-swap crash rollback (still served-around), and stale " +
       "already-applied tombstones after a post-swap crash stay harmless") {
