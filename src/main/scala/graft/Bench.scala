@@ -33,6 +33,9 @@ object Bench {
     "q18_dedup", "q21_dedup_minhash", "q22_dedup_ngram", "q23_dedup_cosine",
     "q42_dedup_keepers", "q43_simhash_keepers", "q44_dedup_incremental",
     "q46_ngram_keepers",
+    // q254 replays reps removal in q44's md5-portable hash family; the
+    // production removedBucketReps is benched by b_reps_remove
+    "q254_reps_removal",
     // q69 embeds q21's md5-portable pair list; its production-hash
     // bench representative is b_dup_components
     "q69_dup_components",
@@ -374,6 +377,23 @@ object Bench {
       DedupOps.dedupIncremental(
         reps, docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0),
         "text", "doc_id", 0.6)
+    }),
+    // the removal verb of the standing reps (opt-out/contamination on
+    // the dedup leg, next to b_ivf_pq_delete and b_lsh_delete): a 10%
+    // id slice removed from the SAME precomputed reps frame
+    // b_minhash_incr_precomp serves from — keep side is a broadcast
+    // anti-join over the reps, promoted buckets re-derived by one
+    // narrow banded pass over the remaining corpus. The row times
+    // removal-to-served-frame latency; the once-per-version reps build
+    // stays in warmup, exactly like the serving row.
+    "b_reps_remove" -> ((s, dir) => {
+      val reps = DedupOps.CorpusReps(s.read.parquet(precomputedRepsPath(s, dir)))
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 0)
+      DedupOps.removedBucketReps(reps, corpus,
+        corpus.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 3)
+          .select("doc_id"),
+        "text", "doc_id")
     }),
     // the reference's hot ETL operation: WordPiece over every document
     // (data_helper.py tokenizes 3 text fields per row this way) with a
@@ -885,6 +905,22 @@ object Bench {
         Tables.embeddings(s, dir)
           .filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0), t, k = 10)
     }),
+    // the removal verb of the standing LSH index: tombstone-write of a
+    // 10% id set (O(ids), no index read) + the b_lsh_indexed search on
+    // the tombstoned table, so the row times delete-to-effect latency
+    // including the serving anti-join — directly comparable to
+    // b_lsh_indexed (the same search tombstone-free). Dedicated index
+    // + setup-hook tombstone clear, like b_ivf_pq_delete.
+    "b_lsh_delete" -> ((s, dir) => {
+      val t = precomputedLshDeleteIndex(s, dir)
+      SimilarityOps.deleteFromLshIndex(
+        Tables.embeddings(s, dir)
+          .filter(pmod(xxhash64(col("vec_id")), lit(10)) === 3)
+          .select("vec_id"), t)
+      SimilarityOps.lshSearchIndexed(
+        Tables.embeddings(s, dir)
+          .filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0), t, k = 10)
+    }),
     // retrieval evaluation at production scale: the LSH run list
     // scored against an arithmetic judgment dim (bounded 200-doc
     // qrels per query by construction — the evaluation-dim contract)
@@ -1069,29 +1105,43 @@ object Bench {
     */
   private val lshIndexCache = scala.collection.mutable.Map[String, String]()
   private[graft] def precomputedLshIndex(s: SparkSession, dir: String): String =
-    lshIndexCache.getOrElseUpdate(dir, {
-      val t = "graft_bench_lsh_idx_" +
-        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      // A previous PROCESS's managed-table directory can survive in
-      // spark-warehouse while this session's fresh catalog has no such
-      // table — saveAsTable(Overwrite) then refuses with
-      // LOCATION_ALREADY_EXISTS instead of overwriting. Clear the
-      // orphan before building.
-      if (!s.catalog.tableExists(t)) {
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
-        val loc = new java.io.File(whPath, t)
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(loc)
+    lshIndexCache.getOrElseUpdate(dir,
+      freshLshTable(s, "graft_bench_lsh_idx_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL), dir))
+
+  /** A DEDICATED index table for `b_lsh_delete` (the
+    * [[precomputedIvfPqDeleteBase]] discipline): its tombstones must
+    * never suppress rows in the searches `b_lsh_indexed` times, and
+    * the benchSetups hook drops the tombstone table before every
+    * attempt so each measures the same one-batch delete.
+    */
+  private val lshDeleteIndexCache = scala.collection.mutable.Map[String, String]()
+  private[graft] def precomputedLshDeleteIndex(s: SparkSession, dir: String): String =
+    lshDeleteIndexCache.getOrElseUpdate(dir,
+      freshLshTable(s, "graft_bench_lsh_del_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL), dir))
+
+  private def freshLshTable(s: SparkSession, t: String, dir: String): String = {
+    // A previous PROCESS's managed-table directory can survive in
+    // spark-warehouse while this session's fresh catalog has no such
+    // table — saveAsTable(Overwrite) then refuses with
+    // LOCATION_ALREADY_EXISTS instead of overwriting. Clear the
+    // orphan (and any orphan tombstone dir) before building.
+    for (name <- Seq(t, s"${t}__tombstones"); if !s.catalog.tableExists(name)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val loc = new java.io.File(whPath, name)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
         }
+        rm(loc)
       }
-      SimilarityOps.writeLshIndex(Tables.embeddings(s, dir), t)
-      t
-    })
+    }
+    SimilarityOps.writeLshIndex(Tables.embeddings(s, dir), t)
+    t
+  }
 
   /** Once-per-corpus-version IVF-PQ index build (the
     * [[precomputedLshIndex]] pattern for the compressed-index leg):
@@ -1228,6 +1278,12 @@ object Bench {
     "b_ivf_pq_delete" -> ((s, dir) => {
       val t = new java.io.File(precomputedIvfPqDeleteBase(s, dir), "tombstones")
       if (t.exists()) rmTree(t)
+    }),
+    // same contract for the LSH leg: drop the catalog tombstone table
+    // (managed, so the drop removes its directory too)
+    "b_lsh_delete" -> ((s, dir) => {
+      val tomb = s"${precomputedLshDeleteIndex(s, dir)}__tombstones"
+      if (s.catalog.tableExists(tomb)) s.sql(s"DROP TABLE $tomb")
     }))
 
   /** Per-row readings of the committed clean record, for the sweep-end
@@ -1314,6 +1370,7 @@ object Bench {
     Tables.embeddings(spark, sfDir).count()
     precomputedRepsPath(spark, sfDir)
     precomputedLshIndex(spark, sfDir)
+    precomputedLshDeleteIndex(spark, sfDir)
     precomputedFp16Path(spark, sfDir)
     precomputedIvfPqIndex(spark, sfDir)
     precomputedIvfPqAppendBase(spark, sfDir)

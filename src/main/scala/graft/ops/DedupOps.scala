@@ -494,16 +494,7 @@ object DedupOps {
       case Some(n) => ngramSet(col(textCol), n)
       case None => tokenSet(col(textCol))
     }
-    val sig = minHashSignature(sets, bands * rowsPerBand, hashFn)
-    val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          md5(array_join(transform(
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            _.cast("string")), ","))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = portableBanded(df, sets, idCol, bands, rowsPerBand, hashFn)
     val reps = banded.groupBy("band", "band_hash").agg(min("id").as("rep"))
     val edges = banded.join(reps, Seq("band", "band_hash"))
       .filter(col("id") > col("rep"))
@@ -534,19 +525,9 @@ object DedupOps {
       corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
       threshold: Double, bands: Int, rowsPerBand: Int,
       hashFn: (Column, Int) => Column): DataFrame = {
-    def bandedP(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"),
-        minHashSignature(tokenSet(col(textCol)), bands * rowsPerBand, hashFn).as("sig"))
-      .select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          md5(array_join(transform(
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            _.cast("string")), ","))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    def toksP(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
-      .withColumn("n", size(col("toks")))
+    def bandedP(df: DataFrame): DataFrame =
+      portableBanded(df, tokenSet(col(textCol)), idCol, bands, rowsPerBand, hashFn)
+    def toksP(df: DataFrame): DataFrame = portableTokSets(df, textCol, idCol)
     val corpusReps = bandedP(corpus).groupBy("band", "band_hash").agg(min("id").as("rep"))
     val edges = bandedP(batch).join(corpusReps, Seq("band", "band_hash"))
       .select("id", "rep").distinct()
@@ -711,10 +692,39 @@ object DedupOps {
   def corpusBucketReps(
       corpus: DataFrame, textCol: String, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    bandedIds(corpus, textCol, idCol, bands, rowsPerBand)
+    bucketRepsBy(corpus,
+      bandedIds(_, textCol, idCol, bands, rowsPerBand),
+      tokArrays(_, textCol, idCol))
+
+  /** ORACLE-portable twin of [[corpusBucketReps]] (the
+    * [[dedupKeepersPortable]] hash family: md5-salted min-hashes,
+    * md5-string band hashes, raw-string-token verify sets) — the reps
+    * half of the q254 cross-engine row. Same plan as production; only
+    * the hash family and the verify representation differ.
+    */
+  def corpusBucketRepsPortable(
+      corpus: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int,
+      hashFn: (Column, Int) => Column): DataFrame =
+    bucketRepsBy(corpus,
+      portableBanded(_, tokenSet(col(textCol)), idCol, bands, rowsPerBand, hashFn),
+      portableTokSets(_, textCol, idCol))
+
+  /** Shared reps construction over an arbitrary banding/verify
+    * representation: `banded(df)` yields (id, band, band_hash) rows and
+    * `toks(df)` (id, toks, n) — production binds the fused xxhash64
+    * banding + hashed verify arrays, the portable form the md5-family
+    * construction the DuckDB oracle replays. One builder, two hash
+    * families (the q252 parameterization discipline).
+    */
+  private def bucketRepsBy(
+      corpus: DataFrame,
+      banded: DataFrame => DataFrame,
+      toks: DataFrame => DataFrame): DataFrame =
+    banded(corpus)
       .groupBy("band", "band_hash").agg(min("id").as("rep"))
       .join(
-        tokArrays(corpus, textCol, idCol)
+        toks(corpus)
           .select(col("id").as("rep"), col("toks").as("rep_toks"), col("n").as("rep_n")),
         Seq("rep"))
       .select("band", "band_hash", "rep", "rep_toks", "rep_n")
@@ -795,23 +805,51 @@ object DedupOps {
     */
   def removedBucketReps(
       reps: CorpusReps, corpus: DataFrame, removedIds: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String): DataFrame =
+    removedRepsBy(reps.df, corpus, removedIds, idCol,
+      bandedIds(_, textCol, idCol, reps.bands, reps.rowsPerBand),
+      tokArrays(_, textCol, idCol))
+
+  /** ORACLE-portable twin of [[removedBucketReps]] over a
+    * [[corpusBucketRepsPortable]] frame — the removal half of the q254
+    * cross-engine row: Spark runs THIS removal plan (keep anti-join +
+    * affected-bucket recompute + union) while the DuckDB oracle runs
+    * the full recompute over the shrunk corpus, so a hash match proves
+    * the removal ≡ recompute spec equality across engines at the value
+    * level, not just within one engine (the production spec's form).
+    */
+  def removedBucketRepsPortable(
+      reps: DataFrame, corpus: DataFrame, removedIds: DataFrame,
+      textCol: String, idCol: String, bands: Int, rowsPerBand: Int,
+      hashFn: (Column, Int) => Column): DataFrame =
+    removedRepsBy(reps, corpus, removedIds, idCol,
+      portableBanded(_, tokenSet(col(textCol)), idCol, bands, rowsPerBand, hashFn),
+      portableTokSets(_, textCol, idCol))
+
+  /** Shared removal construction (see [[bucketRepsBy]] for the
+    * banding/verify parameterization): keep-side broadcast anti-join,
+    * affected-bucket semi-join, one narrow banded pass over the
+    * remaining corpus, verify arrays only for promoted reps.
+    */
+  private def removedRepsBy(
+      reps: DataFrame, corpus: DataFrame, removedIds: DataFrame, idCol: String,
+      banded: DataFrame => DataFrame,
+      toks: DataFrame => DataFrame): DataFrame = {
     val rem = removedIds.select(col(idCol).as("__rid")).distinct()
-    val keep = reps.df.join(broadcast(rem),
+    val keep = reps.join(broadcast(rem),
       col("rep") === col("__rid"), "left_anti")
-    val affected = reps.df.join(broadcast(rem),
+    val affected = reps.join(broadcast(rem),
       col("rep") === col("__rid"), "left_semi")
       .select("band", "band_hash")
     val remaining = corpus.join(broadcast(rem),
       col(idCol) === col("__rid"), "left_anti")
-    val newReps = bandedIds(remaining, textCol, idCol,
-        reps.bands, reps.rowsPerBand)
+    val newReps = banded(remaining)
       .join(broadcast(affected), Seq("band", "band_hash"), "left_semi")
       .groupBy("band", "band_hash").agg(min("id").as("rep"))
     val repDocs = remaining.join(
       newReps.select(col("rep").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val rebuilt = newReps.join(
-      tokArrays(repDocs, textCol, idCol)
+      toks(repDocs)
         .select(col("id").as("rep"), col("toks").as("rep_toks"),
           col("n").as("rep_n")),
       Seq("rep"))
@@ -856,6 +894,36 @@ object DedupOps {
       .select(col("id"), posexplode(col("band_arr")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+
+  /** Portable (id, band, band_hash) rows — the md5-family banding every
+    * oracle-replayable decision twin shares ([[dedupKeepersPortable]],
+    * [[dedupIncrementalPortable]], [[corpusBucketRepsPortable]]):
+    * salted-md5 min-hash signature over `sets`, md5-STRING band hash of
+    * each row-group joined with ','. DuckDB replays it verbatim
+    * (q42/q44/q46/q254); the production twin is [[bandedIds]].
+    */
+  private def portableBanded(
+      df: DataFrame, sets: Column, idCol: String,
+      bands: Int, rowsPerBand: Int,
+      hashFn: (Column, Int) => Column): DataFrame = df
+    .select(col(idCol).as("id"),
+      minHashSignature(sets, bands * rowsPerBand, hashFn).as("sig"))
+    .select(col("id"), posexplode(
+      array((0 until bands).map(b =>
+        md5(array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), ","))): _*)))
+    .withColumnRenamed("pos", "band")
+    .withColumnRenamed("col", "band_hash")
+
+  /** Portable (id, toks, n) verify side: raw distinct token STRINGS
+    * (DuckDB's `list_distinct(string_split(text, ' '))`), vs the
+    * production [[tokArrays]]' sorted 64-bit hashes.
+    */
+  private def portableTokSets(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = df
+    .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    .withColumn("n", size(col("toks")))
 
   /** (id, toks, n) verify-side representation (sorted token hashes). */
   private def tokArrays(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -9614,6 +9614,66 @@ object ExtensionQueries {
        |   ORDER BY adc ASC, neighbor_id) AS INT) AS rank
        | FROM cand WHERE neighbor_id % 10 <> 3) WHERE rank <= 3""".stripMargin
 
+  // --------------------------------------------------------------- q254
+  /** REPS-REMOVAL ≡ RECOMPUTE, cross-engine — the VALUE-LEVEL oracle
+    * row for [[DedupOps.removedBucketReps]]'s spec equality, via the
+    * portable md5-family twin of the reps pair (q44's hash family):
+    * documents key-split by the portable id hash into an 80% corpus
+    * (part ≠ 0); the standing corpus reps are built, then the part = 1
+    * slice (a quarter of the corpus — dense enough that removed reps,
+    * sole-member buckets and untouched rows all occur at every SF)
+    * plus the part = 0 ids (absent from the corpus — the no-op branch)
+    * are removed. Spark runs the REMOVAL plan (keep-side broadcast
+    * anti-join + affected-bucket recompute + union); the oracle
+    * recomputes the reps over the shrunk corpus from scratch — a hash
+    * match pins removal ≡ recompute ACROSS engines at the value level
+    * (the production spec pins it within Spark). One output row per
+    * occupied bucket: rep id, verify-set size, and an md5 digest of
+    * the sorted verify token set (tokens are space-split so the
+    * space-joined digest is injective; arrays themselves don't cross
+    * the driver compare).
+    */
+  def q254(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val part = pmod(PortableHash.md5Long(col("doc_id")), lit(5))
+    val corpus = docs.filter(part =!= 0)
+    val hashFn = (t: org.apache.spark.sql.Column, i: Int) =>
+      PortableHash.md5Long(t, lit(i))
+    val reps = DedupOps.corpusBucketRepsPortable(
+      corpus, "text", "doc_id", bands = 4, rowsPerBand = 4, hashFn)
+    val removed = docs.filter(part === 1 || part === 0).select("doc_id")
+    DedupOps.removedBucketRepsPortable(
+      reps, corpus, removed, "text", "doc_id",
+      bands = 4, rowsPerBand = 4, hashFn)
+      .select(col("band"), col("band_hash"), col("rep"), col("rep_n"),
+        md5(array_join(array_sort(col("rep_toks")), " ")).as("rep_toks_md5"))
+  }
+
+  val q254Sql: String =
+    s"""WITH doc AS (
+      | SELECT doc_id, text,
+      |   ${dk("CAST(doc_id AS VARCHAR)")} % 5 AS part
+      | FROM documents),
+      |t AS (
+      | SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+      |        len(list_distinct(string_split(text, ' '))) AS n
+      | FROM doc WHERE part >= 2),
+      |sig AS (
+      | SELECT doc_id, toks, n,
+      |  list_transform(generate_series(0, 15), i ->
+      |    list_min(list_transform(toks, tk -> ${dk("tk || '#' || i")}))) AS sg
+      | FROM t),
+      |band AS (
+      | SELECT doc_id, u.i AS band,
+      |   md5(array_to_string(sg[4*u.i+1 : 4*u.i+4], ',')) AS bh
+      | FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) u),
+      |rep AS (
+      | SELECT band, bh, min(doc_id) AS rep FROM band GROUP BY band, bh)
+      |SELECT CAST(r.band AS INT) AS band, r.bh AS band_hash, r.rep,
+      |       CAST(t.n AS INT) AS rep_n,
+      |       md5(array_to_string(list_sort(t.toks), ' ')) AS rep_toks_md5
+      |FROM rep r JOIN t ON t.doc_id = r.rep""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -9836,5 +9896,6 @@ object ExtensionQueries {
     "q250_index_rebuild" -> ((q250 _, q250Sql)),
     "q251_nprobe_curve" -> ((q251 _, q251Sql)),
     "q252_stale_vs_rebuilt" -> ((q252 _, q252Sql)),
-    "q253_delete_served" -> ((q253 _, q253Sql)))
+    "q253_delete_served" -> ((q253 _, q253Sql)),
+    "q254_reps_removal" -> ((q254 _, q254Sql)))
 }

@@ -157,6 +157,32 @@ class DedupIncrementalSpec extends AnyFunSuite {
       Seq(9999L).toDF("doc_id"), "text", "doc_id")) == canon(reps4.df))
   }
 
+  test("portable reps pair: removal plan == full recompute in the " +
+      "md5-family twin too (the q254 cross-engine construction)") {
+    val corpus4 = corpus.unionByName(Seq(
+      (110L, "alpha beta gamma delta epsilon zeta eta THETA"),
+      (120L, "standalone material unlike anything else here")
+    ).toDF("doc_id", "text"))
+    val hashFn = (t: org.apache.spark.sql.Column, i: Int) =>
+      graft.core.PortableHash.md5Long(t, org.apache.spark.sql.functions.lit(i))
+    def canonP(df: DataFrame): Set[(Int, String, Long, Seq[String], Int)] =
+      df.select("band", "band_hash", "rep", "rep_toks", "rep_n")
+        .as[(Int, String, Long, Seq[String], Int)].collect()
+        .map(r => (r._1, r._2, r._3, r._4.sorted, r._5)).toSet
+    val reps = DedupOps.corpusBucketRepsPortable(
+      corpus4, "text", "doc_id", bands = 4, rowsPerBand = 4, hashFn)
+    for (removed <- Seq(Seq(100L), Seq(120L), Seq(110L), Seq(9999L),
+        Seq(100L, 120L, 9999L))) {
+      val got = DedupOps.removedBucketRepsPortable(reps, corpus4,
+        removed.toDF("doc_id"), "text", "doc_id", 4, 4, hashFn)
+      val want = DedupOps.corpusBucketRepsPortable(
+        corpus4.filter(!col("doc_id").isin(removed.map(Long.box): _*)),
+        "text", "doc_id", 4, 4, hashFn)
+      assert(canonP(got) == canonP(want),
+        s"portable removedBucketReps(removed=$removed) must equal the recompute")
+    }
+  }
+
   test("removal frees the content: a batch near-dup of a REMOVED doc is " +
       "kept, while dups of surviving docs keep being dropped") {
     val removed = Seq(101L).toDF("doc_id")
