@@ -1678,6 +1678,24 @@ object Bench {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L * (i + 1)) }
 
+    // the documents table re-laid the same way for the dedup-state
+    // rows, plus an opt-out stream: the 10% key slice re-arrives as
+    // removals with ords ABOVE every ingest ord, so a removal shares a
+    // micro-batch with its content's ingest only in remove-after-ingest
+    // order — the realistic opt-out arrival
+    val docsStreamDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_docstream_").toString
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("doc_id").cast("long").as("ord"))
+      .repartition(8).write.mode("overwrite").parquet(docsStreamDir)
+    val remStreamDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_remstream_").toString
+    graft.core.Tables.documents(spark, sfDir)
+      .filter(pmod(xxhash64(col("doc_id")), lit(10)) === 3)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") + lit(1000000000L)).cast("long").as("ord"))
+      .repartition(8).write.mode("overwrite").parquet(remStreamDir)
+
     // the re-laid temp dirs were written from the normalized batch frame,
     // so `ts` is already a proper TimestampType — no conversion needed
     def srcFrom(dir: String): DataFrame = spark.readStream
@@ -1809,6 +1827,15 @@ object Bench {
       run("s_attribution",
         StreamingOps.streamingAttribution(srcFrom(streamDirOrdered),
           "view", "purchase", horizonSec = 1800L, watermark = "1 hour"),
+        "append"),
+      // the removal verb on the FOURTH standing state — the run-forever
+      // dedup state: a live opt-out stream (10% key slice) purges
+      // winner slots mid-stream without a query restart; state rows =
+      // live contents (shrinks on winner removal, exact by spec)
+      run("s_dedup_optout",
+        StreamingOps.streamingExactDedupOptOut(
+          srcFrom(docsStreamDir), srcFrom(remStreamDir),
+          "text", "doc_id", "ord"),
         "append"))
   }
 }

@@ -205,6 +205,103 @@ object StreamingOps {
     deduped.drop("__sig")
   }
 
+  /** Rows for [[streamingExactDedupOptOut]]: one tagged event per doc
+    * or opt-out (kind 0 = ingest, 1 = removal), keyed by the normalized
+    * content hash; output is the kept ingest rows' (id, ord).
+    */
+  case class DedupOptEvent(key: Long, id: Long, kind: Int, ord: Long,
+      wm: java.sql.Timestamp)
+  case class DedupKeep(id: Long, ord: Long)
+
+  /** Streaming exact dedup with a LIVE OPT-OUT channel — the removal
+    * verb extended to the fourth standing state, the dedup state of a
+    * run-forever ingest job (the batch legs:
+    * [[graft.ops.PqOps.ivfPqDelete]],
+    * [[graft.ops.SimilarityOps.deleteFromLshIndex]],
+    * [[graft.ops.DedupOps.removedBucketReps]]). A long-lived stream
+    * holds one state row per live content; opt-out/contamination/
+    * licensing removals must purge that state WITHOUT restarting the
+    * query, or the content stays suppressed forever after its document
+    * is deleted downstream.
+    *
+    * `docs` and `removals` are two streams (or two batch frames) with
+    * the same (idCol, textCol, ordCol[, tsCol]) columns — an opt-out
+    * carries the document it removes (realistic: a
+    * right-to-be-forgotten request identifies the content; hashing it
+    * client-side works identically since only the 64-bit key enters
+    * the fold). Both are tagged, unioned and folded per content key in
+    * (ord, kind)-order within a micro-batch, arrival order across
+    * batches (the [[streamingEma]] ordering contract):
+    *  - INGEST with no live winner: KEPT (emitted), id becomes the
+    *    winner. With a live winner: dropped (dup of live content).
+    *  - REMOVAL of the live winner: the slot is FREED — the content is
+    *    gone from the corpus, so tomorrow's ingest may legitimately
+    *    re-introduce it ([[graft.ops.DedupOps.removedBucketReps]]'s
+    *    exact semantics, q254's contract).
+    *  - REMOVAL of a non-winner or absent id: no-op — a previously
+    *    DROPPED dup never entered the corpus, so there is nothing to
+    *    free (the batch leg's non-rep no-op; the asymmetry with the
+    *    standing-corpus promotion rule is inherent, not a gap — there
+    *    the next member is still IN the corpus to promote, here the
+    *    dropped doc was discarded at the gate).
+    * State per key is O(1) (the winner id) and shrinks on removal —
+    * the spec asserts state rows = live contents EXACTLY. With the
+    * [[streamingEma]] TTL trio (`tsCol`/`watermarkDelay`/`idleTtlMs`)
+    * idle contents are additionally watermark-evicted (the
+    * run-forever bound: state tracks the active horizon like
+    * [[streamingExactDedup]]'s `dropDuplicatesWithinWatermark`);
+    * without it, state = live contents ever seen (the exact standing
+    * contract). Works identically on batch frames (state simply never
+    * persists), which the differential spec uses.
+    */
+  def streamingExactDedupOptOut(
+      docs: DataFrame, removals: DataFrame, textCol: String, idCol: String,
+      ordCol: String, tsCol: String = null, watermarkDelay: String = null,
+      idleTtlMs: Long = -1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttl = ttlActive(docs, tsCol, watermarkDelay, idleTtlMs)
+    def tag(df: DataFrame, kind: Int): DataFrame = df.select(
+      xxhash64(graft.ops.DedupOps.normText(col(textCol))).as("key"),
+      col(idCol).cast("long").as("id"),
+      lit(kind).as("kind"),
+      col(ordCol).cast("long").as("ord"),
+      (if (ttl) col(tsCol) else lit(null).cast("timestamp")).as("wm"))
+    val unioned0 = tag(docs, 0).unionByName(tag(removals, 1))
+    val unioned =
+      if (ttl) unioned0.withWatermark("wm", watermarkDelay) else unioned0
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    unioned.as[DedupOptEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DedupKeep](
+        OutputMode.Append, timeout) { (_, rows, state) =>
+        if (ttl && state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var winner = state.getOption
+          val kept = Array.newBuilder[DedupKeep]
+          // (ord, kind): at equal ord the ingest lands before its own
+          // removal — "remove then re-add at one instant" is undefined
+          // input, not a contract
+          rows.toArray.sortBy(e => (e.ord, e.kind)).foreach { e =>
+            if (e.kind == 0) {
+              if (winner.isEmpty) { winner = Some(e.id); kept += DedupKeep(e.id, e.ord) }
+            } else if (winner.contains(e.id)) winner = None
+          }
+          winner match {
+            case Some(w) =>
+              state.update(w)
+              if (ttl) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+            case None => if (state.exists) state.remove()
+          }
+          kept.result().iterator
+        }
+      }
+      .toDF(idCol, ordCol)
+  }
+
   /** Input/output/state rows for [[streamingEma]] (case classes so the
     * typed `flatMapGroupsWithState` path gets product encoders).
     */

@@ -201,6 +201,73 @@ class DedupIncrementalSpec extends AnyFunSuite {
         "whole point is that tomorrow's ingest may re-introduce it")
   }
 
+  test("chained daily loop: interleaved merge/remove days == one recompute " +
+      "over the surviving corpus (the composition, not just each verb)") {
+    // day 0: standing corpus + reps. Each day boundary checkpoints both
+    // frames — the deployment persists the reps (and owns the corpus)
+    // between days, and WITHOUT the boundary the lazy plan tree nests
+    // every prior day's banding pass (the b_curation_full planning-tax
+    // mechanism, here to the point of a driver OOM by day 4).
+    var corpusDf = corpus.localCheckpoint()
+    var reps = DedupOps.CorpusReps(
+      DedupOps.corpusBucketReps(corpusDf, "text", "doc_id").localCheckpoint())
+    def serveAndMerge(batch: DataFrame): Unit = {
+      val accepted = DedupOps.dedupIncremental(reps, batch, "text", "doc_id", 0.6)
+      corpusDf = corpusDf.unionByName(accepted).localCheckpoint()
+      reps = DedupOps.CorpusReps(
+        DedupOps.mergedBucketReps(reps, accepted, "text", "doc_id").localCheckpoint())
+    }
+    def remove(ids: Seq[Long]): Unit = {
+      reps = DedupOps.CorpusReps(DedupOps.removedBucketReps(
+        reps, corpusDf, ids.toDF("doc_id"), "text", "doc_id").localCheckpoint())
+      corpusDf = corpusDf.filter(!col("doc_id").isin(ids.map(Long.box): _*))
+        .localCheckpoint()
+    }
+    // day 1: ingest — 201 dups corpus 100 (dropped), 202/203 fresh (202 wins its dup)
+    serveAndMerge(Seq(
+      (201L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (202L, "brand new daily content for the standing corpus"),
+      (203L, "brand new daily content for the standing corpus")
+    ).toDF("doc_id", "text"))
+    // day 2: opt-out removes a day-1 accepted REP and an absent id
+    remove(Seq(202L, 77777L))
+    // day 3: a dup of the REMOVED 202 content must now be accepted again
+    serveAndMerge(Seq(
+      (301L, "brand new daily content for the standing corpus"),
+      (302L, "one two three four five six seven eight") // dup of corpus 101: dropped
+    ).toDF("doc_id", "text"))
+    // day 4: remove an ORIGINAL corpus doc whose buckets day-1/3 content shares
+    remove(Seq(100L))
+    def canon(df: DataFrame): Set[(Int, Long, Long, Seq[Long], Int)] =
+      df.select("band", "band_hash", "rep", "rep_toks", "rep_n")
+        .as[(Int, Long, Long, Seq[Long], Int)].collect().toSet
+    val recomputed = DedupOps.corpusBucketReps(corpusDf, "text", "doc_id")
+    assert(canon(reps.df) == canon(recomputed),
+      "four interleaved merge/remove days must leave the standing reps " +
+        "exactly equal to one recompute over the surviving corpus")
+    // and the loop's surviving corpus is what the story says it is
+    assert(corpusDf.select("doc_id").as[Long].collect().toSet ==
+      Set(101L, 301L),
+      "survivors: original 101 and the re-admitted 301 (100/202 removed, " +
+        "201/203/302 dropped as dups)")
+  }
+
+  test("removedBucketReps plan shape: the keep/affected sides are broadcast " +
+      "joins on the removed-id set — removal never shuffles the reps frame " +
+      "or the corpus by id") {
+    val reps = DedupOps.CorpusReps(DedupOps.corpusBucketReps(corpus, "text", "doc_id"))
+    val plan = DedupOps.removedBucketReps(
+      reps, corpus, Seq(100L).toDF("doc_id"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"keep-side anti-join is not a broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"affected-bucket semi-join missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin ") ||
+      !plan.split("SortMergeJoin").exists(_.startsWith(" [__rid")),
+      s"a removed-id join degraded to sort-merge:\n$plan")
+  }
+
   test("deterministic under repartitioning (key-derived, no order dependence)") {
     val batch = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

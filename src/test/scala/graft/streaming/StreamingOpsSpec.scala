@@ -976,4 +976,121 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.get(3L).exists(_.isEmpty),
       s"unmatched touch must be emitted with null conversion, got $got")
   }
+
+  test("streamingExactDedupOptOut (batch differential): winner removal frees " +
+      "the content, non-winner/absent removal is a no-op, freed content " +
+      "re-admits — the removedBucketReps semantics on the dedup state") {
+    val docs = Seq(
+      (1L, "alpha beta", 1L), (2L, "alpha beta", 2L),  // 1 wins, 2 drops
+      (3L, "gamma delta", 3L),
+      (5L, "alpha beta", 6L),                           // after 1's removal: kept
+      (6L, "gamma delta", 7L)                           // 3 still live: dropped
+    ).toDF("doc_id", "text", "ord")
+    val removals = Seq(
+      (1L, "alpha beta", 4L),    // winner: frees the slot
+      (99L, "gamma delta", 5L),  // non-winner id: no-op
+      (42L, "never seen", 8L)    // absent content: no-op
+    ).toDF("doc_id", "text", "ord")
+    val kept = StreamingOps.streamingExactDedupOptOut(
+      docs, removals, "text", "doc_id", "ord")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("streamingExactDedupOptOut (streaming): state SHRINKS on winner " +
+      "removal and the freed content is re-admitted in a later micro-batch") {
+    val dir = Files.createTempDirectory("dedup-optout").toFile
+    val docsDir = new java.io.File(dir, "docs"); docsDir.mkdirs()
+    val remDir = new java.io.File(dir, "rem"); remDir.mkdirs()
+    val schema = Seq((0L, "x", 0L)).toDF("doc_id", "text", "ord").schema
+    def write(target: java.io.File, name: String, mtime: Long,
+        rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("optout-b").toString
+      rows.toDF("doc_id", "text", "ord").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && f.length > 0).get
+      val dst = new java.io.File(target, name)
+      Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    // trigger 1: ingest A(1) A(2) B(3); trigger 2: removals only
+    // (winner A=1 freed; id 99 against B's content: no-op);
+    // trigger 3: A re-admitted, B still suppressed, C fresh
+    write(docsDir, "d1.parquet", 1000000L,
+      Seq((1L, "alpha beta", 1L), (2L, "alpha beta", 2L), (3L, "gamma delta", 3L)))
+    write(docsDir, "d2.parquet", 2000000L, Seq.empty)
+    write(docsDir, "d3.parquet", 3000000L,
+      Seq((5L, "alpha beta", 10L), (6L, "gamma delta", 11L), (4L, "fresh stuff", 12L)))
+    write(remDir, "r1.parquet", 1000000L, Seq.empty)
+    write(remDir, "r2.parquet", 2000000L,
+      Seq((1L, "alpha beta", 5L), (99L, "gamma delta", 6L)))
+    write(remDir, "r3.parquet", 3000000L, Seq.empty)
+    def src(d: java.io.File) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.getAbsolutePath)
+    val q = StreamingOps.streamingExactDedupOptOut(
+        src(docsDir), src(remDir), "text", "doc_id", "ord")
+      .writeStream.format("memory").queryName("dedup_optout_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("dedup_optout_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 4L),
+      s"kept must be first-winners + the re-admitted freed content: $kept")
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      .filter(_ >= 0)
+    // per-trigger live contents: {A,B} -> removal shrinks to {B} ->
+    // {A,B,C}; the middle point is the removal verb ACTING on state
+    assert(states.containsSlice(Seq(2L, 1L, 3L)),
+      s"state must track live contents exactly, shrinking on removal: $states")
+    spark.catalog.dropTempView("dedup_optout_test")
+  }
+
+  test("streamingExactDedupOptOut TTL: idle content is watermark-evicted " +
+      "and a post-eviction dup is re-admitted (the bounded-state horizon " +
+      "trade, streamingExactDedup's contract on the custom-state path)") {
+    val dir = Files.createTempDirectory("dedup-optout-ttl").toFile
+    val docsDir = new java.io.File(dir, "docs"); docsDir.mkdirs()
+    val remDir = new java.io.File(dir, "rem"); remDir.mkdirs()
+    def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+    val schema = Seq((0L, "x", 0L, ts(0))).toDF("doc_id", "text", "ord", "ts").schema
+    def write(target: java.io.File, name: String, mtime: Long,
+        rows: Seq[(Long, String, Long, java.sql.Timestamp)]): Unit = {
+      val tmp = Files.createTempDirectory("optout-ttl-b").toString
+      rows.toDF("doc_id", "text", "ord", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && f.length > 0).get
+      val dst = new java.io.File(target, name)
+      Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    // content A arrives once; B keeps arriving, advancing the watermark
+    // far past A's 1h idle TTL; then A arrives again with CURRENT event
+    // time — state was evicted, so it is re-admitted
+    write(docsDir, "d1.parquet", 1000000L,
+      Seq((1L, "alpha beta", 1L, ts(0)), (2L, "gamma delta", 2L, ts(1))))
+    write(docsDir, "d2.parquet", 2000000L,
+      Seq((3L, "gamma delta", 3L, ts(500))))
+    write(docsDir, "d3.parquet", 3000000L,
+      Seq((4L, "alpha beta", 4L, ts(600))))
+    for ((n, m) <- Seq(("r1", 1000000L), ("r2", 2000000L), ("r3", 3000000L)))
+      write(remDir, s"$n.parquet", m, Seq.empty)
+    def src(d: java.io.File) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.getAbsolutePath)
+    val q = StreamingOps.streamingExactDedupOptOut(
+        src(docsDir), src(remDir), "text", "doc_id", "ord",
+        tsCol = "ts", watermarkDelay = "10 minutes", idleTtlMs = 60L * 60 * 1000)
+      .writeStream.format("memory").queryName("dedup_optout_ttl_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("dedup_optout_ttl_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"idle-evicted content must be re-admitted on return: $kept")
+    spark.catalog.dropTempView("dedup_optout_ttl_test")
+  }
 }
