@@ -9674,6 +9674,62 @@ object ExtensionQueries {
       |       md5(array_to_string(list_sort(t.toks), ' ')) AS rep_toks_md5
       |FROM rep r JOIN t ON t.doc_id = r.rep""".stripMargin
 
+  // --------------------------------------------------------------- q255
+  /** The streaming opt-out dedup's BATCH TWIN, oracle-checked — the
+    * pattern every streaming operator here follows (q12/q19/q40/q74/
+    * q156: state contract in the spec, batch semantics in an oracle
+    * row). [[graft.streaming.StreamingOps.streamingExactDedupOptOut]]
+    * runs its general order-fold in batch mode over a THREE-PHASE
+    * construction whose ord ranges are disjoint — phase A ingests every
+    * document (ord = doc_id), phase B opt-outs the part-0 md5 slice
+    * (ord + 1e9), phase C re-ingests the part-1-of-3 slice under fresh
+    * ids (+2e6, ord + 2e9) — so every fold branch fires: first-winner
+    * keep, dup drop, winner-removal free, non-winner/absent no-op,
+    * post-free re-admission, still-live suppression. The phase
+    * structure is what makes the oracle CLOSED-FORM (no recursive
+    * state machine): phase-A keeps are the min id per normalized
+    * content; a phase-B removal frees iff it removed that winner;
+    * phase-C keeps are the min re-ingest id per freed content. A hash
+    * match pins the general fold against that closed form — the fold
+    * is the code deployments run, the closed form is the semantics.
+    */
+  def q255(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ingest = docs.select(col("doc_id"), col("text"),
+      col("doc_id").cast("long").as("ord"))
+    val removals = docs
+      .filter(pmod(PortableHash.md5Long(col("doc_id")), lit(5)) === 0)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") + lit(1000000000L)).cast("long").as("ord"))
+    val reingest = docs
+      .filter(pmod(PortableHash.md5Long(col("doc_id")), lit(3)) === 1)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"),
+        (col("doc_id") + lit(2000000000L)).cast("long").as("ord"))
+    graft.streaming.StreamingOps.streamingExactDedupOptOut(
+      ingest.unionByName(reingest), removals, "text", "doc_id", "ord")
+      .select(col("doc_id"), col("ord"))
+  }
+
+  val q255Sql: String =
+    s"""WITH doc AS (
+      | SELECT doc_id, lower(trim(text)) AS t,
+      |   ${dk("CAST(doc_id AS VARCHAR)")} AS h
+      | FROM documents),
+      |win AS (
+      | SELECT t, min(doc_id) AS w FROM doc GROUP BY t),
+      |freed AS (
+      | SELECT r.t FROM doc r JOIN win ON win.t = r.t AND win.w = r.doc_id
+      | WHERE r.h % 5 = 0),
+      |ckept AS (
+      | SELECT c.t, min(c.doc_id + 2000000) AS cid,
+      |        min(c.doc_id + 2000000000) AS cord
+      | FROM doc c
+      | WHERE c.h % 3 = 1 AND c.t IN (SELECT t FROM freed)
+      | GROUP BY c.t)
+      |SELECT w AS doc_id, w AS ord FROM win
+      |UNION ALL
+      |SELECT cid AS doc_id, cord AS ord FROM ckept""".stripMargin
+
   /** name → (spark impl, oracle sql). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q21_dedup_minhash" -> ((q21 _, q21Sql)),
@@ -9897,5 +9953,6 @@ object ExtensionQueries {
     "q251_nprobe_curve" -> ((q251 _, q251Sql)),
     "q252_stale_vs_rebuilt" -> ((q252 _, q252Sql)),
     "q253_delete_served" -> ((q253 _, q253Sql)),
-    "q254_reps_removal" -> ((q254 _, q254Sql)))
+    "q254_reps_removal" -> ((q254 _, q254Sql)),
+    "q255_stream_optout_twin" -> ((q255 _, q255Sql)))
 }
