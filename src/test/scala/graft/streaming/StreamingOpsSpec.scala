@@ -1093,4 +1093,52 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"idle-evicted content must be re-admitted on return: $kept")
     spark.catalog.dropTempView("dedup_optout_ttl_test")
   }
+
+  test("streamingExactDedupOptOut property: 20 seeded-random interleavings " +
+      "match a sequential reference fold (arbitrary orderings, not just " +
+      "the q255 phase structure)") {
+    val texts = Vector("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa")
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(30)
+      val ords = rnd.shuffle((1L to n.toLong).toVector)
+      var nextId = 1L
+      val ingested = scala.collection.mutable.Map.empty[String, Vector[Long]]
+        .withDefaultValue(Vector.empty)
+      // (isRemoval, id, text, ord)
+      val events = (0 until n).map { i =>
+        val t = texts(rnd.nextInt(texts.size))
+        val remove = rnd.nextDouble() < 0.35 && ingested(t).nonEmpty
+        if (remove) {
+          // mix of real prior ids (winner or dropped) and absent ids
+          val id = if (rnd.nextBoolean()) ingested(t)(rnd.nextInt(ingested(t).size))
+                   else 9000L + i
+          (true, id, t, ords(i))
+        } else {
+          val id = nextId; nextId += 1
+          ingested(t) = ingested(t) :+ id
+          (false, id, t, ords(i))
+        }
+      }
+      // sequential reference: (ord, kind)-sorted fold per content
+      val winner = scala.collection.mutable.Map.empty[String, Long]
+      val expect = scala.collection.mutable.Set.empty[(Long, Long)]
+      events.sortBy(e => (e._4, if (e._1) 1 else 0)).foreach {
+        case (false, id, t, ord) =>
+          if (!winner.contains(t)) { winner(t) = id; expect += ((id, ord)) }
+        case (true, id, t, _) =>
+          if (winner.get(t).contains(id)) winner.remove(t)
+      }
+      val docs = events.filter(!_._1).map(e => (e._2, e._3, e._4))
+        .toDF("doc_id", "text", "ord")
+      val removals = events.filter(_._1).map(e => (e._2, e._3, e._4))
+        .toDF("doc_id", "text", "ord")
+      val got = StreamingOps.streamingExactDedupOptOut(
+        docs, removals, "text", "doc_id", "ord")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expect.toSet,
+        s"seed $seed: fold mismatch\n got: ${got.toSeq.sorted}\n want: ${expect.toSeq.sorted}")
+    }
+  }
 }
