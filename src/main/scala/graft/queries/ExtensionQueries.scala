@@ -9693,7 +9693,29 @@ object ExtensionQueries {
     * match pins the general fold against that closed form — the fold
     * is the code deployments run, the closed form is the semantics.
     */
+  /** The q252 guard discipline for q255's id/ord offsets: the phase-C
+    * re-ingest ids are `doc_id + 2e6` and the phase ord ranges are
+    * separated by 1e9 in BOTH engines — a fixture whose doc_ids reach
+    * 2e6 would silently collide re-ingest ids with real ids (and 1e9
+    * would interleave the phases), corrupting the fold and the oracle
+    * identically. Fail loudly instead.
+    */
+  private val q255GuardOk = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def q255Guard(spark: SparkSession, dir: String): Unit = {
+    q255GuardOk.getOrElseUpdate(dir, {
+      val maxId = Tables.documents(spark, dir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 2000000L,
+        s"q255: fixture max doc_id $maxId >= 2000000 collides with the " +
+          "phase-C re-ingest id offset; regenerate with smaller ids or " +
+          "raise the offsets in q255 AND q255Sql together")
+      true
+    })
+    ()
+  }
+
   def q255(spark: SparkSession, dir: String): DataFrame = {
+    q255Guard(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ingest = docs.select(col("doc_id"), col("text"),
       col("doc_id").cast("long").as("ord"))
