@@ -91,8 +91,25 @@ object StatsOps {
     */
   def weightedQuantile(
       df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
-      q: Double): DataFrame = {
-    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+      q: Double): DataFrame =
+    weightedQuantiles(df, keyCol, valueCol, weightCol, Seq(q))
+      .withColumnRenamed("__q0", "weighted_quantile")
+      .select(col(keyCol), col("weighted_quantile"), col("total_weight"))
+
+  /** Several exact weighted quantiles of ONE (key, value, weight)
+    * frame in a SINGLE keyed window pass — [[weightedQuantile]] for a
+    * list of `qs` (guide §2.4: operations keyed the same way share one
+    * exchange; [[winsorize]]'s two bounds previously sorted and
+    * cumulative-summed the same rows twice). Each quantile is the
+    * identical `min(v | cum >= q·W)` over the SAME cumulative frame,
+    * so the values match the one-q form bit-for-bit. Returns
+    * `(key, __q0..__q{n-1}, total_weight)`.
+    */
+  def weightedQuantiles(
+      df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach(q => require(q > 0 && q <= 1, s"q must be in (0, 1], got $q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("__v"))
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -102,15 +119,18 @@ object StatsOps {
         col(weightCol) > 0)
       .select(col(keyCol), col(valueCol).cast("double").as("__v"),
         col(weightCol).cast("decimal(38,6)").as("__w"))
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      // min(v | cum >= q·W) as a conditional aggregate — identical to
+      // the filter-then-min of the single-q form
+      min(when(col("__cum") >= col("__tot") * q, col("__v"))).as(s"__q$i")
+    } :+ max(col("__tot")).as("total_weight")
     clean
       .withColumn("__cum", sum(col("__w")).over(w).cast("double"))
       .withColumn("__tot",
         sum(col("__w")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))).cast("double"))
-      .filter(col("__cum") >= col("__tot") * q)
       .groupBy(keyCol)
-      .agg(min(col("__v")).as("weighted_quantile"),
-        max(col("__tot")).as("total_weight"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** WINSORIZE: clamp `valueCol` into its per-group exact
@@ -130,11 +150,14 @@ object StatsOps {
       s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
     val one = df.select(col(keyCol), col(valueCol))
       .withColumn("__one", lit(1.0))
-    val lo = weightedQuantile(one, keyCol, valueCol, "__one", pLo)
-      .select(col(keyCol), col("weighted_quantile").as("p_lo"))
-    val hi = weightedQuantile(one, keyCol, valueCol, "__one", pHi)
-      .select(col(keyCol), col("weighted_quantile").as("p_hi"))
-    df.join(broadcast(lo), Seq(keyCol)).join(broadcast(hi), Seq(keyCol))
+    // both bounds from ONE window pass (previously two identical
+    // sort+cumsum passes over the same rows), materialized as a local
+    // dim — it is broadcast-bound anyway, and callers like
+    // [[trimmedMean]] reference it from several plan branches
+    val bounds = graft.core.PlanOps.localDim(
+      weightedQuantiles(one, keyCol, valueCol, "__one", Seq(pLo, pHi))
+        .select(col(keyCol), col("__q0").as("p_lo"), col("__q1").as("p_hi")))
+    df.join(broadcast(bounds), Seq(keyCol))
       // greatest/least IGNORE nulls (they return the extreme of the
       // non-null args), so a null value must be guarded explicitly or
       // it would silently clamp to p_lo
@@ -190,8 +213,12 @@ object StatsOps {
     val d = (c: Column) => c.cast("double")
     def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
     val xs = cols.map(c => col(c).cast("double"))
-    val clean = df.filter(xs.map(_.isNotNull).reduce(_ && _))
-      .select(cols.indices.map(i => xs(i).as(s"__x$i")): _*)
+    // the decimal sufficient statistics are the whole cost and the
+    // narrow projection is a few dozen bytes/row: fan out when the
+    // scan cannot (guide §2.2; no-op at scale)
+    val clean = graft.core.PlanOps.fanOutSmall(
+      df.filter(xs.map(_.isNotNull).reduce(_ && _))
+        .select(cols.indices.map(i => xs(i).as(s"__x$i")): _*))
     val aggs = Seq(count(lit(1)).as("__n")) ++
       cols.indices.flatMap { i =>
         Seq(sum(t9(col(s"__x$i"))).as(s"__s$i"),
@@ -232,6 +259,9 @@ object StatsOps {
       df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
     def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
+    // no fan-out here: the rank joins and runningTotals shuffle by the
+    // value columns anyway, so the scan stage does no heavy per-row
+    // work (measured: a fan-out made q201 ~30% slower, pure overhead)
     val clean = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("__x"),
@@ -334,17 +364,26 @@ object StatsOps {
     require(c > 0 && iters >= 1)
     val d = (x: Column) => x.cast("double")
     def t9(x: Column) = round(x, 9).cast("decimal(38,9)")
-    val clean = df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__x"))
+    // fan out the narrow (key, value) projection when the scan can't
+    // split, and MATERIALIZE every per-key center dim (median, scale,
+    // each IRLS iterate) as a local dim: left lazy, iteration k's plan
+    // nests iterations 1..k-1's whole trees and the median/MAD windows
+    // re-execute ~O(iters²) times — the dims are broadcast-bound by
+    // contract, so the collect costs what the broadcast already paid.
+    val clean = graft.core.PlanOps.fanOutSmall(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__x")))
       .withColumn("__one", lit(1.0))
-    val med = weightedQuantile(clean, "__k", "__x", "__one", 0.5)
-      .select(col("__k"), col("weighted_quantile").as("__med"))
+    val med = graft.core.PlanOps.localDim(
+      weightedQuantile(clean, "__k", "__x", "__one", 0.5)
+        .select(col("__k"), col("weighted_quantile").as("__med")))
     val dev = clean.join(broadcast(med), Seq("__k"))
       .withColumn("__ad", abs(col("__x") - col("__med")))
       .withColumn("__one", lit(1.0))
-    val scale = weightedQuantile(dev, "__k", "__ad", "__one", 0.5)
-      .select(col("__k"), (lit(1.4826) * col("weighted_quantile"))
-        .as("__s"))
+    val scale = graft.core.PlanOps.localDim(
+      weightedQuantile(dev, "__k", "__ad", "__one", 0.5)
+        .select(col("__k"), (lit(1.4826) * col("weighted_quantile"))
+          .as("__s")))
     val base = clean.join(broadcast(med), Seq("__k"))
       .join(broadcast(scale), Seq("__k"))
     var m = med.join(scale, Seq("__k"))
@@ -354,14 +393,14 @@ object StatsOps {
       val w = when(abs(col("__x") - col("__m")) <= lit(c) * col("__s"),
         lit(1.0)).otherwise(
         lit(c) * col("__s") / abs(col("__x") - col("__m")))
-      m = cur
+      m = graft.core.PlanOps.localDim(cur
         .groupBy("__k")
         .agg((sum(t9(w * col("__x"))).cast("double") /
           sum(t9(w)).cast("double")).as("__mn"),
           min(col("__s")).as("__sc"), min(col("__med")).as("__md"))
         .select(col("__k"),
           when(col("__sc") > 0, col("__mn")).otherwise(col("__md"))
-            .as("__m"))
+            .as("__m")))
     }
     clean.groupBy("__k").agg(count(lit(1)).as("n"))
       .join(med, Seq("__k")).join(scale, Seq("__k"))
@@ -456,9 +495,14 @@ object StatsOps {
       yCol: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
     def t(c: Column) = round(c, 9).cast("decimal(38,9)")
-    val x = col(xCol).cast("double")
-    val y = col(yCol).cast("double")
-    val agg = df.filter(x.isNotNull && y.isNotNull)
+    val x0 = col(xCol).cast("double")
+    val y0 = col(yCol).cast("double")
+    val base = graft.core.PlanOps.fanOutSmall(
+      df.filter(x0.isNotNull && y0.isNotNull)
+        .select(col(keyCol), x0.as("__x"), y0.as("__y")))
+    val x = col("__x")
+    val y = col("__y")
+    val agg = base
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(t(x)).as("sx"), sum(t(y)).as("sy"),
@@ -504,9 +548,12 @@ object StatsOps {
         ((col("__y2") - col("__y")) / (col("__x2") - col("__x")))
           .as("__slope"))
       .withColumn("__one", lit(1.0))
-    val slope = weightedQuantile(pairs, "__k", "__slope", "__one", 0.5)
-      .select(col("__k"), col("weighted_quantile").as("ts_slope"),
-        col("total_weight").cast("long").as("n_pairs"))
+    // localDim: the residual pass and the final join both reference
+    // the slope dim — broadcast-bound by contract (≤ |keys| rows)
+    val slope = graft.core.PlanOps.localDim(
+      weightedQuantile(pairs, "__k", "__slope", "__one", 0.5)
+        .select(col("__k"), col("weighted_quantile").as("ts_slope"),
+          col("total_weight").cast("long").as("n_pairs")))
     val resid = s.join(broadcast(slope), Seq("__k"))
       .select(col("__k"), col("ts_slope"), col("n_pairs"),
         (col("__y") - col("ts_slope") * col("__x")).as("__b"))
@@ -1064,8 +1111,11 @@ object StatsOps {
       .select(col(groupCol).as("__g"), col(keyCol).cast("string").as("__k"),
         v.as("__v"))
     // narrow-projection fan-out for unsplittable local fixtures — see
-    // [[poissonBootstrapCI]]; production sources split at the scan
-    val base = parallelism.map(base0.repartition(_)).getOrElse(base0)
+    // [[poissonBootstrapCI]]; production sources split at the scan.
+    // With no explicit parallelism the scale-adaptive form applies
+    // (fires only when the whole input fits one scan split).
+    val base = parallelism.map(base0.repartition(_))
+      .getOrElse(graft.core.PlanOps.fanOutSmall(base0))
     // exact=true: round-then-DECIMAL(38,9) replicate sums — the
     // bit-replayable oracle contract (q237). exact=false: plain double
     // sums — the production form (VERDICT r8 #2); replicate means
@@ -1154,8 +1204,11 @@ object StatsOps {
     // (a single parquet row group — the local bench fixture), an
     // explicit repartition of the NARROW (key, value) projection buys
     // full-core fan-out for a ~25-byte/row shuffle. On a real corpus
-    // the scan supplies thousands of splits — leave None (no shuffle).
-    val base = parallelism.map(base0.repartition(_)).getOrElse(base0)
+    // the scan supplies thousands of splits — None now applies the
+    // scale-adaptive form, which fans out ONLY in the single-split
+    // case (a structural no-op at scale).
+    val base = parallelism.map(base0.repartition(_))
+      .getOrElse(graft.core.PlanOps.fanOutSmall(base0))
     // exact accumulation vs production doubles: see
     // [[poissonBootstrapCIByGroup]] — same draws either way, only the
     // replicate-sum buffer type changes.
