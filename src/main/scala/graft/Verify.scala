@@ -20,8 +20,9 @@ object Verify {
       // events.parquet stores ts as TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ~600-plan run; the 100-entry default evicts and re-Janinos
-      // plan families mid-run (see GraftSession).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // plan families mid-run (see GraftSession). 4000 = one constant
+      // across Bench/GraftSession/Verify (r13 eviction postmortem).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -46,8 +46,12 @@ object GraftSession {
       // 100x fixture (round-12 PlanProbe): with the default cache 4 of
       // 8 identical-plan attempts ran 3-20x task-CPU in tier-down
       // windows; at 2000 entries 1 of 8. Classes are small; the cache
-      // is bounded by plan count, not data.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // is bounded by plan count, not data. 2000 → 4000 (r14): the
+      // 362-row r13 sweep crossed the 2000-entry line and evictions
+      // landed on the last-run phase (2-9x streaming inflation, see
+      // Bench/BASELINE); one constant for BOTH builders so a Verify
+      // or user session replaying the registry can't re-trigger it.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -66,4 +66,22 @@ object PlanOps {
     val rows = java.util.Arrays.asList(df.collect(): _*)
     spark.createDataFrame(rows, df.schema)
   }
+
+  /** 3. [[stageNarrow]] — an iterative estimator's cleaned NARROW frame
+    * (a key plus a handful of numerics) is re-read by EVERY eager pass
+    * the estimator runs: each [[localDim]] collect re-executes the
+    * scan + filter + projection (+ [[fanOutSmall]] exchange) lineage
+    * from the parquet files. For a K-pass estimator that is K full
+    * re-reads to produce the same few-dozen-bytes-per-row frame
+    * (guide §5: cache exactly when a frame is reused AND recomputing
+    * it costs more than holding it). One eager `localCheckpoint`
+    * materializes the narrow frame once; every subsequent pass starts
+    * from the in-memory blocks. Values are unchanged — checkpointing
+    * only truncates lineage — and the memory bound is the narrow
+    * projection itself (MEMORY_AND_DISK spills rather than OOMs at
+    * scale, where K re-scans of the pruned columns are what it
+    * competes against). Callers: multi-pass estimators only — a
+    * single-pass operator gains nothing and pays the materialization.
+    */
+  def stageNarrow(df: DataFrame): DataFrame = df.localCheckpoint()
 }

@@ -66,7 +66,10 @@ object CurationOps {
       train: DataFrame, gramSet: DataFrame,
       textCol: String, idCol: String, n: Int,
       gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame =
-    train
+    // fanOutSmall: the gram hashing + broadcast probe is the heavy
+    // stage and runs at the SCAN's parallelism — one task on a
+    // single-split source (no-op at scale, guide §2.2)
+    graft.core.PlanOps.fanOutSmall(train.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(gramKeys(col(textCol), n)).as("gk"))
       .join(broadcast(gramSet), Seq("gk"), "left_semi")
       .select(idCol).distinct()
@@ -115,7 +118,8 @@ object CurationOps {
   def frequentSpans(
       df: DataFrame, textCol: String, m: Int, minCount: Long,
       spanKey: Column => Column = xxhash64(_)): DataFrame =
-    df.select(explode(spanList(col(textCol), m)).as("s"))
+    graft.core.PlanOps.fanOutSmall(df.select(col(textCol)))
+      .select(explode(spanList(col(textCol), m)).as("s"))
       .select(spanKey(col("s")).as("span_key"))
       .groupBy("span_key").agg(count("*").as("n"))
       .filter(col("n") >= minCount)
@@ -156,7 +160,10 @@ object CurationOps {
     import graft.functions.SortedLongContains.sortedLongContains
     // global agg: exactly one row even when nothing is frequent
     val bad = freq.agg(sort_array(collect_set(col("span_key"))).as("bad_spans"))
-    df.crossJoin(broadcast(bad))
+    // fanOutSmall on the FULL frame: the probe stage (span re-tokenize +
+    // binary search per span + rebuild) is per-row heavy and otherwise
+    // runs inside the single-task scan span
+    graft.core.PlanOps.fanOutSmall(df).crossJoin(broadcast(bad))
       .withColumn(textCol, concat_ws(" ",
         filter(spanList(col(textCol), m),
           s => !sortedLongContains(col("bad_spans"), spanKey(s)))))
@@ -233,7 +240,8 @@ object CurationOps {
   def lmUnigramCounts(
       df: DataFrame, textCol: String,
       tokenKey: Column => Column = xxhash64(_)): DataFrame =
-    df.select(explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
+    graft.core.PlanOps.fanOutSmall(df.select(col(textCol)))
+      .select(explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
       .select(tokenKey(col("t")).as("tok_key"))
       .groupBy("tok_key").agg(count(lit(1)).as("n"))
 
@@ -244,7 +252,8 @@ object CurationOps {
   def lmBigramCounts(
       df: DataFrame, textCol: String,
       tokenKey: Column => Column = xxhash64(_)): DataFrame =
-    df.select(explode(bigramOccurrences(col(textCol))).as("o"))
+    graft.core.PlanOps.fanOutSmall(df.select(col(textCol)))
+      .select(explode(bigramOccurrences(col(textCol))).as("o"))
       .select(tokenKey(col("o.bg")).as("bigram_key"))
       .groupBy("bigram_key").agg(count(lit(1)).as("n"))
 
@@ -276,7 +285,8 @@ object CurationOps {
       uni: DataFrame, bi: DataFrame,
       tokenKey: Column => Column = xxhash64(_)): DataFrame = {
     val v = uni.agg(count(lit(1)).as("v"))
-    val occ = df
+    val occ = graft.core.PlanOps.fanOutSmall(
+        df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(bigramOccurrences(col(textCol))).as("o"))
       .select(col(idCol), tokenKey(col("o.w1")).as("tok_key"),
         tokenKey(col("o.bg")).as("bigram_key"))
@@ -337,7 +347,8 @@ object CurationOps {
   def lmTrigramCounts(
       df: DataFrame, textCol: String,
       tokenKey: Column => Column = xxhash64(_)): DataFrame =
-    df.select(explode(trigramOccurrences(col(textCol))).as("o"))
+    graft.core.PlanOps.fanOutSmall(df.select(col(textCol)))
+      .select(explode(trigramOccurrences(col(textCol))).as("o"))
       .select(tokenKey(col("o.tri")).as("trigram_key"))
       .groupBy("trigram_key").agg(count(lit(1)).as("n"))
 
@@ -375,7 +386,8 @@ object CurationOps {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0, 1], got $lambda")
     val totals = broadcast(
       uni.agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("v")))
-    val occ = df
+    val occ = graft.core.PlanOps.fanOutSmall(
+        df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(trigramOccurrences(col(textCol))).as("o"))
       .select(col(idCol),
         tokenKey(col("o.tri")).as("tri_key"),
@@ -571,11 +583,14 @@ object CurationOps {
       train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int,
       gramKeys: (Column, Int) => Column = defaultGramKeys): DataFrame = {
-    val evalGrams = evalDocs
+    // fanOutSmall on both gram-hashing stages (single-split sources
+    // otherwise hash every gram on one task; no-op at scale)
+    val evalGrams = graft.core.PlanOps.fanOutSmall(
+        evalDocs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode_outer(gramKeys(col(textCol), n)).as("gk"))
     val evalSet = evalGrams.filter(col("gk").isNotNull)
       .select("gk").distinct()
-    val hit = train
+    val hit = graft.core.PlanOps.fanOutSmall(train.select(col(textCol)))
       .select(explode(gramKeys(col(textCol), n)).as("gk"))
       .join(broadcast(evalSet), Seq("gk"), "left_semi")
       .distinct()

@@ -167,25 +167,48 @@ object DedupOps {
     val ordered = e.join(freq, "h")
       .groupBy("id").agg(max(col("n")).as("n"),
         sort_array(collect_list(struct(col("df_tok"), col("h")))).as("ord"))
+    // Each occurrence also carries the H-SORTED set of the tokens
+    // EARLIER in its own prefix (positions 0..p-1) — the first-shared-
+    // token dedup below reads it.
     val prefixes = ordered
       .withColumn("plen",
         (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col("id"), col("n"),
-        posexplode(slice(transform(col("ord"), x => x.getField("h")),
-          lit(1), col("plen"))).as(Seq("p", "h")))
+        slice(transform(col("ord"), x => x.getField("h")),
+          lit(1), col("plen")).as("ph"))
+      .select(col("id"), col("n"), col("ph"),
+        posexplode(col("ph")).as(Seq("p", "h")))
+      .select(col("id"), col("n"), col("p"), col("h"),
+        sort_array(slice(col("ph"), lit(1), col("p"))).as("pre"))
     val a = prefixes.select(col("id").as("id_a"), col("n").as("n_a"),
-      col("p").as("p_a"), col("h"))
+      col("p").as("p_a"), col("pre").as("pre_a"), col("h"))
     val b = prefixes.select(col("id").as("id_b"), col("n").as("n_b"),
-      col("p").as("p_b"), col("h"))
-    // Two EXACT prunes inside the candidate join, before the pair
-    // distinct: the length filter (J <= min/max sizes) and PPJoin's
-    // positional filter — a match at rarity positions (p_a, p_b) bounds
-    // the overlap by 1 + min(n_a - p_a - 1, n_b - p_b - 1) remaining
-    // tokens (p is 0-based), which must reach the equivalent-overlap
-    // threshold α = ceil(t/(1+t) · (n_a+n_b)); the minimal common
-    // token's occurrence always passes, so recall stays exactly 1.0
-    // (the 1e-6 slack only ever keeps extra candidates, guarding the
-    // double rounding of α against over-pruning).
+      col("p").as("p_b"), col("pre").as("pre_b"), col("h"))
+    // Two EXACT prunes inside the candidate join: the length filter
+    // (J <= min/max sizes) and PPJoin's positional filter — a match at
+    // rarity positions (p_a, p_b) bounds the overlap by
+    // 1 + min(n_a - p_a - 1, n_b - p_b - 1) remaining tokens (p is
+    // 0-based), which must reach the equivalent-overlap threshold
+    // α = ceil(t/(1+t) · (n_a+n_b)); the minimal common token's
+    // occurrence always passes, so recall stays exactly 1.0 (the 1e-6
+    // slack only ever keeps extra candidates, guarding the double
+    // rounding of α against over-pruning).
+    //
+    // FIRST-SHARED-TOKEN dedup instead of `.distinct()` (guide §2.4 —
+    // remove the shuffle outright): a pair occurs once per shared
+    // prefix token, and on a duplicate-dense corpus the distinct()
+    // repartitioned that ~|shared prefix|× duplicated stream by pair id
+    // (measured: the distinct was over half this validator's wall). An
+    // occurrence survives iff NO rarer shared token exists, i.e. the
+    // h-sorted earlier-prefix cuts intersect empty (codegen'd
+    // two-pointer merge — the minHashCandidates first-collision-wins
+    // pattern on the token axis). Exactness: the global rarity order
+    // makes shared-prefix-token sets downward-closed — any shared token
+    // rarer than h sits before h in BOTH prefixes — so exactly one
+    // occurrence per pair survives; and the positional filter is
+    // monotone (larger p ⇒ smaller remaining-overlap bound), so if the
+    // rarest occurrence is pruned every later one is too: the emitted
+    // pair set is bit-identical to the filtered distinct.
     val alpha = ceil(
       (col("n_a") + col("n_b")) * lit(threshold / (1.0 + threshold)) -
         lit(1e-6))
@@ -194,8 +217,10 @@ object DedupOps {
         least(col("n_a"), col("n_b")).cast("double") >=
           greatest(col("n_a"), col("n_b")) * threshold &&
         (lit(1) + least(col("n_a") - col("p_a") - 1,
-          col("n_b") - col("p_b") - 1)) >= alpha)
-      .select("id_a", "id_b").distinct()
+          col("n_b") - col("p_b") - 1)) >= alpha &&
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("pre_a"), col("pre_b")) === lit(0))
+      .select("id_a", "id_b")
     verifyJaccard(cand, t, threshold)
   }
 
@@ -355,29 +380,48 @@ object DedupOps {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     } else {
-      val banded = df
+      val bandedFull = df
         .select(col(idCol).as("id"),
           graft.functions.MinHashBandHashes.minHashBandHashes(
             hashedTokenSet(col(textCol)), bands, rowsPerBand).as("band_arr"))
         .select(col("id"), col("band_arr"), posexplode(col("band_arr")))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
-      val l = banded.select(col("band"), col("band_hash"),
-        col("id").as("id_a"), col("band_arr").as("ba_a"))
-      val r = banded.select(col("band"), col("band_hash"),
-        col("id").as("id_b"), col("band_arr").as("ba_b"))
-      val joined = l.join(r, Seq("band", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-      if (firstCollisionWins)
+      if (firstCollisionWins) {
         // an occurrence survives only if THIS band is the first equal
         // position — pairs come out unique with no distinct() shuffle;
-        // the check is a codegen'd primitive loop.
-        joined
+        // the check is a codegen'd primitive loop. The check only ever
+        // reads positions BEFORE the colliding band (both sides share
+        // `band`, so position `band` is equal by the join key), so each
+        // occurrence carries just its `band`-length PREFIX of the band
+        // array, not all `bands` hashes: on a duplicate-dense corpus the
+        // (band, band_hash) self-join streams O(Σ bucket²) rows, and
+        // halving the per-row payload (avg prefix = bands/2) halves the
+        // bytes the hot join stage materializes (guide §2.3 — project
+        // before the exchange, here: before the join's row explosion).
+        // firstEqualIndex(pre_a, pre_b) == -1  ⟺  no band < `band`
+        // collides  ⟺  the old firstEqualIndex(full_a, full_b) == band.
+        val banded = bandedFull.select(col("id"), col("band"),
+          col("band_hash"),
+          slice(col("band_arr"), lit(1), col("band")).as("pre"))
+        val l = banded.select(col("band"), col("band_hash"),
+          col("id").as("id_a"), col("pre").as("pre_a"))
+        val r = banded.select(col("band"), col("band_hash"),
+          col("id").as("id_b"), col("pre").as("pre_b"))
+        l.join(r, Seq("band", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
           .filter(graft.functions.FirstEqualIndex
-            .firstEqualIndex(col("ba_a"), col("ba_b")) === col("band"))
+            .firstEqualIndex(col("pre_a"), col("pre_b")) === lit(-1))
           .select("id_a", "id_b")
-      else
-        joined.select("id_a", "id_b").distinct()
+      } else {
+        val l = bandedFull.select(col("band"), col("band_hash"),
+          col("id").as("id_a"))
+        val r = bandedFull.select(col("band"), col("band_hash"),
+          col("id").as("id_b"))
+        l.join(r, Seq("band", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      }
     }
   }
 

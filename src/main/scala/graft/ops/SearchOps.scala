@@ -144,7 +144,11 @@ object SearchOps {
       tokenKey: Column => Column): DataFrame = {
     require(dim > 0, "hashedTfidfWeights: dim must be positive")
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = df
+    // fanOutSmall: tokenize + hash-to-bucket is the heavy stage and
+    // otherwise runs at the single-split scan's parallelism (one task;
+    // no-op at scale — guide §2.2)
+    val tf = graft.core.PlanOps.fanOutSmall(
+        df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(TextOps.whitespaceTokenize(col(textCol))).as("t"))
       .select(col(idCol), pmod(tokenKey(col("t")), lit(dim.toLong)).cast("int").as("bucket"))

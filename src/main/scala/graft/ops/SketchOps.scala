@@ -45,7 +45,11 @@ object SketchOps {
       df: DataFrame, textCol: String,
       depth: Int, width: Int, seed: Long): DataFrame = {
     require(depth > 0 && width > 0, s"depth/width must be positive")
-    df.select(explode(tokens(textCol)).as("tok"))
+    // fanOutSmall: depth portable-md5 draws per token are the heavy
+    // stage; single-split scans otherwise run them on one task (no-op
+    // at scale — guide §2.2)
+    graft.core.PlanOps.fanOutSmall(df.select(col(textCol)))
+      .select(explode(tokens(textCol)).as("tok"))
       .select(col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"),
         pmod(PortableHash.md5Long(col("tok"),
@@ -104,7 +108,10 @@ object SketchOps {
     val lowWidth = 48 - b
     val h = PortableHash.md5Long48(concat_ws("#", col("tok"), lit(seed)))
     val low = h.bitwiseAND(lit((1L << lowWidth) - 1))
-    df.select(groupCols.map(col) :+ explode(tokens(textCol)).as("tok"): _*)
+    // fanOutSmall: the portable-md5 per token is the heavy stage
+    graft.core.PlanOps.fanOutSmall(
+        df.select((groupCols :+ textCol).distinct.map(col): _*))
+      .select(groupCols.map(col) :+ explode(tokens(textCol)).as("tok"): _*)
       .select(groupCols.map(col) ++ Seq(
         shiftright(h, lowWidth).as("bucket"),
         when(low === 0, lit(lowWidth + 1))
@@ -269,7 +276,8 @@ object SketchOps {
       df: DataFrame, keyCol: String,
       depth: Int, width: Int, seed: Long): DataFrame = {
     require(depth > 0 && width > 0, s"depth/width must be positive")
-    df.select(col(keyCol).as("k"))
+    // fanOutSmall: depth portable-md5 draws per key (see cmsSketch)
+    graft.core.PlanOps.fanOutSmall(df.select(col(keyCol).as("k")))
       .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"),
         pmod(PortableHash.md5Long(col("k"),
@@ -361,7 +369,9 @@ object SketchOps {
       df: DataFrame, valueCol: String, k: Int, seed: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val agg = graft.functions.KMinDistinct.kMinUdaf(k)
-    df.select(PortableHash.md5Long(col(valueCol), lit(seed)).as("h"))
+    // fanOutSmall: one portable-md5 per value, k-min is order-free
+    graft.core.PlanOps.fanOutSmall(df.select(col(valueCol)))
+      .select(PortableHash.md5Long(col(valueCol), lit(seed)).as("h"))
       .agg(agg(col("h")).as("ks"))
       .select(explode(col("ks")).as("h"))
   }

